@@ -1,0 +1,379 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.catalog.Tables
+import QueryDef._
+
+/** The reference delegates all relational work to backend DBMSes via opaque
+  * step SQL (SURVEY §2.5); in this engine the "backend" for managed tables is
+  * Spark itself, so these queries ARE the engine's relational surface:
+  * the step-SQL shapes (aggregation, joins, windows, unions) the reference's
+  * own reports and monitoring app issue, re-expressed as Catalyst plans.
+  *
+  * Scale notes apply to each query in its scaladoc — all of these run on
+  * the TPC-H-ish testdata but are written for a 1000-executor cluster:
+  * dimension joins broadcast, aggregations are partial (map-side combine),
+  * filters and projections reach the parquet scan.
+  */
+object Relational {
+
+  private def li(s: SparkSession, dir: String) = Tables.load(s, dir, "lineitem")
+  private def ev(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
+
+  /** Flagship pricing-summary aggregation (the shape of a typical step
+    * `Befehl` SELECT, cf. `CommandExecuter.cs:322-544` where such SQL runs
+    * in the source DBMS). One wide scan → partial agg → 4-group final agg;
+    * no join, no skew risk; scales linearly with input.
+    */
+  val q01 = QueryDef(
+    "q01_pricing_summary",
+    (s, dir) => {
+      import s.implicits._
+      val price = $"l_extendedprice".cast("decimal(12,2)")
+      val disc = $"l_discount".cast("decimal(4,2)")
+      val tax = $"l_tax".cast("decimal(4,2)")
+      li(s, dir)
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity".cast("decimal(12,2)")).cast("double").as("sum_qty"),
+          sum(price).cast("double").as("sum_base_price"),
+          sum(price * (lit(1).cast("decimal(3,2)") - disc)).cast("double").as("sum_disc_price"),
+          sum(price * (lit(1).cast("decimal(3,2)") - disc) * (lit(1).cast("decimal(3,2)") + tax))
+            .cast("double").as("sum_charge"),
+          (sum($"l_quantity".cast("decimal(12,2)")).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(disc).cast("double") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** COPY step payload plan (S1, `CommandExecuter.cs:322-544`): source
+    * query → projection/rename to destination names
+    * (`CommandExecuter.cs:656-661`) → audit-column injection + schema
+    * alignment (`CommandExecuter.cs:603-678`: `Nutzer`, `Abfragezeitpunkt`,
+    * `Datenproduzent`, NULL defaults). One narrow stage — at scale this is
+    * scan→project→write with no shuffle at all.
+    */
+  val q02 = QueryDef(
+    "q02_copy_align",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .filter($"o_orderstatus" =!= "F")
+        .select(
+          $"o_orderkey".as("orderkey"),
+          $"o_custkey".as("custkey"),
+          $"o_totalprice".as("totalprice"),
+          ntz($"o_orderdate").as("orderdate"))
+        .withColumn("nutzer", lit("etl_user"))
+        .withColumn("abfragezeitpunkt", ntz(lit("2026-01-01 00:00:00").cast("timestamp")))
+        .withColumn("datenproduzent", lit("graft"))
+        .withColumn("loeschdatum", lit(null).cast("timestamp_ntz"))
+        .orderBy($"orderkey")
+    },
+    Some("""
+      SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+             o_totalprice AS totalprice, o_orderdate AS orderdate,
+             'etl_user' AS nutzer,
+             TIMESTAMP '2026-01-01 00:00:00' AS abfragezeitpunkt,
+             'graft' AS datenproduzent,
+             CAST(NULL AS TIMESTAMP) AS loeschdatum
+      FROM orders WHERE o_orderstatus <> 'F'
+      ORDER BY orderkey"""))
+
+  /** Timesliced COPY (S2, `CommandExecuter.cs:50-304`): the reference loops
+    * month windows serially; here the whole takeover window is ONE scan and
+    * the slices are groups — per-slice row counts/revenue are what the
+    * reference writes to its ledger (`ErwarteteDaten`). On a cluster the
+    * month key also prunes partitions when the table is date-partitioned.
+    */
+  val q03 = QueryDef(
+    "q03_copy_timeslice",
+    (s, dir) => {
+      import s.implicits._
+      li(s, dir)
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" <= lit("1997-12-31 23:59:59").cast("timestamp"))
+        .groupBy(ntz(date_trunc("month", $"l_shipdate")).as("slice_from"))
+        .agg(
+          count(lit(1)).as("rows_copied"),
+          sum($"l_extendedprice".cast("decimal(12,2)")).cast("double").as("slice_revenue"))
+        .orderBy($"slice_from")
+    },
+    Some("""
+      SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS slice_from,
+             COUNT(*) AS rows_copied,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS slice_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <= TIMESTAMP '1997-12-31 23:59:59'
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** Month-window slice generator — the `Zeitscheibe` calculus itself
+    * (`CommandExecuter.cs:143-261`): windows are `[from, from+1M-1d]`
+    * stepping one month. Pure plan (sequence+explode), no input table; this
+    * is the oracle for the boundary math SURVEY §7.5 flags as off-by-one
+    * sensitive.
+    */
+  val q04 = QueryDef(
+    "q04_month_windows",
+    (s, _) => {
+      import s.implicits._
+      s.range(1)
+        .select(explode(expr(
+          "sequence(to_timestamp('2024-01-15'), to_timestamp('2025-06-15'), interval 1 month)"))
+          .as("slice_from"))
+        .select(
+          ntz($"slice_from").as("slice_from"),
+          ntz(expr("slice_from + interval 1 month - interval 1 day")).as("slice_to"))
+        .orderBy($"slice_from")
+    },
+    Some("""
+      SELECT slice_from, slice_from + INTERVAL 1 MONTH - INTERVAL 1 DAY AS slice_to
+      FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-15',
+                    TIMESTAMP '2025-06-15', INTERVAL 1 MONTH)) AS slice_from)
+      ORDER BY slice_from"""))
+
+  /** Revenue per region: the star-join shape of the reference's report SQL
+    * (e.g. `Helper.cs:922-1025` joins runs × config names × errors).
+    * lineitem⋈orders shuffles on orderkey; customer/nation/region are
+    * broadcast (they stay small even at 100 TB fact scale).
+    */
+  val q05 = QueryDef(
+    "q05_revenue_by_region",
+    (s, dir) => {
+      import s.implicits._
+      val orders = Tables.load(s, dir, "orders")
+      val cust = Tables.load(s, dir, "customer")
+      val nat = Tables.load(s, dir, "nation")
+      val reg = Tables.load(s, dir, "region")
+      li(s, dir)
+        .join(orders, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name".as("region"))
+        .agg(
+          sum(($"l_extendedprice".cast("decimal(12,2)") *
+            (lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(4,2)"))))
+            .cast("double").as("revenue"),
+          countDistinct($"o_orderkey").as("n_orders"))
+        .orderBy($"region")
+    },
+    Some("""
+      SELECT r_name AS region,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        COUNT(DISTINCT o_orderkey) AS n_orders
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** Selective filter + 3-column projection: proves pushdown/pruning reach
+    * the scan (`.explain` shows PushedFilters + a 4-field ReadSchema). The
+    * reference gets this "for free" by running SQL in the source DBMS
+    * (SURVEY §4.1 "Predicate pushdown: total").
+    */
+  val q06 = QueryDef(
+    "q06_filter_pushdown",
+    (s, dir) => {
+      import s.implicits._
+      li(s, dir)
+        .filter($"l_returnflag" === "R" &&
+          $"l_shipdate" >= lit("2000-01-01").cast("timestamp"))
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      WHERE l_returnflag = 'R' AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  /** Last event per user — the monitoring app's "last run per workflow"
+    * (`app/app.R:327-368`, `MAX(Endzeitpunkt)` CTE) as a ranked window.
+    * Shuffles once on user_id; skew-safe because user cardinality ≫
+    * partition count in production.
+    */
+  val q07 = QueryDef(
+    "q07_last_event_per_user",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      ev(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", ntz($"ts").as("last_ts"), $"event_type".as("last_type"))
+        .orderBy($"user_id")
+    },
+    Some("""
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS last_ts, event_type AS last_type
+      FROM (SELECT user_id, ts, event_type,
+              row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1
+      ORDER BY user_id"""))
+
+  /** 4-level run-timeline UNION (`Helper.cs:915-1112`, `app/app.R:824-898`):
+    * per-level aggregates with a level tag, unioned. Each branch is an
+    * independent partial-agg; union is append-only (no shuffle beyond the
+    * aggs themselves).
+    */
+  val q08 = QueryDef(
+    "q08_timeline_union",
+    (s, dir) => {
+      import s.implicits._
+      val e = ev(s, dir).withColumn("day", ntz(date_trunc("day", $"ts")))
+      val lvl1 = e.groupBy($"day").agg(count(lit(1)).as("n"))
+        .select(lit("workflow").as("level"), $"day", lit("ALL").as("module"), $"n")
+      val lvl2 = e.groupBy($"day", $"event_type").agg(count(lit(1)).as("n"))
+        .select(lit("package").as("level"), $"day", $"event_type".as("module"), $"n")
+      lvl1.unionByName(lvl2).orderBy($"level", $"day", $"module")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT 'workflow' AS level, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               'ALL' AS module, COUNT(*) AS n FROM events GROUP BY 2
+        UNION ALL
+        SELECT 'package', CAST(date_trunc('day', ts) AS TIMESTAMP), event_type, COUNT(*)
+        FROM events GROUP BY 2, 3
+      ) ORDER BY level, day, module"""))
+
+  /** Error drill-down (`app/app.R:447-486`, `AnalyzeWorkflowError`
+    * `Helper.cs:915-1112`): error events joined to the "owner" dimension.
+    * The dim side broadcasts.
+    */
+  val q09 = QueryDef(
+    "q09_error_drilldown",
+    (s, dir) => {
+      import s.implicits._
+      val cust = Tables.load(s, dir, "customer")
+      ev(s, dir)
+        .filter($"event_type" === "error")
+        .join(broadcast(cust), $"user_id" === $"c_custkey")
+        .groupBy($"user_id", $"c_name".as("name"))
+        .agg(
+          count(lit(1)).as("n_errors"),
+          sum($"value".cast("decimal(12,2)")).cast("double").as("total_value"),
+          ntz(max($"ts")).as("last_error_ts"))
+        .orderBy($"user_id")
+    },
+    Some("""
+      SELECT user_id, c_name AS name, COUNT(*) AS n_errors,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+             CAST(MAX(ts) AS TIMESTAMP) AS last_error_ts
+      FROM events JOIN customer ON user_id = c_custkey
+      WHERE event_type = 'error'
+      GROUP BY 1, 2 ORDER BY 1"""))
+
+  /** CSV serializer semantics (S4, `CommandExecuter.cs:2140-2365`): the
+    * formatted line the reference writes — configurable date format, null
+    * marker, quote-wrapping of strings (`2291-2317`) — materialized as a
+    * column so it hash-checks. Export itself is `df.write.csv` (see
+    * steps.CsvExportStep); this verifies the formatting contract.
+    */
+  val q10 = QueryDef(
+    "q10_csv_format",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .filter($"o_orderkey" <= 1000)
+        .select(
+          $"o_orderkey",
+          concat(lit("\""), $"o_orderstatus", lit("\"")).as("status_quoted"),
+          date_format($"o_orderdate", "yyyy-MM-dd'T'HH:mm:ss").as("orderdate_fmt"),
+          coalesce($"o_totalprice".cast("decimal(12,2)").cast("string"), lit("NULL")).as("price_fmt"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey,
+             '"' || o_orderstatus || '"' AS status_quoted,
+             strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS orderdate_fmt,
+             COALESCE(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), 'NULL') AS price_fmt
+      FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey"""))
+
+  /** Idempotent ingest (dedup-before-append, `CommandExecuter.cs:1736-1786`
+    * + delete-before-retry `1130-1157`): new rows = source anti-joined
+    * against the already-loaded ledger. Left-anti on the key; ledger side
+    * broadcasts when small.
+    */
+  val q11 = QueryDef(
+    "q11_idempotent_ingest",
+    (s, dir) => {
+      import s.implicits._
+      val orders = Tables.load(s, dir, "orders")
+      val loaded = orders.filter($"o_orderkey" % 7 === 0).select($"o_orderkey")
+      orders.join(loaded, Seq("o_orderkey"), "left_anti")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_new"),
+          sum($"o_totalprice".cast("decimal(12,2)")).cast("double").as("value_new"))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n_new,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS value_new
+      FROM orders WHERE o_orderkey NOT IN
+        (SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0)
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** Sessionization over the event stream: gap > 30 min starts a new
+    * session (the batch shape of streaming/Sessionize). lag + running sum —
+    * one shuffle on user_id.
+    */
+  val q12 = QueryDef(
+    "q12_sessionize",
+    (s, dir) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      ev(s, dir)
+        .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+        .withColumn("new_session",
+          when($"prev_ts".isNull ||
+            unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1).otherwise(0))
+        .withColumn("session_id", sum($"new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("n_events"),
+          ntz(min($"ts")).as("session_start"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          max($"n_events").as("max_session_events"))
+        .orderBy($"user_id")
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), sess AS (
+        SELECT user_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+      ), per_sess AS (
+        SELECT user_id, session_id, COUNT(*) AS n_events
+        FROM sess GROUP BY 1, 2
+      )
+      SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events
+      FROM per_sess GROUP BY 1 ORDER BY 1"""))
+
+  val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06,
+    q07, q08, q09, q10, q11, q12)
+}
