@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the training-data pipeline operators.
+  *
+  * Everything here is composed from codegen'd built-ins (no UDFs) so the
+  * hot path stays inside whole-stage codegen, and every hash is derived
+  * from md5 — the one hash both Spark and the DuckDB oracle implement
+  * bit-identically. At 100 TB scale you'd swap md5 for xxhash64 (also a
+  * built-in Expression, ~5× faster); the operators only depend on
+  * "deterministic 32-bit int from a string", which is why the hash is
+  * factored here once.
+  */
+object TextFunctions {
+
+  /** Normalized token array: lowercase, trim, split on whitespace runs. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Distinct word n-gram shingles (the unit of minhash/simhash/jaccard
+    * document similarity) over an existing token-array column named
+    * `colName`. Sliding window via transform(sequence(...)); empty array
+    * when the doc is shorter than n.
+    */
+  def shingles(colName: String, n: Int = 3): Column = {
+    val parts = (0 until n).map(j => s"$colName[i+$j]").mkString(", ' ', ")
+    when(size(col(colName)) >= n,
+      expr(s"array_distinct(transform(sequence(0, size($colName) - $n), i -> concat($parts)))"))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Deterministic 32-bit non-negative int from a string: first 8 hex chars
+    * of md5. DuckDB equivalent: CAST('0x' || substr(md5(s),1,8) AS BIGINT).
+    */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Full-document fingerprint (exact-dedup key): md5 of the
+    * whitespace-normalized lowercased text.
+    */
+  def fingerprintMd5(text: Column): Column =
+    md5(concat_ws(" ", tokens(text)))
+
+  /** Rolling polynomial fingerprint over tokens:
+    * acc = (acc*31 + hash32(tok)) mod 1e9+7. Order-sensitive (unlike the
+    * md5 of the joined text it detects transpositions differently) and
+    * exactly reproducible in DuckDB via list_reduce.
+    */
+  def fingerprintRolling(text: Column): Column = {
+    val toks = tokens(text)
+    // aggregate(tokens, 0L, (acc, t) -> (acc*31 + hash32(t)) % p)
+    aggregate(
+      toks,
+      lit(0L),
+      (acc, t) => (acc * lit(31L) + hash32(t)) % lit(1000000007L))
+  }
+
+  /** Number of tokens of `toks` that appear in the marker list. */
+  def markerHits(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(markers))).cast("long")
+
+  /** Marker vocabularies for the n-gram-heuristic language ID. With real
+    * multilingual corpora these would be per-language character n-gram
+    * profiles; marker stopwords are the degenerate-but-deterministic
+    * variant that the oracle can replicate.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "y", "es"))
+
+  /** Predicted language: argmax of marker hits with fixed priority order
+    * (en > de > es) on ties, 'unknown' when nothing matches.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = langMarkers.map { case (l, ms) => l -> markerHits(toks, ms) }
+    val Seq(en, de, es) = scores.map(_._2)
+    when(en + de + es === 0, lit("unknown"))
+      .when(en >= de && en >= es, lit("en"))
+      .when(de >= es, lit("de"))
+      .otherwise(lit("es"))
+  }
+
+  /** Quality-scoring signals (length, punctuation density, stopword ratio)
+    * and a composite score in [0,1] — the filter stage of a data-curation
+    * pipeline. All ratios are single IEEE divisions of exact ints so the
+    * oracle agrees bit-for-bit.
+    */
+  def qualitySignals(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text).cast("long")
+    val nToks = tokenCount(text)
+    val punct = (nChars - length(regexp_replace(text, "[.,!?;:]", ""))).cast("long")
+    val stop = markerHits(tokens(text), langMarkers.flatMap(_._2).distinct)
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nToks,
+      "punct_ratio" -> (punct.cast("double") / nChars),
+      "stopword_ratio" -> (stop.cast("double") / nToks))
+  }
+
+  def qualityScore(text: Column): Column = {
+    val sig = qualitySignals(text).toMap
+    val lenScore = least(sig("n_tokens").cast("double") / lit(100.0), lit(1.0))
+    val stopScore = least(sig("stopword_ratio") * 4.0, lit(1.0))
+    val punctPenalty = least(sig("punct_ratio") * 5.0, lit(1.0))
+    lenScore * 0.5 + stopScore * 0.5 - punctPenalty * 0.25
+  }
+}
