@@ -84,7 +84,6 @@ object Relational {
         .withColumn("abfragezeitpunkt", ntz(lit("2026-01-01 00:00:00").cast("timestamp")))
         .withColumn("datenproduzent", lit("graft"))
         .withColumn("loeschdatum", lit(null).cast("timestamp_ntz"))
-        .orderBy($"orderkey")
     },
     Some("""
       SELECT o_orderkey AS orderkey, o_custkey AS custkey,
@@ -93,8 +92,7 @@ object Relational {
              TIMESTAMP '2026-01-01 00:00:00' AS abfragezeitpunkt,
              'graft' AS datenproduzent,
              CAST(NULL AS TIMESTAMP) AS loeschdatum
-      FROM orders WHERE o_orderstatus <> 'F'
-      ORDER BY orderkey"""))
+      FROM orders WHERE o_orderstatus <> 'F'"""))
 
   /** Timesliced COPY (S2, `CommandExecuter.cs:50-304`): the reference loops
     * month windows serially; here the whole takeover window is ONE scan and
@@ -199,12 +197,10 @@ object Relational {
         .filter($"l_returnflag" === "R" &&
           $"l_shipdate" >= lit("2000-01-01").cast("timestamp"))
         .select($"l_orderkey", $"l_linenumber", $"l_quantity")
-        .orderBy($"l_orderkey", $"l_linenumber")
     },
     Some("""
       SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-      WHERE l_returnflag = 'R' AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
-      ORDER BY l_orderkey, l_linenumber"""))
+      WHERE l_returnflag = 'R' AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'"""))
 
   /** Last event per user — the monitoring app's "last run per workflow"
     * (`app/app.R:327-368`, `MAX(Endzeitpunkt)` CTE) as a ranked window.
@@ -225,7 +221,8 @@ object Relational {
     Some("""
       SELECT user_id, CAST(ts AS TIMESTAMP) AS last_ts, event_type AS last_type
       FROM (SELECT user_id, ts, event_type,
-              row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              row_number() OVER (PARTITION BY user_id
+                ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
             FROM events) WHERE rn = 1
       ORDER BY user_id"""))
 

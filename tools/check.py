@@ -28,7 +28,9 @@ def norm(v):
 
 
 def canon(rows, names):
-    order = sorted(range(len(names)), key=lambda i: names[i])
+    # lower() so both sides canonicalize identically even when column-name
+    # case differs between Spark and DuckDB (schema compare is lowercased).
+    order = sorted(range(len(names)), key=lambda i: names[i].lower())
     out = [tuple(norm(r[i]) for i in order) for r in rows]
     out.sort()
     return [names[i] for i in order], out
