@@ -102,6 +102,55 @@ object TextFunctions {
       "stopword_ratio" -> (stop.cast("double") / nToks))
   }
 
+  /** MinHash signature of a distinct-shingle array: element k is
+    * min over shingles of hash32("k:" || shingle) — k independent hash
+    * functions derived from one base hash by seed-prefixing. NULL when the
+    * doc has no shingles. Map-only (no shuffle); at 100 TB the signature
+    * replaces the full shingle set in every downstream comparison.
+    */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    array((0 until k).map { seed =>
+      array_min(transform(shingles, s => hash32(concat(lit(s"$seed:"), s))))
+    }: _*)
+
+  /** LSH band key b (0-based) over a signature of `rows`-sized bands:
+    * md5 of the comma-joined band slice. Equal band key ⇒ candidate pair.
+    */
+  def bandKey(sig: Column, b: Int, rows: Int): Column =
+    md5(concat_ws(",", transform(slice(sig, b * rows + 1, rows), _.cast("string"))))
+
+  /** Estimated Jaccard from two equal-length minhash signatures: fraction
+    * of agreeing components.
+    */
+  def estJaccard(sigA: Column, sigB: Column, k: Int): Column =
+    aggregate(
+      zip_with(sigA, sigB, (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x).cast("double") / lit(k.toDouble)
+
+  /** Exact Jaccard of two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** 32-bit SimHash over a distinct-shingle array: bit i is set iff the
+    * majority of shingle hashes have bit i set (ties → 0, the sum>0 rule
+    * with ±1 weights). Single map-side pass over the hashes.
+    */
+  def simhash(shingles: Column): Column = {
+    val hashes = transform(shingles, s => hash32(s))
+    val n = size(hashes)
+    aggregate(
+      sequence(lit(0), lit(31)),
+      lit(0L),
+      (acc, i) => {
+        val bit = pow(lit(2.0), i).cast("long")
+        // h / bit is exact (both < 2^53, bit a power of two); cast
+        // truncates → integer division, matching DuckDB's `//`.
+        val ones = size(filter(hashes, h => (h / bit).cast("long") % 2 === 1))
+        acc + when(ones * 2 > n, bit).otherwise(lit(0L))
+      })
+  }
+
   def qualityScore(text: Column): Column = {
     val sig = qualitySignals(text).toMap
     val lenScore = least(sig("n_tokens").cast("double") / lit(100.0), lit(1.0))

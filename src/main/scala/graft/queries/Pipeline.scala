@@ -1,0 +1,383 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.catalog.Tables
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+
+/** Training-data-pipeline operators over `documents` / `embeddings` — the
+  * capabilities a 100 TB curation pipeline needs beyond the reference's
+  * ETL surface (builder brief): exact + near dedup, similarity search,
+  * text analysis. Every query is oracle-checked against DuckDB, which is
+  * why all hashing bottoms out in md5 (the one hash both engines share,
+  * see TextFunctions.hash32) — production would swap in xxhash64.
+  *
+  * Scale notes per query; the common theme is that per-doc signatures are
+  * map-only, and every pairwise comparison is blocked (banded / bucketed)
+  * so the join key bounds the candidate set — no all-pairs join anywhere.
+  */
+object Pipeline {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  private val K = 12      // minhash signature length
+  private val BANDS = 4   // LSH bands (rows = K / BANDS = 3)
+  private val ROWS = K / BANDS
+  private val PLANES = 4  // sign-LSH hyperplanes → 16 buckets
+  private val DIM = 64    // embedding dimensionality (testdata schema)
+
+  /** Normalized tokens + distinct 3-shingles for a documents scan. */
+  private def withShingles(df: DataFrame): DataFrame =
+    df.withColumn("t", T.tokens(col("text")))
+      .withColumn("shingles", T.shingles("t"))
+
+  /** Exact dedup (hash-groupBy): canonical fingerprint = md5 of the
+    * whitespace-normalized text; one row per distinct content with the
+    * surviving doc (min id), the duplicate count, and the order-sensitive
+    * rolling fingerprint. Map + one agg shuffle on the fingerprint —
+    * at 100 TB this is the textbook first-pass dedup (fingerprint is
+    * high-cardinality, so no skew).
+    */
+  val q13 = QueryDef(
+    "q13_exact_dedup",
+    (s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .select($"doc_id", $"n_chars",
+          T.fingerprintMd5($"text").as("fingerprint"),
+          T.fingerprintRolling($"text").as("fp_rolling"))
+        .groupBy($"fingerprint")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min($"doc_id").as("keeper_doc_id"),
+          min($"fp_rolling").as("fp_rolling"),
+          sum($"n_chars").as("total_chars"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, n_chars, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+      ), fp AS (
+        SELECT doc_id, n_chars,
+          md5(array_to_string(t, ' ')) AS fingerprint,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(t, s -> CAST('0x' || substr(md5(s),1,8) AS BIGINT))),
+            (acc, h) -> (acc*31 + h) % 1000000007) AS fp_rolling
+        FROM toks
+      )
+      SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc_id,
+             MIN(fp_rolling) AS fp_rolling, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM fp GROUP BY 1"""))
+
+  /** Per-doc MinHash signature + LSH band keys — the map-only signature
+    * stage of near-dedup (shingle → 12 seed-prefixed hashes → min each).
+    * Verifies the signature math itself; q15 consumes the band keys.
+    */
+  val q14 = QueryDef(
+    "q14_minhash_sig",
+    (s, dir) => {
+      import s.implicits._
+      val sig = withShingles(docs(s, dir))
+        .withColumn("sig", T.minhashSignature($"shingles", K))
+      sig.select(
+        $"doc_id",
+        $"sig".getItem(0).as("mh_0"),
+        $"sig".getItem(1).as("mh_1"),
+        $"sig".getItem(K - 1).as("mh_11"),
+        T.bandKey($"sig", 0, ROWS).as("band_0"),
+        T.bandKey($"sig", 1, ROWS).as("band_1"),
+        T.bandKey($"sig", 2, ROWS).as("band_2"),
+        T.bandKey($"sig", 3, ROWS).as("band_3"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      ), sh AS (
+        SELECT doc_id,
+          CASE WHEN len(t) >= 3 THEN
+            list_distinct(list_transform(generate_series(1, len(t)-2),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+          ELSE [] END AS shingles
+        FROM toks
+      ), sig AS (
+        SELECT doc_id,
+          list_transform(generate_series(0, 11), k ->
+            list_min(list_transform(shingles,
+              s -> CAST('0x' || substr(md5(k || ':' || s), 1, 8) AS BIGINT)))) AS sig
+        FROM sh
+      )
+      SELECT doc_id, sig[1] AS mh_0, sig[2] AS mh_1, sig[12] AS mh_11,
+             md5(array_to_string(sig[1:3], ',')) AS band_0,
+             md5(array_to_string(sig[4:6], ',')) AS band_1,
+             md5(array_to_string(sig[7:9], ',')) AS band_2,
+             md5(array_to_string(sig[10:12], ',')) AS band_3
+      FROM sig"""))
+
+  /** MinHash-LSH near-dup pairs: explode signatures into (band, key),
+    * self-join on the band key (the blocking step — candidates only,
+    * never all-pairs), then score candidates with both the signature
+    * estimate and exact shingle Jaccard. At scale the band join is a
+    * shuffle on band_key whose fan-in LSH provably bounds; the exact
+    * Jaccard re-check touches only candidates.
+    */
+  val q15 = QueryDef(
+    "q15_lsh_pairs",
+    (s, dir) => {
+      import s.implicits._
+      val sig = withShingles(docs(s, dir))
+        .filter(size($"shingles") > 0)
+        .withColumn("sig", T.minhashSignature($"shingles", K))
+        .select($"doc_id", $"shingles", $"sig")
+      val bands = sig.select(
+        $"doc_id",
+        explode(array((0 until BANDS).map(b =>
+          struct(lit(b).as("b"), T.bandKey($"sig", b, ROWS).as("key"))): _*)).as("band"))
+        .select($"doc_id", $"band.b", $"band.key")
+      val pairs = bands.as("x")
+        .join(bands.as("y"), $"x.b" === $"y.b" && $"x.key" === $"y.key" &&
+          $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+        .distinct()
+      pairs
+        .join(sig.select($"doc_id".as("doc_a"), $"shingles".as("sh_a"), $"sig".as("sig_a")), "doc_a")
+        .join(sig.select($"doc_id".as("doc_b"), $"shingles".as("sh_b"), $"sig".as("sig_b")), "doc_b")
+        .select($"doc_a", $"doc_b",
+          T.estJaccard($"sig_a", $"sig_b", K).as("est_jaccard"),
+          T.jaccard($"sh_a", $"sh_b").as("jaccard"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      ), sh AS (
+        SELECT doc_id,
+          CASE WHEN len(t) >= 3 THEN
+            list_distinct(list_transform(generate_series(1, len(t)-2),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+          ELSE [] END AS shingles
+        FROM toks
+      ), sig AS (
+        SELECT doc_id, shingles,
+          list_transform(generate_series(0, 11), k ->
+            list_min(list_transform(shingles,
+              s -> CAST('0x' || substr(md5(k || ':' || s), 1, 8) AS BIGINT)))) AS sig
+        FROM sh WHERE len(shingles) > 0
+      ), bands AS (
+        SELECT doc_id, shingles, sig, b,
+          md5(array_to_string(sig[(3*b+1):(3*b+3)], ',')) AS band_key
+        FROM sig, (SELECT unnest(generate_series(0,3)) AS b)
+      ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          any_value(a.sig) AS sig_a, any_value(b.sig) AS sig_b,
+          any_value(a.shingles) AS sh_a, any_value(b.shingles) AS sh_b
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT doc_a, doc_b,
+        CAST(len(list_filter(generate_series(1,12), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 12.0
+          AS est_jaccard,
+        CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+          CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE) AS jaccard
+      FROM pairs"""))
+
+  /** Brute-force cosine top-k — the ANN correctness baseline: a small
+    * query set (vec_id < 10) scored against the full corpus, ranked per
+    * query. The corpus side streams (one scan, broadcast queries); this
+    * is linear per query and exists to validate q17's bucketed path.
+    */
+  val q16 = QueryDef(
+    "q16_ann_topk",
+    (s, dir) => {
+      import s.implicits._
+      val v = embs(s, dir)
+        .withColumn("e", V.asDouble($"embedding"))
+        .withColumn("nrm", V.norm($"e"))
+        .select($"vec_id", $"label", $"e", $"nrm")
+      val q = v.filter($"vec_id" < 10)
+        .select($"vec_id".as("query_id"), $"e".as("qe"), $"nrm".as("qn"))
+      val scored = v.join(broadcast(q), $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("neighbor_id"), $"label".as("neighbor_label"),
+          V.cosine($"qe", $"e", $"qn", $"nrm").as("cosine"))
+      val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+      scored.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 5)
+        .select($"query_id", $"rnk", $"neighbor_id", $"neighbor_label", $"cosine")
+    },
+    Some("""
+      WITH v AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+      ), n AS (
+        SELECT vec_id, label, e,
+          sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(e, x -> x*x)), (a,b) -> a+b)) AS nrm
+        FROM v
+      ), scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> q.e[i]*c.e[i])), (a,b) -> a+b)
+            / (q.nrm * c.nrm) AS cosine
+        FROM n q JOIN n c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 10
+      ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM scored
+      )
+      SELECT query_id, rnk, neighbor_id, neighbor_label, cosine FROM ranked WHERE rnk <= 5"""))
+
+  /** Sign-LSH bucketed ANN — the 100 TB scale path: 4 md5-derived
+    * hyperplanes → 16 buckets; candidates are same-bucket only, so the
+    * self-join shuffles on the bucket id instead of exploding to
+    * all-pairs. Top-3 within bucket for queries vec_id < 50. On a
+    * cluster the bucket key is also the repartition key, making each
+    * candidate set node-local.
+    */
+  val q17 = QueryDef(
+    "q17_ann_lsh",
+    (s, dir) => {
+      import s.implicits._
+      val v = embs(s, dir)
+        .withColumn("e", V.asDouble($"embedding"))
+        .withColumn("nrm", V.norm($"e"))
+        .withColumn("bucket", V.hyperplaneBucket($"e", PLANES, DIM))
+        .select($"vec_id", $"e", $"nrm", $"bucket")
+      val q = v.filter($"vec_id" < 50)
+        .select($"vec_id".as("query_id"), $"e".as("qe"), $"nrm".as("qn"), $"bucket")
+      val scored = v.join(q, Seq("bucket"))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"bucket", $"vec_id".as("neighbor_id"),
+          V.cosine($"qe", $"e", $"qn", $"nrm").as("cosine"))
+      val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+      scored.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 3)
+        .select($"query_id", $"bucket", $"rnk", $"neighbor_id", $"cosine")
+    },
+    Some("""
+      WITH planes AS (
+        SELECT j, list_transform(generate_series(0,63),
+          d -> (CAST('0x' || substr(md5(j || ',' || d),1,8) AS BIGINT) % 2001 - 1000)/1000.0) AS w
+        FROM (SELECT unnest(generate_series(0,3)) AS j)
+      ), v AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+      ), n AS (
+        SELECT vec_id, label, e,
+          sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(e, x -> x*x)), (a,b) -> a+b)) AS nrm
+        FROM v
+      ), dots AS (
+        SELECT n.vec_id, p.j,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> p.w[i]*n.e[i])), (a,b) -> a+b) AS dot
+        FROM n CROSS JOIN planes p
+      ), buck AS (
+        SELECT vec_id, CAST(SUM(CASE WHEN dot > 0
+          THEN CAST(round(2**j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        FROM dots GROUP BY 1
+      ), bn AS (
+        SELECT n.*, b.bucket FROM n JOIN buck b USING (vec_id)
+      ), scored AS (
+        SELECT q.vec_id AS query_id, q.bucket, c.vec_id AS neighbor_id,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> q.e[i]*c.e[i])), (a,b) -> a+b)
+            / (q.nrm * c.nrm) AS cosine
+        FROM bn q JOIN bn c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 50
+      ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM scored
+      )
+      SELECT query_id, bucket, rnk, neighbor_id, cosine FROM ranked WHERE rnk <= 3"""))
+
+  /** Per-doc text analysis: n-gram-heuristic language ID, length/punct/
+    * stopword quality signals, composite score — the filter stage of a
+    * curation pipeline. Pure map (no shuffle at all); the given `lang`
+    * column rides along so accuracy is auditable downstream.
+    */
+  val q18 = QueryDef(
+    "q18_text_quality",
+    (s, dir) => {
+      import s.implicits._
+      val sig = T.qualitySignals($"text").toMap
+      docs(s, dir).select(
+        $"doc_id", $"lang",
+        T.langId($"text").as("pred_lang"),
+        sig("n_chars").as("n_chars"),
+        sig("n_tokens").as("n_tokens"),
+        sig("punct_ratio").as("punct_ratio"),
+        sig("stopword_ratio").as("stopword_ratio"),
+        T.qualityScore($"text").as("quality_score"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, lang, text,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS t,
+          CAST(length(text) AS BIGINT) AS n_chars_c,
+          CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
+        FROM documents
+      ), sig AS (
+        SELECT doc_id, lang, n_chars_c, n_punct,
+          CAST(len(t) AS BIGINT) AS n_tokens,
+          CAST(len(list_filter(t, x -> list_contains(['the','and','of','to','a','in','is'], x))) AS BIGINT) AS en_hits,
+          CAST(len(list_filter(t, x -> list_contains(['der','die','und','das','ist','ein'], x))) AS BIGINT) AS de_hits,
+          CAST(len(list_filter(t, x -> list_contains(['el','la','de','que','y','es'], x))) AS BIGINT) AS es_hits,
+          CAST(len(list_filter(t, x -> list_contains(['the','and','of','to','a','in','is','der','die','und','das','ist','ein','el','la','de','que','y','es'], x))) AS BIGINT) AS stop_hits
+        FROM base
+      )
+      SELECT doc_id, lang,
+        CASE WHEN en_hits + de_hits + es_hits = 0 THEN 'unknown'
+             WHEN en_hits >= de_hits AND en_hits >= es_hits THEN 'en'
+             WHEN de_hits >= es_hits THEN 'de' ELSE 'es' END AS pred_lang,
+        n_chars_c AS n_chars, n_tokens,
+        CAST(n_punct AS DOUBLE) / n_chars_c AS punct_ratio,
+        CAST(stop_hits AS DOUBLE) / n_tokens AS stopword_ratio,
+        least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+          + least(CAST(stop_hits AS DOUBLE) / n_tokens * 4.0, 1.0) * 0.5
+          - least(CAST(n_punct AS DOUBLE) / n_chars_c * 5.0, 1.0) * 0.25 AS quality_score
+      FROM sig"""))
+
+  /** Per-doc 32-bit SimHash over 3-shingles (majority bit rule) — the
+    * hamming-distance family of near-dedup. Map-only; at scale the
+    * 16-bit halves become block keys (two docs within hamming distance 1
+    * share at least one half).
+    */
+  val q19 = QueryDef(
+    "q19_simhash",
+    (s, dir) => {
+      import s.implicits._
+      withShingles(docs(s, dir))
+        .select($"doc_id",
+          T.simhash($"shingles").as("simhash"),
+          size($"shingles").cast("long").as("n_shingles"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      ), sh AS (
+        SELECT doc_id,
+          CASE WHEN len(t) >= 3 THEN
+            list_distinct(list_transform(generate_series(1, len(t)-2),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+          ELSE [] END AS shingles
+        FROM toks
+      ), hs AS (
+        SELECT doc_id, list_transform(shingles, s -> CAST('0x' || substr(md5(s),1,8) AS BIGINT)) AS hashes
+        FROM sh
+      ), bits AS (
+        SELECT doc_id, hashes,
+          list_transform(generate_series(0,31), i ->
+            CAST(len(list_filter(hashes, h -> (h // CAST(round(2**i) AS BIGINT)) % 2 = 1)) AS BIGINT)) AS ones
+        FROM hs
+      )
+      SELECT doc_id,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(generate_series(0,31), i ->
+            CASE WHEN ones[i+1] * 2 > len(hashes) THEN CAST(round(2**i) AS BIGINT) ELSE 0 END)),
+          (a,b) -> a+b) AS simhash,
+        CAST(len(hashes) AS BIGINT) AS n_shingles
+      FROM bits"""))
+
+  val all: Seq[QueryDef] = Seq(q13, q14, q15, q16, q17, q18, q19)
+}
