@@ -1,0 +1,57 @@
+package graft.steps
+
+import java.time.{LocalDateTime, LocalTime}
+
+/** `Zeitscheibe` month-window calculus — the slice loop of the
+  * reference's timesliced copy (`/root/reference/code/DIZService.Core/
+  * CommandExecuter.cs:143-261`): windows are `[from 00:00:00,
+  * (from+1M-1d) 23:59:59]`, the next `from` is the previous end + 1 day,
+  * and the end is clamped to the takeover end *from the second slice on*
+  * (the first slice is emitted unclamped — reference quirk preserved;
+  * `nextMonth` is computed at `CommandExecuter.cs:143` before the clamp
+  * at `256-260` ever runs).
+  *
+  * Pure calculus; the engine turns the windows into predicate filters —
+  * a partition-pruned parallel read instead of the reference's serial
+  * per-slice loop (SURVEY §2.1 S2).
+  */
+object MonthWindows {
+
+  final case class Window(from: LocalDateTime, to: LocalDateTime)
+
+  private val DayEnd = LocalTime.of(23, 59, 59)
+
+  /** All slice windows for takeover `[executeFrom, executeTo]`. Mirrors
+    * the loop's observable boundaries: slice dates come from the running
+    * date cursor, times are pinned to 00:00:00 / 23:59:59 exactly like
+    * the `yyyyMMdd000000` / `yyyyMMdd235959` formats.
+    */
+  def windows(executeFrom: LocalDateTime, executeTo: LocalDateTime): Seq[Window] = {
+    val out = Seq.newBuilder[Window]
+    var from = executeFrom
+    var nextMonth = executeFrom.plusMonths(1).minusDays(1)
+    var done = false
+    while (!done) {
+      out += Window(
+        from.toLocalDate.atStartOfDay(),
+        nextMonth.toLocalDate.atTime(DayEnd))
+      if (nextMonth.isEqual(executeTo)) done = true
+      else {
+        from = nextMonth.plusDays(1)
+        nextMonth = from.plusMonths(1).minusDays(1)
+        if (nextMonth.isAfter(executeTo)) nextMonth = executeTo
+      }
+    }
+    out.result()
+  }
+
+  /** The windows as SQL BETWEEN predicates over `col`, ready for a JDBC
+    * `predicates` array (each predicate becomes one input partition —
+    * the parallel re-expression of the reference's serial loop).
+    */
+  def predicates(col: String, executeFrom: LocalDateTime, executeTo: LocalDateTime): Seq[String] = {
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    windows(executeFrom, executeTo).map(w =>
+      s"$col BETWEEN '${w.from.format(fmt)}' AND '${w.to.format(fmt)}'")
+  }
+}

@@ -1,0 +1,179 @@
+package graft.schedule
+
+import java.time.{DayOfWeek, LocalDate, LocalDateTime, LocalTime, Month}
+
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+import graft.testkit.PropSupport
+
+/** Property + example tests for the pure next-run calculus, mirroring the
+  * semantics traced from `Scheduler.cs:578-1965` (the reference itself
+  * ships no scheduler tests — SURVEY §5).
+  */
+class NextRunSpec extends AnyFunSuite with PropSupport {
+
+  private val baseStart = LocalDateTime.of(2024, 1, 10, 8, 30, 0)
+
+  private def sched(i: Interval): Schedule =
+    Schedule(i, baseStart, LocalTime.of(8, 30, 0))
+
+  private val genNow: Gen[LocalDateTime] = for {
+    days <- Gen.choose(-400L, 1200L)
+    secs <- Gen.choose(0L, 86399L)
+  } yield baseStart.plusDays(days).withHour(0).withMinute(0).withSecond(0).plusSeconds(secs)
+
+  private val fixedIntervals = Seq(
+    Interval.Minute -> 1L, Interval.DreiMinuten -> 3L,
+    Interval.Viertelstuendlich -> 15L, Interval.Stunde -> 60L,
+    Interval.Taeglich -> 1440L, Interval.Woche -> 10080L)
+
+  test("fixed intervals: next run is never before now, lands on the grid, and is minimal") {
+    forAllSamples(genNow) { now =>
+      fixedIntervals.foreach { case (iv, stepMin) =>
+        val next = NextRun.nextRun(sched(iv), now)
+        if (baseStart.isBefore(now)) {
+          assert(!next.isBefore(now), s"$iv: $next < $now")
+          val mins = java.time.Duration.between(baseStart, next).toMinutes
+          assert(mins % stepMin == 0, s"$iv off-grid: $mins")
+          // minimality: one step back crosses now
+          assert(next.minusMinutes(stepMin).isBefore(now))
+        } else assert(next == baseStart, s"future start returned as-is")
+      }
+    }
+  }
+
+  test("monthly stepping clamps day-of-month iteratively (.NET AddMonths)") {
+    val s = Schedule(Interval.Monat, LocalDateTime.of(2024, 1, 31, 6, 0), LocalTime.of(6, 0))
+    // Jan 31 -> Feb 29 (leap) -> Mar 29 ... the clamped value keeps stepping
+    val next = NextRun.nextRun(s, LocalDateTime.of(2024, 3, 1, 0, 0))
+    assert(next == LocalDateTime.of(2024, 3, 29, 6, 0))
+  }
+
+  test("yearly stepping from Feb 29 clamps to Feb 28 on non-leap years") {
+    val s = Schedule(Interval.Jaehrlich, LocalDateTime.of(2024, 2, 29, 12, 0), LocalTime.of(12, 0))
+    val next = NextRun.nextRun(s, LocalDateTime.of(2025, 1, 1, 0, 0))
+    assert(next == LocalDateTime.of(2025, 2, 28, 12, 0))
+  }
+
+  test("start exactly at now is returned unchanged (diff > 0 loop)") {
+    val now = baseStart
+    fixedIntervals.foreach { case (iv, _) =>
+      assert(NextRun.nextRun(sched(iv), now) == baseStart)
+    }
+  }
+
+  test("Sofort_Ausfuehrung fires now on first scheduling only") {
+    val s = sched(Interval.Woche).copy(sofortAusfuehrung = true)
+    val now = baseStart.plusDays(3)
+    assert(NextRun.nextRun(s, now, wasExecutedOnce = false) == now)
+    assert(NextRun.nextRun(s, now, wasExecutedOnce = true) != now)
+  }
+
+  // ---- Manuell calendar path
+
+  private def manuell: Schedule =
+    Schedule(Interval.Manuell, LocalDateTime.of(2024, 1, 1, 0, 0), LocalTime.of(9, 0, 0))
+
+  test("Manuell: end date in the past throws (Scheduler.cs:1208-1217)") {
+    val s = manuell.copy(endedatum = Some(LocalDateTime.of(2024, 6, 1, 0, 0)))
+    assertThrows[ScheduleException] {
+      NextRun.nextRun(s, LocalDateTime.of(2024, 7, 1, 0, 0))
+    }
+  }
+
+  test("Manuell: empty weekday/month masks throw") {
+    assertThrows[ScheduleException] {
+      NextRun.nextRun(manuell.copy(anJedemTag = false, wochentage = Set.empty),
+        LocalDateTime.of(2024, 3, 1, 0, 0))
+    }
+    assertThrows[ScheduleException] {
+      NextRun.nextRun(manuell.copy(inJedemMonat = false, monate = Set.empty),
+        LocalDateTime.of(2024, 3, 1, 0, 0))
+    }
+  }
+
+  test("Manuell default (no repetition): next 09:00 at or after now") {
+    val s = manuell
+    val now = LocalDateTime.of(2024, 3, 5, 10, 0) // Tuesday, past 9am
+    assert(NextRun.nextRun(s, now) == LocalDateTime.of(2024, 3, 6, 9, 0))
+    val early = LocalDateTime.of(2024, 3, 5, 8, 0)
+    assert(NextRun.nextRun(s, early) == LocalDateTime.of(2024, 3, 5, 9, 0))
+  }
+
+  test("Manuell: result is always >= now and on an allowed weekday/month") {
+    val genMask = for {
+      days <- Gen.nonEmptyContainerOf[Set, DayOfWeek](Gen.oneOf(DayOfWeek.values.toSeq))
+      months <- Gen.nonEmptyContainerOf[Set, Month](Gen.oneOf(Month.values.toSeq))
+      dayRep <- Gen.oneOf(0, 0, 1, 2, 4, 24)
+      now <- genNow
+    } yield (days, months, dayRep, now)
+    forAllSamples(genMask) { case (days, months, dayRep, now) =>
+      val s = manuell.copy(anJedemTag = false, wochentage = days,
+        inJedemMonat = false, monate = months, tageswiederholung = dayRep)
+      val next = NextRun.nextRun(s, now)
+      assert(!next.isBefore(now))
+      assert(days.contains(next.getDayOfWeek))
+      assert(months.contains(next.getMonth))
+    }
+  }
+
+  test("Manuell with day repetition: result lies on the repetition grid from Startzeit") {
+    val s = manuell.copy(tageswiederholung = 4) // every 360 min from 09:00
+    val now = LocalDateTime.of(2024, 3, 5, 16, 0)
+    val next = NextRun.nextRun(s, now)
+    assert(next == LocalDateTime.of(2024, 3, 5, 21, 0)) // 09:00 + 2*6h
+  }
+
+  test("Manuell last-of-month: fires on the next allowed month-end (time from Anfangsdatum)") {
+    val s = manuell.copy(monatsletzter = true)
+    val now = LocalDateTime.of(2024, 3, 5, 10, 0)
+    val next = NextRun.nextRun(s, now)
+    // candidates: daily theoretical start Mar 6 09:00 vs month-end Mar 31 00:00
+    // → min is the theoretical start; restrict weekdays to push it out:
+    val sSat = s.copy(anJedemTag = false, wochentage = Set(DayOfWeek.SUNDAY))
+    val nextSat = NextRun.nextRun(sSat, now)
+    assert(next == LocalDateTime.of(2024, 3, 6, 9, 0))
+    // Mar 31 2024 is a Sunday → month-end candidate at 00:00 beats
+    // the Sunday theoretical start Mar 10 09:00? No — min picks Mar 10.
+    assert(nextSat == LocalDateTime.of(2024, 3, 10, 9, 0))
+    // With Sunday-only weekdays and months restricted away from March,
+    // the month-end path must find an allowed month whose last day is a
+    // Sunday: Nov 30 2025 is the next Sunday month-end in June-only? use
+    // explicit: months = {March}; last-of-March-2024 is Sunday → candidate
+    val sOnly = s.copy(anJedemTag = false, wochentage = Set(DayOfWeek.SUNDAY),
+      inJedemMonat = false, monate = Set(Month.MARCH))
+    // candidates: Sunday theoretical start Mar 10 09:00 vs month-end
+    // Mar 31 00:00 (a Sunday) — min is Mar 10 09:00.
+    assert(NextRun.nextRun(sOnly, now) == LocalDateTime.of(2024, 3, 10, 9, 0))
+  }
+
+  test("Manuell week-of-month: first allowed day in the Monday-aligned n-th week") {
+    // Week 2 of March 2024: week 1 starts Mon Feb 26 (contains Mar 1);
+    // week 2 = Mon Mar 4 .. Sun Mar 10.
+    val s = manuell.copy(wocheDesMonats = 2)
+    val now = LocalDateTime.of(2024, 3, 1, 0, 0)
+    val next = NextRun.nextRun(s, now)
+    assert(next == LocalDateTime.of(2024, 3, 4, 0, 0)) // Anfangsdatum's midnight time
+  }
+
+  test("week-of-month > 5 throws; week 5 past month end throws (non-December)") {
+    assertThrows[ScheduleException] { NextRun.weekDates(2024, Month.MARCH, 6) }
+    // March 2024: week 1 starts Feb 26 → week 5 starts Mar 25 (in month, ok)
+    assert(NextRun.weekDates(2024, Month.MARCH, 5).head == LocalDate.of(2024, 3, 25))
+    // February 2027: first day Mon Feb 1 → week 5 starts Mar 1 → throws
+    assertThrows[ScheduleException] { NextRun.weekDates(2027, Month.FEBRUARY, 5) }
+  }
+
+  test("reference quirk: December week-5 overflow into January is not detected") {
+    // Dec 1 2024 is a Sunday → week 1 starts Mon Nov 25; week 5 starts
+    // Dec 23 and runs into Dec 29 — within December, fine. A December
+    // week 5 that starts in January would have month 1 < 12, so the
+    // past-month-end check (firstDayOfWeek.Month > month) can never fire
+    // for December — the reference quirk this test documents.
+    val dec = NextRun.weekDates(2024, Month.DECEMBER, 5)
+    assert(dec.head == LocalDate.of(2024, 12, 23))
+    // Dec 2025 week 5 starts Dec 29 and overflows into January without
+    // throwing:
+    assert(NextRun.weekDates(2025, Month.DECEMBER, 5).last == LocalDate.of(2026, 1, 4))
+  }
+}
