@@ -1,0 +1,85 @@
+package graft.orchestrate
+
+import java.util.concurrent.Semaphore
+import java.util.concurrent.locks.ReentrantReadWriteLock
+
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable
+
+/** The reference's concurrency gates (SURVEY §2.3), re-expressed as fair
+  * JVM primitives instead of 100 ms busy-wait polling — observable
+  * semantics preserved: bounded step parallelism, exclusive table access,
+  * FIFO fairness, per-level exclusive runs.
+  */
+object Gates {
+
+  /** Global step-thread cap — `MaxThreads` / `Anzahl_ETL_Threads`
+    * (`Processor.cs:66,293-403`, gate in `Step.cs:448,517`). Fair so
+    * queued steps start in arrival order like the reference's FIFO
+    * queues.
+    */
+  final class ThreadCap(maxThreads: Int) {
+    private val sem = new Semaphore(maxThreads, true)
+    def acquire(): Unit = sem.acquire()
+    def release(): Unit = sem.release()
+    def withSlot[A](f: => A): A = { acquire(); try f finally release() }
+    def available: Int = sem.availablePermits()
+  }
+
+  /** Table-access mutex — a step claims its source+target tables before
+    * running; any step touching a claimed table waits
+    * (`Processor.cs:978-1105`, `Workflow.cs:180-269`, gates
+    * `Step.cs:449-469,519-538`). Claims are all-or-nothing (the whole
+    * set at once), which also removes the deadlock the reference's
+    * one-by-one claiming could hit.
+    */
+  final class TableLocks {
+    private val claimed = mutable.Set.empty[String]
+
+    def claim(tables: Set[String]): Unit = synchronized {
+      while (tables.exists(claimed.contains)) wait()
+      claimed ++= tables
+    }
+
+    def release(tables: Set[String]): Unit = synchronized {
+      claimed --= tables
+      notifyAll()
+    }
+
+    def withTables[A](tables: Set[String])(f: => A): A = {
+      claim(tables)
+      try f finally release(tables)
+    }
+
+    def claimedNow: Set[String] = synchronized(claimed.toSet)
+  }
+
+  /** `Parallelsperre` per-level exclusive lock — a flagged module runs
+    * alone on its level, unflagged peers share it
+    * (`ParallelLockManager.cs:86-557`, queues `QueueManager.cs`): a fair
+    * read-write lock per level gives the same FIFO announce/wait/release
+    * protocol (normal = read, exclusive = write).
+    */
+  final class ParallelLocks {
+    private val locks = TrieMap.empty[String, ReentrantReadWriteLock]
+
+    private def lockFor(level: String): ReentrantReadWriteLock =
+      locks.getOrElseUpdate(level, new ReentrantReadWriteLock(true))
+
+    def withModule[A](level: String, parallelsperre: Boolean)(f: => A): A = {
+      val l = lockFor(level)
+      val lock = if (parallelsperre) l.writeLock() else l.readLock()
+      lock.lock()
+      try f finally lock.unlock()
+    }
+  }
+
+  /** Per-realization step cap — `Anzahl_Parallele_Schritte`
+    * (`Realization.cs:108-203`).
+    */
+  final class StepCap(maxParallelSteps: Int) {
+    private val sem = new Semaphore(math.max(1, maxParallelSteps), true)
+    def withSlot[A](f: => A): A = { sem.acquire(); try f finally sem.release() }
+    def available: Int = sem.availablePermits()
+  }
+}
