@@ -1,0 +1,51 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Writable table store for step targets — directory-of-parquet tables,
+  * the engine-side stand-in for the reference's target DBMS
+  * (`SqlBulkCopy` sinks, `CommandExecuter.cs:802-982`). On a cluster
+  * this is a warehouse path (or Delta/Iceberg catalog); steps only see
+  * read/append/overwrite, so the swap is invisible to them.
+  */
+final class Warehouse(val dir: String) {
+
+  private def path(table: String): String = s"$dir/$table"
+
+  def exists(spark: SparkSession, table: String): Boolean =
+    new java.io.File(s"${path(table)}/_SUCCESS").exists() ||
+      new java.io.File(path(table)).exists()
+
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(path(table))
+
+  /** Bulk append — the reference's `WriteToServer` fast path. */
+  def append(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path(table))
+
+  def overwrite(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path(table))
+
+  /** Delete-by-predicate (the idempotent-ingest rollback,
+    * `CommandExecuter.cs:1130-1157` `DELETE … WHERE Dateiname='f'`):
+    * parquet has no row deletes, so rewrite-without-the-rows — the same
+    * operation Delta's DELETE compiles to.
+    */
+  def deleteWhere(spark: SparkSession, table: String, predicate: String): Unit = {
+    if (exists(spark, table)) {
+      val remaining = read(spark, table).filter(s"NOT ($predicate)")
+      val tmp = s"${path(table)}__rewrite"
+      remaining.write.mode(SaveMode.Overwrite).parquet(tmp)
+      val target = new java.io.File(path(table))
+      deleteRecursively(target)
+      if (!new java.io.File(tmp).renameTo(target))
+        throw new IllegalStateException(s"rename $tmp -> $target failed")
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+}

@@ -79,6 +79,8 @@ object Gates {
     */
   final class StepCap(maxParallelSteps: Int) {
     private val sem = new Semaphore(math.max(1, maxParallelSteps), true)
+    def acquire(): Unit = sem.acquire()
+    def release(): Unit = sem.release()
     def withSlot[A](f: => A): A = { sem.acquire(); try f finally sem.release() }
     def available: Int = sem.availablePermits()
   }

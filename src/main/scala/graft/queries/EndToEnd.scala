@@ -1,0 +1,133 @@
+package graft.queries
+
+import java.time.LocalDateTime
+
+import scala.concurrent.ExecutionContext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{Tables, Warehouse}
+import graft.ledger.RunLedger
+import graft.macros.Macros
+import graft.orchestrate._
+import graft.report.Reports
+import graft.schedule.Takeover
+import graft.steps.{CommandType, StepContext, StepSpec, TaskType}
+
+/** End-to-end verification queries: each runs a REAL workflow through
+  * the orchestrator (FSM → package DAG → priority groups → gated steps
+  * with ledger rows and actual parquet writes) and exposes a
+  * deterministic readback the DuckDB oracle can reproduce from the
+  * source tables + constants. This is SURVEY §7.3's minimum slice wired
+  * into the correctness gate — the row counts the engine writes into
+  * `ErwarteteDaten` must equal what DuckDB counts.
+  */
+object EndToEnd {
+
+  private implicit val ec: ExecutionContext = ExecutionContext.global
+
+  private val FixedClock = LocalDateTime.of(2026, 2, 1, 12, 0, 0)
+  private val CopyFilter = "l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"
+
+  /** Run the 2-step slice (SQL_TARGET prepare + COPY) into a throwaway
+    * warehouse; returns (ledger, warehouse).
+    */
+  private def runSlice(spark: SparkSession, dir: String): (RunLedger, Warehouse) = {
+    Tables.registerAll(spark, dir)
+    val ledger = new RunLedger(() => FixedClock)
+    val wh = new Warehouse(
+      java.nio.file.Files.createTempDirectory("graft-e2e").toString)
+    val runner = new WorkflowRunner(
+      new WorkflowManager, ledger, new Gates.ThreadCap(8),
+      new Gates.TableLocks, new Gates.ParallelLocks, clock = () => FixedClock)
+    val view = s"li_src_${System.nanoTime()}"
+    val spec = WorkflowSpec(
+      id = 1, masterPackageId = 10,
+      takeover = Takeover.Config(uebernahmeVon = Some(LocalDateTime.of(1990, 1, 1, 0, 0))),
+      packages = Map(
+        10L -> PackageSpec(10, realizations = Seq(RealizationSpec(
+          100, anzahlParalleleSchritte = 1,
+          steps = Seq(
+            StepSpec(1000, CommandType.SqlTarget, TaskType.Sql,
+              s"CREATE OR REPLACE TEMP VIEW $view AS " +
+                s"SELECT l_orderkey, l_returnflag, l_quantity FROM lineitem WHERE $CopyFilter",
+              schrittReihenfolge = 1),
+            StepSpec(1001, CommandType.Copy, TaskType.Sql,
+              s"SELECT * FROM $view",
+              zieltabelle = Some("lineitem_copy"), schrittReihenfolge = 2)))))))
+    val result = runner.run(spec, zeitplanAusfuehrungenId = 7,
+      (m: Macros.Context, stepRunId: Option[Long], confId: Option[Long]) =>
+        StepContext(spark, wh, ledger, m, schrittRunId = stepRunId, konfigurationenId = confId))
+    result.error.foreach(throw _)
+    (ledger, wh)
+  }
+
+  /** The COPY step's written output read back: audit columns + grouped
+    * row accounting. DuckDB reproduces it from `lineitem` + the audit
+    * constants — if the step wrote wrong rows or wrong audit values,
+    * the hash breaks.
+    */
+  val q20 = QueryDef(
+    "q20_workflow_e2e",
+    (s, dir) => {
+      val (_, wh) = runSlice(s, dir)
+      wh.read(s, "lineitem_copy")
+        .groupBy(col("l_returnflag"), col("nutzer"), col("datenproduzent"),
+          col("abfragezeitpunkt"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""
+      SELECT l_returnflag, 'etl_user' AS nutzer, 'graft' AS datenproduzent,
+             TIMESTAMP '2026-01-01 00:00:00' AS abfragezeitpunkt,
+             COUNT(*) AS n_rows,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** The run ledger itself, summarized per level through the report
+    * module's timeline view: run counts, success flags, moved rows and
+    * the fixed-clock timestamps. The oracle knows exactly what a
+    * successful 1-package/1-realization/2-step run must write —
+    * including that `ErwarteteDaten` equals DuckDB's own count of the
+    * copied rows.
+    */
+  val q21 = QueryDef(
+    "q21_ledger_report",
+    (s, dir) => {
+      val (ledger, _) = runSlice(s, dir)
+      Reports.timeline(ledger.latest(s))
+        .groupBy(col("level"))
+        .agg(
+          count(lit(1)).as("n_runs"),
+          sum(when(col("erfolgreich"), 1L).otherwise(0L)).as("n_success"),
+          sum(when(col("istAbgeschlossen"), 1L).otherwise(0L)).as("n_closed"),
+          sum(col("erwarteteDaten")).as("rows_moved"),
+          max(col("start").cast("timestamp_ntz")).as("started_at"))
+        .orderBy(col("level"))
+    },
+    Some(s"""
+      WITH copied AS (
+        SELECT COUNT(*) AS n FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      )
+      SELECT * FROM (
+        SELECT 'paket' AS level, CAST(1 AS BIGINT) AS n_runs,
+               CAST(1 AS BIGINT) AS n_success, CAST(1 AS BIGINT) AS n_closed,
+               CAST(NULL AS BIGINT) AS rows_moved,
+               TIMESTAMP '2026-02-01 12:00:00' AS started_at
+        UNION ALL
+        SELECT 'paketschritt', 2, 2, 2, (SELECT n FROM copied),
+               TIMESTAMP '2026-02-01 12:00:00'
+        UNION ALL
+        SELECT 'paketumsetzung', 1, 1, 1, NULL, TIMESTAMP '2026-02-01 12:00:00'
+        UNION ALL
+        SELECT 'workflow', 1, 1, 1, NULL, TIMESTAMP '2026-02-01 12:00:00'
+      ) ORDER BY level"""))
+
+  val all: Seq[QueryDef] = Seq(q20, q21)
+}

@@ -5,7 +5,7 @@ package graft.queries
   * `oracleSql` from it so the two maps can never drift.
   */
 object Registry {
-  def all: Seq[QueryDef] = Relational.all ++ Pipeline.all
+  def all: Seq[QueryDef] = Relational.all ++ Pipeline.all ++ EndToEnd.all
 
   lazy val byName: Map[String, QueryDef] = {
     val qs = all

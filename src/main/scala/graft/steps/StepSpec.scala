@@ -1,0 +1,70 @@
+package graft.steps
+
+/** Step definition — the engine-side row of `pc.ETL_Paketschritte`
+  * (`/root/reference/res/pc/ETL_Paketschritte.sql`): command type CHECK ∈
+  * {EXEC, SQL_TARGET, SQL_SOURCE, COPY, TRANSFER, TEST}, task type CHECK
+  * ∈ {SQL, EXCEL, CSV}, the command text, comma-separated target tables,
+  * the timeslice + exclusive-lock flags, and (for CSV export) the 7
+  * format parameters from `pc.ETL_Paketschritt_Parameter`.
+  */
+final case class StepSpec(
+    id: Long,
+    befehlstyp: String, // CommandType.*
+    aufgabentyp: String, // TaskType.*
+    /** SQL text (COPY/SQL_*), directory (TRANSFER), seconds (TEST). */
+    befehl: String,
+    /** `Zieltabelle` — comma-separated target tables; the first is the
+      * write target, all are claimed in the table mutex (`Step.cs:449-469`).
+      */
+    zieltabelle: Option[String] = None,
+    /** `QUELLTABELLE` — schema-drift column (SURVEY §1.2 ⚠), only used
+      * for table-mutex claims.
+      */
+    quelltabelle: Option[String] = None,
+    zeitscheibe: Boolean = false,
+    parallelsperre: Boolean = false,
+    schrittReihenfolge: Int = 0,
+    csv: CsvParams = CsvParams())
+
+object CommandType {
+  val Exec = "EXEC"
+  val SqlTarget = "SQL_TARGET"
+  val SqlSource = "SQL_SOURCE"
+  val Copy = "COPY"
+  val Transfer = "TRANSFER"
+  val Test = "TEST"
+  val all: Seq[String] = Seq(Exec, SqlTarget, SqlSource, Copy, Transfer, Test)
+}
+
+object TaskType {
+  val Sql = "SQL"
+  val Excel = "EXCEL"
+  val Csv = "CSV"
+  val all: Seq[String] = Seq(Sql, Excel, Csv)
+}
+
+/** The 7 CSV format options of `pc.ETL_Paketschritt_Parameter`
+  * (`res/pc/ETL_Paketschritt_Parameter.sql`, read in
+  * `CommandExecuter.cs:2191-2237`): header, delimiter, number format,
+  * date format, quote, escape, null representation. Defaults mirror the
+  * reference's writer defaults.
+  */
+final case class CsvParams(
+    kopfzeile: Boolean = true,
+    trennzeichen: String = ";",
+    zahlenformat: Option[String] = None,
+    datumsformat: String = "yyyy-MM-dd HH:mm:ss",
+    textqualifizierer: Option[String] = Some("\""),
+    escapecharacter: String = "\\",
+    leerwert: String = "")
+
+/** All target+source tables a step touches — the table-mutex claim set
+  * (`Step.cs:449-469,519-538`).
+  */
+object StepSpec {
+  def claimedTables(s: StepSpec): Set[String] =
+    (split(s.zieltabelle) ++ split(s.quelltabelle)).toSet
+
+  private def split(o: Option[String]): Seq[String] =
+    o.toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+}

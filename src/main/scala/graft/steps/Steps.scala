@@ -1,0 +1,293 @@
+package graft.steps
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.time.LocalDateTime
+import java.time.format.DateTimeFormatter
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType, TimestampType}
+
+import graft.catalog.Warehouse
+import graft.ledger.RunLedger
+import graft.macros.Macros
+
+/** Everything a step needs at execution time — session, warehouse,
+  * ledger hooks, macro context, audit identities. The reference threads
+  * the same set through `Step.Execute` → `CommandExecuter`
+  * (`Step.cs:1083-1252`).
+  */
+final case class StepContext(
+    spark: SparkSession,
+    warehouse: Warehouse,
+    ledger: RunLedger,
+    macroCtx: Macros.Context,
+    schrittRunId: Option[Long] = None,
+    konfigurationenId: Option[Long] = None,
+    /** Audit identities: `Nutzer` = destination user, `Datenproduzent` =
+      * engine login (`CommandExecuter.cs:603-678`).
+      */
+    dstUser: String = "etl_user",
+    datenproduzent: String = "graft",
+    /** `Abfragezeitpunkt` — the workflow's start instant stamped on every
+      * copied row.
+      */
+    abfragezeitpunkt: LocalDateTime = LocalDateTime.of(2026, 1, 1, 0, 0, 0))
+
+/** Step executors — the reference's operators (SURVEY §2.1) as Spark
+  * plans with real side effects. Each executor returns the moved row
+  * count (recorded as `ErwarteteDaten`) where the reference records one.
+  */
+object Steps {
+
+  /** Dispatch on `Befehlstyp` like `Step.cs:1083-1252`. */
+  def execute(spec: StepSpec, ctx: StepContext): Option[Long] = spec.befehlstyp match {
+    case CommandType.Copy if !spec.zeitscheibe => Some(copy(spec, ctx))
+    case CommandType.Copy => Some(copyTimesliced(spec, ctx))
+    case CommandType.Transfer if spec.aufgabentyp == TaskType.Csv => Some(csvExport(spec, ctx))
+    case CommandType.Transfer => Some(ingest(spec, ctx))
+    case CommandType.SqlTarget | CommandType.SqlSource => sqlExec(spec, ctx); None
+    case CommandType.Test => testStep(spec, ctx); None
+    case CommandType.Exec =>
+      // NYI in the reference too (`Step.cs:1191-1197`) — parity.
+      throw new NotImplementedError("EXEC steps are NYI (reference parity)")
+    case other => throw new IllegalArgumentException(s"unknown Befehlstyp: $other")
+  }
+
+  /** S1 COPY (`CommandExecuter.cs:322-544`): source query → rename/align
+    * to the destination schema with audit defaults → bulk append. One
+    * narrow scan→project→write stage, no shuffle; the row count comes
+    * from an `Observation` on the write itself (no second scan — the
+    * reference needs a COUNT(*) pre-pass, `362-371`, we don't).
+    */
+  def copy(spec: StepSpec, ctx: StepContext): Long = {
+    val target = targetTable(spec)
+    val query = Macros.expand(spec.befehl, ctx.macroCtx)
+    ctx.ledger.logQuery(query, ctx.schrittRunId, ctx.konfigurationenId)
+    val src = ctx.spark.sql(query)
+    writeAligned(src, target, ctx)
+  }
+
+  /** S2 COPY + Zeitscheibe (`CommandExecuter.cs:50-304`): the takeover
+    * window expands to month slices; the reference loops them serially,
+    * we union the per-slice plans and write once — the slices become
+    * parallel partitions of a single job (same rows, same per-slice
+    * predicates, no serial loop).
+    */
+  def copyTimesliced(spec: StepSpec, ctx: StepContext): Long = {
+    val target = targetTable(spec)
+    val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    val windows = MonthWindows.windows(ctx.macroCtx.takeoverVon, ctx.macroCtx.takeoverBis)
+    val slices = windows.map { w =>
+      val q = Macros.expand(
+        spec.befehl
+          .replace("##Uebernahme_von##", s"TIMESTAMP '${w.from.format(fmt)}'")
+          .replace("##Uebernahme_bis##", s"TIMESTAMP '${w.to.format(fmt)}'"),
+        ctx.macroCtx)
+      ctx.ledger.logQuery(q, ctx.schrittRunId, ctx.konfigurationenId)
+      ctx.spark.sql(q)
+    }
+    writeAligned(slices.reduce(_ unionByName _), target, ctx)
+  }
+
+  /** Destination-probe schema alignment + audit columns
+    * (`CommandExecuter.cs:603-678`): add missing destination columns —
+    * `Nutzer`, `Abfragezeitpunkt`, `Datenproduzent` get audit values,
+    * everything else NULL — then select in destination order. First
+    * write to a fresh table skips the probe (schema from source + audit
+    * columns), like the reference's initial load.
+    */
+  def alignToDestination(src: DataFrame, destSchema: StructType, ctx: StepContext): DataFrame = {
+    val srcCols = src.columns.map(_.toLowerCase).toSet
+    val withDefaults = destSchema.fields.foldLeft(src) { (df, f) =>
+      if (srcCols.contains(f.name.toLowerCase)) df
+      else f.name.toLowerCase match {
+        case "nutzer" => df.withColumn(f.name, lit(ctx.dstUser))
+        case "abfragezeitpunkt" =>
+          df.withColumn(f.name, lit(ctx.abfragezeitpunkt.format(
+            DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))).cast(f.dataType))
+        case "datenproduzent" => df.withColumn(f.name, lit(ctx.datenproduzent))
+        case _ => df.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+    }
+    withDefaults.select(destSchema.fieldNames.map(col): _*)
+  }
+
+  private def writeAligned(src: DataFrame, target: String, ctx: StepContext): Long = {
+    val aligned =
+      if (ctx.warehouse.exists(ctx.spark, target))
+        alignToDestination(src, ctx.warehouse.read(ctx.spark, target).schema, ctx)
+      else auditColumns(src, ctx)
+    val obs = new Observation()
+    ctx.warehouse.append(aligned.observe(obs, count(lit(1)).as("rows")), target)
+    val rows = obs.get("rows").asInstanceOf[Long]
+    ctx.schrittRunId.foreach(ctx.ledger.recordExpectedRows(_, rows))
+    rows
+  }
+
+  private def auditColumns(src: DataFrame, ctx: StepContext): DataFrame =
+    src
+      .withColumn("nutzer", lit(ctx.dstUser))
+      .withColumn("abfragezeitpunkt",
+        lit(ctx.abfragezeitpunkt.format(DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")))
+          .cast("timestamp_ntz"))
+      .withColumn("datenproduzent", lit(ctx.datenproduzent))
+
+  /** S4 TRANSFER/CSV export (`CommandExecuter.cs:2140-2365`): query →
+    * CSV file honoring all 7 `ETL_Paketschritt_Parameter` options. Every
+    * reference knob maps to a built-in CSV-writer option; `Zahlenformat`
+    * (a .NET numeric format) is applied as a decimal rescale before the
+    * write since the CSV writer has no number-format option.
+    */
+  def csvExport(spec: StepSpec, ctx: StepContext): Long = {
+    val outDir = spec.zieltabelle.getOrElse(
+      throw new IllegalArgumentException("CSV export needs a target path in Zieltabelle"))
+    val query = Macros.expand(spec.befehl, ctx.macroCtx)
+    ctx.ledger.logQuery(query, ctx.schrittRunId, ctx.konfigurationenId)
+    val df0 = ctx.spark.sql(query)
+    val df = spec.csv.zahlenformat match {
+      case Some(fmtStr) =>
+        // interpret e.g. "0.00" as a scale: digits after the dot
+        val scale = fmtStr.reverse.takeWhile(_ == '0').length
+        df0.schema.fields.foldLeft(df0) { (d, f) =>
+          f.dataType match {
+            case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
+              d.withColumn(f.name, col(f.name).cast(s"decimal(38,$scale)"))
+            case _ => d
+          }
+        }
+      case None => df0
+    }
+    val obs = new Observation()
+    var w = df.observe(obs, count(lit(1)).as("rows")).write
+      .option("header", spec.csv.kopfzeile.toString)
+      .option("sep", spec.csv.trennzeichen)
+      .option("timestampFormat", spec.csv.datumsformat)
+      .option("timestampNTZFormat", spec.csv.datumsformat)
+      .option("dateFormat", spec.csv.datumsformat.takeWhile(c => !"Hms".contains(c)).trim)
+      .option("escape", spec.csv.escapecharacter)
+      .option("nullValue", spec.csv.leerwert)
+      .option("emptyValue", "")
+    w = spec.csv.textqualifizierer match {
+      case Some(q) => w.option("quote", q)
+      case None    => w.option("quote", "\u0000") // disable quoting
+    }
+    w.mode("overwrite").csv(outDir)
+    val rows = obs.get("rows").asInstanceOf[Long]
+    ctx.schrittRunId.foreach(ctx.ledger.recordExpectedRows(_, rows))
+    rows
+  }
+
+  /** Pluggable file readers for TRANSFER ingest. CSV is the real, tested
+    * path; EXCEL needs a POI-class reader that is not available in this
+    * environment — the Spark-side plumbing (schema, audit columns,
+    * idempotency, lifecycle) is identical, so the stub only swaps the
+    * decode (`CommandExecuter.cs:1915-2027` would map to such a reader).
+    */
+  type FileReader = (SparkSession, String) => DataFrame
+
+  val csvReader: FileReader = (spark, file) =>
+    spark.read.option("header", "true").option("quote", "\"").csv(file)
+
+  val excelReaderStub: FileReader = (_, _) =>
+    throw new NotImplementedError(
+      "EXCEL decode requires a POI-based reader (not in this environment); " +
+        "use the CSV path — the ingest pipeline is format-agnostic")
+
+  /** S3 TRANSFER ingest (`CommandExecuter.cs:1335-1640`): every file in
+    * `{dir}/Insert` is moved to `{dir}/TMP`, read, columns renamed via
+    * `mapping.csv`, audit columns added (`1974-1982`), rows for that
+    * filename deleted (idempotent retry, `1130-1157`), appended; on
+    * success the file is deleted, on failure rows are rolled back and
+    * the file moved back to `Insert`. Per-file loop like the reference —
+    * rollback granularity is the file.
+    */
+  def ingest(spec: StepSpec, ctx: StepContext,
+      reader: FileReader = csvReader): Long = {
+    val baseDir = Paths.get(spec.befehl)
+    val insertDir = baseDir.resolve("Insert")
+    val tmpDir = baseDir.resolve("TMP")
+    Files.createDirectories(tmpDir)
+    val target = targetTable(spec)
+    val mapping = readMapping(ctx.spark, baseDir)
+
+    val files: Seq[Path] =
+      if (Files.isDirectory(insertDir))
+        Files.list(insertDir).iterator().asScala.filter(Files.isRegularFile(_)).toSeq.sortBy(_.toString)
+      else Seq.empty
+
+    var total = 0L
+    files.foreach { file =>
+      val name = file.getFileName.toString
+      val tmpFile = tmpDir.resolve(name)
+      Files.move(file, tmpFile, StandardCopyOption.REPLACE_EXISTING)
+      try {
+        val raw = reader(ctx.spark, tmpFile.toString)
+        val renamed = mapping.foldLeft(raw) { case (df, (from, to)) =>
+          if (df.columns.contains(from)) df.withColumnRenamed(from, to) else df
+        }
+        val audited = renamed
+          .withColumn("dateiname", lit(name))
+          .withColumn("exportdatum", lit(ctx.abfragezeitpunkt.format(
+            DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))).cast("timestamp_ntz"))
+          .withColumn("loeschdatum", lit(null).cast("timestamp_ntz"))
+          .withColumn("datenproduzent", lit(ctx.datenproduzent))
+          .withColumn("abfragezeitpunkt", lit(ctx.abfragezeitpunkt.format(
+            DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))).cast("timestamp_ntz"))
+        // idempotent retry: drop any rows of a previous partial load
+        ctx.warehouse.deleteWhere(ctx.spark, target, s"dateiname = '$name'")
+        val obs = new Observation()
+        ctx.warehouse.append(audited.observe(obs, count(lit(1)).as("rows")), target)
+        total += obs.get("rows").asInstanceOf[Long]
+        Files.delete(tmpFile)
+      } catch {
+        case e: Throwable =>
+          // rollback: delete this file's rows, move the file back
+          try ctx.warehouse.deleteWhere(ctx.spark, target, s"dateiname = '$name'")
+          finally Files.move(tmpFile, insertDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+          throw e
+      }
+    }
+    ctx.schrittRunId.foreach(ctx.ledger.recordExpectedRows(_, total))
+    total
+  }
+
+  private def readMapping(spark: SparkSession, baseDir: Path): Seq[(String, String)] = {
+    val mappingFile = baseDir.resolve("mapping.csv")
+    if (Files.isRegularFile(mappingFile)) {
+      // 2-column rename map, GenericParser-equivalent (`CommandExecuter.cs:2037-2127`)
+      spark.read.option("header", "true").option("quote", "\"")
+        .csv(mappingFile.toString)
+        .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+    } else Seq.empty
+  }
+
+  /** S5/S6 SQL_TARGET / SQL_SOURCE (`CommandExecuter.cs:997-1075`):
+    * macro-expand and execute the text with Spark SQL (for managed
+    * tables Spark IS the target DBMS; SQL_SOURCE — NYI in the reference,
+    * `Step.cs:1232-1238` — is the same action against source views, so
+    * we implement it).
+    */
+  def sqlExec(spec: StepSpec, ctx: StepContext): Unit = {
+    val text = Macros.expand(spec.befehl, ctx.macroCtx)
+    ctx.ledger.logQuery(text, ctx.schrittRunId, ctx.konfigurationenId)
+    ctx.spark.sql(text).collect()
+    ()
+  }
+
+  /** S8 TEST / RunDummy (`CommandExecuter.cs:28-33`): sleep `Befehl`
+    * seconds, log.
+    */
+  def testStep(spec: StepSpec, ctx: StepContext): Unit = {
+    val seconds = spec.befehl.trim.toDouble
+    Thread.sleep((seconds * 1000).toLong)
+    ctx.ledger.message(s"TEST step ${spec.id} slept ${seconds}s",
+      schrittRunId = ctx.schrittRunId)
+  }
+
+  private def targetTable(spec: StepSpec): String =
+    spec.zieltabelle.map(_.split(",").head.trim).getOrElse(
+      throw new IllegalArgumentException(s"step ${spec.id} has no Zieltabelle"))
+}

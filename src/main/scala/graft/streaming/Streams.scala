@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators over the `events` stream shape
+  * (user_id, ts, event_type, value). The reference has no streaming at
+  * all (SURVEY §2.5 — its only continuous behavior is the 10 s scheduler
+  * poll); these are the capabilities a continuously-fed 100 TB pipeline
+  * adds on top: watermarked windowed aggregation and stateful
+  * sessionization. Batch twins are q08 (windowed counts) and q12
+  * (sessionize), so the semantics stay oracle-checkable.
+  */
+object Streams {
+
+  final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+
+  final case class SessionUpdate(
+      user_id: Long,
+      session_start: Timestamp,
+      n_events: Long,
+      closed: Boolean)
+
+  /** Per-user session accumulator (encoder-visible, hence public). */
+  final case class SessionState(start: Long, last: Long, n: Long)
+
+  /** Event-time windowed counts with a watermark — the streaming twin of
+    * q08's per-day timeline: late data beyond the watermark is dropped,
+    * state is bounded, output appends closed windows only.
+    */
+  def windowedCounts(events: DataFrame, watermark: String = "30 minutes",
+      window: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  private val functions = org.apache.spark.sql.functions
+
+  /** Stateful sessionization — gap > `gapSeconds` closes a session
+    * (q12's batch semantics) via `flatMapGroupsWithState` with an
+    * event-time timeout: per-user state is (start, last, count); a
+    * watermark-passed timeout emits the closed session, new events
+    * either extend the session or close it and open the next. This is
+    * the custom-state path the DataFrame API can't express (SURVEY
+    * §7.4: the one place mapGroupsWithState is warranted).
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800,
+      watermark: String = "30 minutes"): Dataset[SessionUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionUpdate(userId, new Timestamp(s.start), s.n, closed = true))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closedSessions = List.empty[SessionUpdate]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapSeconds * 1000 =>
+                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+                case Some(s) =>
+                  closedSessions ::= SessionUpdate(userId, new Timestamp(s.start), s.n, closed = true)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapSeconds * 1000)
+            }
+            closedSessions.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,167 @@
+package graft.steps
+
+import java.nio.file.{Files, Paths}
+import java.time.LocalDateTime
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{Tables, Warehouse}
+import graft.ledger.RunLedger
+import graft.macros.Macros
+import graft.testkit.SparkSupport
+
+/** Step-executor tests over the sf0.001 testdata: real reads, real
+  * writes, ledger bookkeeping — the "steps that actually write" gap
+  * VERDICT r1 flagged.
+  */
+class StepsSpec extends AnyFunSuite with SparkSupport {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def freshCtx(): (StepContext, RunLedger, Warehouse) = {
+    Tables.registerAll(spark, sf)
+    val ledger = new RunLedger(() => LocalDateTime.of(2026, 2, 1, 12, 0, 0))
+    val wh = new Warehouse(tmpDir("wh"))
+    val macroCtx = Macros.Context(
+      workflowId = 1L,
+      takeoverVon = LocalDateTime.of(1992, 1, 1, 0, 0),
+      takeoverBis = LocalDateTime.of(1998, 12, 31, 23, 59, 59))
+    val stepRunId = ledger.start(graft.model.RunLevel.Schritt, 100L)
+    (StepContext(spark, wh, ledger, macroCtx, schrittRunId = Some(stepRunId)), ledger, wh)
+  }
+
+  test("COPY writes the query result with audit columns and records ErwarteteDaten") {
+    val (ctx, ledger, wh) = freshCtx()
+    val spec = StepSpec(1, CommandType.Copy, TaskType.Sql,
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 100",
+      zieltabelle = Some("orders_copy"))
+    val rows = Steps.execute(spec, ctx).get
+    val expected = spark.sql(
+      "SELECT count(*) FROM orders WHERE o_orderkey <= 100").head.getLong(0)
+    assert(rows == expected)
+    val written = wh.read(spark, "orders_copy")
+    assert(written.count() == expected)
+    assert(written.columns.toSet ==
+      Set("o_orderkey", "o_totalprice", "nutzer", "abfragezeitpunkt", "datenproduzent"))
+    assert(ledger.currentOf(ctx.schrittRunId.get).get.erwarteteDaten.contains(rows))
+    assert(ledger.allQueries.nonEmpty)
+  }
+
+  test("COPY into an existing destination aligns schema and fills audit defaults (CommandExecuter.cs:603-678)") {
+    val (ctx, _, wh) = freshCtx()
+    // pre-create destination with extra columns in a fixed order
+    wh.overwrite(spark.sql(
+      """SELECT CAST(1 AS BIGINT) AS custkey, CAST('x' AS STRING) AS name,
+        |  CAST('u' AS STRING) AS nutzer,
+        |  CAST('2020-01-01' AS TIMESTAMP_NTZ) AS abfragezeitpunkt,
+        |  CAST('p' AS STRING) AS datenproduzent,
+        |  CAST(NULL AS TIMESTAMP_NTZ) AS loeschdatum
+        |WHERE 1 = 0""".stripMargin), "cust_dst")
+    val spec = StepSpec(2, CommandType.Copy, TaskType.Sql,
+      "SELECT c_custkey AS custkey, c_name AS name FROM customer WHERE c_custkey <= 10",
+      zieltabelle = Some("cust_dst"))
+    Steps.execute(spec, ctx)
+    val out = wh.read(spark, "cust_dst")
+    assert(out.columns.toSeq ==
+      Seq("custkey", "name", "nutzer", "abfragezeitpunkt", "datenproduzent", "loeschdatum"))
+    val row = out.orderBy("custkey").head()
+    assert(row.getString(2) == "etl_user")
+    assert(row.getString(4) == "graft")
+    assert(row.isNullAt(5))
+  }
+
+  test("timesliced COPY equals the unsliced copy over the same window (S2 slice-union property)") {
+    val (ctx, _, wh) = freshCtx()
+    val spec = StepSpec(3, CommandType.Copy, TaskType.Sql,
+      "SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem " +
+        "WHERE l_shipdate BETWEEN ##Uebernahme_von## AND ##Uebernahme_bis##",
+      zieltabelle = Some("li_sliced"), zeitscheibe = true)
+    val rows = Steps.execute(spec, ctx).get
+    val unsliced = spark.sql(
+      "SELECT count(*) FROM lineitem WHERE l_shipdate BETWEEN TIMESTAMP '1992-01-01 00:00:00' " +
+        "AND TIMESTAMP '1998-12-31 23:59:59'").head.getLong(0)
+    assert(rows == unsliced, "slice union must equal the unsliced copy")
+    assert(wh.read(spark, "li_sliced").count() == unsliced)
+  }
+
+  test("CSV export honors the 7 ETL_Paketschritt_Parameter options") {
+    val (ctx, _, _) = freshCtx()
+    val out = tmpDir("csvout") + "/export"
+    val spec = StepSpec(4, CommandType.Transfer, TaskType.Csv,
+      "SELECT r_regionkey, r_name, CAST(NULL AS STRING) AS missing, " +
+        "TIMESTAMP_NTZ '1995-03-04 10:30:00' AS ts, CAST(1.5 AS DOUBLE) AS num " +
+        "FROM region ORDER BY r_regionkey",
+      zieltabelle = Some(out),
+      csv = CsvParams(
+        kopfzeile = true, trennzeichen = "|", zahlenformat = Some("0.00"),
+        datumsformat = "dd.MM.yyyy HH:mm:ss", textqualifizierer = Some("'"),
+        escapecharacter = "\\", leerwert = "NULL"))
+    val rows = Steps.execute(spec, ctx).get
+    assert(rows == 5)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".csv"))
+    val content = files.flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq).toSeq
+    val header = content.find(_.startsWith("r_regionkey")).get
+    assert(header == "r_regionkey|r_name|missing|ts|num")
+    val line0 = content.find(_.startsWith("0|")).get
+    assert(line0.contains("|NULL|"), s"null marker: $line0")
+    assert(line0.contains("04.03.1995 10:30:00"), s"date format: $line0")
+    assert(line0.endsWith("|1.50"), s"number format: $line0")
+  }
+
+  test("ingest: file lifecycle, mapping rename, audit columns, idempotent re-run") {
+    val (ctx, _, wh) = freshCtx()
+    val base = Paths.get(tmpDir("ingest"))
+    Files.createDirectories(base.resolve("Insert"))
+    Files.writeString(base.resolve("Insert/a.csv"), "id,val\n1,x\n2,y\n")
+    Files.writeString(base.resolve("Insert/b.csv"), "id,val\n3,z\n")
+    Files.writeString(base.resolve("mapping.csv"), "from,to\nval,wert\n")
+    val spec = StepSpec(5, CommandType.Transfer, TaskType.Excel,
+      base.toString, zieltabelle = Some("ingested"))
+    val rows = Steps.execute(spec, ctx).get
+    assert(rows == 3)
+    val t = wh.read(spark, "ingested")
+    assert(t.count() == 3)
+    assert(t.columns.contains("wert") && !t.columns.contains("val"))
+    assert(t.filter("dateiname = 'a.csv'").count() == 2)
+    // files consumed
+    assert(!Files.exists(base.resolve("Insert/a.csv")))
+    // idempotent retry: same file again must not duplicate
+    Files.writeString(base.resolve("Insert/a.csv"), "id,val\n1,x\n2,y\n")
+    Steps.execute(spec, ctx)
+    assert(wh.read(spark, "ingested").filter("dateiname = 'a.csv'").count() == 2)
+  }
+
+  test("ingest rollback: a failing file is moved back and its rows removed (CommandExecuter.cs:1130-1283)") {
+    val (ctx, _, wh) = freshCtx()
+    val base = Paths.get(tmpDir("ingest2"))
+    Files.createDirectories(base.resolve("Insert"))
+    Files.writeString(base.resolve("Insert/good.csv"), "id\n1\n")
+    Files.writeString(base.resolve("Insert/zbad.csv"), "id\n2\n")
+    val failing: Steps.FileReader = (s, path) =>
+      if (path.endsWith("zbad.csv")) throw new RuntimeException("decode error")
+      else Steps.csvReader(s, path)
+    val spec = StepSpec(6, CommandType.Transfer, TaskType.Excel,
+      base.toString, zieltabelle = Some("ingested2"))
+    assertThrows[RuntimeException] { Steps.ingest(spec, ctx, failing) }
+    // good file landed, bad file rolled back into Insert
+    assert(wh.read(spark, "ingested2").count() == 1)
+    assert(Files.exists(base.resolve("Insert/zbad.csv")))
+    assert(!Files.exists(base.resolve("Insert/good.csv")))
+  }
+
+  test("SQL_TARGET executes DDL/DML text; EXEC keeps NYI parity") {
+    val (ctx, ledger, _) = freshCtx()
+    Steps.execute(StepSpec(7, CommandType.SqlTarget, TaskType.Sql,
+      "CREATE OR REPLACE TEMP VIEW sql_target_probe AS SELECT 42 AS answer"), ctx)
+    assert(spark.sql("SELECT answer FROM sql_target_probe").head.getInt(0) == 42)
+    assertThrows[NotImplementedError] {
+      Steps.execute(StepSpec(8, CommandType.Exec, TaskType.Sql, "x"), ctx)
+    }
+  }
+
+  test("TEST step sleeps and logs") {
+    val (ctx, ledger, _) = freshCtx()
+    Steps.execute(StepSpec(9, CommandType.Test, TaskType.Sql, "0.05"), ctx)
+    assert(ledger.allMessages.exists(_.meldungstext.contains("TEST step 9")))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testkit.SparkSupport
+
+/** MemoryStream-driven tests: feed event batches, advance the watermark,
+  * assert windowed counts and closed sessions.
+  */
+class StreamsSpec extends AnyFunSuite with SparkSupport {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowedCounts: watermark closes windows, counts per type") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Event]
+    val query = Streams.windowedCounts(input.toDF(), watermark = "10 minutes", window = "1 hour")
+      .writeStream.format("memory").queryName("wc_out").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Streams.Event(1, ts("2026-01-01 10:05:00"), "click", 1.0),
+        Streams.Event(1, ts("2026-01-01 10:20:00"), "click", 1.0),
+        Streams.Event(2, ts("2026-01-01 10:40:00"), "error", 1.0))
+      query.processAllAvailable()
+      // advance event time far enough to close the 10:00 window
+      input.addData(Streams.Event(3, ts("2026-01-01 12:30:00"), "click", 1.0))
+      query.processAllAvailable()
+      val out = spark.sql("SELECT event_type, n FROM wc_out ORDER BY event_type").collect()
+      assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("click", 2L), ("error", 1L)))
+    } finally query.stop()
+  }
+
+  test("sessionize: gap closes a session; timeout flushes the last one") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Event]
+    val query = Streams.sessionize(input.toDS(), gapSeconds = 1800, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sess_out").outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 10 min apart (one session), then a 2h gap
+      input.addData(
+        Streams.Event(1, ts("2026-01-01 08:00:00"), "a", 1.0),
+        Streams.Event(1, ts("2026-01-01 08:10:00"), "a", 1.0))
+      query.processAllAvailable()
+      input.addData(Streams.Event(1, ts("2026-01-01 10:30:00"), "a", 1.0))
+      query.processAllAvailable()
+      // push watermark past 10:30 + gap to time the second session out
+      input.addData(Streams.Event(2, ts("2026-01-01 13:00:00"), "a", 1.0))
+      query.processAllAvailable()
+      input.addData(Streams.Event(2, ts("2026-01-01 15:00:00"), "a", 1.0))
+      query.processAllAvailable()
+      val out = spark.sql(
+        "SELECT user_id, session_start, n_events FROM sess_out WHERE user_id = 1 ORDER BY session_start")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSeq
+      assert(out == Seq(
+        (1L, ts("2026-01-01 08:00:00"), 2L),
+        (1L, ts("2026-01-01 10:30:00"), 1L)))
+    } finally query.stop()
+  }
+}
