@@ -102,15 +102,36 @@ object TextFunctions {
       "stopword_ratio" -> (stop.cast("double") / nToks))
   }
 
+  /** MinHash parameters: the k hash functions are the affine family
+    * h_k(x) = ((2k+1)·x + k·B) mod M over one md5-derived base hash per
+    * shingle — one expensive hash per shingle, k cheap integer maps
+    * (the standard minhash construction, and 12× fewer md5 calls than
+    * seed-prefixing; all values < 2^38 so BIGINT arithmetic is exact and
+    * identical in DuckDB).
+    */
+  val MinhashMod = 4294967311L // smallest prime > 2^32
+  val MinhashB = 12582917L
+
   /** MinHash signature of a distinct-shingle array: element k is
-    * min over shingles of hash32("k:" || shingle) — k independent hash
-    * functions derived from one base hash by seed-prefixing. NULL when the
-    * doc has no shingles. Map-only (no shuffle); at 100 TB the signature
-    * replaces the full shingle set in every downstream comparison.
+    * min over shingles of h_k(hash32(shingle)). NULL when the doc has no
+    * shingles. Map-only (no shuffle); at 100 TB the signature replaces
+    * the full shingle set in every downstream comparison.
+    *
+    * PERF: prefer [[minhashFromHashes]] over a MATERIALIZED hash column
+    * — Catalyst's projection collapse inlines a non-attribute `shingles`
+    * expression into all k branches (higher-order lambdas defeat CSE),
+    * re-running the tokenizer/md5 k times.
     */
   def minhashSignature(shingles: Column, k: Int): Column =
+    minhashFromHashes(transform(shingles, s => hash32(s)), k)
+
+  /** Signature from an already-computed shingle-hash array column: k
+    * cheap affine maps, no md5 at all.
+    */
+  def minhashFromHashes(hashes: Column, k: Int): Column =
     array((0 until k).map { seed =>
-      array_min(transform(shingles, s => hash32(concat(lit(s"$seed:"), s))))
+      array_min(transform(hashes,
+        h => (lit(2L * seed + 1) * h + lit(seed * MinhashB)) % lit(MinhashMod)))
     }: _*)
 
   /** LSH band key b (0-based) over a signature of `rows`-sized bands:
@@ -134,10 +155,15 @@ object TextFunctions {
 
   /** 32-bit SimHash over a distinct-shingle array: bit i is set iff the
     * majority of shingle hashes have bit i set (ties → 0, the sum>0 rule
-    * with ±1 weights). Single map-side pass over the hashes.
+    * with ±1 weights). Single map-side pass over the hashes. Same PERF
+    * note as [[minhashSignature]]: pass a materialized hash column via
+    * [[simhashFromHashes]] in real pipelines.
     */
-  def simhash(shingles: Column): Column = {
-    val hashes = transform(shingles, s => hash32(s))
+  def simhash(shingles: Column): Column =
+    simhashFromHashes(transform(shingles, s => hash32(s)))
+
+  /** SimHash from an already-computed shingle-hash array column. */
+  def simhashFromHashes(hashes: Column): Column = {
     val n = size(hashes)
     aggregate(
       sequence(lit(0), lit(31)),

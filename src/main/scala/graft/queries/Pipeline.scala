@@ -28,10 +28,23 @@ object Pipeline {
   private val PLANES = 4  // sign-LSH hyperplanes → 16 buckets
   private val DIM = 64    // embedding dimensionality (testdata schema)
 
-  /** Normalized tokens + distinct 3-shingles for a documents scan. */
-  private def withShingles(df: DataFrame): DataFrame =
-    df.withColumn("t", T.tokens(col("text")))
-      .withColumn("shingles", T.shingles("t"))
+  /** Staged (doc_id, shingles, hashes) frame with persisted token and
+    * hash materialization. The staging is load-bearing for performance:
+    * projection collapse would otherwise inline the tokenizer into every
+    * `t[i]` access and the md5 into every minhash branch (higher-order
+    * lambdas defeat Catalyst's CSE), multiplying the expensive work
+    * ~10-150×. At 100 TB these two stages are checkpointed parquet
+    * tables (tokens / shingle-hashes per corpus snapshot); persist() is
+    * the local[n] equivalent.
+    */
+  private def hashedShingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = docs(s, dir).select($"doc_id", T.tokens($"text").as("t")).persist()
+    toks
+      .select($"doc_id", T.shingles("t").as("shingles"))
+      .withColumn("hashes", transform($"shingles", x => T.hash32(x)))
+      .persist()
+  }
 
   /** Exact dedup (hash-groupBy): canonical fingerprint = md5 of the
     * whitespace-normalized text; one row per distinct content with the
@@ -79,8 +92,8 @@ object Pipeline {
     "q14_minhash_sig",
     (s, dir) => {
       import s.implicits._
-      val sig = withShingles(docs(s, dir))
-        .withColumn("sig", T.minhashSignature($"shingles", K))
+      val sig = hashedShingles(s, dir)
+        .withColumn("sig", T.minhashFromHashes($"hashes", K))
       sig.select(
         $"doc_id",
         $"sig".getItem(0).as("mh_0"),
@@ -101,12 +114,16 @@ object Pipeline {
               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
           ELSE [] END AS shingles
         FROM toks
+      ), hs AS (
+        SELECT doc_id, list_transform(shingles,
+          s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hashes
+        FROM sh
       ), sig AS (
         SELECT doc_id,
           list_transform(generate_series(0, 11), k ->
-            list_min(list_transform(shingles,
-              s -> CAST('0x' || substr(md5(k || ':' || s), 1, 8) AS BIGINT)))) AS sig
-        FROM sh
+            list_min(list_transform(hashes,
+              h -> ((2*k+1)*h + k*12582917) % 4294967311))) AS sig
+        FROM hs
       )
       SELECT doc_id, sig[1] AS mh_0, sig[2] AS mh_1, sig[12] AS mh_11,
              md5(array_to_string(sig[1:3], ',')) AS band_0,
@@ -126,10 +143,15 @@ object Pipeline {
     "q15_lsh_pairs",
     (s, dir) => {
       import s.implicits._
-      val sig = withShingles(docs(s, dir))
+      // The signature frame feeds three consumers (band explode + both
+      // sides of the candidate join): persist it so the staged hashes
+      // run once. At 100 TB this is a checkpointed signature table,
+      // computed once per corpus snapshot and reused by every dedup pass.
+      val sig = hashedShingles(s, dir)
         .filter(size($"shingles") > 0)
-        .withColumn("sig", T.minhashSignature($"shingles", K))
+        .withColumn("sig", T.minhashFromHashes($"hashes", K))
         .select($"doc_id", $"shingles", $"sig")
+        .persist()
       val bands = sig.select(
         $"doc_id",
         explode(array((0 until BANDS).map(b =>
@@ -160,8 +182,9 @@ object Pipeline {
       ), sig AS (
         SELECT doc_id, shingles,
           list_transform(generate_series(0, 11), k ->
-            list_min(list_transform(shingles,
-              s -> CAST('0x' || substr(md5(k || ':' || s), 1, 8) AS BIGINT)))) AS sig
+            list_min(list_transform(
+              list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)),
+              h -> ((2*k+1)*h + k*12582917) % 4294967311))) AS sig
         FROM sh WHERE len(shingles) > 0
       ), bands AS (
         SELECT doc_id, shingles, sig, b,
@@ -347,10 +370,10 @@ object Pipeline {
     "q19_simhash",
     (s, dir) => {
       import s.implicits._
-      withShingles(docs(s, dir))
+      hashedShingles(s, dir)
         .select($"doc_id",
-          T.simhash($"shingles").as("simhash"),
-          size($"shingles").cast("long").as("n_shingles"))
+          T.simhashFromHashes($"hashes").as("simhash"),
+          size($"hashes").cast("long").as("n_shingles"))
     },
     Some("""
       WITH toks AS (
