@@ -162,6 +162,20 @@ final class RunLedger(clock: () => LocalDateTime = () => LocalDateTime.now()) {
     allQueries.toDF()
   }
 
+  /** Safe exit (`Helper.cs:2964-3140`): on unrecoverable shutdown, close
+    * every open run row — end timestamps set, finished, NOT successful —
+    * so the ledger never shows phantom in-flight runs after a crash.
+    * Returns the number of rows closed.
+    */
+  def closeAllOpen(): Int = synchronized {
+    val open = currentRows.values.filter(!_.istAbgeschlossen).toSeq
+    open.foreach { r =>
+      update(r.id)(x => x.copy(
+        endzeitpunkt = Some(clock()), istAbgeschlossen = true, erfolgreich = false))
+    }
+    open.size
+  }
+
   /** Persist the ledger (append-only) under `dir` — parquet per table,
     * the shape a cluster deployment would write per run.
     */

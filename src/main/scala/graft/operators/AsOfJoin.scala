@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — for every left row, the most recent right row
+  * with `right.ts <= left.ts` within the same key. Spark has no native
+  * as-of operator (the reference delegates everything to backend SQL,
+  * SURVEY §2.5); this composes one from a union + running `last(…,
+  * ignoreNulls)` window:
+  *
+  *  1. tag right rows 0, left rows 1, union by key/ts + carried value
+  *     columns (right-only, null on left rows);
+  *  2. one window per key ordered by (ts, tag, right row order): a
+  *     running last-non-null of each carried column gives every left
+  *     row the latest right values at-or-before its timestamp —
+  *     equal timestamps match (tag orders right before left);
+  *  3. filter back to left rows.
+  *
+  * ONE shuffle on the key — same cost as a regular join, no range
+  * explosion, no per-key driver loop. Skew behaves like any windowed
+  * aggregation (salt hot keys upstream if a single key dominates).
+  * DuckDB's native `ASOF JOIN` is the oracle for this operator.
+  */
+object AsOfJoin {
+
+  /** `left` and `right` must both carry `keys` and `tsCol`; the result
+    * is every left row plus `valueCols` from the matched right row
+    * (null when no right row precedes it).
+    */
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      tsCol: String,
+      keys: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(!valueCols.exists(leftCols.contains),
+      s"value columns ${valueCols.mkString(",")} must not collide with left columns")
+
+    // right rows carry their values; left rows carry nulls + payload
+    val taggedRight = right
+      .select((keys.map(col) :+ col(tsCol)) ++ valueCols.map(col): _*)
+      .withColumn("__tag", lit(0))
+      .withColumns(leftCols.filterNot(c => keys.contains(c) || c == tsCol)
+        .map(c => c -> lit(null)).toMap)
+    val taggedLeft = left.withColumn("__tag", lit(1))
+      .withColumns(valueCols.map(c => c -> lit(null)).toMap)
+
+    val unioned = taggedRight.unionByName(taggedLeft.select(taggedRight.columns.map(col): _*))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__tag") === 1).drop("__tag")
+      .select((leftCols ++ valueCols).map(col): _*)
+  }
+
+  /** Range join helper: pairs (l, r) with `r.ts` in `[l.ts - before,
+    * l.ts]` per key — the windowed variant of the same blocking idea.
+    * Implemented as an equi-join on a coarse time bucket (one shuffle,
+    * bounded fan-out) + exact range filter, instead of a cartesian
+    * range condition.
+    */
+  def rangeJoin(
+      left: DataFrame, right: DataFrame,
+      tsCol: String, keys: Seq[String], beforeSeconds: Long): DataFrame = {
+    val bucket = (c: Column) => floor(unix_timestamp(c) / beforeSeconds)
+    val lb = left.withColumn("__b", explode(array(bucket(col(tsCol)) - 1, bucket(col(tsCol)))))
+    val rb = right.withColumn("__b", bucket(col(tsCol)))
+      .withColumnRenamed(tsCol, s"${tsCol}_r")
+    lb.join(rb, keys :+ "__b")
+      .filter(col(s"${tsCol}_r") <= col(tsCol) &&
+        col(s"${tsCol}_r") >= col(tsCol) - expr(s"INTERVAL $beforeSeconds SECOND"))
+      .drop("__b")
+  }
+}

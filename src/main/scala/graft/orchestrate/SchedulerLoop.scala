@@ -1,0 +1,88 @@
+package graft.orchestrate
+
+import java.time.LocalDateTime
+
+import scala.collection.mutable
+
+import graft.schedule.{NextRun, Schedule, ScheduleException}
+
+/** The scheduler poll loop (`Processor.cs:1110-1168`,
+  * `Scheduler.cs:23-533`): every tick, compute each active workflow's
+  * next run via the pure calculus, record the planned execution
+  * (`pc.ETL_Zeitplan_Ausfuehrungen` row), and start workflows due
+  * within the tick horizon. Re-creates finished/failed workflows for
+  * their next slot and deactivates a workflow after 10 consecutive
+  * scheduling failures (`Processor.cs:168-214`).
+  *
+  * Pure driver-side logic with an injected clock + executor — the test
+  * drives ticks manually; production wraps [[tick]] in a 10 s
+  * ScheduledExecutorService.
+  */
+final class SchedulerLoop(
+    manager: WorkflowManager,
+    execute: (Int, Int, LocalDateTime) => Unit,
+    tickSeconds: Int = 10,
+    maxStrikes: Int = 10) {
+
+  final case class Entry(
+      workflowId: Int,
+      schedule: Schedule,
+      var active: Boolean = true,
+      var strikes: Int = 0,
+      var plannedAt: Option[LocalDateTime] = None)
+
+  private val entries = mutable.LinkedHashMap.empty[Int, Entry]
+  private var nextZeitplanAusfuehrungenId = 1
+
+  def register(workflowId: Int, schedule: Schedule): Unit = synchronized {
+    entries(workflowId) = Entry(workflowId, schedule)
+  }
+
+  def deactivate(workflowId: Int): Unit = synchronized {
+    entries.get(workflowId).foreach(_.active = false)
+  }
+
+  def isActive(workflowId: Int): Boolean = synchronized {
+    entries.get(workflowId).exists(_.active)
+  }
+
+  def planned: Map[Int, LocalDateTime] = synchronized {
+    entries.values.flatMap(e => e.plannedAt.map(e.workflowId -> _)).toMap
+  }
+
+  /** One poll: refresh next-run times, start everything due within the
+    * tick horizon. Returns the workflow ids started this tick.
+    */
+  def tick(now: LocalDateTime): Seq[Int] = {
+    val due = synchronized {
+      entries.values.filter(_.active).flatMap { e =>
+        try {
+          val next = e.plannedAt match {
+            case Some(p) if !p.isBefore(now) => p // still pending
+            case _ => NextRun.nextRun(e.schedule, now,
+              manager.wasExecutedOnce(e.workflowId))
+          }
+          e.plannedAt = Some(next)
+          e.strikes = 0
+          if (next.isBefore(now.plusSeconds(tickSeconds.toLong))) Some(e) else None
+        } catch {
+          case _: ScheduleException =>
+            // end-date exhausted etc: strike, deactivate after maxStrikes
+            e.strikes += 1
+            if (e.strikes >= maxStrikes) e.active = false
+            None
+        }
+      }.toSeq
+    }
+    due.map { e =>
+      val zid = synchronized {
+        val z = nextZeitplanAusfuehrungenId
+        nextZeitplanAusfuehrungenId += 1
+        e.plannedAt = None // consumed; next tick recomputes
+        z
+      }
+      execute(e.workflowId, zid, now)
+      e.workflowId
+    }
+  }
+}

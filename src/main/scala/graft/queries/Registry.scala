@@ -5,7 +5,8 @@ package graft.queries
   * `oracleSql` from it so the two maps can never drift.
   */
 object Registry {
-  def all: Seq[QueryDef] = Relational.all ++ Pipeline.all ++ EndToEnd.all
+  def all: Seq[QueryDef] =
+    Relational.all ++ Pipeline.all ++ EndToEnd.all ++ Extended.all
 
   lazy val byName: Map[String, QueryDef] = {
     val qs = all

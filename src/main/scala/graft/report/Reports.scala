@@ -39,6 +39,31 @@ object Reports {
         col("endzeitpunkt").as("last_end"), col("erfolgreich"))
   }
 
+  /** Run-DAG rendering (`Vizualiser.cs:131-666` draws per-run PNGs; we
+    * emit GraphViz DOT from the ledger instead — structure parity, no
+    * pixel parity, per SURVEY §2.4): one node per run row (red when
+    * failed), edges along the 4-level hierarchy.
+    */
+  def runDagDot(latestRows: Seq[graft.model.RunRow]): String = {
+    def nodeId(r: graft.model.RunRow) = s"${r.level}_${r.id}"
+    val nodes = latestRows.map { r =>
+      val color = if (r.istAbgeschlossen && !r.erfolgreich) "red"
+        else if (r.erfolgreich) "green" else "gray"
+      s"""  ${nodeId(r)} [label="${r.level} #${r.refId}", color=$color];"""
+    }
+    val byId = latestRows.map(r => r.id -> r).toMap
+    val edges = latestRows.flatMap { r =>
+      val parent = r.level match {
+        case graft.model.RunLevel.Paket => r.workflowRunId
+        case graft.model.RunLevel.Umsetzung => r.paketRunId
+        case graft.model.RunLevel.Schritt => r.umsetzungRunId
+        case _ => None
+      }
+      parent.flatMap(byId.get).map(p => s"  ${nodeId(p)} -> ${nodeId(r)};")
+    }
+    (Seq("digraph run {") ++ nodes ++ edges ++ Seq("}")).mkString("\n")
+  }
+
   /** Error drill-down (`app/app.R:447-486`, `AnalyzeWorkflowError`
     * `Helper.cs:915-1112`): errors joined to their workflow run.
     */

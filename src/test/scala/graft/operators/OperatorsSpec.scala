@@ -1,0 +1,113 @@
+package graft.operators
+
+import java.time.LocalDateTime
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ledger.RunLedger
+import graft.model.RunLevel
+import graft.report.Reports
+import graft.sources.Connections
+import graft.testkit.SparkSupport
+
+class OperatorsSpec extends AnyFunSuite with SparkSupport {
+
+  test("AsOfJoin.backward: latest right at-or-before each left, equal ts matches, no match -> null") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "e1"), (1L, 5L, "e2"), (2L, 3L, "e3"))
+      .toDF("k", "ts", "name")
+    val right = Seq((1L, 4L, 40.0), (1L, 10L, 100.0), (2L, 7L, 70.0))
+      .toDF("k", "ts", "v")
+    val out = AsOfJoin.backward(left, right, "ts", Seq("k"), Seq("v"))
+      .orderBy($"k", $"ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 5L, "e2", 40.0),    // right@4 precedes
+      (1L, 10L, "e1", 100.0),  // equal ts matches
+      (2L, 3L, "e3", null)))   // nothing precedes
+  }
+
+  test("AsOfJoin.rangeJoin: bounded window, no cartesian") {
+    import spark.implicits._
+    val left = Seq((1L, "2026-01-01 10:00:00"), (1L, "2026-01-01 12:00:00"))
+      .toDF("k", "ts_s").withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+    val right = Seq((1L, "2026-01-01 09:30:00", 1.0), (1L, "2026-01-01 11:59:00", 2.0),
+      (1L, "2026-01-01 07:00:00", 3.0))
+      .toDF("k", "ts_s", "v").withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+    val out = AsOfJoin.rangeJoin(left, right, "ts", Seq("k"), beforeSeconds = 3600)
+    assert(out.count() == 2) // (10:00,09:30) and (12:00,11:59); 07:00 out of range
+  }
+
+  test("Media.process: per-partition batch decode with byte-accurate features") {
+    import spark.implicits._
+    val media = Seq(
+      Media.MediaRecord(1L, "text/plain", "hello world".getBytes("UTF-8")),
+      Media.MediaRecord(2L, "text/plain", Array[Byte]())).toDS().repartition(2)
+    val out = Media.process(media).collect().sortBy(_.media_id)
+    assert(out(0).n_bytes == 11L)
+    assert(out(0).checksum == "5eb63bbbe01eeed093cb22bb8f5acdc3") // md5("hello world")
+    assert(out(0).head == "hello world")
+    assert(out(1).n_bytes == 0L)
+    // the codec slot is a clearly-marked stub
+    assertThrows[NotImplementedError] {
+      Media.codecDecoder(Media.MediaRecord(3L, "image/jpeg", Array[Byte](1)))
+    }
+  }
+
+  test("Media.sampleSegments: stride sampling over binary payloads") {
+    val media = Media.documentsAsMedia(
+      spark.createDataFrame(Seq((1L, "abcdefghijklmnopqrstuvwxyz")))
+        .toDF("doc_id", "text"))
+    val segs = Media.sampleSegments(media, width = 4, stride = 10, maxSamples = 3)
+      .collect().sortBy(_.getInt(1))
+    assert(segs.length == 2) // 26 bytes / 10 = 2 samples
+    assert(new String(segs(0).getAs[Array[Byte]]("segment"), "UTF-8") == "abcd")
+    assert(new String(segs(1).getAs[Array[Byte]]("segment"), "UTF-8") == "klmn")
+  }
+
+  test("Connections: JDBC option mapping carries pushdown, batching and partitioning") {
+    val j = Connections.Jdbc("jdbc:postgresql://h/db", "u", "p",
+      driver = Some("org.postgresql.Driver"), fetchSize = 5000, numPartitions = 16)
+    val opts = Connections.jdbcOptions(j, "SELECT * FROM t WHERE x > 0")
+    assert(opts("dbtable") == "(SELECT * FROM t WHERE x > 0) q") // full-query pushdown
+    assert(opts("fetchsize") == "5000")
+    assert(opts("numPartitions") == "16")
+    assert(opts("driver") == "org.postgresql.Driver")
+    val w = Connections.jdbcWriteOptions(j, "dst", batchSize = 50000)
+    assert(w("batchsize") == "50000")
+    // parquet + csv paths resolve through the same interface
+    val df = Connections.read(spark, Connections.ParquetDir("/root/testdata/sf0.001"), "region")
+    assert(df.count() == 5)
+  }
+
+  test("run-DAG DOT rendering from ledger rows") {
+    val ledger = new RunLedger(() => LocalDateTime.of(2026, 2, 1, 12, 0))
+    val wf = ledger.start(RunLevel.Workflow, 1)
+    val pk = ledger.start(RunLevel.Paket, 10, workflowRunId = Some(wf))
+    val um = ledger.start(RunLevel.Umsetzung, 100, workflowRunId = Some(wf), paketRunId = Some(pk))
+    val st = ledger.start(RunLevel.Schritt, 1000, workflowRunId = Some(wf),
+      paketRunId = Some(pk), umsetzungRunId = Some(um))
+    ledger.markFinished(wf, success = true)
+    ledger.markFinished(st, success = false)
+    val dot = Reports.runDagDot(ledger.current)
+    assert(dot.startsWith("digraph run {"))
+    assert(dot.contains(s"workflow_$wf -> paket_$pk;"))
+    assert(dot.contains(s"paket_$pk -> paketumsetzung_$um;"))
+    assert(dot.contains(s"paketumsetzung_$um -> paketschritt_$st;"))
+    assert(dot.contains("color=red")) // the failed step
+  }
+
+  test("safe exit closes every open ledger row unsuccessfully (Helper.cs:2964-3140)") {
+    val ledger = new RunLedger(() => LocalDateTime.of(2026, 2, 1, 12, 0))
+    val a = ledger.start(RunLevel.Workflow, 1)
+    val b = ledger.start(RunLevel.Paket, 10, workflowRunId = Some(a))
+    ledger.markFinished(b, success = true)
+    val closed = ledger.closeAllOpen()
+    assert(closed == 1)
+    val row = ledger.currentOf(a).get
+    assert(row.istAbgeschlossen && !row.erfolgreich && row.endzeitpunkt.isDefined)
+    // already-closed rows untouched
+    assert(ledger.currentOf(b).get.erfolgreich)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.orchestrate
+
+import java.time.{LocalDateTime, LocalTime}
+
+import scala.collection.mutable
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.schedule.{Interval, Schedule}
+
+class SchedulerLoopSpec extends AnyFunSuite {
+
+  private val base = LocalDateTime.of(2026, 3, 2, 9, 0, 0)
+
+  private def minutely(start: LocalDateTime) =
+    Schedule(Interval.Minute, start, start.toLocalTime)
+
+  test("due workflows start within the tick horizon; future ones wait") {
+    val started = mutable.ArrayBuffer.empty[(Int, Int)]
+    val loop = new SchedulerLoop(new WorkflowManager,
+      (wf, zid, _) => started += ((wf, zid)), tickSeconds = 10)
+    loop.register(1, minutely(base))                 // due at 09:00
+    loop.register(2, minutely(base.plusMinutes(5)))  // due at 09:05
+    val startedIds = loop.tick(base)
+    assert(startedIds == Seq(1))
+    assert(started.map(_._1).toSeq == Seq(1))
+    // planned time recorded for the not-yet-due workflow
+    assert(loop.planned.get(2).contains(base.plusMinutes(5)))
+  }
+
+  test("zeitplan execution ids are unique and increasing across ticks") {
+    val started = mutable.ArrayBuffer.empty[(Int, Int)]
+    val loop = new SchedulerLoop(new WorkflowManager,
+      (wf, zid, _) => started += ((wf, zid)), tickSeconds = 10)
+    loop.register(1, minutely(base))
+    loop.tick(base)
+    loop.tick(base.plusMinutes(1))
+    loop.tick(base.plusMinutes(2))
+    assert(started.map(_._2).toSeq == Seq(1, 2, 3))
+  }
+
+  test("a workflow whose schedule is exhausted strikes out and deactivates (Processor.cs:168-214)") {
+    val loop = new SchedulerLoop(new WorkflowManager, (_, _, _) => (),
+      tickSeconds = 10, maxStrikes = 3)
+    val dead = Schedule(Interval.Manuell, base.minusYears(1), LocalTime.of(9, 0),
+      endedatum = Some(base.minusMonths(1)))
+    loop.register(5, dead)
+    (1 to 2).foreach(i => loop.tick(base.plusMinutes(i.toLong)))
+    assert(loop.isActive(5))
+    loop.tick(base.plusMinutes(3))
+    assert(!loop.isActive(5)) // third strike
+  }
+
+  test("Sofort_Ausfuehrung fires immediately on first registration only") {
+    val mgr = new WorkflowManager
+    val started = mutable.ArrayBuffer.empty[Int]
+    val loop = new SchedulerLoop(mgr, (wf, zid, _) => {
+      started += wf
+      // simulate a completed run for run-once tracking
+      if (!mgr.existsMapping(wf)) mgr.register(wf, zid) else mgr.setScheduled(wf)
+      mgr.scheduledToInitializing(wf)
+      mgr.initializingToExecuting(wf)
+      mgr.executingToFinished(wf)
+    }, tickSeconds = 10)
+    // weekly schedule anchored far in the future, but sofort
+    loop.register(7, Schedule(Interval.Woche, base.plusDays(3), LocalTime.of(9, 0),
+      sofortAusfuehrung = true))
+    assert(loop.tick(base) == Seq(7))   // fired immediately
+    assert(loop.tick(base.plusMinutes(1)).isEmpty) // now follows the schedule
+  }
+}
