@@ -68,5 +68,58 @@ object Extended {
              substr(text, 1, 16) AS head
       FROM documents"""))
 
-  val all: Seq[QueryDef] = Seq(q22, q23)
+  /** Embedding-cosine near-dup pairs — the vector-space sibling of q15:
+    * sign-LSH buckets block the candidate set (same-bucket only, never
+    * all-pairs), then the exact cosine filters at the threshold. At
+    * 100 TB the bucket id is the shuffle key and the threshold/plane
+    * count trade recall against fan-in; the 0.3 threshold matches this
+    * synthetic corpus's similarity scale (real near-dup corpora use
+    * ~0.9 with the identical plan).
+    */
+  val q24 = QueryDef(
+    "q24_embedding_neardup",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.{VectorFunctions => V}
+      val v = Tables.load(s, dir, "embeddings")
+        .withColumn("e", V.asDouble($"embedding"))
+        .withColumn("nrm", V.norm($"e"))
+        .withColumn("bucket", V.hyperplaneBucket($"e", 4, 64))
+        .select($"vec_id", $"e", $"nrm", $"bucket")
+        .persist()
+      v.as("a").join(v.as("b"),
+          $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
+        .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+          V.cosine($"a.e", $"b.e", $"a.nrm", $"b.nrm").as("cosine"))
+        .filter($"cosine" >= 0.3)
+    },
+    Some("""
+      WITH planes AS (
+        SELECT j, list_transform(generate_series(0,63),
+          d -> (CAST('0x' || substr(md5(j || ',' || d),1,8) AS BIGINT) % 2001 - 1000)/1000.0) AS w
+        FROM (SELECT unnest(generate_series(0,3)) AS j)
+      ), v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+      ), n AS (
+        SELECT vec_id, e, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(e, x -> x*x)), (a,b) -> a+b)) AS nrm FROM v
+      ), dots AS (
+        SELECT n.vec_id, p.j, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(generate_series(1,64), i -> p.w[i]*n.e[i])), (a,b) -> a+b) AS dot
+        FROM n CROSS JOIN planes p
+      ), buck AS (
+        SELECT vec_id, CAST(SUM(CASE WHEN dot > 0
+          THEN CAST(round(2**j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        FROM dots GROUP BY 1
+      ), bn AS (SELECT n.*, b.bucket FROM n JOIN buck b USING (vec_id)),
+      pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> a.e[i]*b.e[i])), (x,y) -> x+y)
+            / (a.nrm * b.nrm) AS cosine
+        FROM bn a JOIN bn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      )
+      SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.3"""))
+
+  val all: Seq[QueryDef] = Seq(q22, q23, q24)
 }
