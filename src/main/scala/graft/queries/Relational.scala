@@ -371,6 +371,60 @@ object Relational {
       SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events
       FROM per_sess GROUP BY 1 ORDER BY 1"""))
 
+  /** ROLLUP aggregation with grouping flags — subtotal report shapes
+    * (the reference's summary mails aggregate per level; rollup is the
+    * single-pass way to get all levels at once). One expand + one agg
+    * shuffle; scales like any grouped aggregation.
+    */
+  val q25 = QueryDef(
+    "q25_rollup",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .rollup($"o_orderstatus", $"o_orderpriority")
+        .agg(
+          grouping($"o_orderstatus").cast("long").as("g_status"),
+          grouping($"o_orderpriority").cast("long").as("g_priority"),
+          count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(12,2)")).cast("double").as("total"))
+    },
+    Some("""
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+             CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"""))
+
+  /** Set operations (INTERSECT / EXCEPT) — returning-vs-churned key
+    * analysis. Both are aggregate-style shuffles on the key, no
+    * cartesian.
+    */
+  val q26 = QueryDef(
+    "q26_set_ops",
+    (s, dir) => {
+      import s.implicits._
+      val orders = Tables.load(s, dir, "orders")
+      val y95 = orders.filter(year($"o_orderdate") === 1995).select($"o_custkey")
+      val y96 = orders.filter(year($"o_orderdate") === 1996).select($"o_custkey")
+      val retained = y95.intersect(y96).withColumn("cohort", lit("retained"))
+      val churned = y95.except(y96).withColumn("cohort", lit("churned"))
+      val newcust = y96.except(y95).withColumn("cohort", lit("new"))
+      retained.unionByName(churned).unionByName(newcust)
+        .groupBy($"cohort").agg(count(lit(1)).as("n_customers"))
+    },
+    Some("""
+      WITH y95 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+           y96 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+           tagged AS (
+             SELECT 'retained' AS cohort, * FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+             UNION ALL
+             SELECT 'churned', * FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+             UNION ALL
+             SELECT 'new', * FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y95)
+           )
+      SELECT cohort, COUNT(*) AS n_customers FROM tagged GROUP BY 1"""))
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06,
-    q07, q08, q09, q10, q11, q12)
+    q07, q08, q09, q10, q11, q12, q25, q26)
 }

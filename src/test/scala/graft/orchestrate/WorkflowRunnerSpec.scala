@@ -126,6 +126,23 @@ class WorkflowRunnerSpec extends AnyFunSuite with SparkSupport {
       r.level == RunLevel.Paket && r.refId == 31L && r.erfolgreich))
   }
 
+  test("result report renders run header, module rows and error table (Helper.cs:606-1112)") {
+    val (ledger, _, runner, mkCtx) = fixture()
+    val spec = WorkflowSpec(
+      id = 6, masterPackageId = 60, fallbackPackageId = None,
+      packages = Map(
+        60L -> PackageSpec(60, realizations = Seq(RealizationSpec(600, steps = Seq(
+          StepSpec(6000, CommandType.SqlTarget, TaskType.Sql, "SELECT * FROM no_such_tbl")))))))
+    val result = runner.run(spec, 11, mkCtx)
+    val text = graft.report.MailReport.render(ledger, result.workflowRunId)
+    assert(text.contains("Workflow 6 run"))
+    assert(text.contains("FEHLGESCHLAGEN"))
+    assert(text.contains("paketschritt"))
+    assert(text.contains("[major]"))
+    val html = graft.report.MailReport.renderHtml(ledger, result.workflowRunId)
+    assert(html.startsWith("<html>") && html.contains("FEHLGESCHLAGEN"))
+  }
+
   test("FSM follows the run: finished workflow can be re-scheduled, failed one too") {
     val (ledger, _, runner, mkCtx) = fixture()
     val mgr = new WorkflowManager
