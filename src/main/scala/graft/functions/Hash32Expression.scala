@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for the engine's base hash — the
+  * codegen'd fast path of `TextFunctions.hash32` (brief preference
+  * order: native `Expression` with `doGenCode` > composed built-ins >
+  * UDF). Semantics are bit-identical to
+  * `conv(substring(md5(s),1,8),16,10)`: the first 8 md5 hex chars are
+  * exactly the first 4 digest bytes read as an unsigned 32-bit int, so
+  * this skips the hex-string round trip (md5 → 32-char string →
+  * substring → base-16 parse) the composed version pays per call.
+  *
+  * Stays inside whole-stage codegen via `defineCodeGen` (a single
+  * static call on the UTF8String bytes) — no interpreted fallback.
+  */
+case class Hash32Expression(child: Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hash32"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_hash32 expects a string argument, got ${child.dataType.sql}")
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashUtil.hash32(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHashUtil.hash32($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Hash32Expression =
+    copy(child = newChild)
+}
+
+/** Static home for the codegen call target (Scala object = static
+  * forwarders visible to generated Java).
+  */
+object GraftHashUtil {
+  def hash32(s: UTF8String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+}
+
+/** `SparkSessionExtensions` wiring: registers `graft_hash32` so SQL text
+  * and `call_function` resolve it. Activate with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` or
+  * [[GraftExtensions.register]] on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.hash32Descriptor)
+  }
+}
+
+object GraftExtensions {
+  private[functions] val hash32Descriptor = (
+    FunctionIdentifier("graft_hash32"),
+    new ExpressionInfo(classOf[Hash32Expression].getName, "graft_hash32"),
+    (children: Seq[Expression]) => Hash32Expression(children.head): Expression)
+
+  /** Direct registration on an existing session (tests, driver-provided
+    * sessions built without the extensions config).
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      hash32Descriptor._1, hash32Descriptor._2, hash32Descriptor._3)
+}
