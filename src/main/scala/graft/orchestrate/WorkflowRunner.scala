@@ -61,6 +61,19 @@ final class WorkflowRunner(
     parallelLocks: Gates.ParallelLocks,
     clock: () => LocalDateTime = () => LocalDateTime.now())(implicit ec: ExecutionContext) {
 
+  /** Cancellation token — one per workflow run, the engine-side
+    * `CancellationTokenSource` (`Workflow.cs:1387-1735`): any failure
+    * cancels it; every level checks it before starting, so queued /
+    * not-yet-started work aborts instead of running to completion.
+    */
+  final class RunToken {
+    @volatile private var cancelled = false
+    def cancel(): Unit = cancelled = true
+    def isCancelled: Boolean = cancelled
+    def checkpoint(): Unit =
+      if (cancelled) throw new EtlStateException("workflow run cancelled")
+  }
+
   /** Run one scheduled workflow end-to-end (blocking, like the
     * reference's awaited master-package task, `Workflow.cs:1052-1107`).
     * `stepContext` builds the per-step context from the expanded macro
@@ -94,11 +107,13 @@ final class WorkflowRunner(
     manager.initializingToExecuting(spec.id)
     ledger.markExecuting(wfRunId)
 
+    val token = new RunToken
     val attempt = Try {
       parallelLocks.withModule("workflow", spec.parallelsperre) {
-        runPackageTree(spec, spec.masterPackageId, wfRunId, macroCtx, stepContext)
+        runPackageTree(spec, spec.masterPackageId, wfRunId, macroCtx, stepContext, token)
       }
     }
+    if (attempt.isFailure) token.cancel()
 
     ledger.markExecuted(wfRunId)
 
@@ -116,7 +131,9 @@ final class WorkflowRunner(
         // its failure is logged major but not retried
         val fallbackRan = spec.fallbackPackageId match {
           case Some(fb) =>
-            Try(runPackageTree(spec, fb, wfRunId, macroCtx, stepContext)) match {
+            // fallback runs under its own token (compensation must not
+            // inherit the cancelled state)
+            Try(runPackageTree(spec, fb, wfRunId, macroCtx, stepContext, new RunToken)) match {
               case Failure(fbErr) =>
                 ledger.error(ErrorRow.TypWorkflow, ErrorRow.SeverityMajor,
                   s"fallback package $fb failed: ${fbErr.getMessage}",
@@ -135,16 +152,19 @@ final class WorkflowRunner(
   /** Package DAG rooted at `rootPkg` with shared predecessor execution. */
   private def runPackageTree(
       spec: WorkflowSpec, rootPkg: Long, wfRunId: Long, macroCtx: Macros.Context,
-      stepContext: (Macros.Context, Option[Long], Option[Long]) => StepContext): Unit = {
+      stepContext: (Macros.Context, Option[Long], Option[Long]) => StepContext,
+      token: RunToken): Unit = {
     val dag = new PackageDag(
       id => spec.packages.get(id.toLong).map(_.dependencies.map(_.toInt)).getOrElse(Seq.empty),
-      id => runPackage(spec, id.toLong, wfRunId, macroCtx, stepContext))
+      id => runPackage(spec, id.toLong, wfRunId, macroCtx, stepContext, token))
     Await.result(dag.execute(rootPkg.toInt), Duration.Inf)
   }
 
   private def runPackage(
       spec: WorkflowSpec, pkgId: Long, wfRunId: Long, macroCtx: Macros.Context,
-      stepContext: (Macros.Context, Option[Long], Option[Long]) => StepContext): Unit = {
+      stepContext: (Macros.Context, Option[Long], Option[Long]) => StepContext,
+      token: RunToken): Unit = {
+    token.checkpoint()
     val pkg = spec.packages.getOrElse(pkgId,
       throw new EtlStateException(s"unknown package $pkgId"))
     val pkgRunId = ledger.start(RunLevel.Paket, pkgId,
@@ -156,7 +176,7 @@ final class WorkflowRunner(
         val prioritized = pkg.realizations.map(r => r.prioritaet -> r)
         Await.result(
           PriorityBarrier.run(prioritized)(r =>
-            Future(runRealization(r, wfRunId, pkgRunId, macroCtx, stepContext))),
+            Future(runRealization(r, wfRunId, pkgRunId, macroCtx, stepContext, token))),
           Duration.Inf)
       }
     }
@@ -167,7 +187,9 @@ final class WorkflowRunner(
 
   private def runRealization(
       real: RealizationSpec, wfRunId: Long, pkgRunId: Long, macroCtx: Macros.Context,
-      stepContext: (Macros.Context, Option[Long], Option[Long]) => StepContext): Unit = {
+      stepContext: (Macros.Context, Option[Long], Option[Long]) => StepContext,
+      token: RunToken): Unit = {
+    token.checkpoint()
     val realRunId = ledger.start(RunLevel.Umsetzung, real.id,
       workflowRunId = Some(wfRunId), paketRunId = Some(pkgRunId),
       parallelsperre = real.parallelsperre)
@@ -186,7 +208,7 @@ final class WorkflowRunner(
           stepCap.acquire()
           Future {
             try gates.withSlot(
-              runStep(s, real, wfRunId, pkgRunId, realRunId, macroCtx, stepContext))
+              runStep(s, real, wfRunId, pkgRunId, realRunId, macroCtx, stepContext, token))
             finally stepCap.release()
           }
         }
@@ -202,7 +224,9 @@ final class WorkflowRunner(
   private def runStep(
       step: StepSpec, real: RealizationSpec, wfRunId: Long, pkgRunId: Long, realRunId: Long,
       macroCtx: Macros.Context,
-      stepContext: (Macros.Context, Option[Long], Option[Long]) => StepContext): Unit = {
+      stepContext: (Macros.Context, Option[Long], Option[Long]) => StepContext,
+      token: RunToken): Unit = {
+    token.checkpoint()
     val stepRunId = ledger.start(RunLevel.Schritt, step.id,
       workflowRunId = Some(wfRunId), paketRunId = Some(pkgRunId),
       umsetzungRunId = Some(realRunId), parallelsperre = step.parallelsperre)
@@ -214,11 +238,15 @@ final class WorkflowRunner(
     val result = Try {
       parallelLocks.withModule("step", step.parallelsperre) {
         tableLocks.withTables(StepSpec.claimedTables(step)) {
+          // cancellation cascade: a sibling failure aborts queued steps
+          // before they touch data (`Step.cs:888-1060` Abort)
+          token.checkpoint()
           ledger.markExecuting(stepRunId)
           Steps.execute(step, stepContext(stepMacroCtx, Some(stepRunId), real.konfigurationenId))
         }
       }
     }
+    if (result.isFailure) token.cancel()
     ledger.markExecuted(stepRunId)
     ledger.markFinished(stepRunId, success = result.isSuccess)
     result match {

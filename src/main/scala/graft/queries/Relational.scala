@@ -425,6 +425,39 @@ object Relational {
            )
       SELECT cohort, COUNT(*) AS n_customers FROM tagged GROUP BY 1"""))
 
+  /** Salted aggregation over a deliberately skewed key (3 order
+    * statuses ≫ partition count): the two-phase salted plan must equal
+    * the plain aggregation bit-for-bit — the oracle computes the plain
+    * version, so the gate proves salting is result-transparent. At
+    * 100 TB this is the pattern for hot-key aggregations AQE cannot
+    * split.
+    */
+  val q27 = QueryDef(
+    "q27_salted_agg",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.Skew
+      val prepared = Tables.load(s, dir, "orders")
+        .select($"o_orderstatus",
+          $"o_totalprice".cast("decimal(12,2)").as("price"),
+          lit(1L).as("n"))
+      Skew.saltedAgg(
+        prepared,
+        keys = Seq("o_orderstatus"),
+        buckets = 16,
+        partial = Seq("price" -> (c => sum(c)), "n" -> (c => sum(c))),
+        merge = Seq("price" -> (c => sum(c)), "n" -> (c => sum(c))),
+        saltSource = $"price")
+        .select($"o_orderstatus",
+          $"price".cast("double").as("total"),
+          $"n".as("n_orders"))
+    },
+    Some("""
+      SELECT o_orderstatus,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1"""))
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06,
-    q07, q08, q09, q10, q11, q12, q25, q26)
+    q07, q08, q09, q10, q11, q12, q25, q26, q27)
 }

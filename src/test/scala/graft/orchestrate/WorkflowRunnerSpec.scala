@@ -126,6 +126,27 @@ class WorkflowRunnerSpec extends AnyFunSuite with SparkSupport {
       r.level == RunLevel.Paket && r.refId == 31L && r.erfolgreich))
   }
 
+  test("cancellation cascade: a failing step aborts queued siblings before they run (Workflow.cs:1387-1735)") {
+    val (ledger, _, runner, mkCtx) = fixture()
+    val spec = WorkflowSpec(
+      id = 5, masterPackageId = 50,
+      packages = Map(
+        50L -> PackageSpec(50, realizations = Seq(RealizationSpec(
+          500, anzahlParalleleSchritte = 1,
+          steps = Seq(
+            StepSpec(5000, CommandType.SqlTarget, TaskType.Sql,
+              "SELECT * FROM definitely_missing", schrittReihenfolge = 1),
+            StepSpec(5001, CommandType.Test, TaskType.Sql, "0.01", schrittReihenfolge = 2),
+            StepSpec(5002, CommandType.Test, TaskType.Sql, "0.01", schrittReihenfolge = 3)))))))
+    val result = runner.run(spec, 10, mkCtx)
+    assert(!result.success)
+    // only the failing step produced a ledger row; the queued siblings
+    // were cancelled before starting
+    val stepRows = ledger.current.filter(_.level == RunLevel.Schritt)
+    assert(stepRows.map(_.refId).toSet == Set(5000L))
+    assert(!stepRows.head.erfolgreich)
+  }
+
   test("result report renders run header, module rows and error table (Helper.cs:606-1112)") {
     val (ledger, _, runner, mkCtx) = fixture()
     val spec = WorkflowSpec(
