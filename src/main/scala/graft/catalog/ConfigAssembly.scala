@@ -1,0 +1,131 @@
+package graft.catalog
+
+import java.time.DayOfWeek
+
+import graft.model._
+import graft.orchestrate.{PackageSpec, RealizationSpec, WorkflowSpec}
+import graft.schedule.{Interval, Schedule, Takeover}
+import graft.steps.{CsvParams, StepSpec}
+
+/** Config assembly — the metadata join chain the reference walks at run
+  * time (`Step.cs:1285-1767` GetRealizationConnections, package reads
+  * `Package.cs:479-514`, step reads `Realization.cs:614-667`),
+  * re-expressed as one pure function from a [[ConfigSet]] snapshot to
+  * runnable specs. Inactive rows (`Ist_aktiv = 0`) are filtered exactly
+  * where the reference's WHERE clauses filter them.
+  */
+object ConfigAssembly {
+
+  /** Build the runnable spec for one workflow id. */
+  def workflowSpec(workflowId: Int, cfg: ConfigSet): WorkflowSpec = {
+    val wf = cfg.workflows.find(w => w.etlWorkflowId == workflowId && w.istAktiv)
+      .getOrElse(throw new IllegalArgumentException(s"no active workflow $workflowId"))
+
+    val deps = cfg.abhaengigkeiten
+      .filter(a => a.etlWorkflowId == workflowId && a.istAktiv)
+      .groupBy(_.etlPaketeId)
+      .view.mapValues(_.map(_.vorlaufEtlPaketeId)).toMap
+
+    // reachable package closure from master + fallback roots
+    val roots = Seq(wf.etlPaketeId) ++ wf.etlFallbackPaketeId
+    val reachable = scala.collection.mutable.LinkedHashSet.empty[Long]
+    def visit(p: Long): Unit = if (reachable.add(p))
+      deps.getOrElse(p, Seq.empty).foreach(visit)
+    roots.foreach(visit)
+
+    val packages = reachable.toSeq.map { pid =>
+      val row = cfg.pakete.find(p => p.etlPaketeId == pid && p.istAktiv)
+        .getOrElse(throw new IllegalArgumentException(s"no active package $pid"))
+      pid -> PackageSpec(
+        id = pid,
+        parallelsperre = row.parallelsperre,
+        dependencies = deps.getOrElse(pid, Seq.empty),
+        realizations = realizationsOf(workflowId, pid, cfg))
+    }.toMap
+
+    WorkflowSpec(
+      id = workflowId,
+      masterPackageId = wf.etlPaketeId,
+      fallbackPackageId = wf.etlFallbackPaketeId,
+      takeover = Takeover.Config(
+        uebernahmeVon = wf.uebernahmeVon,
+        uebernahmeBis = wf.uebernahmeBis,
+        uebernahmeTageRueckwirkend = wf.uebernahmeTageRueckwirkend),
+      parallelsperre = wf.parallelsperre,
+      packages = packages)
+  }
+
+  private def realizationsOf(workflowId: Int, paketId: Long, cfg: ConfigSet): Seq[RealizationSpec] =
+    cfg.paketUmsetzungen
+      .filter(m => m.etlWorkflowId == workflowId && m.etlPaketeId == paketId)
+      .flatMap { m =>
+        cfg.umsetzungen
+          .find(u => u.etlPaketUmsetzungenId == m.etlPaketUmsetzungenId && u.istAktiv)
+          .map { u =>
+            RealizationSpec(
+              id = u.etlPaketUmsetzungenId,
+              prioritaet = m.paketPriorisierung,
+              anzahlParalleleSchritte = u.anzahlParalleleSchritte,
+              konfigurationenId = u.etlKonfigurationenId,
+              parallelsperre = u.parallelsperre,
+              steps = stepsOf(u.etlPaketUmsetzungenId, cfg))
+          }
+      }
+
+  private def stepsOf(umsetzungId: Long, cfg: ConfigSet): Seq[StepSpec] =
+    cfg.umsetzungSchritte
+      .filter(_.etlPaketUmsetzungenId == umsetzungId)
+      .sortBy(_.schrittReihenfolge)
+      .flatMap { m =>
+        cfg.schritte
+          .find(s => s.etlPaketschritteId == m.etlPaketschritteId && s.istAktiv)
+          .map { s =>
+            StepSpec(
+              id = s.etlPaketschritteId,
+              befehlstyp = s.befehlstyp,
+              aufgabentyp = s.aufgabentyp,
+              befehl = s.befehl,
+              zieltabelle = s.zieltabelle,
+              quelltabelle = s.quelltabelle,
+              zeitscheibe = s.zeitscheibe,
+              parallelsperre = s.parallelsperre,
+              schrittReihenfolge = m.schrittReihenfolge,
+              csv = csvParamsOf(s.etlPaketschritteId, cfg))
+          }
+      }
+
+  /** CSV parameters with the reference's defaults when absent
+    * (`CommandExecuter.cs:2183-2188`).
+    */
+  private def csvParamsOf(schrittId: Long, cfg: ConfigSet): CsvParams =
+    cfg.schrittParameter.find(_.etlPaketschritteId == schrittId) match {
+      case None => CsvParams()
+      case Some(p) =>
+        val d = CsvParams()
+        CsvParams(
+          kopfzeile = p.kopfzeile.getOrElse(d.kopfzeile),
+          trennzeichen = p.trennzeichen.getOrElse(d.trennzeichen),
+          zahlenformat = p.zahlenformat.orElse(d.zahlenformat),
+          datumsformat = p.datumsformat.getOrElse(d.datumsformat),
+          textqualifizierer = p.textqualifizierer.orElse(d.textqualifizierer),
+          escapecharacter = p.escapecharacter.getOrElse(d.escapecharacter),
+          leerwert = p.leerwert.getOrElse(d.leerwert))
+    }
+
+  /** Zeitplan row → pure schedule (interval by name, masks to enums). */
+  def schedule(z: ZeitplanRow): Schedule =
+    Schedule(
+      interval = Interval.byName(z.zeitplanIntervall),
+      anfangsdatum = z.anfangsdatum,
+      startzeit = z.startzeit,
+      endedatum = z.endedatum,
+      sofortAusfuehrung = z.sofortAusfuehrung,
+      tageswiederholung = z.tageswiederholung,
+      wochenwiederholung = z.wochenwiederholung,
+      monatsletzter = z.monatsletzter,
+      wocheDesMonats = z.wocheDesMonats,
+      anJedemTag = z.anJedemTag,
+      inJedemMonat = z.inJedemMonat,
+      wochentage = z.wochentage.map(DayOfWeek.of).toSet,
+      monate = z.monate.map(java.time.Month.of).toSet)
+}

@@ -1,0 +1,117 @@
+package graft.model
+
+import java.time.{LocalDateTime, LocalTime}
+
+/** Control-plane config rows — the engine-side `pc.*`/`conf.*` schema
+  * per FIXTURES.md §2 (reconciled: includes the `Quelltabelle` column
+  * the reference reads but never declared, SURVEY §7.5). German column
+  * concepts kept as field names for parity with the DDL under
+  * `/root/reference/res/pc/`.
+  */
+final case class WorkflowRow(
+    etlWorkflowId: Int,
+    etlZeitplaeneId: Int,
+    etlPaketeId: Long,
+    etlFallbackPaketeId: Option[Long],
+    workflowname: String,
+    uebernahmeVon: Option[LocalDateTime],
+    uebernahmeBis: Option[LocalDateTime],
+    uebernahmeTageRueckwirkend: Option[Int],
+    parallelsperre: Boolean,
+    istAktiv: Boolean)
+
+final case class PaketRow(
+    etlPaketeId: Long,
+    paketname: String,
+    parallelsperre: Boolean,
+    istAktiv: Boolean)
+
+/** `pc.ETL_Paket_Abhaengigkeiten` — DAG edges per workflow. */
+final case class AbhaengigkeitRow(
+    etlWorkflowId: Int,
+    etlPaketeId: Long,
+    vorlaufEtlPaketeId: Long,
+    istAktiv: Boolean)
+
+final case class UmsetzungRow(
+    etlPaketUmsetzungenId: Long,
+    anzahlParalleleSchritte: Int,
+    etlKonfigurationenId: Option[Long],
+    parallelsperre: Boolean,
+    istAktiv: Boolean)
+
+/** `pc.ETL_Pakete_Paketumsetzungen` — package × realization with
+  * priority group and tenant.
+  */
+final case class PaketUmsetzungRow(
+    etlWorkflowId: Int,
+    etlPaketeId: Long,
+    etlPaketUmsetzungenId: Long,
+    paketPriorisierung: Int,
+    mandantenId: Option[Int])
+
+final case class SchrittRow(
+    etlPaketschritteId: Long,
+    schrittname: String,
+    aufgabentyp: String,
+    befehlstyp: String,
+    befehl: String,
+    zieltabelle: Option[String],
+    quelltabelle: Option[String],
+    parallelsperre: Boolean,
+    zeitscheibe: Boolean,
+    istAktiv: Boolean)
+
+/** `pc.ETL_Paketumsetzungen_Paketschritte` — realization × step with
+  * order.
+  */
+final case class UmsetzungSchrittRow(
+    etlPaketUmsetzungenId: Long,
+    etlPaketschritteId: Long,
+    schrittReihenfolge: Int)
+
+/** `pc.ETL_Zeitplaene` — flattened weekday/month masks. */
+final case class ZeitplanRow(
+    etlZeitplaeneId: Int,
+    anfangsdatum: LocalDateTime,
+    endedatum: Option[LocalDateTime],
+    /** Interval name from `conf.Zeitplan_Intervalle` (Manuell, Minute,
+      * DreiMinuten, Viertelstuendlich, Stunde, Täglich, Woche, Monat,
+      * Jährlich).
+      */
+    zeitplanIntervall: String,
+    startzeit: LocalTime,
+    tageswiederholung: Int,
+    wochenwiederholung: Int,
+    anJedemTag: Boolean,
+    inJedemMonat: Boolean,
+    /** ISO day-of-week numbers (1=Mo..7=So) with the flag set. */
+    wochentage: Seq[Int],
+    /** Month numbers (1..12) with the flag set. */
+    monate: Seq[Int],
+    wocheDesMonats: Int,
+    monatsletzter: Boolean,
+    sofortAusfuehrung: Boolean)
+
+/** `pc.ETL_Paketschritt_Parameter` — CSV format options per step. */
+final case class SchrittParameterRow(
+    etlPaketschritteId: Long,
+    kopfzeile: Option[Boolean],
+    trennzeichen: Option[String],
+    zahlenformat: Option[String],
+    datumsformat: Option[String],
+    textqualifizierer: Option[String],
+    escapecharacter: Option[String],
+    leerwert: Option[String])
+
+/** The full config snapshot an engine instance schedules from. */
+final case class ConfigSet(
+    workflows: Seq[WorkflowRow],
+    pakete: Seq[PaketRow],
+    abhaengigkeiten: Seq[AbhaengigkeitRow],
+    umsetzungen: Seq[UmsetzungRow],
+    paketUmsetzungen: Seq[PaketUmsetzungRow],
+    schritte: Seq[SchrittRow],
+    umsetzungSchritte: Seq[UmsetzungSchrittRow],
+    zeitplaene: Seq[ZeitplanRow] = Seq.empty,
+    schrittParameter: Seq[SchrittParameterRow] = Seq.empty)
