@@ -458,6 +458,29 @@ object Relational {
              COUNT(*) AS n_orders
       FROM orders GROUP BY 1"""))
 
+  /** Correlated-EXISTS shape as a left-semi join: orders having at
+    * least one high-quantity line. Semi joins shuffle once on the key
+    * and never multiply rows — the safe form of the EXISTS subqueries
+    * the reference's report SQL leans on.
+    */
+  val q28 = QueryDef(
+    "q28_semi_join",
+    (s, dir) => {
+      import s.implicits._
+      val orders = Tables.load(s, dir, "orders")
+      val bigLines = li(s, dir).filter($"l_quantity" >= 45).select($"l_orderkey")
+      orders.join(bigLines, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum($"o_totalprice".cast("decimal(12,2)")).cast("double").as("total"))
+    },
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders WHERE EXISTS (
+        SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+      GROUP BY 1"""))
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06,
-    q07, q08, q09, q10, q11, q12, q25, q26, q27)
+    q07, q08, q09, q10, q11, q12, q25, q26, q27, q28)
 }
