@@ -60,6 +60,7 @@ object GraftHashUtil {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.hash32Descriptor)
+    ext.injectOptimizerRule(_ => Hash32Rewrite)
   }
 }
 
@@ -70,9 +71,58 @@ object GraftExtensions {
     (children: Seq[Expression]) => Hash32Expression(children.head): Expression)
 
   /** Direct registration on an existing session (tests, driver-provided
-    * sessions built without the extensions config).
+    * sessions built without the extensions config). Also installs the
+    * rewrite rule via `experimental.extraOptimizations`.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       hash32Descriptor._1, hash32Descriptor._2, hash32Descriptor._3)
+    if (!spark.experimental.extraOptimizations.contains(Hash32Rewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ Hash32Rewrite
+  }
+}
+
+/** Optimizer rule: rewrite the portable composed hash —
+  * `CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)` — into the
+  * native [[Hash32Expression]]. Library code stays written against
+  * documented built-ins (and keeps working on any vanilla session);
+  * sessions with the extension get the fused fast path for free. The
+  * Catalyst-rule tier of the brief's custom-operator ladder, wired via
+  * `SparkSessionExtensions.injectOptimizerRule` /
+  * `experimental.extraOptimizations`.
+  */
+object Hash32Rewrite
+  extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.types.{BinaryType, LongType}
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case c: Cast if c.dataType == LongType =>
+        c.child match {
+          case Conv(Substring(Md5(inner), IntLit(1), IntLit(8)), IntLit(16), IntLit(10), _) =>
+            stringSource(inner).map(Hash32Expression(_)).getOrElse(c)
+          case _ => c
+        }
+    }
+
+  /** md5() over a string goes through an implicit binary cast — unwrap
+    * it; reject non-string sources (different bytes → different hash).
+    */
+  private def stringSource(e: Expression): Option[Expression] = e match {
+    case c: Cast if c.dataType == BinaryType && c.child.dataType == StringType => Some(c.child)
+    case s if s.dataType == StringType => Some(s)
+    case _ => None
+  }
+
+  private object IntLit {
+    def unapply(e: Expression): Option[Int] = e match {
+      case Literal(v: Int, _) => Some(v)
+      case _ => None
+    }
+  }
 }

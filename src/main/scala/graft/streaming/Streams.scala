@@ -41,6 +41,38 @@ object Streams {
 
   private val functions = org.apache.spark.sql.functions
 
+  /** Streaming drop-folder ingest — the S3 TRANSFER step recast as a
+    * continuous pipeline (SURVEY §2.1 maps the reference's file
+    * lifecycle to `cleanSource=archive`): files appearing in `inDir`
+    * stream through audit-column injection into an append-only parquet
+    * table, exactly-once via the checkpoint, consumed files archived
+    * out of the way. The batch `Steps.ingest` covers one-shot loads
+    * with per-file rollback; this is the always-on variant.
+    */
+  def fileIngest(
+      spark: SparkSession,
+      inDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      outDir: String,
+      checkpointDir: String,
+      archiveDir: String,
+      datenproduzent: String = "graft"): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("header", "true")
+      .option("cleanSource", "archive")
+      .option("sourceArchiveDir", archiveDir)
+      .csv(inDir)
+      .withColumn("dateiname", element_at(split(input_file_name(), "/"), -1))
+      .withColumn("exportdatum", current_timestamp())
+      .withColumn("datenproduzent", lit(datenproduzent))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
+
   /** Stateful sessionization — gap > `gapSeconds` closes a session
     * (q12's batch semantics) via `flatMapGroupsWithState` with an
     * event-time timeout: per-user state is (start, last, count); a

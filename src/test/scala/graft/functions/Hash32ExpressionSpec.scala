@@ -39,6 +39,21 @@ class Hash32ExpressionSpec extends AnyFunSuite with SparkSupport with PropSuppor
       GraftHashUtil.hash32(org.apache.spark.unsafe.types.UTF8String.fromString("x")))
   }
 
+  test("optimizer rule rewrites the composed md5 pattern to the native expression, results unchanged") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text", TextFunctions.hash32($"text").as("h"))
+    val optimized = df.queryExecution.optimizedPlan.toString()
+    assert(optimized.contains("graft_hash32"),
+      s"expected the rewrite in:\n$optimized")
+    df.limit(20).collect().foreach { r =>
+      val expected = GraftHashUtil.hash32(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)))
+      assert(r.getLong(1) == expected)
+    }
+  }
+
   test("type check rejects non-string input") {
     GraftExtensions.register(spark)
     import spark.implicits._

@@ -36,6 +36,28 @@ class StreamsSpec extends AnyFunSuite with SparkSupport {
     } finally query.stop()
   }
 
+  test("fileIngest: drop-folder files stream into parquet with audit columns, exactly once") {
+    import java.nio.file.{Files, Paths}
+    val base = Paths.get(tmpDir("stream-ingest"))
+    val inDir = base.resolve("Insert"); Files.createDirectories(inDir)
+    val outDir = base.resolve("out").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id INT, wert STRING")
+    Files.writeString(inDir.resolve("a.csv"), "id,wert\n1,x\n2,y\n")
+    val query = Streams.fileIngest(spark, inDir.toString, schema, outDir,
+      base.resolve("ckpt").toString, base.resolve("archive").toString)
+    try {
+      query.processAllAvailable()
+      val first = spark.read.parquet(outDir)
+      assert(first.count() == 2)
+      assert(first.columns.toSet == Set("id", "wert", "dateiname", "exportdatum", "datenproduzent"))
+      assert(first.filter("dateiname = 'a.csv'").count() == 2)
+      // incremental: a new file appends without reprocessing the first
+      Files.writeString(inDir.resolve("b.csv"), "id,wert\n3,z\n")
+      query.processAllAvailable()
+      assert(spark.read.parquet(outDir).count() == 3)
+    } finally query.stop()
+  }
+
   test("sessionize: gap closes a session; timeout flushes the last one") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
