@@ -20,6 +20,16 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** BPE-ish subword tokenization: letter runs, digit runs, and single
+    * non-alphanumeric marks — the class-based approximation of a GPT-2
+    * pretokenizer that both engines' regex dialects evaluate
+    * identically. The unit a token-budget estimator counts.
+    */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  def bpeishTokenCount(text: Column): Column = size(bpeishTokens(text)).cast("long")
+
   /** Distinct word n-gram shingles (the unit of minhash/simhash/jaccard
     * document similarity) over an existing token-array column named
     * `colName`. Sliding window via transform(sequence(...)); empty array

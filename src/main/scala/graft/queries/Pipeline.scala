@@ -402,5 +402,30 @@ object Pipeline {
         CAST(len(hashes) AS BIGINT) AS n_shingles
       FROM bits"""))
 
-  val all: Seq[QueryDef] = Seq(q13, q14, q15, q16, q17, q18, q19)
+  /** Token-budget statistics: whitespace tokens vs BPE-ish subword
+    * tokens (letter runs / digit runs / punctuation marks) — the
+    * counting stage of a training-token budget estimate. Pure map.
+    */
+  val q29 = QueryDef(
+    "q29_token_stats",
+    (s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(
+        $"doc_id",
+        T.tokenCount($"text").as("ws_tokens"),
+        T.bpeishTokenCount($"text").as("bpeish_tokens"),
+        size(regexp_extract_all($"text", lit("[A-Za-z]+"), lit(0))).cast("long").as("n_alpha"),
+        size(regexp_extract_all($"text", lit("[0-9]+"), lit(0))).cast("long").as("n_num"),
+        size(regexp_extract_all($"text", lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("n_other"))
+    },
+    Some("""
+      SELECT doc_id,
+        CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS ws_tokens,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpeish_tokens,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_alpha,
+        CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
+        CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_other
+      FROM documents"""))
+
+  val all: Seq[QueryDef] = Seq(q13, q14, q15, q16, q17, q18, q19, q29)
 }
