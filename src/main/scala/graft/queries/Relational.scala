@@ -481,6 +481,98 @@ object Relational {
         SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
       GROUP BY 1"""))
 
+  /** Moving aggregate over a RANGE frame — the sliding-window report
+    * shape. Sum and count computed separately in exact decimal/long so
+    * both engines divide identical values (an AVG-over-decimal would
+    * leave each engine its own internal rounding).
+    */
+  val q30 = QueryDef(
+    "q30_moving_avg",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.orderBy($"o_orderkey").rangeBetween(-10, Window.currentRow)
+      Tables.load(s, dir, "orders")
+        .filter($"o_orderkey" <= 2000)
+        .select($"o_orderkey",
+          (sum($"o_totalprice".cast("decimal(12,2)")).over(w).cast("double") /
+            count(lit(1)).over(w)).as("moving_avg"))
+    },
+    Some("""
+      SELECT o_orderkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) /
+          COUNT(*) OVER w AS moving_avg
+      FROM orders WHERE o_orderkey <= 2000
+      WINDOW w AS (ORDER BY o_orderkey RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)"""))
+
+  /** CUBE aggregation — all grouping combinations in one pass. */
+  val q31 = QueryDef(
+    "q31_cube",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .withColumn("y", year($"o_orderdate").cast("long"))
+        .cube($"o_orderstatus", $"y")
+        .agg(
+          grouping($"o_orderstatus").cast("long").as("g_status"),
+          grouping($"y").cast("long").as("g_year"),
+          count(lit(1)).as("n"))
+    },
+    Some("""
+      SELECT o_orderstatus, CAST(year(o_orderdate) AS BIGINT) AS y,
+             CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+             CAST(GROUPING(y) AS BIGINT) AS g_year,
+             COUNT(*) AS n
+      FROM orders GROUP BY CUBE(o_orderstatus, y)"""))
+
+  /** Exact interpolated percentiles per group. Restricted to the
+    * integer-valued quantity column on purpose: interpolation between
+    * integers at quarter fractions is exactly representable, so the
+    * engines' algebraically-equivalent-but-differently-associated
+    * interpolation formulas agree bit-for-bit (over arbitrary doubles
+    * the last ulp can differ — DuckDB additionally keeps DECIMAL scale
+    * through percentile_cont, rounding interpolated values).
+    */
+  val q32 = QueryDef(
+    "q32_percentiles",
+    (s, dir) => {
+      import s.implicits._
+      li(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          percentile($"l_quantity", lit(0.25)).as("p25_qty"),
+          percentile($"l_quantity", lit(0.5)).as("median_qty"),
+          percentile($"l_quantity", lit(0.95)).as("p95_qty"))
+    },
+    Some("""
+      SELECT l_returnflag,
+        percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25_qty,
+        percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS median_qty,
+        percentile_cont(0.95) WITHIN GROUP (ORDER BY l_quantity) AS p95_qty
+      FROM lineitem GROUP BY 1"""))
+
+  /** Pivot — priority classes to columns. The Spark side uses the real
+    * pivot operator (explicit value list so no extra distinct pass);
+    * the oracle expresses the same with FILTER aggregates.
+    */
+  val q33 = QueryDef(
+    "q33_pivot",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .groupBy($"o_orderstatus")
+        .pivot("o_orderpriority", Seq("1-URGENT", "3-MEDIUM", "5-LOW"))
+        .agg(count(lit(1)))
+        .withColumnRenamed("1-URGENT", "urgent")
+        .withColumnRenamed("3-MEDIUM", "medium")
+        .withColumnRenamed("5-LOW", "low")
+    },
+    Some("""
+      SELECT o_orderstatus,
+        COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,
+        COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium,
+        COUNT(*) FILTER (o_orderpriority = '5-LOW') AS low
+      FROM orders GROUP BY 1"""))
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06,
-    q07, q08, q09, q10, q11, q12, q25, q26, q27, q28)
+    q07, q08, q09, q10, q11, q12, q25, q26, q27, q28, q30, q31, q32, q33)
 }
