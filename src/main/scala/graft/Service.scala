@@ -1,0 +1,119 @@
+package graft
+
+import java.time.LocalDateTime
+
+import scala.concurrent.ExecutionContext
+
+import org.apache.spark.sql.SparkSession
+
+import graft.catalog.{ConfigAssembly, Tables, Warehouse}
+import graft.ledger.RunLedger
+import graft.macros.Macros
+import graft.model._
+import graft.orchestrate._
+import graft.steps.StepContext
+
+/** The service host — the engine-side `DIZService.Worker/Program.cs` +
+  * `Worker.cs` (SURVEY §3.1 stages 1-5): build the engine, load the
+  * control-plane config, run the scheduler poll loop, execute due
+  * workflows, close the ledger safely on shutdown.
+  *
+  * `main` runs the real clock loop; [[Engine]] is the testable core
+  * with injectable clock/ticks. Config tables load from a parquet
+  * directory written by [[ConfigWriter]]-style tooling (the stand-in
+  * for the reference's MSSQL `pc` schema).
+  */
+object Service {
+
+  final class Engine(
+      spark: SparkSession,
+      dataDir: String,
+      warehouseDir: String,
+      cfg: ConfigSet,
+      schedules: Map[Int, Int], // workflowId -> zeitplanId
+      clock: () => LocalDateTime = () => LocalDateTime.now())(implicit ec: ExecutionContext) {
+
+    val ledger = new RunLedger(clock)
+    private val manager = new WorkflowManager
+    private val warehouse = new Warehouse(warehouseDir)
+    private val runner = new WorkflowRunner(
+      manager, ledger, new Gates.ThreadCap(10),
+      new Gates.TableLocks, new Gates.ParallelLocks, clock)
+
+    val loop = new SchedulerLoop(manager, (workflowId, zid, _) => {
+      val spec = ConfigAssembly.workflowSpec(workflowId, cfg)
+      runner.run(spec, zid,
+        (m: Macros.Context, stepRunId: Option[Long], confId: Option[Long]) =>
+          StepContext(spark, warehouse, ledger, m,
+            schrittRunId = stepRunId, konfigurationenId = confId))
+      ()
+    })
+
+    def start(): Unit = {
+      Tables.registerAll(spark, dataDir)
+      schedules.foreach { case (wfId, zeitplanId) =>
+        val z = cfg.zeitplaene.find(_.etlZeitplaeneId == zeitplanId)
+          .getOrElse(throw new IllegalArgumentException(s"no zeitplan $zeitplanId"))
+        loop.register(wfId, ConfigAssembly.schedule(z))
+      }
+    }
+
+    def tick(now: LocalDateTime): Seq[Int] = loop.tick(now)
+
+    /** Safe exit (`Helper.cs:2964-3140`): close open ledger rows and
+      * persist the run history.
+      */
+    def shutdown(ledgerDir: Option[String]): Int = {
+      val closed = ledger.closeAllOpen()
+      ledgerDir.foreach(d => ledger.persist(spark, d))
+      closed
+    }
+  }
+
+  /** Load the control-plane snapshot from a parquet config directory
+    * (one file per table, named like the model rows).
+    */
+  def loadConfig(spark: SparkSession, configDir: String): ConfigSet = {
+    import spark.implicits._
+    def load[T: org.apache.spark.sql.Encoder](name: String): Seq[T] = {
+      val p = s"$configDir/$name"
+      if (new java.io.File(p).exists()) spark.read.parquet(p).as[T].collect().toSeq
+      else Seq.empty
+    }
+    ConfigSet(
+      workflows = load[WorkflowRow]("workflows"),
+      pakete = load[PaketRow]("pakete"),
+      abhaengigkeiten = load[AbhaengigkeitRow]("abhaengigkeiten"),
+      umsetzungen = load[UmsetzungRow]("umsetzungen"),
+      paketUmsetzungen = load[PaketUmsetzungRow]("paket_umsetzungen"),
+      schritte = load[SchrittRow]("schritte"),
+      umsetzungSchritte = load[UmsetzungSchrittRow]("umsetzung_schritte"),
+      zeitplaene = load[ZeitplanRow]("zeitplaene"),
+      schrittParameter = load[SchrittParameterRow]("schritt_parameter"))
+  }
+
+  /** `graft.Service <configDir> <dataDir> <warehouseDir> <ledgerDir>`:
+    * 10 s poll loop until SIGTERM; every active workflow with a
+    * zeitplan runs on its schedule.
+    */
+  def main(args: Array[String]): Unit = {
+    val Array(configDir, dataDir, warehouseDir, ledgerDir) = args
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val spark = Sessions.local()
+    val cfg = loadConfig(spark, configDir)
+    val schedules = cfg.workflows.filter(_.istAktiv)
+      .map(w => w.etlWorkflowId -> w.etlZeitplaeneId).toMap
+    val engine = new Engine(spark, dataDir, warehouseDir, cfg, schedules)
+    engine.start()
+    val running = new java.util.concurrent.atomic.AtomicBoolean(true)
+    sys.addShutdownHook {
+      running.set(false)
+      engine.shutdown(Some(ledgerDir))
+      ()
+    }
+    while (running.get()) {
+      engine.tick(LocalDateTime.now())
+      Thread.sleep(10000)
+    }
+  }
+}

@@ -117,7 +117,7 @@ object ConfigAssembly {
     Schedule(
       interval = Interval.byName(z.zeitplanIntervall),
       anfangsdatum = z.anfangsdatum,
-      startzeit = z.startzeit,
+      startzeit = java.time.LocalTime.parse(z.startzeit),
       endedatum = z.endedatum,
       sofortAusfuehrung = z.sofortAusfuehrung,
       tageswiederholung = z.tageswiederholung,

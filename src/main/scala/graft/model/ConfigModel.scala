@@ -1,6 +1,6 @@
 package graft.model
 
-import java.time.{LocalDateTime, LocalTime}
+import java.time.LocalDateTime
 
 /** Control-plane config rows — the engine-side `pc.*`/`conf.*` schema
   * per FIXTURES.md §2 (reconciled: includes the `Quelltabelle` column
@@ -80,7 +80,12 @@ final case class ZeitplanRow(
       * Jährlich).
       */
     zeitplanIntervall: String,
-    startzeit: LocalTime,
+    /** `Startzeit` as "HH:mm:ss" — the reference's DDL stores a time
+      * string it parses at read time (`Scheduler.cs:948-952`); keeping
+      * it textual also keeps the row Dataset-encodable (Spark has no
+      * TIME type).
+      */
+    startzeit: String,
     tageswiederholung: Int,
     wochenwiederholung: Int,
     anJedemTag: Boolean,

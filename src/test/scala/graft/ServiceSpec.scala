@@ -1,0 +1,84 @@
+package graft
+
+import java.time.LocalDateTime
+
+import scala.concurrent.ExecutionContext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model._
+import graft.steps.{CommandType, TaskType}
+import graft.testkit.SparkSupport
+
+/** The full service host driven tick-by-tick: config loaded from
+  * parquet, workflows scheduled and executed, ledger persisted on
+  * shutdown — the reference's Worker loop end-to-end.
+  */
+class ServiceSpec extends AnyFunSuite with SparkSupport {
+
+  private implicit val ec: ExecutionContext = ExecutionContext.global
+
+  private def writeConfig(dir: String): Unit = {
+    import spark.implicits._
+    val cfg = ConfigSet(
+      workflows = Seq(WorkflowRow(1, 100, 10L, None, "svc-wf",
+        uebernahmeVon = Some(LocalDateTime.of(1990, 1, 1, 0, 0)),
+        uebernahmeBis = Some(LocalDateTime.of(1999, 1, 1, 0, 0)),
+        uebernahmeTageRueckwirkend = None, parallelsperre = false, istAktiv = true)),
+      pakete = Seq(PaketRow(10L, "svc-pkg", parallelsperre = false, istAktiv = true)),
+      abhaengigkeiten = Seq.empty,
+      umsetzungen = Seq(UmsetzungRow(100L, 1, Some(1L), parallelsperre = false, istAktiv = true)),
+      paketUmsetzungen = Seq(PaketUmsetzungRow(1, 10L, 100L, 1, None)),
+      schritte = Seq(SchrittRow(1000L, "copy-regions", TaskType.Sql, CommandType.Copy,
+        "SELECT r_regionkey, r_name FROM region",
+        zieltabelle = Some("regions_svc"), quelltabelle = Some("region"),
+        parallelsperre = false, zeitscheibe = false, istAktiv = true)),
+      umsetzungSchritte = Seq(UmsetzungSchrittRow(100L, 1000L, 1)),
+      zeitplaene = Seq(ZeitplanRow(100, LocalDateTime.of(2026, 3, 1, 9, 0), None,
+        "Minute", "09:00:00", 0, 0, anJedemTag = true, inJedemMonat = true,
+        wochentage = Seq.empty, monate = Seq.empty, wocheDesMonats = 0,
+        monatsletzter = false, sofortAusfuehrung = false)))
+    cfg.workflows.toDS().write.mode("overwrite").parquet(s"$dir/workflows")
+    cfg.pakete.toDS().write.mode("overwrite").parquet(s"$dir/pakete")
+    cfg.umsetzungen.toDS().write.mode("overwrite").parquet(s"$dir/umsetzungen")
+    cfg.paketUmsetzungen.toDS().write.mode("overwrite").parquet(s"$dir/paket_umsetzungen")
+    cfg.schritte.toDS().write.mode("overwrite").parquet(s"$dir/schritte")
+    cfg.umsetzungSchritte.toDS().write.mode("overwrite").parquet(s"$dir/umsetzung_schritte")
+    cfg.zeitplaene.toDS().write.mode("overwrite").parquet(s"$dir/zeitplaene")
+  }
+
+  test("service loop: parquet config -> scheduled execution per tick -> persisted ledger on shutdown") {
+    val configDir = tmpDir("svc-cfg")
+    val warehouseDir = tmpDir("svc-wh")
+    val ledgerDir = tmpDir("svc-ledger")
+    writeConfig(configDir)
+
+    val cfg = Service.loadConfig(spark, configDir)
+    assert(cfg.workflows.size == 1 && cfg.zeitplaene.size == 1)
+
+    var now = LocalDateTime.of(2026, 3, 2, 9, 0, 55)
+    val engine = new Service.Engine(spark, "/root/testdata/sf0.001", warehouseDir,
+      cfg, Map(1 -> 100), clock = () => now)
+    engine.start()
+
+    // tick at 09:00:55: the next minutely slot (09:01:00) is within the
+    // 10 s horizon → due
+    assert(engine.tick(now) == Seq(1))
+    val copied = spark.read.parquet(s"$warehouseDir/regions_svc")
+    assert(copied.count() == 5)
+
+    // tick mid-minute: the next slot (09:02:00) is out of the horizon
+    now = LocalDateTime.of(2026, 3, 2, 9, 1, 10)
+    assert(engine.tick(now).isEmpty)
+    // just before the next slot: due again (appends)
+    now = LocalDateTime.of(2026, 3, 2, 9, 1, 55)
+    assert(engine.tick(now) == Seq(1))
+    assert(spark.read.parquet(s"$warehouseDir/regions_svc").count() == 10)
+
+    // shutdown persists the ledger; all rows closed
+    val closed = engine.shutdown(Some(ledgerDir))
+    assert(closed == 0) // nothing in flight
+    val events = spark.read.parquet(s"$ledgerDir/run_events")
+    assert(events.filter("level = 'workflow'").select("id").distinct().count() == 2)
+  }
+}

@@ -1,6 +1,6 @@
 package graft.catalog
 
-import java.time.{LocalDateTime, LocalTime}
+import java.time.LocalDateTime
 
 import scala.concurrent.ExecutionContext
 
@@ -61,7 +61,7 @@ class ConfigAssemblySpec extends AnyFunSuite with SparkSupport {
       UmsetzungSchrittRow(100L, 1003L, 3), // inactive: must be dropped
       UmsetzungSchrittRow(110L, 1002L, 1)),
     zeitplaene = Seq(ZeitplanRow(100, LocalDateTime.of(2026, 1, 1, 6, 0), None,
-      "Täglich", LocalTime.of(6, 0), 0, 0, anJedemTag = true, inJedemMonat = true,
+      "Täglich", "06:00:00", 0, 0, anJedemTag = true, inJedemMonat = true,
       wochentage = Seq.empty, monate = Seq.empty, wocheDesMonats = 0,
       monatsletzter = false, sofortAusfuehrung = true)))
 
