@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * this is a warehouse path (or Delta/Iceberg catalog); steps only see
   * read/append/overwrite, so the swap is invisible to them.
   */
-final class Warehouse(val dir: String) {
+final class Warehouse(val dir: String, val format: String = "parquet") {
 
   private def path(table: String): String = s"$dir/$table"
 
@@ -17,14 +17,14 @@ final class Warehouse(val dir: String) {
       new java.io.File(path(table)).exists()
 
   def read(spark: SparkSession, table: String): DataFrame =
-    spark.read.parquet(path(table))
+    spark.read.format(format).load(path(table))
 
   /** Bulk append — the reference's `WriteToServer` fast path. */
   def append(df: DataFrame, table: String): Unit =
-    df.write.mode(SaveMode.Append).parquet(path(table))
+    df.write.mode(SaveMode.Append).format(format).save(path(table))
 
   def overwrite(df: DataFrame, table: String): Unit =
-    df.write.mode(SaveMode.Overwrite).parquet(path(table))
+    df.write.mode(SaveMode.Overwrite).format(format).save(path(table))
 
   /** Delete-by-predicate (the idempotent-ingest rollback,
     * `CommandExecuter.cs:1130-1157` `DELETE … WHERE Dateiname='f'`):
@@ -35,7 +35,7 @@ final class Warehouse(val dir: String) {
     if (exists(spark, table)) {
       val remaining = read(spark, table).filter(s"NOT ($predicate)")
       val tmp = s"${path(table)}__rewrite"
-      remaining.write.mode(SaveMode.Overwrite).parquet(tmp)
+      remaining.write.mode(SaveMode.Overwrite).format(format).save(tmp)
       val target = new java.io.File(path(table))
       deleteRecursively(target)
       if (!new java.io.File(tmp).renameTo(target))

@@ -30,10 +30,18 @@ object EndToEnd {
   private val FixedClock = LocalDateTime.of(2026, 2, 1, 12, 0, 0)
   private val CopyFilter = "l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"
 
-  /** Run the 2-step slice (SQL_TARGET prepare + COPY) into a throwaway
-    * warehouse; returns (ledger, warehouse).
+  /** One slice execution per (session, sf-dir): q20 verifies the
+    * written data, q21 the ledger of the SAME run — memoized so the
+    * pair measures one workflow execution plus two independent
+    * readbacks (like the reference: one run, many reports).
     */
-  private def runSlice(spark: SparkSession, dir: String): (RunLedger, Warehouse) = {
+  private val sliceCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (RunLedger, Warehouse)]
+
+  private def runSlice(spark: SparkSession, dir: String): (RunLedger, Warehouse) =
+    sliceCache.getOrElseUpdate((spark, dir), runSliceUncached(spark, dir))
+
+  private def runSliceUncached(spark: SparkSession, dir: String): (RunLedger, Warehouse) = {
     Tables.registerAll(spark, dir)
     val ledger = new RunLedger(() => FixedClock)
     val wh = new Warehouse(

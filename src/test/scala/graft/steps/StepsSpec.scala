@@ -149,6 +149,24 @@ class StepsSpec extends AnyFunSuite with SparkSupport {
     assert(!Files.exists(base.resolve("Insert/good.csv")))
   }
 
+  test("warehouse formats: the same COPY step writes ORC and JSON tables unchanged") {
+    Seq("orc", "json").foreach { fmt =>
+      val (ctx0, _, _) = freshCtx()
+      val wh = new Warehouse(tmpDir(s"wh-$fmt"), format = fmt)
+      val ctx = ctx0.copy(warehouse = wh)
+      val spec = StepSpec(20, CommandType.Copy, TaskType.Sql,
+        "SELECT r_regionkey, r_name FROM region", zieltabelle = Some("regions"))
+      val rows = Steps.execute(spec, ctx).get
+      assert(rows == 5)
+      val back = wh.read(spark, "regions")
+      assert(back.count() == 5)
+      assert(back.columns.contains("nutzer"))
+      // delete-rewrite works across formats too
+      wh.deleteWhere(spark, "regions", "r_regionkey = 0")
+      assert(wh.read(spark, "regions").count() == 4)
+    }
+  }
+
   test("SQL_TARGET executes DDL/DML text; EXEC keeps NYI parity") {
     val (ctx, ledger, _) = freshCtx()
     Steps.execute(StepSpec(7, CommandType.SqlTarget, TaskType.Sql,
