@@ -124,6 +124,31 @@ class NextRunSpec extends AnyFunSuite with PropSupport {
     assert(next == LocalDateTime.of(2024, 3, 5, 21, 0)) // 09:00 + 2*6h
   }
 
+  test("Manuell week repetition: executions map to weekday+time slots (Scheduler.cs:1535-1599)") {
+    // 2 runs/week over all 7 days: tbe = 7*1440/2 = 5040 min (3.5 days).
+    // Mapping from Anfangsdatum's midnight: (Mon 00:00) then day += 3,
+    // time wraps to 12:00 → (Thu 12:00).
+    val s = manuell.copy(wochenwiederholung = 2)
+    // Tuesday Mar 5 2024: seed Mar 5 09:00 advances to the next mapped
+    // weekday (Thu) and snaps to its mapped time 12:00
+    assert(NextRun.nextRun(s, LocalDateTime.of(2024, 3, 5, 10, 0)) ==
+      LocalDateTime.of(2024, 3, 7, 12, 0))
+    // Friday Mar 8: next mapped weekday is Monday at 00:00
+    assert(NextRun.nextRun(s, LocalDateTime.of(2024, 3, 8, 0, 0)) ==
+      LocalDateTime.of(2024, 3, 11, 0, 0))
+  }
+
+  test("Manuell week repetition with restricted weekdays cycles the allowed days") {
+    // 2 runs/week over {Tue, Fri}: tbe = 2*1440/2 = 1440 → mapping
+    // (Tue 00:00), day += 1 → (Fri 00:00); times stay at midnight.
+    val s = manuell.copy(wochenwiederholung = 2, anJedemTag = false,
+      wochentage = Set(DayOfWeek.TUESDAY, DayOfWeek.FRIDAY))
+    // Wednesday Mar 6 2024 → next mapped day is Friday Mar 8 00:00...
+    // which is < now? no: Mar 8 00:00 > Mar 6 12:00 → result Fri 00:00
+    assert(NextRun.nextRun(s, LocalDateTime.of(2024, 3, 6, 12, 0)) ==
+      LocalDateTime.of(2024, 3, 8, 0, 0))
+  }
+
   test("Manuell last-of-month: fires on the next allowed month-end (time from Anfangsdatum)") {
     val s = manuell.copy(monatsletzter = true)
     val now = LocalDateTime.of(2024, 3, 5, 10, 0)
