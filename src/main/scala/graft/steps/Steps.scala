@@ -161,7 +161,10 @@ object Steps {
       case None => df0
     }
     val obs = new Observation()
-    var w = df.observe(obs, count(lit(1)).as("rows")).write
+    // one output file like the reference's export (downstream consumers
+    // expect a single CSV); a 100 TB extract would drop the coalesce and
+    // hand consumers the directory
+    var w = df.coalesce(1).observe(obs, count(lit(1)).as("rows")).write
       .option("header", spec.csv.kopfzeile.toString)
       .option("sep", spec.csv.trennzeichen)
       .option("timestampFormat", spec.csv.datumsformat)
@@ -214,9 +217,11 @@ object Steps {
     val mapping = readMapping(ctx.spark, baseDir)
 
     val files: Seq[Path] =
-      if (Files.isDirectory(insertDir))
-        Files.list(insertDir).iterator().asScala.filter(Files.isRegularFile(_)).toSeq.sortBy(_.toString)
-      else Seq.empty
+      if (Files.isDirectory(insertDir)) {
+        val stream = Files.list(insertDir)
+        try stream.iterator().asScala.filter(Files.isRegularFile(_)).toSeq.sortBy(_.toString)
+        finally stream.close()
+      } else Seq.empty
 
     var total = 0L
     files.foreach { file =>
