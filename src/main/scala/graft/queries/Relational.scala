@@ -573,6 +573,79 @@ object Relational {
         COUNT(*) FILTER (o_orderpriority = '5-LOW') AS low
       FROM orders GROUP BY 1"""))
 
+  /** Date/time scalar-function parity sweep — the calendar arithmetic
+    * step SQL leans on everywhere (extract family, end-of-month, date
+    * offsets, day diffs, epoch). Day-of-week is normalized to DuckDB's
+    * 0=Sunday convention (Spark's is 1=Sunday).
+    */
+  val q34 = QueryDef(
+    "q34_datetime_functions",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .filter($"o_orderkey" <= 500)
+        .select(
+          $"o_orderkey",
+          year($"o_orderdate").cast("long").as("y"),
+          month($"o_orderdate").cast("long").as("m"),
+          dayofmonth($"o_orderdate").cast("long").as("d"),
+          (dayofweek($"o_orderdate") - 1).cast("long").as("dow"),
+          dayofyear($"o_orderdate").cast("long").as("doy"),
+          last_day($"o_orderdate").as("eom"),
+          ntz($"o_orderdate" + expr("INTERVAL 90 DAYS")).as("due"),
+          datediff(to_date($"o_orderdate"), to_date(lit("1995-01-01"))).cast("long").as("days_since"),
+          unix_timestamp($"o_orderdate").as("epoch_s"))
+    },
+    Some("""
+      SELECT o_orderkey,
+        CAST(year(o_orderdate) AS BIGINT) AS y,
+        CAST(month(o_orderdate) AS BIGINT) AS m,
+        CAST(day(o_orderdate) AS BIGINT) AS d,
+        CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+        CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+        CAST(last_day(o_orderdate) AS DATE) AS eom,
+        CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS due,
+        CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+        CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+      FROM orders WHERE o_orderkey <= 500"""))
+
+  /** String scalar-function parity sweep over the part table. */
+  val q35 = QueryDef(
+    "q35_string_functions",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "part")
+        .filter($"p_partkey" <= 500)
+        .select(
+          $"p_partkey",
+          upper($"p_type").as("up"),
+          lower($"p_brand").as("lo"),
+          lpad($"p_partkey".cast("string"), 10, "0").as("padded"),
+          regexp_replace($"p_type", " ", "_").as("repl"),
+          instr($"p_name", " ").cast("long").as("pos"),
+          substring($"p_name", 1, 1).as("first_ch"),
+          substring($"p_type", 3, 8).as("mid"),
+          reverse($"p_brand").as("rev"),
+          concat_ws("|", $"p_brand", $"p_type").as("joined"),
+          length($"p_name").cast("long").as("len"),
+          trim(lit("  x  ")).as("trimmed"))
+    },
+    Some("""
+      SELECT p_partkey,
+        upper(p_type) AS up,
+        lower(p_brand) AS lo,
+        lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded,
+        replace(p_type, ' ', '_') AS repl,
+        CAST(strpos(p_name, ' ') AS BIGINT) AS pos,
+        substr(p_name, 1, 1) AS first_ch,
+        substr(p_type, 3, 8) AS mid,
+        reverse(p_brand) AS rev,
+        concat_ws('|', p_brand, p_type) AS joined,
+        CAST(length(p_name) AS BIGINT) AS len,
+        trim('  x  ') AS trimmed
+      FROM part WHERE p_partkey <= 500"""))
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06,
-    q07, q08, q09, q10, q11, q12, q25, q26, q27, q28, q30, q31, q32, q33)
+    q07, q08, q09, q10, q11, q12, q25, q26, q27, q28, q30, q31, q32, q33,
+    q34, q35)
 }
