@@ -137,5 +137,53 @@ object EndToEnd {
         SELECT 'workflow', 1, 1, 1, NULL, TIMESTAMP '2026-02-01 12:00:00'
       ) ORDER BY level"""))
 
-  val all: Seq[QueryDef] = Seq(q20, q21)
+  /** Timesliced COPY through the full stack: a workflow whose single
+    * step is a Zeitscheibe COPY over a 2-year takeover window — the
+    * month windows come from the real Takeover → MonthWindows → macro
+    * substitution path, the slices union into one parallel write, and
+    * the readback grouped by month must match DuckDB's plain range scan
+    * (proving slice-union == unsliced at gate level, VERDICT item 8).
+    */
+  val q36 = QueryDef(
+    "q36_timeslice_e2e",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      val ledger = new RunLedger(() => FixedClock)
+      val wh = new Warehouse(
+        java.nio.file.Files.createTempDirectory("graft-e2e-ts").toString)
+      val runner = new WorkflowRunner(
+        new WorkflowManager, ledger, new Gates.ThreadCap(8),
+        new Gates.TableLocks, new Gates.ParallelLocks, clock = () => FixedClock)
+      val spec = WorkflowSpec(
+        id = 2, masterPackageId = 20,
+        takeover = Takeover.Config(
+          uebernahmeVon = Some(LocalDateTime.of(1996, 1, 1, 0, 0)),
+          uebernahmeBis = Some(LocalDateTime.of(1997, 12, 31, 23, 59, 59))),
+        packages = Map(20L -> PackageSpec(20, realizations = Seq(RealizationSpec(
+          200, anzahlParalleleSchritte = 1,
+          steps = Seq(StepSpec(2000, CommandType.Copy, TaskType.Sql,
+            "SELECT l_orderkey, l_extendedprice, l_shipdate FROM lineitem " +
+              "WHERE l_shipdate BETWEEN ##Uebernahme_von## AND ##Uebernahme_bis##",
+            zieltabelle = Some("li_sliced"), zeitscheibe = true)))))))
+      val result = runner.run(spec, zeitplanAusfuehrungenId = 8,
+        (m: Macros.Context, stepRunId: Option[Long], confId: Option[Long]) =>
+          StepContext(spark = s, warehouse = wh, ledger = ledger, macroCtx = m,
+            schrittRunId = stepRunId, konfigurationenId = confId))
+      result.error.foreach(throw _)
+      wh.read(s, "li_sliced")
+        .groupBy(date_trunc("month", col("l_shipdate")).cast("timestamp_ntz").as("slice_from"))
+        .agg(
+          count(lit(1)).as("rows_copied"),
+          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("slice_revenue"))
+    },
+    Some("""
+      SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS slice_from,
+             COUNT(*) AS rows_copied,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS slice_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <= TIMESTAMP '1997-12-31 23:59:59'
+      GROUP BY 1"""))
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q36)
 }

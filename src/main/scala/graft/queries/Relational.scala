@@ -645,7 +645,78 @@ object Relational {
         trim('  x  ') AS trimmed
       FROM part WHERE p_partkey <= 500"""))
 
+  /** Full outer join with coalesced keys — reconciliation shape (active
+    * buyers vs high-balance customers; rows surviving on either side).
+    */
+  val q37 = QueryDef(
+    "q37_full_outer",
+    (s, dir) => {
+      import s.implicits._
+      val buyers = Tables.load(s, dir, "orders")
+        .filter(year($"o_orderdate") === 1995)
+        .groupBy($"o_custkey".as("k")).agg(count(lit(1)).as("n_orders"))
+      val rich = Tables.load(s, dir, "customer")
+        .filter($"c_acctbal" > 9000)
+        .select($"c_custkey".as("k"), $"c_acctbal")
+      buyers.join(rich, Seq("k"), "full_outer")
+        .select(
+          $"k".as("custkey"),
+          coalesce($"n_orders", lit(0L)).as("n_orders"),
+          $"c_acctbal")
+    },
+    Some("""
+      SELECT COALESCE(a.k, b.k) AS custkey,
+             COALESCE(a.n_orders, 0) AS n_orders, b.c_acctbal
+      FROM (SELECT o_custkey AS k, COUNT(*) AS n_orders FROM orders
+            WHERE year(o_orderdate) = 1995 GROUP BY 1) a
+      FULL OUTER JOIN
+           (SELECT c_custkey AS k, c_acctbal FROM customer
+            WHERE c_acctbal > 9000) b
+      ON a.k = b.k"""))
+
+  /** Conditional + math scalar sweep: CASE, coalesce/nullif,
+    * least/greatest, and the IEEE-exact math family (floor/ceil/abs/
+    * sqrt/2^n — bit-identical in both engines). Transcendentals
+    * (exp/ln) and round-on-double are deliberately excluded: libm vs
+    * JVM differ in the last ulp, and the engines' decimal-vs-binary
+    * rounding internals differ.
+    */
+  val q38 = QueryDef(
+    "q38_conditional_math",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .filter($"o_orderkey" <= 500)
+        .select(
+          $"o_orderkey",
+          when($"o_totalprice" > 200000, "large")
+            .when($"o_totalprice" > 50000, "medium")
+            .otherwise("small").as("bucket"),
+          coalesce(nullif($"o_orderstatus", lit("O")), lit("open")).as("status_or_open"),
+          least($"o_totalprice", lit(100000.0)).as("capped"),
+          greatest($"o_custkey", lit(100L)).as("floored_key"),
+          floor($"o_totalprice").cast("long").as("fl"),
+          ceil($"o_totalprice").cast("long").as("ce"),
+          abs($"o_custkey" - 1000).as("dist"),
+          sqrt($"o_totalprice").as("sq"),
+          pow(lit(2.0), ($"o_orderkey" % 10).cast("double")).as("p2"))
+    },
+    Some("""
+      SELECT o_orderkey,
+        CASE WHEN o_totalprice > 200000 THEN 'large'
+             WHEN o_totalprice > 50000 THEN 'medium'
+             ELSE 'small' END AS bucket,
+        COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open,
+        LEAST(o_totalprice, 100000.0) AS capped,
+        GREATEST(o_custkey, 100) AS floored_key,
+        CAST(FLOOR(o_totalprice) AS BIGINT) AS fl,
+        CAST(CEIL(o_totalprice) AS BIGINT) AS ce,
+        ABS(o_custkey - 1000) AS dist,
+        SQRT(o_totalprice) AS sq,
+        POWER(2.0, CAST(o_orderkey % 10 AS DOUBLE)) AS p2
+      FROM orders WHERE o_orderkey <= 500"""))
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06,
     q07, q08, q09, q10, q11, q12, q25, q26, q27, q28, q30, q31, q32, q33,
-    q34, q35)
+    q34, q35, q37, q38)
 }
