@@ -79,6 +79,12 @@ class OperatorsSpec extends AnyFunSuite with SparkSupport {
     // parquet + csv paths resolve through the same interface
     val df = Connections.read(spark, Connections.ParquetDir("/root/testdata/sf0.001"), "region")
     assert(df.count() == 5)
+    val csvDir = tmpDir("conn-csv")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$csvDir/drop"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$csvDir/drop/part1.csv"), "id,v\n1,a\n2,b\n")
+    val csv = Connections.read(spark, Connections.CsvDir(csvDir), "drop")
+    assert(csv.count() == 2 && csv.columns.toSeq == Seq("id", "v"))
   }
 
   test("run-DAG DOT rendering from ledger rows") {
