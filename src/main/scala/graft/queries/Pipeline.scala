@@ -427,5 +427,32 @@ object Pipeline {
         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_other
       FROM documents"""))
 
-  val all: Seq[QueryDef] = Seq(q13, q14, q15, q16, q17, q18, q19, q29)
+  /** KMV distinct-count sketch vs the exact count: the deterministic
+    * sketch both engines reproduce hash-for-hash (see Sketches) — the
+    * estimate, its k-th hash, and the true cardinality in one row, so
+    * the gate verifies the sketch math itself, not just "roughly
+    * close".
+    */
+  val q39 = QueryDef(
+    "q39_kmv_sketch",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.Sketches
+      val li = Tables.load(s, dir, "lineitem")
+      val sketch = Sketches.kmvDistinct(li, $"l_orderkey", 256)
+      val exact = li.agg(countDistinct($"l_orderkey").as("exact"))
+      sketch.crossJoin(exact)
+    },
+    Some("""
+      WITH hashes AS (
+        SELECT DISTINCT CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),1,8) AS BIGINT) AS h
+        FROM lineitem
+      ), kth AS (
+        SELECT h FROM hashes ORDER BY h LIMIT 1 OFFSET 255
+      )
+      SELECT (SELECT h FROM kth) AS kth_hash,
+             CAST(255 AS DOUBLE) * 4294967296.0 / (SELECT h FROM kth) AS estimate,
+             (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS exact"""))
+
+  val all: Seq[QueryDef] = Seq(q13, q14, q15, q16, q17, q18, q19, q29, q39)
 }

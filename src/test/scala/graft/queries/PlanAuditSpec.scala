@@ -55,7 +55,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSupport {
       // q16 broadcasts a 10-row query set against the corpus by design —
       // BroadcastNestedLoopJoin with a tiny broadcast side is the intended
       // brute-force baseline, not a scale bug.
-      "q16_ann_topk")
+      "q16_ann_topk",
+      // q39 cross-joins two single-row aggregates (sketch × exact count) —
+      // a 1×1 product, not a scale risk.
+      "q39_kmv_sketch")
     Registry.all.filterNot(q => allowed.contains(q.name))
       .filterNot(q => q.name.startsWith("q20") || q.name.startsWith("q21")) // e2e: run side effects
       .foreach { q =>
