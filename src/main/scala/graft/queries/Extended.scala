@@ -121,5 +121,77 @@ object Extended {
       )
       SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.3"""))
 
-  val all: Seq[QueryDef] = Seq(q22, q23, q24)
+  /** IVF-style ANN — the coarse-quantizer sibling of q17's sign-LSH:
+    * vectors are assigned to the nearest of C centroids (deterministic
+    * "codebook": the first C vectors; production swaps in k-means
+    * centroids, the plan is identical), and search touches only the
+    * query's cell. The centroid table is tiny and driver-collected into
+    * literals — exactly how a trained codebook ships to executors as a
+    * broadcast. Cell assignment is argmin of exact squared-L2 (strict
+    * left folds), so DuckDB reproduces every assignment.
+    */
+  val q40 = QueryDef(
+    "q40_ann_ivf",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.{VectorFunctions => V}
+      val v = Tables.load(s, dir, "embeddings")
+        .withColumn("e", V.asDouble($"embedding"))
+        .withColumn("nrm", V.norm($"e"))
+        .select($"vec_id", $"e", $"nrm")
+      val centroids = v.filter($"vec_id" < 8).orderBy($"vec_id")
+        .select($"e").collect().map(_.getSeq[Double](0).toSeq)
+      val dists = array(centroids.map { c =>
+        aggregate(zip_with($"e", typedlit(c), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)
+      }: _*)
+      val assigned = v
+        .withColumn("cell", (array_position(dists, array_min(dists)) - 1).cast("long"))
+        .persist()
+      val queries = assigned.filter($"vec_id" < 30)
+        .select($"vec_id".as("query_id"), $"e".as("qe"), $"nrm".as("qn"), $"cell")
+      val scored = assigned.join(queries, Seq("cell"))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"cell", $"vec_id".as("neighbor_id"),
+          V.cosine($"qe", $"e", $"qn", $"nrm").as("cosine"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+      scored.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 3)
+        .select($"query_id", $"cell", $"rnk", $"neighbor_id", $"cosine")
+    },
+    Some("""
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+      ), n AS (
+        SELECT vec_id, e, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(e, x -> x*x)), (a,b) -> a+b)) AS nrm FROM v
+      ), cents AS (
+        SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8
+      ), dists AS (
+        SELECT n.vec_id, c.cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> (n.e[i]-c.ce[i])*(n.e[i]-c.ce[i]))),
+            (a,b) -> a+b) AS d
+        FROM n CROSS JOIN cents c
+      ), assigned AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM dists) WHERE rn = 1
+      ), an AS (
+        SELECT n.*, a.cell FROM n JOIN assigned a USING (vec_id)
+      ), scored AS (
+        SELECT q.vec_id AS query_id, q.cell, c.vec_id AS neighbor_id,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> q.e[i]*c.e[i])), (a,b) -> a+b)
+            / (q.nrm * c.nrm) AS cosine
+        FROM an q JOIN an c ON q.cell = c.cell AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 30
+      ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM scored
+      )
+      SELECT query_id, cell, rnk, neighbor_id, cosine FROM ranked WHERE rnk <= 3"""))
+
+  val all: Seq[QueryDef] = Seq(q22, q23, q24, q40)
 }
