@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testkit.SparkSupport
+
+/** Direct unit tests for the text/vector primitives — edge cases the
+  * oracle queries don't isolate.
+  */
+class FunctionsSpec extends AnyFunSuite with SparkSupport {
+
+  import TextFunctions._
+
+  test("tokens: empty and whitespace-only text yields a single empty token (documented edge)") {
+    import spark.implicits._
+    val out = Seq("", "   ", "a b", " A  B ").toDF("t")
+      .select(tokenCount($"t").as("n"), tokens($"t").as("toks"))
+      .collect()
+    assert(out(0).getLong(0) == 1) // "" -> [""]
+    assert(out(1).getLong(0) == 1)
+    assert(out(2).getLong(0) == 2)
+    assert(out(3).getSeq[String](1) == Seq("a", "b")) // trim + lower + split
+  }
+
+  test("shingles: docs shorter than n yield an empty array, duplicates collapse") {
+    import spark.implicits._
+    val out = Seq("a b", "a b c", "x y x y x y x y").toDF("text")
+      .withColumn("t", tokens($"text"))
+      .select(shingles("t").as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0).isEmpty)
+    assert(out(1) == Seq("a b c"))
+    // "x y x ..." has only 2 distinct 3-shingles: "x y x" and "y x y"
+    assert(out(2).toSet == Set("x y x", "y x y"))
+  }
+
+  test("minhash signature: identical shingle sets give identical signatures; jaccard bounds hold") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog"),
+      ("b", "the quick brown fox jumps over the lazy dog"),
+      ("c", "entirely different words appear here today friends"))
+      .toDF("id", "text")
+      .withColumn("t", tokens($"text"))
+      .withColumn("sh", shingles("t"))
+      .withColumn("sig", minhashSignature($"sh", 12))
+    val rows = df.select($"id", $"sig").collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(rows("a") == rows("b"))
+    assert(rows("a") != rows("c"))
+    val est = df.filter($"id" === "a").select(
+      estJaccard($"sig", minhashSignature(shingles("t"), 12), 12)).head.getDouble(0)
+    assert(est == 1.0)
+  }
+
+  test("vector primitives: dot/norm/cosine on known values") {
+    import spark.implicits._
+    import VectorFunctions._
+    val df = Seq((Seq(3.0, 4.0), Seq(4.0, 3.0))).toDF("a", "b")
+      .select(
+        dot($"a", $"b").as("d"),
+        norm($"a").as("na"),
+        cosine($"a", $"b", norm($"a"), norm($"b")).as("c"))
+    val r = df.head()
+    assert(r.getDouble(0) == 24.0)
+    assert(r.getDouble(1) == 5.0)
+    assert(r.getDouble(2) == 24.0 / 25.0)
+  }
+
+  test("hyperplane buckets are stable and within range") {
+    import spark.implicits._
+    import VectorFunctions._
+    val vecs = Seq(Seq.tabulate(64)(i => math.sin(i.toDouble)),
+      Seq.tabulate(64)(i => math.cos(i.toDouble))).toDF("e")
+    val buckets = vecs.select(hyperplaneBucket($"e", 4, 64).as("b")).collect().map(_.getLong(0))
+    assert(buckets.forall(b => b >= 0 && b < 16))
+    // determinism across evaluations
+    val again = vecs.select(hyperplaneBucket($"e", 4, 64).as("b")).collect().map(_.getLong(0))
+    assert(buckets.toSeq == again.toSeq)
+  }
+
+  test("KMV sketch: estimate within theoretical error bound on a known cardinality") {
+    import spark.implicits._
+    val n = 20000
+    val df = (1 to n).toDF("k")
+    val est = Sketches.kmvDistinct(df, $"k", 256).head.getDouble(1)
+    // k=256 → relative standard error ~1/sqrt(254) ≈ 6.3%; allow 5 sigma
+    assert(math.abs(est - n) / n < 0.32, s"estimate $est too far from $n")
+  }
+}
