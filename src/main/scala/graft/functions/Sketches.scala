@@ -17,6 +17,34 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  /** Count-Min sketch estimates for every distinct `key`: `depth`
+    * affine hash rows over `width` counters (same md5-derived family as
+    * the minhash, so DuckDB reproduces every bucket), estimate = min
+    * over rows of the landed counter. The counter table is
+    * depth×width longs however large the input — the mergeable
+    * frequency summary for heavy-hitter profiling; over-estimates only
+    * (collision bias), never under.
+    */
+  def countMinEstimates(df: DataFrame, key: Column, depth: Int, width: Int): DataFrame = {
+    val hashed = df.select(key.cast("string").as("key_s"))
+      .withColumn("h", TextFunctions.hash32(col("key_s")))
+    val withBuckets = hashed.withColumn("jb",
+      explode(array((0 until depth).map { j =>
+        struct(lit(j).as("j"),
+          ((lit(2L * j + 1) * col("h") + lit(j * TextFunctions.MinhashB)) %
+            lit(TextFunctions.MinhashMod) % lit(width.toLong)).as("b"))
+      }: _*)))
+    val counters = withBuckets
+      .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val keyBuckets = withBuckets
+      .select(col("key_s"), col("jb.j").as("j"), col("jb.b").as("b"))
+      .distinct()
+    keyBuckets.join(counters, Seq("j", "b"))
+      .groupBy(col("key_s"))
+      .agg(min(col("c")).as("est"))
+  }
+
   /** KMV estimate of distinct `key` values: with m = the k-th smallest
     * 32-bit key hash, estimate = (k-1) · 2^32 / m.
     */

@@ -454,5 +454,51 @@ object Pipeline {
              CAST(255 AS DOUBLE) * 4294967296.0 / (SELECT h FROM kth) AS estimate,
              (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS exact"""))
 
-  val all: Seq[QueryDef] = Seq(q13, q14, q15, q16, q17, q18, q19, q29, q39)
+  /** Count-Min heavy hitters: top-10 suppliers by estimated line count
+    * next to their exact counts — the gate verifies every counter and
+    * the min-over-rows estimate, not just the ranking. The sketch is
+    * the profiling pass a 100 TB pipeline runs before choosing salting
+    * keys (see Skew).
+    */
+  val q41 = QueryDef(
+    "q41_cms_heavy_hitters",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.Sketches
+      val li = Tables.load(s, dir, "lineitem")
+      val est = Sketches.countMinEstimates(li, $"l_suppkey", depth = 4, width = 1024)
+      val exact = li.groupBy($"l_suppkey".cast("string").as("key_s"))
+        .agg(count(lit(1)).as("exact"))
+      est.join(exact, "key_s")
+        .select($"key_s".cast("long").as("suppkey"), $"est", $"exact")
+        .orderBy($"est".desc, $"suppkey")
+        .limit(10)
+    },
+    Some("""
+      WITH seeds AS (SELECT unnest(generate_series(0,3)) AS j),
+      rows_h AS (
+        SELECT l_suppkey AS key,
+          CAST('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)),1,8) AS BIGINT) AS h
+        FROM lineitem
+      ),
+      counters AS (
+        SELECT s.j, ((2*s.j+1)*r.h + s.j*12582917) % 4294967311 % 1024 AS b, COUNT(*) AS c
+        FROM rows_h r CROSS JOIN seeds s GROUP BY 1, 2
+      ),
+      keys AS (SELECT DISTINCT key, h FROM rows_h),
+      key_buckets AS (
+        SELECT k.key, s.j, ((2*s.j+1)*k.h + s.j*12582917) % 4294967311 % 1024 AS b
+        FROM keys k CROSS JOIN seeds s
+      ),
+      est AS (
+        SELECT kb.key, MIN(c.c) AS est
+        FROM key_buckets kb JOIN counters c ON kb.j = c.j AND kb.b = c.b
+        GROUP BY 1
+      ),
+      exact AS (SELECT l_suppkey AS key, COUNT(*) AS n FROM lineitem GROUP BY 1)
+      SELECT e.key AS suppkey, e.est, x.n AS exact
+      FROM est e JOIN exact x USING (key)
+      ORDER BY e.est DESC, e.key LIMIT 10"""))
+
+  val all: Seq[QueryDef] = Seq(q13, q14, q15, q16, q17, q18, q19, q29, q39, q41)
 }
