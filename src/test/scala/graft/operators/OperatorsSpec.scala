@@ -28,6 +28,15 @@ class OperatorsSpec extends AnyFunSuite with SparkSupport {
       (2L, 3L, "e3", null)))   // nothing precedes
   }
 
+  test("AsOfJoin.backward: composite keys partition independently") {
+    import spark.implicits._
+    val left = Seq((1L, "x", 10L), (1L, "y", 10L)).toDF("k1", "k2", "ts")
+    val right = Seq((1L, "x", 5L, 1.0), (1L, "y", 7L, 2.0)).toDF("k1", "k2", "ts", "v")
+    val out = AsOfJoin.backward(left, right, "ts", Seq("k1", "k2"), Seq("v"))
+      .orderBy($"k2").collect().map(r => (r.getString(1), r.getDouble(3)))
+    assert(out.toSeq == Seq(("x", 1.0), ("y", 2.0)))
+  }
+
   test("AsOfJoin.rangeJoin: bounded window, no cartesian") {
     import spark.implicits._
     val left = Seq((1L, "2026-01-01 10:00:00"), (1L, "2026-01-01 12:00:00"))

@@ -65,6 +65,20 @@ class MonthWindowsSpec extends AnyFunSuite with PropSupport {
       ("2024-03-15", "2024-03-20")))
   }
 
+  test("day-31 anchored windows clamp like .NET AddMonths and stay contiguous") {
+    val ws = MonthWindows.windows(
+      LocalDateTime.of(2024, 1, 31, 0, 0), LocalDateTime.of(2024, 5, 15, 23, 59, 59))
+    // Jan 31 + 1M clamps to Feb 29 (leap), -1d → Feb 28; next from Feb 29
+    assert(ws.head.from.toLocalDate == java.time.LocalDate.of(2024, 1, 31))
+    assert(ws.head.to.toLocalDate == java.time.LocalDate.of(2024, 2, 28))
+    assert(ws(1).from.toLocalDate == java.time.LocalDate.of(2024, 2, 29))
+    ws.sliding(2).foreach {
+      case Seq(a, b) => assert(b.from.toLocalDate == a.to.toLocalDate.plusDays(1))
+      case _ => ()
+    }
+    assert(ws.last.to.toLocalDate == java.time.LocalDate.of(2024, 5, 15))
+  }
+
   test("predicates render BETWEEN bounds with second precision (incl. the trailing empty-slice quirk)") {
     val ps = MonthWindows.predicates("l_shipdate",
       LocalDateTime.of(2024, 1, 1, 0, 0), LocalDateTime.of(2024, 1, 31, 23, 59, 59))
