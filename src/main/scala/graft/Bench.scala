@@ -12,21 +12,34 @@ object Bench {
     // first-call classloading. Must never abort the bench (ADVICE r1).
     try SparkEntry.entry(spark).count()
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    // Two timings per query:
+    //  - old methodology (r1/r2 anchor): df.count() — Catalyst prunes the
+    //    projection, so map-only queries measured scan+count only;
+    //  - new methodology (r3 anchor onward): execute the FULL physical plan
+    //    via queryExecution.toRdd.count() — unprunable, every projected
+    //    column is actually computed.
+    // "value"/"queries" report the new numbers; the old total is kept as
+    // "total_count_action" for cross-round continuity.
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      try {
+        val old = time(fn(spark, sfDir).count())
+        val full = time(fn(spark, sfDir).queryExecution.toRdd.count())
+        (name, old, full)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          (name, -1.0, -1.0)
+      }
+    }
+    val qs = results.map { case (k, _, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val totalOld = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    val total = results.collect { case (_, _, v) if v >= 0 => v }.sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""total_count_action":$totalOld,"total_full_plan":$total,"sf":"$sfDir"}"""
     println(line)
     // Belt-and-braces for parseability (round-1 driver saw "[info] "-prefixed
     // stdout and recorded parsed:null): also drop the line into a file.

@@ -24,6 +24,10 @@ object Sessions {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val s = builder(s"local[$cpus]", cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // Engine extensions (graft_hash32 + the md5→native rewrite rule) are
+    // part of the production session, not just the test one — hash-heavy
+    // queries get the fused fast path everywhere.
+    graft.functions.GraftExtensions.register(s)
     s
   }
 }

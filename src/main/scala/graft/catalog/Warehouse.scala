@@ -29,7 +29,10 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
   /** Delete-by-predicate (the idempotent-ingest rollback,
     * `CommandExecuter.cs:1130-1157` `DELETE … WHERE Dateiname='f'`):
     * parquet has no row deletes, so rewrite-without-the-rows — the same
-    * operation Delta's DELETE compiles to.
+    * operation Delta's DELETE compiles to. Crash-safe swap: the old data
+    * is renamed aside BEFORE the rewrite moves into place, so a crash at
+    * any point leaves either the old or the new copy recoverable (never
+    * a window where the table is only in a dir `read()` ignores).
     */
   def deleteWhere(spark: SparkSession, table: String, predicate: String): Unit = {
     if (exists(spark, table)) {
@@ -37,9 +40,15 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
       val tmp = s"${path(table)}__rewrite"
       remaining.write.mode(SaveMode.Overwrite).format(format).save(tmp)
       val target = new java.io.File(path(table))
-      deleteRecursively(target)
-      if (!new java.io.File(tmp).renameTo(target))
+      val old = new java.io.File(s"${path(table)}__old")
+      if (old.exists()) deleteRecursively(old)
+      if (!target.renameTo(old))
+        throw new IllegalStateException(s"rename $target -> $old failed")
+      if (!new java.io.File(tmp).renameTo(target)) {
+        old.renameTo(target) // restore — the swap failed, keep the table readable
         throw new IllegalStateException(s"rename $tmp -> $target failed")
+      }
+      deleteRecursively(old)
     }
   }
 

@@ -39,24 +39,33 @@ object AsOfJoin {
     require(!valueCols.exists(leftCols.contains),
       s"value columns ${valueCols.mkString(",")} must not collide with left columns")
 
-    // right rows carry their values; left rows carry nulls + payload
+    // Right rows carry ALL their value columns inside ONE struct, so a
+    // matched right row whose value is genuinely NULL still counts as a
+    // match (last(ignoreNulls) skips NULL structs = unmatched left rows,
+    // not NULL fields inside a matched struct). `__rid` makes ties among
+    // right rows at the same (key, ts) deterministic: the last one in
+    // right-side order wins, matching DuckDB's ASOF tie behavior.
+    val asofType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => right.schema(right.schema.fieldIndex(c))))
     val taggedRight = right
       .select((keys.map(col) :+ col(tsCol)) ++ valueCols.map(col): _*)
       .withColumn("__tag", lit(0))
+      .withColumn("__rid", monotonically_increasing_id())
+      .withColumn("__asof", struct(valueCols.map(col): _*))
+      .drop(valueCols: _*)
       .withColumns(leftCols.filterNot(c => keys.contains(c) || c == tsCol)
         .map(c => c -> lit(null)).toMap)
     val taggedLeft = left.withColumn("__tag", lit(1))
-      .withColumns(valueCols.map(c => c -> lit(null)).toMap)
+      .withColumn("__rid", lit(null).cast("bigint"))
+      .withColumn("__asof", lit(null).cast(asofType))
 
     val unioned = taggedRight.unionByName(taggedLeft.select(taggedRight.columns.map(col): _*))
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol), col("__tag"))
+      .orderBy(col(tsCol), col("__tag"), col("__rid").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__tag") === 1).drop("__tag")
-      .select((leftCols ++ valueCols).map(col): _*)
+    val filled = unioned.withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))
+    filled.filter(col("__tag") === 1)
+      .select(leftCols.map(col) ++ valueCols.map(c => col("__asof").getField(c).as(c)): _*)
   }
 
   /** Range join helper: pairs (l, r) with `r.ts` in `[l.ts - before,
@@ -68,6 +77,8 @@ object AsOfJoin {
   def rangeJoin(
       left: DataFrame, right: DataFrame,
       tsCol: String, keys: Seq[String], beforeSeconds: Long): DataFrame = {
+    require(beforeSeconds > 0,
+      s"rangeJoin needs a positive window, got beforeSeconds=$beforeSeconds")
     val bucket = (c: Column) => floor(unix_timestamp(c) / beforeSeconds)
     val lb = left.withColumn("__b", explode(array(bucket(col(tsCol)) - 1, bucket(col(tsCol)))))
     val rb = right.withColumn("__b", bucket(col(tsCol)))

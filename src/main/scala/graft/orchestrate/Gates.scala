@@ -31,14 +31,30 @@ object Gates {
     * (`Processor.cs:978-1105`, `Workflow.cs:180-269`, gates
     * `Step.cs:449-469,519-538`). Claims are all-or-nothing (the whole
     * set at once), which also removes the deadlock the reference's
-    * one-by-one claiming could hit.
+    * one-by-one claiming could hit. FIFO-fair like the reference's
+    * per-table queues (`QueueManager.cs:583-712`): a claim may not
+    * overtake an EARLIER waiting claim it conflicts with, so a step
+    * wanting a popular table cannot starve behind a stream of
+    * late-arriving claimants. Disjoint claims still pass freely.
     */
   final class TableLocks {
     private val claimed = mutable.Set.empty[String]
+    // waiting claims in arrival order: (ticket, tables)
+    private val waiting = mutable.ArrayBuffer.empty[(Long, Set[String])]
+    private var nextTicket = 0L
 
     def claim(tables: Set[String]): Unit = synchronized {
-      while (tables.exists(claimed.contains)) wait()
+      val ticket = nextTicket; nextTicket += 1
+      waiting += ((ticket, tables))
+      def blocked: Boolean =
+        tables.exists(claimed.contains) ||
+          waiting.exists { case (t, ts) => t < ticket && ts.exists(tables.contains) }
+      while (blocked) wait()
+      waiting.filterInPlace(_._1 != ticket)
       claimed ++= tables
+      // our dequeue may unblock a LATER disjoint claim that was only
+      // queued behind our waiting entry
+      notifyAll()
     }
 
     def release(tables: Set[String]): Unit = synchronized {

@@ -85,7 +85,16 @@ final class WorkflowRunner(
       stepContext: (Macros.Context, Option[Long], Option[Long]) => StepContext): WorkflowResult = {
 
     if (!manager.existsMapping(spec.id)) manager.register(spec.id, zeitplanAusfuehrungenId)
-    else manager.setScheduled(spec.id)
+    else {
+      manager.setScheduled(spec.id)
+      // a failed run leaves its mapping behind (setFailed keeps it, per
+      // the reference); refresh it so zeitplanAusfuehrungenId reports
+      // THIS run's id, not the failed predecessor's
+      if (manager.zeitplanAusfuehrungenId(spec.id) != zeitplanAusfuehrungenId) {
+        manager.removeMapping(spec.id)
+        manager.addMapping(spec.id, zeitplanAusfuehrungenId)
+      }
+    }
 
     val requestedAt = clock()
     val wfRunId = ledger.start(RunLevel.Workflow, spec.id.toLong,

@@ -13,7 +13,7 @@ import graft.macros.Macros
 import graft.orchestrate._
 import graft.report.Reports
 import graft.schedule.Takeover
-import graft.steps.{CommandType, StepContext, StepSpec, TaskType}
+import graft.steps.{CommandType, StepContext, StepSpec, Steps, TaskType}
 
 /** End-to-end verification queries: each runs a REAL workflow through
   * the orchestrator (FSM → package DAG → priority groups → gated steps
@@ -185,5 +185,57 @@ object EndToEnd {
         AND l_shipdate <= TIMESTAMP '1997-12-31 23:59:59'
       GROUP BY 1"""))
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q36)
+  /** `.xlsx` ingest through the FULL S3 TRANSFER lifecycle: nation rows
+    * (typed — ints, shared strings, a per-row timestamp) are written to a
+    * real xlsx package by [[graft.sources.Xlsx.write]], dropped into
+    * `{dir}/Insert`, and ingested by the real TRANSFER/EXCEL step
+    * (Insert→TMP move, decode, audit columns, idempotent delete, append,
+    * file delete). The readback casts the decoded strings back to their
+    * types, so DuckDB reproduces the result from the `nation` parquet
+    * alone — a wrong decode (shared-string index, number rendering, date
+    * serial) breaks the hash.
+    */
+  val q42 = QueryDef(
+    "q42_xlsx_ingest",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft-xlsx")
+      val insert = base.resolve("Insert")
+      java.nio.file.Files.createDirectories(insert)
+      val asof0 = LocalDateTime.of(2026, 1, 15, 10, 30, 0)
+      val rows = s.table("nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+        .collect().toSeq // 25-row dimension — fixture generation, not a data path
+        .map { r =>
+          val k = r.getInt(0)
+          Seq(k, r.getString(1), r.getInt(2), asof0.plusDays(k.toLong))
+        }
+      graft.sources.Xlsx.write(insert.resolve("nation.xlsx").toString,
+        header = Seq("n_nationkey", "n_name", "n_regionkey", "asof"), rows = rows)
+      val ledger = new RunLedger(() => FixedClock)
+      val wh = new Warehouse(
+        java.nio.file.Files.createTempDirectory("graft-xlsx-wh").toString)
+      val ctx = StepContext(s, wh, ledger,
+        Macros.Context(3L, asof0, asof0), abfragezeitpunkt = FixedClock)
+      Steps.execute(
+        StepSpec(4200, CommandType.Transfer, TaskType.Excel, base.toString,
+          zieltabelle = Some("nation_xlsx")),
+        ctx)
+      wh.read(s, "nation_xlsx")
+        .select(
+          col("n_nationkey").cast("int").as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast("int").as("n_regionkey"),
+          col("asof").cast("timestamp_ntz").as("asof"),
+          col("dateiname"))
+        .orderBy(col("n_nationkey"))
+    },
+    Some("""
+      SELECT n_nationkey, n_name, n_regionkey,
+             TIMESTAMP '2026-01-15 10:30:00' + n_nationkey * INTERVAL 1 DAY AS asof,
+             'nation.xlsx' AS dateiname
+      FROM nation ORDER BY n_nationkey"""))
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q36, q42)
 }

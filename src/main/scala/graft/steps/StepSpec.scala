@@ -47,7 +47,11 @@ object TaskType {
   * (`res/pc/ETL_Paketschritt_Parameter.sql`, read in
   * `CommandExecuter.cs:2191-2237`): header, delimiter, number format,
   * date format, quote, escape, null representation. Defaults mirror the
-  * reference's writer defaults.
+  * reference's writer defaults. `einzeldatei` is our addition in the same
+  * option style: the reference always writes one file (its consumers
+  * expect a single CSV), but forcing every extract through one task is
+  * the classic 100 TB bottleneck — so single-file is opt-in and the
+  * default is a directory of part files.
   */
 final case class CsvParams(
     kopfzeile: Boolean = true,
@@ -56,7 +60,8 @@ final case class CsvParams(
     datumsformat: String = "yyyy-MM-dd HH:mm:ss",
     textqualifizierer: Option[String] = Some("\""),
     escapecharacter: String = "\\",
-    leerwert: String = "")
+    leerwert: String = "",
+    einzeldatei: Boolean = false)
 
 /** All target+source tables a step touches — the table-mutex claim set
   * (`Step.cs:449-469,519-538`).

@@ -47,6 +47,8 @@ object Steps {
     case CommandType.Copy if !spec.zeitscheibe => Some(copy(spec, ctx))
     case CommandType.Copy => Some(copyTimesliced(spec, ctx))
     case CommandType.Transfer if spec.aufgabentyp == TaskType.Csv => Some(csvExport(spec, ctx))
+    case CommandType.Transfer if spec.aufgabentyp == TaskType.Excel =>
+      Some(ingest(spec, ctx, reader = xlsxReader))
     case CommandType.Transfer => Some(ingest(spec, ctx))
     case CommandType.SqlTarget | CommandType.SqlSource => sqlExec(spec, ctx); None
     case CommandType.Test => testStep(spec, ctx); None
@@ -161,10 +163,11 @@ object Steps {
       case None => df0
     }
     val obs = new Observation()
-    // one output file like the reference's export (downstream consumers
-    // expect a single CSV); a 100 TB extract would drop the coalesce and
-    // hand consumers the directory
-    var w = df.coalesce(1).observe(obs, count(lit(1)).as("rows")).write
+    // single-file output is the reference's behavior but serializes the
+    // extract through one task, so it's an explicit option (`einzeldatei`)
+    // — the scale-safe default hands consumers the directory of parts
+    val shaped = if (spec.csv.einzeldatei) df.coalesce(1) else df
+    var w = shaped.observe(obs, count(lit(1)).as("rows")).write
       .option("header", spec.csv.kopfzeile.toString)
       .option("sep", spec.csv.trennzeichen)
       .option("timestampFormat", spec.csv.datumsformat)
@@ -183,21 +186,20 @@ object Steps {
     rows
   }
 
-  /** Pluggable file readers for TRANSFER ingest. CSV is the real, tested
-    * path; EXCEL needs a POI-class reader that is not available in this
-    * environment — the Spark-side plumbing (schema, audit columns,
-    * idempotency, lifecycle) is identical, so the stub only swaps the
-    * decode (`CommandExecuter.cs:1915-2027` would map to such a reader).
+  /** Pluggable file readers for TRANSFER ingest — both produce the same
+    * all-string, header-named shape, so the pipeline around them (schema,
+    * audit columns, idempotency, lifecycle) is format-agnostic. EXCEL is
+    * the dependency-free zip+StAX decoder in [[graft.sources.Xlsx]]
+    * (`CommandExecuter.cs:1915-2027` semantics: first sheet, first used
+    * row = header, values as strings).
     */
   type FileReader = (SparkSession, String) => DataFrame
 
   val csvReader: FileReader = (spark, file) =>
     spark.read.option("header", "true").option("quote", "\"").csv(file)
 
-  val excelReaderStub: FileReader = (_, _) =>
-    throw new NotImplementedError(
-      "EXCEL decode requires a POI-based reader (not in this environment); " +
-        "use the CSV path — the ingest pipeline is format-agnostic")
+  val xlsxReader: FileReader = (spark, file) =>
+    graft.sources.Xlsx.toDataFrame(spark, file)
 
   /** S3 TRANSFER ingest (`CommandExecuter.cs:1335-1640`): every file in
     * `{dir}/Insert` is moved to `{dir}/TMP`, read, columns renamed via
@@ -226,6 +228,9 @@ object Steps {
     var total = 0L
     files.foreach { file =>
       val name = file.getFileName.toString
+      // SQL-escape for the delete predicate — a quote in the filename must
+      // not break (or worse, widen) the idempotent delete
+      val nameSql = name.replace("'", "''")
       val tmpFile = tmpDir.resolve(name)
       Files.move(file, tmpFile, StandardCopyOption.REPLACE_EXISTING)
       try {
@@ -242,7 +247,7 @@ object Steps {
           .withColumn("abfragezeitpunkt", lit(ctx.abfragezeitpunkt.format(
             DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))).cast("timestamp_ntz"))
         // idempotent retry: drop any rows of a previous partial load
-        ctx.warehouse.deleteWhere(ctx.spark, target, s"dateiname = '$name'")
+        ctx.warehouse.deleteWhere(ctx.spark, target, s"dateiname = '$nameSql'")
         val obs = new Observation()
         ctx.warehouse.append(audited.observe(obs, count(lit(1)).as("rows")), target)
         total += obs.get("rows").asInstanceOf[Long]
@@ -250,7 +255,7 @@ object Steps {
       } catch {
         case e: Throwable =>
           // rollback: delete this file's rows, move the file back
-          try ctx.warehouse.deleteWhere(ctx.spark, target, s"dateiname = '$name'")
+          try ctx.warehouse.deleteWhere(ctx.spark, target, s"dateiname = '$nameSql'")
           finally Files.move(tmpFile, insertDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
           throw e
       }
@@ -278,7 +283,18 @@ object Steps {
   def sqlExec(spec: StepSpec, ctx: StepContext): Unit = {
     val text = Macros.expand(spec.befehl, ctx.macroCtx)
     ctx.ledger.logQuery(text, ctx.schrittRunId, ctx.konfigurationenId)
-    ctx.spark.sql(text).collect()
+    val df = ctx.spark.sql(text)
+    // DDL/DML commands execute eagerly inside sql() — nothing to fetch. A
+    // SELECT-shaped Befehl is the reference's scalar @OutputParam probe
+    // (`CommandExecuter.cs:997-1075`): sample ONE row instead of
+    // collecting the whole result to the driver (a misconfigured step
+    // must not be able to OOM the driver).
+    val isCommand = df.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Command => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.CommandResult => true
+      case _ => false
+    }
+    if (!isCommand) { df.limit(1).collect(); () }
     ()
   }
 

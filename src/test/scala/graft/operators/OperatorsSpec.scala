@@ -37,6 +37,34 @@ class OperatorsSpec extends AnyFunSuite with SparkSupport {
     assert(out.toSeq == Seq(("x", 1.0), ("y", 2.0)))
   }
 
+  test("AsOfJoin.backward: matched right row with NULL value yields NULL, not the previous non-null (ADVICE r2)") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "ts")
+    val right = Seq((1L, 4L, Option(40.0)), (1L, 8L, Option.empty[Double]))
+      .toDF("k", "ts", "v")
+    val out = AsOfJoin.backward(left, right, "ts", Seq("k"), Seq("v")).collect()
+    // the match is right@8 (v = NULL) — 40.0 from right@4 must NOT leak through
+    assert(out.length == 1 && out(0).isNullAt(2))
+  }
+
+  test("AsOfJoin.backward: ties at the same (key, ts) resolve deterministically to the last right row") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "ts")
+    val right = Seq((1L, 10L, 1.0), (1L, 10L, 2.0), (1L, 10L, 3.0)).toDF("k", "ts", "v")
+    val results = (1 to 5).map { _ =>
+      AsOfJoin.backward(left, right, "ts", Seq("k"), Seq("v")).collect()(0).getDouble(2)
+    }
+    assert(results.distinct == Seq(3.0), s"nondeterministic tie-break: $results")
+  }
+
+  test("AsOfJoin.rangeJoin: zero/negative window is rejected, not silently empty (ADVICE r2)") {
+    import spark.implicits._
+    val df = Seq((1L, "2026-01-01 10:00:00")).toDF("k", "ts")
+    assertThrows[IllegalArgumentException] {
+      AsOfJoin.rangeJoin(df, df, "ts", Seq("k"), beforeSeconds = 0)
+    }
+  }
+
   test("AsOfJoin.rangeJoin: bounded window, no cartesian") {
     import spark.implicits._
     val left = Seq((1L, "2026-01-01 10:00:00"), (1L, "2026-01-01 12:00:00"))

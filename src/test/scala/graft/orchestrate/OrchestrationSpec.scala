@@ -119,6 +119,44 @@ class OrchestrationSpec extends AnyFunSuite {
     assert(overlapped.get(), "disjoint table sets should have overlapped")
   }
 
+  test("TableLocks: FIFO under contention — grants in arrival order (QueueManager.cs:583-712)") {
+    val locks = new Gates.TableLocks
+    val grants = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    // hold the table so every later claimant queues behind it
+    locks.claim(Set("hot"))
+    val threads = (1 to 12).map { i =>
+      val t = new Thread(() => locks.withTables(Set("hot")) { grants.add(i); () })
+      t.start()
+      // let claimant i enter the wait before i+1 arrives (ticket order)
+      Thread.sleep(30)
+      t
+    }
+    locks.release(Set("hot"))
+    threads.foreach(_.join(5000))
+    assert(grants.size == 12)
+    assert(grants.toArray.toSeq == (1 to 12), s"grant order was ${grants.toArray.toSeq}")
+  }
+
+  test("TableLocks: a waiting claim passes disjoint claims but blocks later conflicting ones") {
+    val locks = new Gates.TableLocks
+    val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    locks.claim(Set("a"))
+    val waiter = new Thread(() => locks.withTables(Set("a", "b")) { order.add("waiter"); () })
+    waiter.start()
+    Thread.sleep(50) // waiter queued on {a,b}
+    val done = new java.util.concurrent.CountDownLatch(1)
+    new Thread(() => locks.withTables(Set("c")) { done.countDown() }).start()
+    assert(done.await(2, TimeUnit.SECONDS), "disjoint {c} must pass while {a,b} waits")
+    // "b" is FREE right now, but the earlier {a,b} waiter wants it —
+    // a late {b} claim must not barge past it
+    val late = new Thread(() => locks.withTables(Set("b")) { order.add("late"); () })
+    late.start()
+    Thread.sleep(50)
+    locks.release(Set("a"))
+    waiter.join(5000); late.join(5000)
+    assert(order.toArray.toSeq == Seq("waiter", "late"))
+  }
+
   test("ParallelLocks: a Parallelsperre module runs alone on its level") {
     val locks = new Gates.ParallelLocks
     val readers = new AtomicInteger(0)

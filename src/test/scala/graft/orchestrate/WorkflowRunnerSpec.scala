@@ -180,4 +180,21 @@ class WorkflowRunnerSpec extends AnyFunSuite with SparkSupport {
     assert(mgr.stage(4) == WorkflowStage.Finished)
     assert(mgr.wasExecutedOnce(4))
   }
+
+  test("re-run after failure refreshes the stale zeitplan mapping (ADVICE r2)") {
+    val (ledger, _, _, mkCtx) = fixture()
+    val mgr = new WorkflowManager
+    val runner = new WorkflowRunner(mgr, ledger, new Gates.ThreadCap(4),
+      new Gates.TableLocks, new Gates.ParallelLocks,
+      clock = () => LocalDateTime.of(2026, 2, 1, 12, 0, 0))
+    val failing = WorkflowSpec(id = 5, masterPackageId = 50,
+      packages = Map(50L -> PackageSpec(50, realizations = Seq(RealizationSpec(500,
+        steps = Seq(StepSpec(5000, CommandType.SqlTarget, TaskType.Sql,
+          "SELECT * FROM this_table_does_not_exist")))))))
+    assert(!runner.run(failing, 11, mkCtx).success)
+    assert(mgr.zeitplanAusfuehrungenId(5) == 11) // setFailed keeps the mapping
+    assert(!runner.run(failing, 12, mkCtx).success)
+    // before the fix this still reported 11 for the whole second run
+    assert(mgr.zeitplanAusfuehrungenId(5) == 12)
+  }
 }

@@ -115,7 +115,7 @@ class StepsSpec extends AnyFunSuite with SparkSupport {
     Files.writeString(base.resolve("Insert/a.csv"), "id,val\n1,x\n2,y\n")
     Files.writeString(base.resolve("Insert/b.csv"), "id,val\n3,z\n")
     Files.writeString(base.resolve("mapping.csv"), "from,to\nval,wert\n")
-    val spec = StepSpec(5, CommandType.Transfer, TaskType.Excel,
+    val spec = StepSpec(5, CommandType.Transfer, TaskType.Sql,
       base.toString, zieltabelle = Some("ingested"))
     val rows = Steps.execute(spec, ctx).get
     assert(rows == 3)
@@ -140,7 +140,7 @@ class StepsSpec extends AnyFunSuite with SparkSupport {
     val failing: Steps.FileReader = (s, path) =>
       if (path.endsWith("zbad.csv")) throw new RuntimeException("decode error")
       else Steps.csvReader(s, path)
-    val spec = StepSpec(6, CommandType.Transfer, TaskType.Excel,
+    val spec = StepSpec(6, CommandType.Transfer, TaskType.Sql,
       base.toString, zieltabelle = Some("ingested2"))
     assertThrows[RuntimeException] { Steps.ingest(spec, ctx, failing) }
     // good file landed, bad file rolled back into Insert
@@ -175,6 +175,75 @@ class StepsSpec extends AnyFunSuite with SparkSupport {
     assertThrows[NotImplementedError] {
       Steps.execute(StepSpec(8, CommandType.Exec, TaskType.Sql, "x"), ctx)
     }
+  }
+
+  test("TRANSFER/EXCEL ingests a real .xlsx through the full lifecycle") {
+    val (ctx, _, wh) = freshCtx()
+    val base = Paths.get(tmpDir("xlsx-ingest"))
+    Files.createDirectories(base.resolve("Insert"))
+    graft.sources.Xlsx.write(base.resolve("Insert/data.xlsx").toString,
+      header = Seq("id", "name", "seen"),
+      rows = Seq(
+        Seq(1, "first", LocalDateTime.of(2026, 5, 1, 8, 0, 0)),
+        Seq(2, "second", LocalDateTime.of(2026, 5, 2, 9, 30, 0))))
+    Files.writeString(base.resolve("mapping.csv"), "from,to\nname,bezeichnung\n")
+    val spec = StepSpec(30, CommandType.Transfer, TaskType.Excel,
+      base.toString, zieltabelle = Some("xlsx_target"))
+    val rows = Steps.execute(spec, ctx).get
+    assert(rows == 2)
+    val t = wh.read(spark, "xlsx_target")
+    assert(t.columns.contains("bezeichnung") && !t.columns.contains("name"))
+    val r0 = t.filter("id = '1'").head()
+    assert(r0.getAs[String]("bezeichnung") == "first")
+    assert(r0.getAs[String]("seen") == "2026-05-01 08:00:00")
+    assert(r0.getAs[String]("dateiname") == "data.xlsx")
+    assert(!Files.exists(base.resolve("Insert/data.xlsx"))) // consumed
+    // idempotent retry does not duplicate
+    graft.sources.Xlsx.write(base.resolve("Insert/data.xlsx").toString,
+      Seq("id", "name", "seen"), Seq(Seq(1, "first", LocalDateTime.of(2026, 5, 1, 8, 0, 0))))
+    Steps.execute(spec, ctx)
+    assert(wh.read(spark, "xlsx_target").filter("dateiname = 'data.xlsx'").count() == 1)
+  }
+
+  test("ingest handles filenames containing a single quote (ADVICE r2)") {
+    val (ctx, _, wh) = freshCtx()
+    val base = Paths.get(tmpDir("quote-ingest"))
+    Files.createDirectories(base.resolve("Insert"))
+    Files.writeString(base.resolve("Insert/it's.csv"), "id\n1\n")
+    val spec = StepSpec(31, CommandType.Transfer, TaskType.Sql,
+      base.toString, zieltabelle = Some("quoted"))
+    assert(Steps.execute(spec, ctx).get == 1)
+    // re-run the same file: the quoted delete predicate must parse and dedup
+    Files.writeString(base.resolve("Insert/it's.csv"), "id\n1\n")
+    Steps.execute(spec, ctx)
+    assert(wh.read(spark, "quoted").count() == 1)
+  }
+
+  test("CSV export: einzeldatei option controls single-file vs directory output") {
+    val (ctx, _, _) = freshCtx()
+    val single = tmpDir("csv-single") + "/out"
+    Steps.execute(StepSpec(32, CommandType.Transfer, TaskType.Csv,
+      "SELECT l_orderkey FROM lineitem", zieltabelle = Some(single),
+      csv = CsvParams(einzeldatei = true)), ctx)
+    assert(new java.io.File(single).listFiles().count(_.getName.endsWith(".csv")) == 1)
+    val multi = tmpDir("csv-multi") + "/out"
+    // explicit REPARTITION(4): AQE coalesces implicit shuffles on this
+    // tiny input, which would mask the coalesce(1)-vs-parts distinction
+    Steps.execute(StepSpec(33, CommandType.Transfer, TaskType.Csv,
+      "SELECT /*+ REPARTITION(4, l_orderkey) */ l_orderkey FROM lineitem",
+      zieltabelle = Some(multi), csv = CsvParams()), ctx)
+    assert(new java.io.File(multi).listFiles().count(_.getName.endsWith(".csv")) > 1,
+      "default must write a directory of parts, not force one task")
+  }
+
+  test("SQL_TARGET with a SELECT Befehl does not materialize the result on the driver (ADVICE r2)") {
+    val (ctx, _, _) = freshCtx()
+    // 500M rows — collecting this would OOM the driver; probing one row is instant
+    val t0 = System.nanoTime()
+    Steps.execute(StepSpec(34, CommandType.SqlTarget, TaskType.Sql,
+      "SELECT id, id * 2 AS twice FROM range(500000000)"), ctx)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 30, s"SELECT Befehl took ${secs}s — looks like a driver collect")
   }
 
   test("TEST step sleeps and logs") {
