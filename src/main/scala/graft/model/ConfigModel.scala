@@ -38,7 +38,9 @@ final case class UmsetzungRow(
     anzahlParalleleSchritte: Int,
     etlKonfigurationenId: Option[Long],
     parallelsperre: Boolean,
-    istAktiv: Boolean)
+    istAktiv: Boolean,
+    /** `Umsetzungsname` — shown in the config-tree view. */
+    umsetzungsname: String = "")
 
 /** `pc.ETL_Pakete_Paketumsetzungen` — package × realization with
   * priority group and tenant.
@@ -109,6 +111,16 @@ final case class SchrittParameterRow(
     escapecharacter: Option[String],
     leerwert: Option[String])
 
+/** `conf.Email_Verteiler_Workflow` — per-workflow mail recipients with
+  * the only-on-error and CC routing flags (`Workflow.cs:1296-1317`).
+  */
+final case class EmailVerteilerRow(
+    etlWorkflowId: Int,
+    empfaenger: String,
+    nurFehler: Boolean,
+    cc: Boolean,
+    istAktiv: Boolean)
+
 /** The full config snapshot an engine instance schedules from. */
 final case class ConfigSet(
     workflows: Seq[WorkflowRow],
@@ -119,4 +131,5 @@ final case class ConfigSet(
     schritte: Seq[SchrittRow],
     umsetzungSchritte: Seq[UmsetzungSchrittRow],
     zeitplaene: Seq[ZeitplanRow] = Seq.empty,
-    schrittParameter: Seq[SchrittParameterRow] = Seq.empty)
+    schrittParameter: Seq[SchrittParameterRow] = Seq.empty,
+    emailVerteiler: Seq[EmailVerteilerRow] = Seq.empty)

@@ -59,6 +59,31 @@ object MailReport {
     (header ++ Seq("") ++ moduleTable ++ Seq("") ++ errorTable).mkString("\n")
   }
 
+  final case class Recipients(to: Seq[String], cc: Seq[String])
+
+  /** Per-workflow recipient selection from `conf.Email_Verteiler_Workflow`
+    * (`Workflow.cs:1296-1317` success path, `1560-1585` Abort path):
+    * active rows only; on SUCCESS `Nur_Fehler` recipients are skipped, on
+    * FAILURE everyone is included; the `CC` flag routes to the CC list.
+    * SMTP delivery stays environment wiring — this is the engine logic.
+    */
+  def recipients(
+      rows: Seq[graft.model.EmailVerteilerRow],
+      workflowId: Int,
+      success: Boolean): Recipients = {
+    val active = rows.filter(r => r.etlWorkflowId == workflowId && r.istAktiv)
+    val selected = if (success) active.filterNot(_.nurFehler) else active
+    Recipients(
+      to = selected.filterNot(_.cc).map(_.empfaenger),
+      cc = selected.filter(_.cc).map(_.empfaenger))
+  }
+
+  /** The reference only sends the SUCCESS mail when the To list is
+    * non-empty (`Workflow.cs:1326`); failure mail always goes out.
+    */
+  def shouldSend(success: Boolean, r: Recipients): Boolean =
+    !success || r.to.nonEmpty
+
   /** Minimal HTML rendering of the same report (the reference fills
     * `www/diz_mail.html` templates; structure parity, not pixels).
     */

@@ -74,4 +74,97 @@ object Reports {
       Seq("workflowRunId"), "left")
       .select(col("workflow_id"), col("fehlertyp"), col("schweregrad"),
         col("meldungstext"), col("anlagedatum"))
+
+  // ---- config-plane views (Shiny parity over the ConfigSet snapshot) ----
+
+  /** One projected execution of the planned-runs view. */
+  final case class PlannedRun(
+      workflowId: Int, zeitplaeneId: Int, plannedStart: java.time.LocalDateTime)
+
+  /** Planned-runs view — the Shiny "Nächste Datenübernahme" panel
+    * (`app/app.R:911-931` lists `pc.ETL_Zeitplan_Ausfuehrungen` rows with
+    * `Ausgefuehrt = 0 AND Startzeitpunkt IS NULL`). The reference
+    * pre-materializes those rows in the DB; this engine creates schedule
+    * executions on the fly, so the equivalent view PROJECTS the next
+    * `perWorkflow` instants per active workflow through the real schedule
+    * calculus ([[graft.schedule.NextRun]]). `wasExecutedOnce` feeds the
+    * `Sofort_Ausfuehrung` gate for the FIRST projection of each workflow;
+    * later projections are by definition not-first.
+    */
+  def plannedRuns(
+      cfg: graft.model.ConfigSet,
+      now: java.time.LocalDateTime,
+      perWorkflow: Int = 3,
+      wasExecutedOnce: Int => Boolean = _ => true): Seq[PlannedRun] =
+    cfg.workflows.filter(_.istAktiv).flatMap { wf =>
+      cfg.zeitplaene.find(_.etlZeitplaeneId == wf.etlZeitplaeneId).toSeq.flatMap { z =>
+        val sched = graft.catalog.ConfigAssembly.schedule(z)
+        val out = scala.collection.mutable.ArrayBuffer.empty[PlannedRun]
+        var t = now
+        var first = true
+        var exhausted = false
+        while (out.size < perWorkflow && !exhausted) {
+          try {
+            val n = graft.schedule.NextRun.nextRun(
+              sched, t, wasExecutedOnce = if (first) wasExecutedOnce(wf.etlWorkflowId) else true)
+            out += PlannedRun(wf.etlWorkflowId, z.etlZeitplaeneId, n)
+            t = n.plusSeconds(1)
+            first = false
+          } catch {
+            // Endedatum passed — no executions left for this schedule
+            case _: graft.schedule.ScheduleException => exhausted = true
+          }
+        }
+        out.toSeq
+      }
+    }.sortBy(p => (p.plannedStart.toString, p.workflowId))
+
+  /** One node of the config-tree view. */
+  final case class TreeRow(id: Long, label: String, level: String, parent: String, modulname: String)
+
+  /** Recursive workflow config tree — the Shiny nav-panel CTE
+    * (`app/app.R:768-816`): W → master P → predecessor P* (each under its
+    * DEPENDENT package, like the CTE's parent join) → R → S, labels
+    * `W/P/R/S<id>`, inactive rows filtered where the CTE filters them.
+    */
+  def workflowTree(workflowId: Int, cfg: graft.model.ConfigSet): Seq[TreeRow] = {
+    val wf = cfg.workflows.find(w => w.etlWorkflowId == workflowId && w.istAktiv)
+      .getOrElse(throw new IllegalArgumentException(s"no active workflow $workflowId"))
+    val wLabel = s"W$workflowId"
+    val deps = cfg.abhaengigkeiten.filter(a => a.etlWorkflowId == workflowId && a.istAktiv)
+    val out = scala.collection.mutable.ArrayBuffer.empty[TreeRow]
+    val seenPkg = scala.collection.mutable.Set.empty[Long]
+    out += TreeRow(workflowId.toLong, wLabel, "Workflow", " ", wf.workflowname)
+
+    def addPackage(pid: Long, parent: String): Unit = if (seenPkg.add(pid)) {
+      val label = s"P$pid"
+      val name = cfg.pakete.find(_.etlPaketeId == pid).map(_.paketname).getOrElse(s"Paket $pid")
+      out += TreeRow(pid, label, "Paket", parent, name)
+      cfg.paketUmsetzungen
+        .filter(m => m.etlWorkflowId == workflowId && m.etlPaketeId == pid)
+        .foreach { m =>
+          cfg.umsetzungen
+            .find(u => u.etlPaketUmsetzungenId == m.etlPaketUmsetzungenId && u.istAktiv)
+            .foreach { u =>
+              val rLabel = s"R${u.etlPaketUmsetzungenId}"
+              out += TreeRow(u.etlPaketUmsetzungenId, rLabel, "Umsetzung", label, u.umsetzungsname)
+              cfg.umsetzungSchritte
+                .filter(_.etlPaketUmsetzungenId == u.etlPaketUmsetzungenId)
+                .sortBy(_.schrittReihenfolge)
+                .foreach { us =>
+                  cfg.schritte
+                    .find(s => s.etlPaketschritteId == us.etlPaketschritteId && s.istAktiv)
+                    .foreach(s => out += TreeRow(
+                      s.etlPaketschritteId, s"S${s.etlPaketschritteId}", "Schritt", rLabel,
+                      s.schrittname))
+                }
+            }
+        }
+      // predecessors hang under their dependent package (CTE parent join)
+      deps.filter(_.etlPaketeId == pid).foreach(d => addPackage(d.vorlaufEtlPaketeId, label))
+    }
+
+    addPackage(wf.etlPaketeId, wLabel)
+    out.toSeq
+  }
 }
