@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+
+/** Fan-in measurement for the blocked pairwise operators (VERDICT r2
+  * item 8): generates a corpus ~100× the sf0.1 LLM-pipeline tables with
+  * SKEWED near-dup clusters (one giant cluster + a power-law tail —
+  * the shape real crawled corpora have), then measures the blocking-key
+  * distributions that bound every candidate join:
+  *
+  *   - MinHash-LSH band keys (q15's blocking),
+  *   - sign-LSH hyperplane buckets at several plane counts (q17/q24),
+  *   - IVF cells at several codebook sizes (q40),
+  *
+  * reporting max/p99 bucket sizes and the candidate-pair count vs
+  * all-pairs — the measured version of the "LSH bounds the candidate
+  * set" argument. Everything is generated INSIDE Spark from pure hash
+  * expressions (deterministic, no driver-side data), so the same main
+  * scales to any multiplier.
+  *
+  * Results are recorded in FANIN.md.
+  */
+object FanIn {
+
+  private val Dim = 64
+
+  /** Synthetic documents with skewed near-dup structure (power-law
+    * cluster sizes, the shape crawled corpora have):
+    *  - ids [0, 1k): ONE cluster of 1,000 near-dups (the hot key),
+    *  - ids [1k, 11k): 100 clusters of 100,
+    *  - ids [11k, 31k): 2,000 clusters of 10,
+    *  - ids [31k, n): singletons.
+    * Cluster text = 100 tokens drawn from the cluster seed; each doc
+    * perturbs ~3% of positions with doc-unique tokens (≈0.9 Jaccard
+    * within a cluster).
+    */
+  def genDocuments(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).select($"id".as("doc_id"))
+      .withColumn("cluster",
+        when($"doc_id" < 1000L, lit(0L))
+          .when($"doc_id" < 11000L, lit(1L) + ($"doc_id" - 1000L) / 100L)
+          .when($"doc_id" < 31000L, lit(200L) + ($"doc_id" - 11000L) / 10L)
+          .otherwise(lit(1000000L) + $"doc_id"))
+      .withColumn("toks", transform(sequence(lit(0), lit(99)), i =>
+        when(pmod(xxhash64($"doc_id", i, lit("perturb")), lit(33)) === 0,
+          concat(lit("u"), pmod(xxhash64($"doc_id", i), lit(1000000000L))))
+          .otherwise(concat(lit("w"), pmod(xxhash64($"cluster", i), lit(5000))))))
+      .select(
+        $"doc_id",
+        concat_ws(" ", $"toks").as("text"),
+        lit("syn").as("lang"),
+        lit("fanin").as("source"),
+        length(concat_ws(" ", $"toks")).as("n_chars"))
+  }
+
+  /** Synthetic embeddings with skewed cluster structure: half the
+    * vectors concentrate on 4 hot centers, a quarter on 12 warm ones,
+    * the rest spread over 512 cold centers; vector = center + 30% noise.
+    */
+  def genEmbeddings(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).select($"id".as("vec_id"))
+      .withColumn("u", pmod(xxhash64($"vec_id", lit("ctr")), lit(100)))
+      .withColumn("center",
+        when($"u" < 50, pmod(xxhash64($"vec_id", lit("hot")), lit(4)))
+          .when($"u" < 75, lit(4) + pmod(xxhash64($"vec_id", lit("warm")), lit(12)))
+          .otherwise(lit(16) + pmod(xxhash64($"vec_id", lit("cold")), lit(512))))
+      .withColumn("embedding", transform(sequence(lit(0), lit(Dim - 1)), d =>
+        ((pmod(xxhash64($"center", d), lit(2001)) - 1000) / lit(1000.0) +
+          (pmod(xxhash64($"vec_id", d), lit(2001)) - 1000) / lit(1000.0) * lit(0.3))
+          .cast("float")))
+      .select($"vec_id", $"embedding",
+        $"center".cast("int").as("label"))
+  }
+
+  /** max / p99 / mean group size + candidate-pair arithmetic for one
+    * blocking-key frame (one row per (item, key)).
+    */
+  private def blockStats(keyed: DataFrame, keyCols: Seq[String], label: String): String = {
+    val sizes = keyed.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("c"))
+    val row = sizes.agg(
+      count(lit(1)).as("groups"),
+      max(col("c")).as("maxc"),
+      expr("percentile_approx(c, 0.99)").as("p99"),
+      avg(col("c")).as("meanc"),
+      sum(expr("c * (c - 1) / 2")).as("cand_pairs")).head()
+    f"| $label | ${row.getLong(0)}%,d | ${row.getLong(1)}%,d | ${row.getLong(2)}%,d | " +
+      f"${row.getDouble(3)}%.1f | ${row.getDouble(4).toLong}%,d |"
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local()
+    import spark.implicits._
+    val mult = sys.env.getOrElse("FANIN_MULT", "100").toInt
+    val nDocs = 5000L * mult
+    val nVecs = 2000L * mult
+    val outDir = java.nio.file.Files.createTempDirectory("fanin").toString
+    println(s"# corpus: $nDocs docs, $nVecs vectors (x$mult sf0.1), dir $outDir")
+
+    genDocuments(spark, nDocs).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    genEmbeddings(spark, nVecs).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    // ---- MinHash-LSH band-key fan-in (q15's blocking) ----
+    val K = 12; val Bands = 4; val Rows = K / Bands
+    val docs = spark.read.parquet(s"$outDir/documents.parquet")
+    val sig = docs
+      .select($"doc_id", T.tokens($"text").as("t"))
+      .select($"doc_id", T.shingles("t").as("shingles"))
+      .withColumn("hashes", transform($"shingles", x => T.hash32(x)))
+      .filter(size($"shingles") > 0)
+      .withColumn("sig", T.minhashFromHashes($"hashes", K))
+      .persist()
+    val bands = sig.select($"doc_id",
+      explode(array((0 until Bands).map(b =>
+        struct(lit(b).as("b"), T.bandKey($"sig", b, Rows).as("key"))): _*)).as("band"))
+      .select($"doc_id", $"band.b", $"band.key")
+    println("| blocking | groups | max | p99 | mean | candidate_pairs |")
+    println("|---|---|---|---|---|---|")
+    println(blockStats(bands, Seq("b", "key"), s"minhash bands (K=$K, b=$Bands)"))
+
+    // ---- sign-LSH bucket fan-in at several plane counts (q17/q24) ----
+    val vecs = spark.read.parquet(s"$outDir/embeddings.parquet")
+      .withColumn("e", V.asDouble($"embedding")).persist()
+    Seq(4, 8, 12, 16).foreach { planes =>
+      val keyed = vecs.select($"vec_id", V.hyperplaneBucket($"e", planes, Dim).as("bucket"))
+      println(blockStats(keyed, Seq("bucket"), s"sign-LSH buckets (planes=$planes)"))
+    }
+
+    // ---- IVF cell fan-in at several codebook sizes (q40) ----
+    Seq(8, 64, 256).foreach { cells =>
+      val centroids = vecs.filter($"vec_id" < cells).orderBy($"vec_id")
+        .select($"e").collect().map(_.getSeq[Double](0).toSeq)
+      val dists = array(centroids.map { c =>
+        aggregate(zip_with($"e", typedlit(c), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)
+      }: _*)
+      val keyed = vecs.withColumn("cell",
+        (array_position(dists, array_min(dists)) - 1).cast("long"))
+      println(blockStats(keyed, Seq("cell"), s"IVF cells (C=$cells)"))
+    }
+
+    // ---- end-to-end runs on the 100x corpus ----
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.1f s, $rows%,d rows")
+    }
+    time("q15_lsh_pairs") {
+      graft.queries.Pipeline.q15.run(spark, outDir).queryExecution.toRdd.count()
+    }
+    time("q17_ann_lsh") {
+      graft.queries.Pipeline.q17.run(spark, outDir).queryExecution.toRdd.count()
+    }
+    time("q40_ann_ivf") {
+      graft.queries.Extended.q40.run(spark, outDir).queryExecution.toRdd.count()
+    }
+    // q24's all-pairs-in-bucket shape at its fixed 4-plane config is the
+    // one that does NOT survive 100x (16 buckets over 200k vectors ⇒
+    // ~1.2B candidate cosines — see the fan-in table); the same shape at
+    // a corpus-scaled plane count is what production would run:
+    def neardupPairs(planes: Int): Long = {
+      val v = vecs.withColumn("nrm", V.norm($"e"))
+        .withColumn("bucket", V.hyperplaneBucket($"e", planes, Dim))
+        .select($"vec_id", $"e", $"nrm", $"bucket").persist()
+      val n = v.as("a").join(v.as("b"),
+          $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
+        .select(V.cosine($"a.e", $"b.e", $"a.nrm", $"b.nrm").as("cosine"))
+        .filter($"cosine" >= 0.8).count()
+      v.unpersist()
+      n
+    }
+    time("q24-shape neardup (planes=12)") { neardupPairs(12) }
+    time("q24-shape neardup (planes=16)") { neardupPairs(16) }
+    spark.stop()
+  }
+}
