@@ -60,7 +60,9 @@ object GraftHashUtil {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.hash32Descriptor)
+    ext.injectFunction(GraftExtensions.dotDescriptor)
     ext.injectOptimizerRule(_ => Hash32Rewrite)
+    ext.injectOptimizerRule(_ => VectorFoldRewrite)
   }
 }
 
@@ -70,16 +72,25 @@ object GraftExtensions {
     new ExpressionInfo(classOf[Hash32Expression].getName, "graft_hash32"),
     (children: Seq[Expression]) => Hash32Expression(children.head): Expression)
 
+  private[functions] val dotDescriptor = (
+    FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+    (children: Seq[Expression]) => DotProduct(children(0), children(1)): Expression)
+
   /** Direct registration on an existing session (tests, driver-provided
     * sessions built without the extensions config). Also installs the
-    * rewrite rule via `experimental.extraOptimizations`.
+    * rewrite rules via `experimental.extraOptimizations`.
     */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       hash32Descriptor._1, hash32Descriptor._2, hash32Descriptor._3)
-    if (!spark.experimental.extraOptimizations.contains(Hash32Rewrite))
+    spark.sessionState.functionRegistry.registerFunction(
+      dotDescriptor._1, dotDescriptor._2, dotDescriptor._3)
+    val rules = Seq(Hash32Rewrite, VectorFoldRewrite)
+      .filterNot(spark.experimental.extraOptimizations.contains)
+    if (rules.nonEmpty)
       spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ Hash32Rewrite
+        spark.experimental.extraOptimizations ++ rules
   }
 }
 
