@@ -187,6 +187,28 @@ object TextFunctions {
       })
   }
 
+  /** PII patterns for the redaction/scrub stage of a training-data
+    * pipeline. Written in the regex subset Java (`regexp_replace` here)
+    * and RE2 (the DuckDB oracle) interpret identically — character
+    * classes, bounded repetition, non-capturing groups, `\b`.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d{1,3}-\\d{3}-\\d{3,10}"
+
+  /** Redact emails, IPv4 addresses and international phone numbers with
+    * typed placeholders. Order matters: emails first (they contain
+    * digits and dots an IP/phone pattern could partially claim). Pure
+    * map over codegen'd `regexp_replace` — no shuffle, safe at any
+    * scale.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   def qualityScore(text: Column): Column = {
     val sig = qualitySignals(text).toMap
     val lenScore = least(sig("n_tokens").cast("double") / lit(100.0), lit(1.0))

@@ -500,5 +500,126 @@ object Pipeline {
       FROM est e JOIN exact x USING (key)
       ORDER BY e.est DESC, e.key LIMIT 10"""))
 
-  val all: Seq[QueryDef] = Seq(q13, q14, q15, q16, q17, q18, q19, q29, q39, q41)
+  /** Near-dup CLUSTER COLLAPSE — the scalable alternative to q15's pair
+    * enumeration (FANIN.md finding 4: when a corpus contains giant
+    * true-dup clusters, the pair LIST is quadratic no matter how good
+    * the blocking is). Every doc gets a canonical cluster id — the
+    * minimum doc_id reachable through band-key collisions — via two
+    * rounds of min-label propagation over the band buckets:
+    *
+    *   round 1: label(doc)   = min doc_id over the doc's buckets;
+    *   round 2: label(doc)   = min round-1 label over the doc's buckets.
+    *
+    * Each round is one groupBy + one equi-join on the band key — linear
+    * shuffles, NO pairwise join anywhere. Two fixed rounds are exact for
+    * clique-shaped collision graphs (what LSH bands produce inside a
+    * near-dup cluster: every member shares a band key with the cluster's
+    * stable shingle core) and one hop of bridging beyond; both engines
+    * run the same two rounds so the gate is deterministic regardless.
+    * Docs with no shingles are their own singleton cluster.
+    */
+  val q43 = QueryDef(
+    "q43_neardup_clusters",
+    (s, dir) => {
+      import s.implicits._
+      val sig = hashedShingles(s, dir)
+        .filter(size($"shingles") > 0)
+        .withColumn("sig", T.minhashFromHashes($"hashes", K))
+        .select($"doc_id", $"sig")
+      val bands = sig.select($"doc_id",
+        explode(array((0 until BANDS).map(b =>
+          struct(lit(b).as("b"), T.bandKey($"sig", b, ROWS).as("key"))): _*)).as("band"))
+        .select($"doc_id", $"band.b", $"band.key")
+        .persist()
+      val m1 = bands.groupBy($"b", $"key").agg(min($"doc_id").as("m"))
+      val l1 = bands.join(m1, Seq("b", "key")).groupBy($"doc_id").agg(min($"m").as("label"))
+      val m2 = bands.join(l1, "doc_id").groupBy($"b", $"key").agg(min($"label").as("m"))
+      val l2 = bands.join(m2, Seq("b", "key")).groupBy($"doc_id").agg(min($"m").as("label"))
+      docs(s, dir).select($"doc_id")
+        .join(l2, Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"label", $"doc_id").as("cluster_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      ), sh AS (
+        SELECT doc_id,
+          CASE WHEN len(t) >= 3 THEN
+            list_distinct(list_transform(generate_series(1, len(t)-2),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+          ELSE [] END AS shingles
+        FROM toks
+      ), sig AS (
+        SELECT doc_id,
+          list_transform(generate_series(0, 11), k ->
+            list_min(list_transform(
+              list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)),
+              h -> ((2*k+1)*h + k*12582917) % 4294967311))) AS sig
+        FROM sh WHERE len(shingles) > 0
+      ), bands AS (
+        SELECT doc_id, b, md5(array_to_string(sig[(3*b+1):(3*b+3)], ',')) AS band_key
+        FROM sig, (SELECT unnest(generate_series(0,3)) AS b)
+      ), m1 AS (
+        SELECT b, band_key, MIN(doc_id) AS m FROM bands GROUP BY 1, 2
+      ), l1 AS (
+        SELECT doc_id, MIN(m) AS label FROM bands JOIN m1 USING (b, band_key) GROUP BY 1
+      ), m2 AS (
+        SELECT b, band_key, MIN(label) AS m FROM bands JOIN l1 USING (doc_id) GROUP BY 1, 2
+      ), l2 AS (
+        SELECT doc_id, MIN(m) AS label FROM bands JOIN m2 USING (b, band_key) GROUP BY 1
+      )
+      SELECT d.doc_id, COALESCE(l2.label, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN l2 USING (doc_id)"""))
+
+  /** PII redaction — the scrub stage of a curation pipeline: emails,
+    * IPv4 addresses and phone numbers replaced by typed placeholders,
+    * with per-kind hit counts for auditing. The corpus text carries no
+    * PII, so the query SEEDS deterministic PII derived from doc_id into
+    * the text first — both engines build the identical input, then the
+    * redaction itself is verified by hash. Pure map, no shuffle.
+    */
+  val q44 = QueryDef(
+    "q44_pii_redaction",
+    (s, dir) => {
+      import s.implicits._
+      val seeded = docs(s, dir).select(
+        $"doc_id",
+        concat($"text",
+          lit(" contact user"), $"doc_id".cast("string"), lit("@example.com"),
+          lit(" from 10.0."), pmod($"doc_id", lit(256L)).cast("string"), lit(".7"),
+          lit(" call +1-555-"), lpad(pmod($"doc_id", lit(10000L)).cast("string"), 4, "0"))
+          .as("seeded"))
+      seeded.select(
+        $"doc_id",
+        size(regexp_extract_all($"seeded", lit(T.EmailRe), lit(0))).cast("long").as("n_email"),
+        size(regexp_extract_all($"seeded", lit(T.Ipv4Re), lit(0))).cast("long").as("n_ip"),
+        T.redactPii($"seeded").as("redacted"))
+        .withColumn("clean",
+          !$"redacted".rlike(T.EmailRe) && !$"redacted".rlike(T.Ipv4Re) &&
+            !$"redacted".rlike(T.PhoneRe))
+    },
+    Some(s"""
+      WITH seeded AS (
+        SELECT doc_id,
+          text || ' contact user' || doc_id || '@example.com from 10.0.' ||
+            (doc_id % 256) || '.7 call +1-555-' ||
+            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS seeded
+        FROM documents
+      ), red AS (
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(seeded, '${T.EmailRe}')) AS BIGINT) AS n_email,
+          CAST(len(regexp_extract_all(seeded, '${T.Ipv4Re}')) AS BIGINT) AS n_ip,
+          regexp_replace(regexp_replace(regexp_replace(seeded,
+            '${T.EmailRe}', '<EMAIL>', 'g'),
+            '${T.Ipv4Re}', '<IP>', 'g'),
+            '${T.PhoneRe}', '<PHONE>', 'g') AS redacted
+        FROM seeded
+      )
+      SELECT doc_id, n_email, n_ip, redacted,
+        NOT (regexp_matches(redacted, '${T.EmailRe}') OR
+             regexp_matches(redacted, '${T.Ipv4Re}') OR
+             regexp_matches(redacted, '${T.PhoneRe}')) AS clean
+      FROM red"""))
+
+  val all: Seq[QueryDef] = Seq(q13, q14, q15, q16, q17, q18, q19, q29, q39, q41, q43, q44)
 }

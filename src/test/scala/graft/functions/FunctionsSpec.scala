@@ -79,6 +79,22 @@ class FunctionsSpec extends AnyFunSuite with SparkSupport {
     assert(buckets.toSeq == again.toSeq)
   }
 
+  test("redactPii scrubs emails, IPv4s and phones; leaves clean text alone") {
+    import spark.implicits._
+    val df = Seq(
+      "reach me at jane.doe+spam@mail-host.co.uk today",
+      "server 192.168.0.17 and 10.255.255.1 rebooted",
+      "call +49-030-1234567 or +1-555-0100",
+      "version 1.2.3 of lib (not an IP), cost $4.50",
+      "plain text with no pii at all").toDF("t")
+    val out = df.select(TextFunctions.redactPii($"t").as("r")).collect().map(_.getString(0))
+    assert(out(0) == "reach me at <EMAIL> today")
+    assert(out(1) == "server <IP> and <IP> rebooted")
+    assert(out(2) == "call <PHONE> or <PHONE>")
+    assert(out(3) == "version 1.2.3 of lib (not an IP), cost $4.50") // dotted triple is not an IPv4
+    assert(out(4) == "plain text with no pii at all")
+  }
+
   test("KMV sketch: estimate within theoretical error bound on a known cardinality") {
     import spark.implicits._
     val n = 20000
