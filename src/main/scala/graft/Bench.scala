@@ -10,7 +10,10 @@ object Bench {
     val spark = Sessions.local()
     // Warm the JVM/codegen once so per-query numbers measure the plan, not
     // first-call classloading. Must never abort the bench (ADVICE r1).
-    try SparkEntry.entry(spark).count()
+    // toRdd, not count(): count() prunes the aggregate expressions, so the
+    // flagship's decimal-fold codegen would otherwise compile INSIDE the
+    // first measured run (~10 s of JIT booked to q01).
+    try SparkEntry.entry(spark).queryExecution.toRdd.count()
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
     // Two timings per query:
     //  - old methodology (r1/r2 anchor): df.count() — Catalyst prunes the

@@ -80,10 +80,17 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSupport {
     assert(cosinePlan.contains("graft_dot") && cosinePlan.contains("graft_sumsq"))
     assert(optimized(V.hyperplaneBucket($"a", 4, 8)).contains("graft_dot"))
 
-    // vanilla session keeps the portable composition
+    // a session without the rule keeps the portable composition —
+    // extraOptimizations is SHARED across newSession(), so explicitly
+    // remove the rule for this assertion instead of relying on suite order
     val vanillaDf = rangeVecs(spark)
-    val vanilla = vanillaDf.select(V.dot(vanillaDf("a"), vanillaDf("b")).as("r"))
-      .queryExecution.optimizedPlan.toString
+    val saved = spark.experimental.extraOptimizations
+    val vanilla =
+      try {
+        spark.experimental.extraOptimizations = saved.filterNot(_ == VectorFoldRewrite)
+        vanillaDf.select(V.dot(vanillaDf("a"), vanillaDf("b")).as("r"))
+          .queryExecution.optimizedPlan.toString
+      } finally spark.experimental.extraOptimizations = saved
     assert(!vanilla.contains("graft_dot"))
 
     // and the fused plan computes bit-identical values to the composed one
