@@ -136,9 +136,20 @@ object TextFunctions {
     minhashFromHashes(transform(shingles, s => hash32(s)), k)
 
   /** Signature from an already-computed shingle-hash array column: k
-    * cheap affine maps, no md5 at all.
+    * cheap affine maps, no md5 at all. Uses the native single-pass
+    * [[MinHashAffine]] kernel (the composed `array(array_min(transform…))`
+    * walks the hash array k times through interpreted lambdas); the
+    * arithmetic is identical all-integer math, asserted element-exact
+    * against [[composedMinhashFromHashes]] in `SignatureExpressionsSpec`.
     */
   def minhashFromHashes(hashes: Column, k: Int): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      MinHashAffine(org.apache.spark.sql.graftshim.ColumnBridge.expression(hashes), k))
+
+  /** The portable composed form of [[minhashFromHashes]] — kept as the
+    * semantics reference (it is what the DuckDB oracle mirrors).
+    */
+  private[functions] def composedMinhashFromHashes(hashes: Column, k: Int): Column =
     array((0 until k).map { seed =>
       array_min(transform(hashes,
         h => (lit(2L * seed + 1) * h + lit(seed * MinhashB)) % lit(MinhashMod)))
@@ -172,8 +183,20 @@ object TextFunctions {
   def simhash(shingles: Column): Column =
     simhashFromHashes(transform(shingles, s => hash32(s)))
 
-  /** SimHash from an already-computed shingle-hash array column. */
-  def simhashFromHashes(hashes: Column): Column = {
+  /** SimHash from an already-computed shingle-hash array column. Uses
+    * the native single-pass [[SimHash32]] kernel (the composed fold
+    * filters the hash array once per bit — 32 interpreted passes);
+    * asserted bit-exact against [[composedSimhashFromHashes]] in
+    * `SignatureExpressionsSpec`.
+    */
+  def simhashFromHashes(hashes: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      SimHash32(org.apache.spark.sql.graftshim.ColumnBridge.expression(hashes)))
+
+  /** The portable composed form of [[simhashFromHashes]] — the semantics
+    * reference the DuckDB oracle mirrors.
+    */
+  private[functions] def composedSimhashFromHashes(hashes: Column): Column = {
     val n = size(hashes)
     aggregate(
       sequence(lit(0), lit(31)),

@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testkit.{PropSupport, SparkSupport}
+
+/** Native SimHash32/MinHashAffine kernels vs the composed higher-order
+  * forms (the semantics the DuckDB oracle mirrors): element-exact on
+  * arbitrary inputs including the degenerate cases (empty array, NULL
+  * elements, NULL array), plus a codegen smoke test.
+  */
+class SignatureExpressionsSpec extends AnyFunSuite with SparkSupport with PropSupport {
+
+  import org.scalacheck.Gen
+
+  private val hashGen: Gen[Seq[Option[Long]]] =
+    Gen.listOf(Gen.frequency(
+      9 -> Gen.choose(0L, (1L << 32) - 1).map(Option(_)),
+      1 -> Gen.const(Option.empty[Long])))
+
+  test("minhash: native single-pass equals composed k-pass on arbitrary inputs") {
+    import spark.implicits._
+    val samples = scala.collection.mutable.ArrayBuffer.empty[Seq[Option[Long]]]
+    forAllSamples(hashGen, 100)(samples += _)
+    samples += Seq.empty // explicit empty
+    val df = samples.toSeq.toDF("hashes")
+    val out = df.select(
+      TextFunctions.minhashFromHashes($"hashes", 12).as("native"),
+      TextFunctions.composedMinhashFromHashes($"hashes", 12).as("composed")).collect()
+    out.foreach { r =>
+      assert(r.getSeq[Any](0) == r.getSeq[Any](1),
+        s"minhash diverged: ${r.getSeq[Any](0)} vs ${r.getSeq[Any](1)}")
+    }
+  }
+
+  test("simhash: native single-pass equals composed 32-pass on arbitrary inputs") {
+    import spark.implicits._
+    val samples = scala.collection.mutable.ArrayBuffer.empty[Seq[Option[Long]]]
+    forAllSamples(hashGen, 100)(samples += _)
+    samples += Seq.empty
+    val df = samples.toSeq.toDF("hashes")
+    val out = df.select(
+      TextFunctions.simhashFromHashes($"hashes").as("native"),
+      TextFunctions.composedSimhashFromHashes($"hashes").as("composed")).collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"simhash diverged: ${r.getLong(0)} vs ${r.getLong(1)}"))
+  }
+
+  test("NULL array parity: simhash → 0, minhash → array of k NULLs (composed shapes)") {
+    import spark.implicits._
+    val df = Seq(Option.empty[Seq[Long]]).toDF("hashes")
+    val r = df.select(
+      TextFunctions.simhashFromHashes($"hashes").as("s"),
+      TextFunctions.composedSimhashFromHashes($"hashes").as("sc"),
+      TextFunctions.minhashFromHashes($"hashes", 4).as("m"),
+      TextFunctions.composedMinhashFromHashes($"hashes", 4).as("mc")).head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L)
+    assert(r.getSeq[Any](2) == Seq(null, null, null, null))
+    assert(r.getSeq[Any](2) == r.getSeq[Any](3))
+  }
+
+  test("codegen smoke: kernels execute inside a filtered projection over range data") {
+    import spark.implicits._
+    val df = spark.range(1, 200).select(
+      org.apache.spark.sql.functions.transform(
+        org.apache.spark.sql.functions.sequence(
+          org.apache.spark.sql.functions.lit(0), org.apache.spark.sql.functions.lit(30)),
+        i => org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64($"id", i),
+          org.apache.spark.sql.functions.lit(1L << 32))).as("hashes"))
+    val out = df.select(
+      TextFunctions.simhashFromHashes($"hashes").as("sh"),
+      TextFunctions.minhashFromHashes($"hashes", 12).as("mh"))
+      .filter($"sh" >= 0)
+    assert(out.count() == 199)
+    assert(out.selectExpr("size(mh)").distinct().head.getInt(0) == 12)
+  }
+}
