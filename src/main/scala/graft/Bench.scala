@@ -12,9 +12,17 @@ object Bench {
     // first-call classloading. Must never abort the bench (ADVICE r1).
     // toRdd, not count(): count() prunes the aggregate expressions, so the
     // flagship's decimal-fold codegen would otherwise compile INSIDE the
-    // first measured run (~10 s of JIT booked to q01).
-    try SparkEntry.entry(spark).queryExecution.toRdd.count()
-    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+    // first measured run (~10 s of JIT booked to q01). One representative
+    // per plan family (agg, broadcast join, window) at sf0.001 — the JIT
+    // of each family otherwise lands on whichever of its queries runs
+    // first alphabetically.
+    Seq("q01_pricing_summary", "q05_revenue_by_region", "q07_last_event_per_user")
+      .foreach { w =>
+        try SparkEntry.queries(w)(spark, "/root/testdata/sf0.001").queryExecution.toRdd.count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup $w failed: ${e.getMessage}")
+        }
+      }
     // Two timings per query:
     //  - old methodology (r1/r2 anchor): df.count() — Catalyst prunes the
     //    projection, so map-only queries measured scan+count only;

@@ -65,6 +65,71 @@ object Media {
     records.mapPartitions(_.map(decoder))
   }
 
+  /** Container-header metadata for an image payload. */
+  final case class MediaMeta(media_id: Long, format: String, width: Int, height: Int)
+
+  /** Dependency-free image-header probe: PNG (IHDR), JPEG (SOF marker
+    * scan), GIF (logical screen descriptor), BMP (BITMAPINFOHEADER).
+    * Reading dimensions needs only the container header, no codec — so
+    * unlike the pixel decode this part of the multimodal story is REAL
+    * in this environment. At scale this runs as a partition-batch map
+    * over the binary column, prunes by metadata before any expensive
+    * decode, and never touches more than the first KB of each payload.
+    */
+  def imageMeta(p: Array[Byte]): Option[(String, Int, Int)] = {
+    if (p.length >= 24 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G')
+      Some(("png", be32(p, 16), be32(p, 20)))
+    else if (p.length >= 10 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F')
+      Some(("gif", le16(p, 6), le16(p, 8)))
+    else if (p.length >= 26 && p(0) == 'B' && p(1) == 'M')
+      Some(("bmp", le32(p, 18), le32(p, 22)))
+    else if (p.length >= 4 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8)
+      jpegSof(p)
+    else None
+  }
+
+  /** Walk JPEG markers to the first SOF frame header (dimensions live
+    * there, not at a fixed offset).
+    */
+  private def jpegSof(p: Array[Byte]): Option[(String, Int, Int)] = {
+    var i = 2
+    while (i + 9 < p.length) {
+      if ((p(i) & 0xff) != 0xff) return None
+      val m = p(i + 1) & 0xff
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) i += 2 // standalone markers
+      else {
+        val len = be16(p, i + 2)
+        if (len < 2) return None
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+          return Some(("jpeg", be16(p, i + 7), be16(p, i + 5)))
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  private def be16(b: Array[Byte], i: Int): Int = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def le16(b: Array[Byte], i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  /** Partition-batch header probe over a media table — unparseable
+    * payloads surface as format "unknown" (curation pipelines route them
+    * to quarantine rather than dropping silently).
+    */
+  def probeHeaders(records: Dataset[MediaRecord]): Dataset[MediaMeta] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.mapPartitions(_.map { r =>
+      imageMeta(r.payload) match {
+        case Some((fmt, w, h)) => MediaMeta(r.media_id, fmt, w, h)
+        case None => MediaMeta(r.media_id, "unknown", -1, -1)
+      }
+    })
+  }
+
   /** Wrap a text table as a media table (payload = utf8 bytes) — the
     * shape testdata lacks a true binary column for; real lakes read
     * parquet BINARY directly.

@@ -73,6 +73,48 @@ object Streams {
       .outputMode(OutputMode.Append)
       .start()
 
+  /** Streaming exact dedup — the continuous twin of q13: documents
+    * fingerprinted (`TextFunctions.fingerprintMd5`, the same key the
+    * batch dedup groups on) and deduplicated within the watermark via
+    * `dropDuplicatesWithinWatermark`, so state is BOUNDED (a duplicate
+    * arriving after the watermark passes is a new document — at 100 TB
+    * the unbounded-state alternative would grow a fingerprint set
+    * forever; cross-epoch dedup belongs to the batch pass over the
+    * accumulated table). Expects columns (doc_id, ts, text).
+    */
+  def dedupExact(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fingerprint", graft.functions.TextFunctions.fingerprintMd5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
+  /** Continuous signature stage — q14/q15's "checkpointed signature
+    * table" made literal: documents stream through tokens → shingles →
+    * hash32 → native MinHash/SimHash kernels into an append-only
+    * signature table (map-only, no state at all), which every downstream
+    * dedup pass then band-joins in batch. Exactly-once via checkpoint.
+    */
+  def signatureStream(
+      docs: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      k: Int = 12): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.{TextFunctions => T}
+    docs
+      .withColumn("toks", T.tokens(col("text")))
+      .withColumn("shingles", T.shingles("toks"))
+      .withColumn("hashes", transform(col("shingles"), s => T.hash32(s)))
+      .withColumn("sig", T.minhashFromHashes(col("hashes"), k))
+      .withColumn("simhash", T.simhashFromHashes(col("hashes")))
+      .select("doc_id", "ts", "sig", "simhash")
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
+  }
+
   /** Stateful sessionization — gap > `gapSeconds` closes a session
     * (q12's batch semantics) via `flatMapGroupsWithState` with an
     * event-time timeout: per-user state is (start, last, count); a

@@ -76,6 +76,36 @@ class OperatorsSpec extends AnyFunSuite with SparkSupport {
     assert(out.count() == 2) // (10:00,09:30) and (12:00,11:59); 07:00 out of range
   }
 
+  test("Media.imageMeta: PNG/JPEG/GIF/BMP headers parse without codecs") {
+    // minimal PNG: signature + IHDR with width=640 height=480
+    val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 2, 0x80, /*640*/ 0, 0, 1, 0xe0 /*480*/).map(_.toByte)
+    assert(Media.imageMeta(png) == Some(("png", 640, 480)))
+    // GIF89a 320x200 (little-endian)
+    val gif = "GIF89a".getBytes("US-ASCII") ++ Array[Int](0x40, 0x01, 0xc8, 0x00).map(_.toByte)
+    assert(Media.imageMeta(gif) == Some(("gif", 320, 200)))
+    // BMP header: "BM", dims at 18/22 LE
+    val bmp = new Array[Byte](26)
+    bmp(0) = 'B'; bmp(1) = 'M'; bmp(18) = 0x20; bmp(19) = 0x03 // 800
+    bmp(22) = 0x58; bmp(23) = 0x02 // 600
+    assert(Media.imageMeta(bmp) == Some(("bmp", 800, 600)))
+    // JPEG: SOI, APP0 (skipped by the marker walk), SOF0 with h=1080 w=1920
+    val jpeg = Array[Int](0xff, 0xd8,
+      0xff, 0xe0, 0x00, 0x04, 0x00, 0x00, // APP0, len 4
+      0xff, 0xc0, 0x00, 0x0b, 0x08, 0x04, 0x38, 0x07, 0x80, 0x01, 0x00).map(_.toByte)
+    assert(Media.imageMeta(jpeg) == Some(("jpeg", 1920, 1080)))
+    // garbage → None; probeHeaders maps it to "unknown"
+    assert(Media.imageMeta("not an image".getBytes).isEmpty)
+    import spark.implicits._
+    val metas = Media.probeHeaders(Seq(
+      Media.MediaRecord(1L, "image/png", png),
+      Media.MediaRecord(2L, "text/plain", "hello".getBytes)).toDS())
+      .collect().sortBy(_.media_id)
+    assert(metas(0) == Media.MediaMeta(1L, "png", 640, 480))
+    assert(metas(1) == Media.MediaMeta(2L, "unknown", -1, -1))
+  }
+
   test("Media.process: per-partition batch decode with byte-accurate features") {
     import spark.implicits._
     val media = Seq(

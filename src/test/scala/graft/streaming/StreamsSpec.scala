@@ -85,4 +85,57 @@ class StreamsSpec extends AnyFunSuite with SparkSupport {
         (1L, ts("2026-01-01 10:30:00"), 1L)))
     } finally query.stop()
   }
+
+  final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
+  test("dedupExact: duplicate fingerprints within the watermark are dropped, state bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val query = Streams.dedupExact(input.toDF(), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("dedup_out").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Doc(1, ts("2026-01-01 09:00:00"), "the quick brown fox"),
+        Doc(2, ts("2026-01-01 09:01:00"), "The  quick   BROWN fox"), // same normalized content
+        Doc(3, ts("2026-01-01 09:02:00"), "something else entirely"))
+      query.processAllAvailable()
+      input.addData(Doc(4, ts("2026-01-01 11:00:00"), "past the watermark"))
+      query.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM dedup_out").collect().map(_.getLong(0)).toSet
+      assert(ids.contains(3L) && ids.contains(4L))
+      assert(ids.contains(1L) ^ ids.contains(2L),
+        s"exactly one of the normalized duplicates must survive, got $ids")
+    } finally query.stop()
+  }
+
+  test("signatureStream: continuous signature table matches the batch signature stage") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Paths.get(tmpDir("sigstream"))
+    val input = MemoryStream[Doc]
+    val query = Streams.signatureStream(input.toDF(),
+      base.resolve("sigs").toString, base.resolve("ckpt").toString, k = 12)
+    try {
+      val texts = Seq(
+        (1L, "alpha beta gamma delta epsilon"),
+        (2L, "alpha beta gamma delta zeta"),
+        (3L, "totally different words here now"))
+      input.addData(texts.map { case (id, t) => Doc(id, ts("2026-01-01 09:00:00"), t) }: _*)
+      query.processAllAvailable()
+      val streamed = spark.read.parquet(base.resolve("sigs").toString)
+      assert(streamed.count() == 3)
+      // batch twin over the same texts — signatures must be identical
+      import graft.functions.{TextFunctions => T}
+      val batch = texts.toDF("doc_id", "text")
+        .withColumn("toks", T.tokens($"text"))
+        .withColumn("shingles", T.shingles("toks"))
+        .withColumn("hashes", org.apache.spark.sql.functions.transform($"shingles", s => T.hash32(s)))
+        .select($"doc_id", T.minhashFromHashes($"hashes", 12).as("sig"),
+          T.simhashFromHashes($"hashes").as("simhash"))
+      val joined = streamed.as("s").join(batch.as("b"), "doc_id")
+        .filter($"s.sig" =!= $"b.sig" || $"s.simhash" =!= $"b.simhash")
+      assert(joined.count() == 0, "streamed signatures must equal the batch stage")
+    } finally query.stop()
+  }
 }
