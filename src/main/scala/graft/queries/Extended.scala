@@ -44,6 +44,43 @@ object Extended {
       FROM errors e ASOF LEFT JOIN clicks c
         ON e.user_id = c.user_id AND e.ts >= c.ts"""))
 
+  /** Bounded range join: every (error, click) pair with the click in
+    * the hour before the error, per user. `AsOfJoin.rangeJoin` blocks by
+    * a coarse time bucket (equi-join on (user, bucket) with a 2-bucket
+    * explode on the left) + exact range filter — ONE shuffle with
+    * bounded fan-out instead of a cartesian range condition. DuckDB's
+    * plain inequality join is the oracle.
+    */
+  val q45 = QueryDef(
+    "q45_range_join",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      val errors = ev.filter($"event_type" === "error")
+        .select($"user_id", $"event_id", $"ts")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"value")
+      AsOfJoin.rangeJoin(errors, clicks,
+        tsCol = "ts", keys = Seq("user_id"), beforeSeconds = 3600)
+        .select($"user_id", $"event_id",
+          QueryDef.ntz($"ts").as("ts"),
+          QueryDef.ntz($"ts_r").as("click_ts"),
+          $"value".cast("double").as("click_value"))
+    },
+    Some("""
+      WITH errors AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'error'
+      ), clicks AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events WHERE event_type = 'click'
+      )
+      SELECT e.user_id, e.event_id, e.ts, c.ts AS click_ts,
+             CAST(c.value AS DOUBLE) AS click_value
+      FROM errors e JOIN clicks c
+        ON e.user_id = c.user_id
+       AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 1 HOUR"""))
+
   /** Multimodal batch feature extraction: documents wrapped as binary
     * payloads, decoded per partition through the pluggable decoder
     * (byte-stats stand-in here — real codecs drop into the same
@@ -193,5 +230,5 @@ object Extended {
       )
       SELECT query_id, cell, rnk, neighbor_id, cosine FROM ranked WHERE rnk <= 3"""))
 
-  val all: Seq[QueryDef] = Seq(q22, q23, q24, q40)
+  val all: Seq[QueryDef] = Seq(q22, q23, q24, q40, q45)
 }
