@@ -39,6 +39,30 @@ object Skew {
         merge.tail.map(m => m._2(col(m._1)).as(m._1)): _*)
   }
 
+  /** Cap hot blocking buckets by sub-salting — the FANIN.md finding-5
+    * mitigation for LSH/IVF candidate joins: buckets whose row count
+    * exceeds `maxBucket` are split into ⌈size/maxBucket⌉ sub-buckets by
+    * a deterministic hash of `idCol`, so a self-join on
+    * (bucket, sub) bounds every candidate set at ~maxBucket² instead of
+    * hot-bucket². Pairs that land in different sub-buckets of the same
+    * hot bucket are the (bounded, documented) recall cost — the standard
+    * candidate-cap trade. Two linear passes: a bucket-size aggregation
+    * (tiny — one row per bucket) broadcast back onto the rows, then the
+    * salt map.
+    */
+  def capBuckets(
+      df: DataFrame,
+      bucketCol: String,
+      idCol: String,
+      maxBucket: Int): DataFrame = {
+    require(maxBucket > 0, "maxBucket must be positive")
+    val sizes = df.groupBy(col(bucketCol)).agg(count(lit(1)).as("__n"))
+    df.join(broadcast(sizes), Seq(bucketCol))
+      .withColumn("__splits", ceil(col("__n").cast("double") / maxBucket).cast("long"))
+      .withColumn("__sub", pmod(xxhash64(col(idCol)), col("__splits")))
+      .drop("__n", "__splits")
+  }
+
   /** Salted broadcast-free join for one known-hot build side: the big
     * (probe) side gets a deterministic salt, the small side is
     * replicated once per bucket, and the join key becomes (key, salt) —

@@ -73,6 +73,57 @@ object Streams {
       .outputMode(OutputMode.Append)
       .start()
 
+  /** Streaming `.xlsx` drop-folder ingest — the Excel twin of
+    * [[fileIngest]]: workbooks appearing in `inDir` stream through the
+    * dependency-free [[graft.sources.Xlsx]] decoder into an append-only
+    * parquet table. The `binaryFile` source ships each workbook's bytes
+    * to an executor task (an xlsx is an unsplittable zip — the FILE is
+    * the unit of parallelism), where the decode runs; `header` fixes the
+    * output schema up front like the CSV variant's `schema`. Exactly-once
+    * via the checkpoint; consumed files archived.
+    */
+  def xlsxIngest(
+      spark: SparkSession,
+      inDir: String,
+      header: Seq[String],
+      outDir: String,
+      checkpointDir: String,
+      archiveDir: String,
+      datenproduzent: String = "graft"): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val cols = header
+    spark.readStream
+      .format("binaryFile")
+      // streaming sources must state their schema; binaryFile's is fixed
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY"))
+      .option("pathGlobFilter", "*.xlsx")
+      .option("cleanSource", "archive")
+      .option("sourceArchiveDir", archiveDir)
+      .load(inDir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val name = path.split("/").last
+        val t = graft.sources.Xlsx.parse(bytes)
+        val idx = cols.map(c => t.header.indexOf(c))
+        t.rows.map { r =>
+          (name, idx.map(i => if (i >= 0 && i < r.length) r(i).orNull else null))
+        }
+      }
+      .select(
+        (cols.indices.map(i => col("_2").getItem(i).as(cols(i))) :+
+          col("_1").as("dateiname")): _*)
+      .withColumn("exportdatum", current_timestamp())
+      .withColumn("datenproduzent", lit(datenproduzent))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
+  }
+
   /** Streaming exact dedup — the continuous twin of q13: documents
     * fingerprinted (`TextFunctions.fingerprintMd5`, the same key the
     * batch dedup groups on) and deduplicated within the watermark via

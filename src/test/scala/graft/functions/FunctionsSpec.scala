@@ -79,6 +79,23 @@ class FunctionsSpec extends AnyFunSuite with SparkSupport {
     assert(buckets.toSeq == again.toSeq)
   }
 
+  test("capBuckets splits hot buckets, leaves cold ones whole, loses no rows") {
+    import spark.implicits._
+    // bucket 7 is hot (4000 rows), buckets 0-6 cold (50 each)
+    val df = ((1 to 4000).map(i => (7L, i.toLong)) ++
+      (0 until 7).flatMap(b => (1 to 50).map(i => (b.toLong, 10000L + b * 100 + i))))
+      .toDF("bucket", "vec_id")
+    val capped = Skew.capBuckets(df, "bucket", "vec_id", maxBucket = 500)
+    assert(capped.count() == df.count(), "no rows lost")
+    val sub = capped.groupBy($"bucket", $"__sub").count()
+    // hot bucket split into ceil(4000/500)=8 subs, hash-balanced within 2x
+    assert(sub.filter($"bucket" === 7).count() == 8)
+    assert(sub.filter($"bucket" === 7).agg(max($"count")).head.getLong(0) <= 1000)
+    // cold buckets keep a single sub-bucket
+    assert(sub.filter($"bucket" =!= 7).select($"__sub").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
   test("redactPii scrubs emails, IPv4s and phones; leaves clean text alone") {
     import spark.implicits._
     val df = Seq(

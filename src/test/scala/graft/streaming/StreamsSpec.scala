@@ -86,6 +86,30 @@ class StreamsSpec extends AnyFunSuite with SparkSupport {
     } finally query.stop()
   }
 
+  test("xlsxIngest: workbooks stream through the executor-side decoder, exactly once") {
+    import java.nio.file.{Files, Paths}
+    val base = Paths.get(tmpDir("xlsx-stream"))
+    val inDir = base.resolve("Insert"); Files.createDirectories(inDir)
+    val outDir = base.resolve("out").toString
+    graft.sources.Xlsx.write(inDir.resolve("a.xlsx").toString,
+      Seq("id", "wert"), Seq(Seq(1, "x"), Seq(2, "y")))
+    val query = Streams.xlsxIngest(spark, inDir.toString, Seq("id", "wert"), outDir,
+      base.resolve("ckpt").toString, base.resolve("archive").toString)
+    try {
+      query.processAllAvailable()
+      val first = spark.read.parquet(outDir)
+      assert(first.count() == 2)
+      assert(first.columns.toSet ==
+        Set("id", "wert", "dateiname", "exportdatum", "datenproduzent"))
+      assert(first.filter("dateiname = 'a.xlsx' AND id = '1' AND wert = 'x'").count() == 1)
+      // incremental: a second workbook appends without reprocessing the first
+      graft.sources.Xlsx.write(inDir.resolve("b.xlsx").toString,
+        Seq("id", "wert"), Seq(Seq(3, "z")))
+      query.processAllAvailable()
+      assert(spark.read.parquet(outDir).count() == 3)
+    } finally query.stop()
+  }
+
   final case class Doc(doc_id: Long, ts: Timestamp, text: String)
 
   test("dedupExact: duplicate fingerprints within the watermark are dropped, state bounded") {
