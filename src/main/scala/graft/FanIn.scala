@@ -130,6 +130,14 @@ object FanIn {
       println(blockStats(keyed, Seq("bucket"), s"sign-LSH buckets (planes=$planes)"))
     }
 
+    // ---- hot-bucket capping (Skew.capBuckets, FANIN finding 5) ----
+    Seq(500, 1000).foreach { cap =>
+      val keyed = vecs.select($"vec_id", V.hyperplaneBucket($"e", 16, Dim).as("bucket"))
+      val capped = graft.functions.Skew.capBuckets(keyed, "bucket", "vec_id", cap)
+      println(blockStats(capped, Seq("bucket", "__sub"),
+        s"sign-LSH planes=16 + capBuckets($cap)"))
+    }
+
     // ---- IVF cell fan-in at several codebook sizes (q40) ----
     Seq(8, 64, 256).foreach { cells =>
       val centroids = vecs.filter($"vec_id" < cells).orderBy($"vec_id")
@@ -143,7 +151,8 @@ object FanIn {
       println(blockStats(keyed, Seq("cell"), s"IVF cells (C=$cells)"))
     }
 
-    // ---- end-to-end runs on the 100x corpus ----
+    // ---- end-to-end runs on the 100x corpus (FANIN_E2E=0 skips) ----
+    if (sys.env.get("FANIN_E2E").contains("0")) { spark.stop(); return }
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val rows = f
