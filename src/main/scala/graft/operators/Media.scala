@@ -108,6 +108,25 @@ object Media {
     None
   }
 
+  /** Audio container metadata: (format, sampleRate, channels). WAV/RIFF
+    * fmt chunk — same dependency-free header-probe idea as [[imageMeta]].
+    */
+  def audioMeta(p: Array[Byte]): Option[(String, Int, Int)] = {
+    if (p.length < 36 || !(p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E')) return None
+    // walk chunks from offset 12 to the "fmt " chunk
+    var i = 12
+    while (i + 8 <= p.length) {
+      val id = new String(p, i, 4, "US-ASCII")
+      val len = le32(p, i + 4)
+      if (id == "fmt " && i + 16 <= p.length)
+        return Some(("wav", le32(p, i + 12), le16(p, i + 10)))
+      if (len < 0) return None
+      i += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    None
+  }
+
   private def be16(b: Array[Byte], i: Int): Int = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
   private def be32(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)

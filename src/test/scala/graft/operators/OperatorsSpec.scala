@@ -97,6 +97,15 @@ class OperatorsSpec extends AnyFunSuite with SparkSupport {
     assert(Media.imageMeta(jpeg) == Some(("jpeg", 1920, 1080)))
     // garbage → None; probeHeaders maps it to "unknown"
     assert(Media.imageMeta("not an image".getBytes).isEmpty)
+    // WAV: RIFF/WAVE + fmt chunk (2ch, 44100 Hz), preceded by a JUNK chunk
+    val wav = ("RIFF".getBytes("US-ASCII") :+ 0.toByte :+ 0.toByte :+ 0.toByte :+ 0.toByte) ++
+      "WAVE".getBytes("US-ASCII") ++
+      ("JUNK".getBytes("US-ASCII") ++ Array[Byte](2, 0, 0, 0, 0, 0)) ++ // len 2 + pad data
+      ("fmt ".getBytes("US-ASCII") ++ Array[Byte](16, 0, 0, 0,
+        1, 0, /* PCM */ 2, 0, /* channels */ 0x44.toByte, 0xac.toByte, 0, 0 /* 44100 */) ++
+        new Array[Byte](8))
+    assert(Media.audioMeta(wav) == Some(("wav", 44100, 2)))
+    assert(Media.audioMeta("RIFFxxxxNOPE".getBytes).isEmpty)
     import spark.implicits._
     val metas = Media.probeHeaders(Seq(
       Media.MediaRecord(1L, "image/png", png),
