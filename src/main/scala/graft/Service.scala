@@ -42,10 +42,23 @@ object Service {
 
     val loop = new SchedulerLoop(manager, (workflowId, zid, _) => {
       val spec = ConfigAssembly.workflowSpec(workflowId, cfg)
-      runner.run(spec, zid,
+      val result = runner.run(spec, zid,
         (m: Macros.Context, stepRunId: Option[Long], confId: Option[Long]) =>
           StepContext(spark, warehouse, ledger, m,
             schrittRunId = stepRunId, konfigurationenId = confId))
+      // result-mail dispatch (`Workflow.cs:1296-1340` / Abort `1560-1605`):
+      // select recipients per Nur_Fehler/CC, render the report, record the
+      // send decision in the ledger (SMTP itself is environment wiring)
+      val rcpt = graft.report.MailReport.recipients(
+        cfg.emailVerteiler, workflowId, result.success)
+      if (graft.report.MailReport.shouldSend(result.success, rcpt) &&
+          (rcpt.to.nonEmpty || rcpt.cc.nonEmpty)) {
+        val report = graft.report.MailReport.render(ledger, result.workflowRunId)
+        ledger.message(
+          s"result mail to=[${rcpt.to.mkString(",")}] cc=[${rcpt.cc.mkString(",")}]: " +
+            report.linesIterator.next(),
+          workflowRunId = Some(result.workflowRunId))
+      }
       ()
     })
 
@@ -89,7 +102,8 @@ object Service {
       schritte = load[SchrittRow]("schritte"),
       umsetzungSchritte = load[UmsetzungSchrittRow]("umsetzung_schritte"),
       zeitplaene = load[ZeitplanRow]("zeitplaene"),
-      schrittParameter = load[SchrittParameterRow]("schritt_parameter"))
+      schrittParameter = load[SchrittParameterRow]("schritt_parameter"),
+      emailVerteiler = load[EmailVerteilerRow]("email_verteiler"))
   }
 
   /** `graft.Service <configDir> <dataDir> <warehouseDir> <ledgerDir>`:

@@ -109,7 +109,8 @@ object ConfigAssembly {
           datumsformat = p.datumsformat.getOrElse(d.datumsformat),
           textqualifizierer = p.textqualifizierer.orElse(d.textqualifizierer),
           escapecharacter = p.escapecharacter.getOrElse(d.escapecharacter),
-          leerwert = p.leerwert.getOrElse(d.leerwert))
+          leerwert = p.leerwert.getOrElse(d.leerwert),
+          einzeldatei = p.einzeldatei.getOrElse(d.einzeldatei))
     }
 
   /** Zeitplan row → pure schedule (interval by name, masks to enums). */

@@ -100,7 +100,10 @@ final case class ZeitplanRow(
     monatsletzter: Boolean,
     sofortAusfuehrung: Boolean)
 
-/** `pc.ETL_Paketschritt_Parameter` — CSV format options per step. */
+/** `pc.ETL_Paketschritt_Parameter` — CSV format options per step
+  * (`einzeldatei` is this engine's single-file-output extension in the
+  * same option style).
+  */
 final case class SchrittParameterRow(
     etlPaketschritteId: Long,
     kopfzeile: Option[Boolean],
@@ -109,7 +112,8 @@ final case class SchrittParameterRow(
     datumsformat: Option[String],
     textqualifizierer: Option[String],
     escapecharacter: Option[String],
-    leerwert: Option[String])
+    leerwert: Option[String],
+    einzeldatei: Option[Boolean] = None)
 
 /** `conf.Email_Verteiler_Workflow` — per-workflow mail recipients with
   * the only-on-error and CC routing flags (`Workflow.cs:1296-1317`).

@@ -37,7 +37,10 @@ class ServiceSpec extends AnyFunSuite with SparkSupport {
       zeitplaene = Seq(ZeitplanRow(100, LocalDateTime.of(2026, 3, 1, 9, 0), None,
         "Minute", "09:00:00", 0, 0, anJedemTag = true, inJedemMonat = true,
         wochentage = Seq.empty, monate = Seq.empty, wocheDesMonats = 0,
-        monatsletzter = false, sofortAusfuehrung = false)))
+        monatsletzter = false, sofortAusfuehrung = false)),
+      emailVerteiler = Seq(
+        EmailVerteilerRow(1, "ops@example", nurFehler = false, cc = false, istAktiv = true),
+        EmailVerteilerRow(1, "err@example", nurFehler = true, cc = false, istAktiv = true)))
     cfg.workflows.toDS().write.mode("overwrite").parquet(s"$dir/workflows")
     cfg.pakete.toDS().write.mode("overwrite").parquet(s"$dir/pakete")
     cfg.umsetzungen.toDS().write.mode("overwrite").parquet(s"$dir/umsetzungen")
@@ -45,6 +48,7 @@ class ServiceSpec extends AnyFunSuite with SparkSupport {
     cfg.schritte.toDS().write.mode("overwrite").parquet(s"$dir/schritte")
     cfg.umsetzungSchritte.toDS().write.mode("overwrite").parquet(s"$dir/umsetzung_schritte")
     cfg.zeitplaene.toDS().write.mode("overwrite").parquet(s"$dir/zeitplaene")
+    cfg.emailVerteiler.toDS().write.mode("overwrite").parquet(s"$dir/email_verteiler")
   }
 
   test("service loop: parquet config -> scheduled execution per tick -> persisted ledger on shutdown") {
@@ -74,6 +78,12 @@ class ServiceSpec extends AnyFunSuite with SparkSupport {
     now = LocalDateTime.of(2026, 3, 2, 9, 1, 55)
     assert(engine.tick(now) == Seq(1))
     assert(spark.read.parquet(s"$warehouseDir/regions_svc").count() == 10)
+
+    // result mail recorded per run: success skips the Nur_Fehler recipient
+    val mails = engine.ledger.allMessages.filter(_.meldungstext.startsWith("result mail"))
+    assert(mails.size == 2)
+    assert(mails.forall(m => m.meldungstext.contains("ops@example") &&
+      !m.meldungstext.contains("err@example")))
 
     // shutdown persists the ledger; all rows closed
     val closed = engine.shutdown(Some(ledgerDir))
