@@ -45,6 +45,50 @@ object Sketches {
       .agg(min(col("c")).as("est"))
   }
 
+  /** Fixed-range histogram quantile sketch: `buckets` equi-width bins
+    * over [lo, hi) (values clamped to the edge bins), estimate of
+    * quantile q = the upper edge of the first bin whose cumulative count
+    * reaches q·N. State is `buckets` longs regardless of input, two
+    * sketches merge by adding counts, and — unlike GK/t-digest, whose
+    * state depends on arrival order — the result is deterministic, so
+    * the DuckDB oracle reproduces every bin and every estimate exactly.
+    * Error bound: ±(hi−lo)/buckets on the value axis, the documented
+    * trade for mergeability + determinism.
+    */
+  def histogramBins(df: DataFrame, value: Column, lo: Double, hi: Double,
+      buckets: Int): DataFrame = {
+    require(hi > lo && buckets > 0, "need hi > lo and positive bucket count")
+    val width = (hi - lo) / buckets
+    df.select(value.cast("double").as("v"))
+      .withColumn("bin",
+        least(greatest(floor((col("v") - lit(lo)) / lit(width)), lit(0L)),
+          lit(buckets.toLong - 1)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Quantile estimates from the bins: for each q, the upper edge of the
+    * bin where the cumulative count first reaches ⌈q·N⌉.
+    */
+  def histogramQuantiles(bins: DataFrame, lo: Double, hi: Double, buckets: Int,
+      qs: Seq[Double]): DataFrame = {
+    val width = (hi - lo) / buckets
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = bins
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("total", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    def pct(q: Double): Int = (q * 100).toInt
+    val hits = qs.map(q => min(when(
+      col("cum") >= ceil(lit(q) * col("total")), col("bin"))).as(s"bin_${pct(q)}"))
+    cum
+      .agg(hits.head, hits.tail: _*)
+      .select(qs.map(q =>
+        (lit(lo) + (col(s"bin_${pct(q)}") + 1) * lit(width)).as(s"p${pct(q)}")): _*)
+  }
+
   /** KMV estimate of distinct `key` values: with m = the k-th smallest
     * 32-bit key hash, estimate = (k-1) · 2^32 / m.
     */

@@ -621,5 +621,43 @@ object Pipeline {
              regexp_matches(redacted, '${T.PhoneRe}')) AS clean
       FROM red"""))
 
-  val all: Seq[QueryDef] = Seq(q13, q14, q15, q16, q17, q18, q19, q29, q39, q41, q43, q44)
+  /** Histogram quantile sketch — the third mergeable sketch next to KMV
+    * (q39) and Count-Min (q41): 1024 equi-width bins over
+    * l_extendedprice, quantiles read off the cumulative bin counts.
+    * Unlike GK/t-digest the state is arrival-order-independent, so the
+    * oracle reproduces every bin and estimate exactly; error is bounded
+    * by one bin width (±~102) on the value axis. The bin table is the
+    * sketch: 1024 longs whatever the input size, merged by adding.
+    */
+  val q46 = QueryDef(
+    "q46_histogram_quantiles",
+    (s, dir) => {
+      import s.implicits._
+      val bins = graft.functions.Sketches.histogramBins(
+        Tables.load(s, dir, "lineitem"), $"l_extendedprice",
+        lo = 900.0, hi = 105000.0, buckets = 1024)
+      graft.functions.Sketches.histogramQuantiles(
+        bins, lo = 900.0, hi = 105000.0, buckets = 1024, qs = Seq(0.5, 0.95, 0.99))
+    },
+    Some("""
+      WITH v AS (
+        SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+      ), bins AS (
+        SELECT LEAST(GREATEST(CAST(floor((v - 900.0) / ((105000.0 - 900.0) / 1024)) AS BIGINT),
+                              0), 1023) AS bin,
+               COUNT(*) AS c
+        FROM v GROUP BY 1
+      ), cum AS (
+        SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum, SUM(c) OVER () AS total FROM bins
+      )
+      SELECT
+        900.0 + (MIN(CASE WHEN cum >= ceil(0.50 * total) THEN bin END) + 1)
+          * ((105000.0 - 900.0) / 1024) AS p50,
+        900.0 + (MIN(CASE WHEN cum >= ceil(0.95 * total) THEN bin END) + 1)
+          * ((105000.0 - 900.0) / 1024) AS p95,
+        900.0 + (MIN(CASE WHEN cum >= ceil(0.99 * total) THEN bin END) + 1)
+          * ((105000.0 - 900.0) / 1024) AS p99
+      FROM cum"""))
+
+  val all: Seq[QueryDef] = Seq(q13, q14, q15, q16, q17, q18, q19, q29, q39, q41, q43, q44, q46)
 }

@@ -112,6 +112,24 @@ class FunctionsSpec extends AnyFunSuite with SparkSupport {
     assert(out(4) == "plain text with no pii at all")
   }
 
+  test("histogram quantile sketch: estimates within one bin width; bins merge by addition") {
+    import spark.implicits._
+    val n = 10000
+    val df = (1 to n).map(_.toDouble).toDF("v") // uniform 1..10000 → p50 ≈ 5000
+    val bins = Sketches.histogramBins(df, $"v", lo = 0.0, hi = 10000.0, buckets = 100)
+    val q = Sketches.histogramQuantiles(bins, 0.0, 10000.0, 100, Seq(0.5, 0.95)).head()
+    assert(math.abs(q.getDouble(0) - 5000.0) <= 100.0, s"p50 ${q.getDouble(0)}")
+    assert(math.abs(q.getDouble(1) - 9500.0) <= 100.0, s"p95 ${q.getDouble(1)}")
+    // mergeability: sketch(A) + sketch(B) == sketch(A ∪ B), bin by bin
+    val (a, b) = ((1 to n / 2).map(_.toDouble), (n / 2 + 1 to n).map(_.toDouble))
+    val merged = Sketches.histogramBins(a.toDF("v"), $"v", 0.0, 10000.0, 100)
+      .unionByName(Sketches.histogramBins(b.toDF("v"), $"v", 0.0, 10000.0, 100))
+      .groupBy($"bin").agg(sum($"c").as("c"))
+    val direct = Sketches.histogramBins(df, $"v", 0.0, 10000.0, 100)
+    assert(merged.join(direct.withColumnRenamed("c", "c2"), Seq("bin"))
+      .filter($"c" =!= $"c2").count() == 0)
+  }
+
   test("KMV sketch: estimate within theoretical error bound on a known cardinality") {
     import spark.implicits._
     val n = 20000
