@@ -34,17 +34,42 @@ object AsOfJoin {
       right: DataFrame,
       tsCol: String,
       keys: Seq[String],
-      valueCols: Seq[String]): DataFrame = {
+      valueCols: Seq[String]): DataFrame =
+    join0(left, right, tsCol, keys, valueCols, forwardDir = false)
+
+  /** Forward variant: for every left row, the EARLIEST right row with
+    * `right.ts >= left.ts` within the same key (equal timestamps match).
+    * Same one-shuffle union+window plan, mirrored.
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      tsCol: String,
+      keys: Seq[String],
+      valueCols: Seq[String]): DataFrame =
+    join0(left, right, tsCol, keys, valueCols, forwardDir = true)
+
+  /** Shared core. Right rows carry ALL their value columns inside ONE
+    * struct, so a matched right row whose value is genuinely NULL still
+    * counts as a match (last/first(ignoreNulls) skips NULL structs =
+    * unmatched left rows, not NULL fields inside a matched struct).
+    * `__rid` makes ties among right rows at the same (key, ts)
+    * deterministic: backward takes the last in right-side order, forward
+    * the first — matching DuckDB's ASOF tie behavior in each direction.
+    * Equal timestamps match in both directions via the tag ordering
+    * (right sorts on the match side of left at the same ts).
+    */
+  private def join0(
+      left: DataFrame,
+      right: DataFrame,
+      tsCol: String,
+      keys: Seq[String],
+      valueCols: Seq[String],
+      forwardDir: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     require(!valueCols.exists(leftCols.contains),
       s"value columns ${valueCols.mkString(",")} must not collide with left columns")
 
-    // Right rows carry ALL their value columns inside ONE struct, so a
-    // matched right row whose value is genuinely NULL still counts as a
-    // match (last(ignoreNulls) skips NULL structs = unmatched left rows,
-    // not NULL fields inside a matched struct). `__rid` makes ties among
-    // right rows at the same (key, ts) deterministic: the last one in
-    // right-side order wins, matching DuckDB's ASOF tie behavior.
     val asofType = org.apache.spark.sql.types.StructType(
       valueCols.map(c => right.schema(right.schema.fieldIndex(c))))
     val taggedRight = right
@@ -60,10 +85,19 @@ object AsOfJoin {
       .withColumn("__asof", lit(null).cast(asofType))
 
     val unioned = taggedRight.unionByName(taggedLeft.select(taggedRight.columns.map(col): _*))
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol), col("__tag"), col("__rid").asc_nulls_first)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = unioned.withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))
+    val base = Window.partitionBy(keys.map(col): _*)
+    val filled =
+      if (forwardDir) {
+        val w = base
+          .orderBy(col(tsCol), col("__tag").desc, col("__rid").asc_nulls_first)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        unioned.withColumn("__asof", first(col("__asof"), ignoreNulls = true).over(w))
+      } else {
+        val w = base
+          .orderBy(col(tsCol), col("__tag"), col("__rid").asc_nulls_first)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        unioned.withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))
+      }
     filled.filter(col("__tag") === 1)
       .select(leftCols.map(col) ++ valueCols.map(c => col("__asof").getField(c).as(c)): _*)
   }

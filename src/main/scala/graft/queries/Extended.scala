@@ -44,6 +44,39 @@ object Extended {
       FROM errors e ASOF LEFT JOIN clicks c
         ON e.user_id = c.user_id AND e.ts >= c.ts"""))
 
+  /** Forward as-of join: every error matched with the user's NEXT click
+    * at-or-after it — the "what did the user do after the error" shape.
+    * Same one-shuffle union+window plan as q22, mirrored; DuckDB's ASOF
+    * with the `<=` inequality is the oracle.
+    */
+  val q47 = QueryDef(
+    "q47_asof_forward",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      val errors = ev.filter($"event_type" === "error")
+        .select($"user_id", $"event_id", $"ts")
+      val clicks = ev.filter($"event_type" === "click")
+        .groupBy($"user_id", $"ts")
+        .agg(max($"value").as("next_click_value"))
+      AsOfJoin.forward(errors, clicks,
+        tsCol = "ts", keys = Seq("user_id"), valueCols = Seq("next_click_value"))
+        .select($"user_id", $"event_id",
+          QueryDef.ntz($"ts").as("ts"),
+          $"next_click_value".cast("double").as("next_click_value"))
+    },
+    Some("""
+      WITH errors AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'error'
+      ), clicks AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS next_click_value
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+      )
+      SELECT e.user_id, e.event_id, e.ts, c.next_click_value
+      FROM errors e ASOF LEFT JOIN clicks c
+        ON e.user_id = c.user_id AND e.ts <= c.ts"""))
+
   /** Bounded range join: every (error, click) pair with the click in
     * the hour before the error, per user. `AsOfJoin.rangeJoin` blocks by
     * a coarse time bucket (equi-join on (user, bucket) with a 2-bucket
@@ -230,5 +263,5 @@ object Extended {
       )
       SELECT query_id, cell, rnk, neighbor_id, cosine FROM ranked WHERE rnk <= 3"""))
 
-  val all: Seq[QueryDef] = Seq(q22, q23, q24, q40, q45)
+  val all: Seq[QueryDef] = Seq(q22, q23, q24, q40, q45, q47)
 }

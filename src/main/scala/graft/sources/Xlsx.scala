@@ -80,7 +80,8 @@ object Xlsx {
       throw new IllegalArgumentException(s"xlsx has no worksheet at $sheetPath"))
     val shared = es.get("xl/sharedStrings.xml").map(sharedStrings).getOrElse(Vector.empty)
     val dates = es.get("xl/styles.xml").map(dateStyleIndexes).getOrElse(Set.empty)
-    val used = sheetRows(sheet, shared, dates, maxUsedRows)
+    val date1904 = es.get("xl/workbook.xml").exists(isDate1904)
+    val used = sheetRows(sheet, shared, dates, date1904, maxUsedRows)
     if (used.isEmpty) Table(Vector.empty, Vector.empty)
     else {
       val header = used.head.zipWithIndex.map { case (h, i) => h.getOrElse(s"_c$i") }
@@ -144,6 +145,22 @@ object Xlsx {
       target <- relTarget(rels, rid)
     } yield if (target.startsWith("/")) target.drop(1) else s"xl/$target"
     resolved.getOrElse("xl/worksheets/sheet1.xml")
+  }
+
+  /** Mac-legacy 1904 date system: `<workbookPr date1904="1"/>` shifts
+    * the serial epoch to 1904-01-01.
+    */
+  private def isDate1904(workbook: Array[Byte]): Boolean = {
+    val r = xmlFactory.createXMLStreamReader(new ByteArrayInputStream(workbook))
+    try {
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "workbookPr") {
+          val v = r.getAttributeValue(null, "date1904")
+          return v == "1" || v == "true"
+        }
+      }
+      false
+    } finally r.close()
   }
 
   private def firstSheetRelId(workbook: Array[Byte]): Option[String] = {
@@ -250,6 +267,7 @@ object Xlsx {
       sheet: Array[Byte],
       shared: IndexedSeq[String],
       dateStyles: Set[Int],
+      date1904: Boolean,
       maxUsedRows: Int): Vector[IndexedSeq[Option[String]]] = {
     val r = xmlFactory.createXMLStreamReader(new ByteArrayInputStream(sheet))
     try {
@@ -287,7 +305,8 @@ object Xlsx {
         case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
           case "v" | "t" => capture = false
           case "c" if cells != null =>
-            place(cellCol, cellValue(text.toString, cellType, cellStyle, shared, dateStyles))
+            place(cellCol,
+              cellValue(text.toString, cellType, cellStyle, shared, dateStyles, date1904))
             nextCol = cellCol + 1
             text = null
           case "row" =>
@@ -303,7 +322,7 @@ object Xlsx {
 
   private def cellValue(
       raw: String, t: String, style: Int,
-      shared: IndexedSeq[String], dateStyles: Set[Int]): Option[String] = {
+      shared: IndexedSeq[String], dateStyles: Set[Int], date1904: Boolean): Option[String] = {
     val v = t match {
       case "s"                 => shared(raw.trim.toInt)
       case "inlineStr" | "str" => raw
@@ -311,14 +330,17 @@ object Xlsx {
       case "e"                 => "" // error cell → NULL
       case _ => // numeric (possibly date-styled)
         if (raw.isEmpty) ""
-        else if (dateStyles(style)) serialToTimestamp(raw.toDouble)
+        else if (dateStyles(style)) serialToTimestamp(raw.toDouble, date1904)
         else raw
     }
     if (v.isEmpty) None else Some(v)
   }
 
-  private def serialToTimestamp(serial: Double): String =
-    Epoch.plusSeconds(math.round(serial * 86400.0)).format(TsFmt)
+  private val Epoch1904 = LocalDateTime.of(1904, 1, 1, 0, 0, 0)
+
+  private def serialToTimestamp(serial: Double, date1904: Boolean): String =
+    (if (date1904) Epoch1904 else Epoch)
+      .plusSeconds(math.round(serial * 86400.0)).format(TsFmt)
 
   /** "BC7" → 0-based column 54. */
   private def colIndexOf(ref: String): Int = {

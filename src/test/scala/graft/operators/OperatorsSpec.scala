@@ -57,6 +57,26 @@ class OperatorsSpec extends AnyFunSuite with SparkSupport {
     assert(results.distinct == Seq(3.0), s"nondeterministic tie-break: $results")
   }
 
+  test("AsOfJoin.forward: earliest right at-or-after, equal ts matches, ties take the first right row") {
+    import spark.implicits._
+    val left = Seq((1L, 5L, "e1"), (1L, 11L, "e2"), (2L, 3L, "e3")).toDF("k", "ts", "name")
+    val right = Seq((1L, 5L, 50.0), (1L, 10L, 100.0), (2L, 1L, 10.0)).toDF("k", "ts", "v")
+    val out = AsOfJoin.forward(left, right, "ts", Seq("k"), Seq("v"))
+      .orderBy($"k", $"ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) null else r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 5L, 50.0),   // equal ts matches
+      (1L, 11L, null),  // nothing follows
+      (2L, 3L, null)))  // right@1 precedes, not follows
+    // ties at the same (key, ts): first right row in right-side order wins
+    val l2 = Seq((1L, 10L)).toDF("k", "ts")
+    val r2 = Seq((1L, 10L, 1.0), (1L, 10L, 2.0), (1L, 10L, 3.0)).toDF("k", "ts", "v")
+    val ties = (1 to 5).map(_ =>
+      AsOfJoin.forward(l2, r2, "ts", Seq("k"), Seq("v")).collect()(0).getDouble(2))
+    assert(ties.distinct == Seq(1.0), s"nondeterministic forward tie-break: $ties")
+  }
+
   test("AsOfJoin.rangeJoin: zero/negative window is rejected, not silently empty (ADVICE r2)") {
     import spark.implicits._
     val df = Seq((1L, "2026-01-01 10:00:00")).toDF("k", "ts")

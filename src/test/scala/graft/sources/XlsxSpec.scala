@@ -127,6 +127,31 @@ class XlsxSpec extends AnyFunSuite with SparkSupport {
     assert(rows.toSeq == Seq(("1", "x"), ("2", "y"), ("3", null)))
   }
 
+  test("date1904 workbooks shift the serial epoch (Mac-legacy date system)") {
+    val sheet =
+      """<?xml version="1.0"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c t="inlineStr"><is><t>d</t></is></c></row>
+        |<row r="2"><c r="A2" s="1"><v>100</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val styles =
+      """<?xml version="1.0"?>
+        |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="14"/></cellXfs></styleSheet>""".stripMargin
+    def wb(flag: String) =
+      s"""<?xml version="1.0"?>
+         |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+         |<workbookPr date1904="$flag"/></workbook>""".stripMargin
+    val mac = Xlsx.parse(zipOf(Map(
+      "xl/worksheets/sheet1.xml" -> sheet, "xl/styles.xml" -> styles,
+      "xl/workbook.xml" -> wb("1"))))
+    assert(mac.rows(0)(0) == Some("1904-04-10 00:00:00")) // 1904-01-01 + 100 days
+    val win = Xlsx.parse(zipOf(Map(
+      "xl/worksheets/sheet1.xml" -> sheet, "xl/styles.xml" -> styles,
+      "xl/workbook.xml" -> wb("0"))))
+    assert(win.rows(0)(0) == Some("1900-04-09 00:00:00")) // 1899-12-30 + 100 days
+  }
+
   test("empty sheet yields an empty table (reference logs and skips)") {
     val sheet =
       """<?xml version="1.0"?>
