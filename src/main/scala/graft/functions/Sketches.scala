@@ -68,25 +68,36 @@ object Sketches {
   }
 
   /** Quantile estimates from the bins: for each q, the upper edge of the
-    * bin where the cumulative count first reaches ⌈q·N⌉.
+    * bin where the cumulative count first reaches ⌈q·N⌉. The finalize
+    * step of the mergeable sketch: ONE aggregation collapses the ≤
+    * `buckets` bin rows into a single sorted array + total, then each
+    * quantile is an O(buckets) fold over that one row — no window (a
+    * running-sum window here would be partitionless and serialize
+    * through one task, polluting the bench log's single-partition
+    * warnings), no join, state bounded by `buckets` regardless of the
+    * original input size.
     */
   def histogramQuantiles(bins: DataFrame, lo: Double, hi: Double, buckets: Int,
       qs: Seq[Double]): DataFrame = {
     val width = (hi - lo) / buckets
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("bin"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val cum = bins
-      .withColumn("cum", sum(col("c")).over(w))
-      .withColumn("total", sum(col("c")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
+    val state = bins.agg(
+      sort_array(collect_list(struct(col("bin"), col("c")))).as("bins"),
+      sum(col("c")).as("total"))
+    // first bin (ascending) whose cumulative count reaches ⌈q·total⌉
+    def binFor(q: Double): Column = {
+      val threshold = ceil(lit(q) * col("total"))
+      aggregate(
+        col("bins"),
+        struct(lit(0L).as("cum"), lit(null).cast("long").as("hit")),
+        (acc, x) => struct(
+          (acc("cum") + x("c")).as("cum"),
+          when(acc("hit").isNull && acc("cum") + x("c") >= threshold, x("bin"))
+            .otherwise(acc("hit")).as("hit")),
+        acc => acc("hit"))
+    }
     def pct(q: Double): Int = (q * 100).toInt
-    val hits = qs.map(q => min(when(
-      col("cum") >= ceil(lit(q) * col("total")), col("bin"))).as(s"bin_${pct(q)}"))
-    cum
-      .agg(hits.head, hits.tail: _*)
-      .select(qs.map(q =>
-        (lit(lo) + (col(s"bin_${pct(q)}") + 1) * lit(width)).as(s"p${pct(q)}")): _*)
+    state.select(qs.map(q =>
+      (lit(lo) + (binFor(q) + 1) * lit(width)).as(s"p${pct(q)}")): _*)
   }
 
   /** KMV estimate of distinct `key` values: with m = the k-th smallest

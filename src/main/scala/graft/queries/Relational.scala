@@ -484,18 +484,24 @@ object Relational {
   /** Moving aggregate over a RANGE frame — the sliding-window report
     * shape. Sum and count computed separately in exact decimal/long so
     * both engines divide identical values (an AVG-over-decimal would
-    * leave each engine its own internal rounding).
+    * leave each engine its own internal rounding). Runs through
+    * [[graft.operators.BucketedWindow]] so the frame is partitioned by a
+    * coarse key bucket with boundary overlap instead of the naive
+    * no-partition window that serializes the table through one task
+    * (the "WindowExec: No Partition Defined" hazard at scale).
     */
   val q30 = QueryDef(
     "q30_moving_avg",
     (s, dir) => {
       import s.implicits._
-      val w = Window.orderBy($"o_orderkey").rangeBetween(-10, Window.currentRow)
-      Tables.load(s, dir, "orders")
+      val base = Tables.load(s, dir, "orders")
         .filter($"o_orderkey" <= 2000)
-        .select($"o_orderkey",
-          (sum($"o_totalprice".cast("decimal(12,2)")).over(w).cast("double") /
-            count(lit(1)).over(w)).as("moving_avg"))
+        .select($"o_orderkey", $"o_totalprice")
+      graft.operators.BucketedWindow.rangePreceding(
+        base, "o_orderkey", preceding = 10, bucketWidth = 256)(Seq(
+        "__sum" -> (w => sum(col("o_totalprice").cast("decimal(12,2)")).over(w).cast("double")),
+        "__cnt" -> (w => count(lit(1)).over(w))))
+        .select($"o_orderkey", ($"__sum" / $"__cnt").as("moving_avg"))
     },
     Some("""
       SELECT o_orderkey,

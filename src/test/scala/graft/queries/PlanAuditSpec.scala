@@ -72,6 +72,31 @@ class PlanAuditSpec extends AnyFunSuite with SparkSupport {
       }
   }
 
+  test("q30: the sliding window is partition-parallel; q46 finalize plans no window at all") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // q30 must keep the window shape, but every WindowExec needs a
+    // partition spec — an empty one is the single-task serialization the
+    // driver's bench log warns about ("No Partition Defined")
+    val q30 = Registry.byName("q30_moving_avg").run(spark, sf)
+    val wins = q30.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "q30 should still be a window plan")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "q30's RANGE frame must be partitioned (BucketedWindow), not global")
+    // and the bucket key genuinely fans out on the gate fixture (>1
+    // partition feeds the window)
+    val buckets = graft.catalog.Tables.load(spark, sf, "orders")
+      .filter("o_orderkey <= 2000")
+      .select(org.apache.spark.sql.functions.floor(
+        org.apache.spark.sql.functions.col("o_orderkey") / 256).as("b"))
+      .distinct().count()
+    assert(buckets > 1, s"expected >1 window bucket on the fixture, got $buckets")
+    // q46's sketch finalize is a single-row array fold — a window there
+    // would be partitionless by construction
+    val q46 = Registry.byName("q46_histogram_quantiles").run(spark, sf)
+    val wins46 = q46.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(wins46.isEmpty, "q46 finalize must not plan a window operator")
+  }
+
   test("whole-stage codegen covers the scan->project pipelines") {
     // the "*(n)" operator prefix is the whole-stage-codegen marker in
     // physical plan strings
