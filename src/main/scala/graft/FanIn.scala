@@ -138,6 +138,22 @@ object FanIn {
         s"sign-LSH planes=16 + capBuckets($cap)"))
     }
 
+    // ---- the q24 operator's production-default blocking (CosineNearDup:
+    // scaledPlanes(n) + capBuckets(500)) — asserted, not just reported:
+    // the registered operator's default knobs must bound the candidate
+    // set at this corpus scale (VERDICT r3 item 2) ----
+    val planesAuto = graft.operators.CosineNearDup.scaledPlanes(nVecs)
+    val keyedAuto = graft.operators.CosineNearDup.blockingKeys(
+      spark.read.parquet(s"$outDir/embeddings.parquet"),
+      "vec_id", "embedding", Dim, planes = planesAuto)
+    println(blockStats(keyedAuto, Seq("bucket", "__sub"),
+      s"q24 default blocking (scaledPlanes=$planesAuto + cap 500)"))
+    val candAuto = keyedAuto.groupBy($"bucket", $"__sub").agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1) / 2")).as("p")).head().getDouble(0).toLong
+    assert(candAuto < 50000000L,
+      s"q24 default blocking yields $candAuto candidate pairs at x$mult — over the 50M bound")
+    println(f"q24 default blocking candidate pairs at x$mult: $candAuto%,d (< 50M bound: OK)")
+
     // ---- IVF cell fan-in at several codebook sizes (q40) ----
     Seq(8, 64, 256).foreach { cells =>
       val centroids = vecs.filter($"vec_id" < cells).orderBy($"vec_id")
@@ -167,23 +183,17 @@ object FanIn {
     time("q40_ann_ivf") {
       graft.queries.Extended.q40.run(spark, outDir).queryExecution.toRdd.count()
     }
-    // q24's all-pairs-in-bucket shape at its fixed 4-plane config is the
-    // one that does NOT survive 100x (16 buckets over 200k vectors ⇒
-    // ~1.2B candidate cosines — see the fan-in table); the same shape at
-    // a corpus-scaled plane count is what production would run:
-    def neardupPairs(planes: Int): Long = {
-      val v = vecs.withColumn("nrm", V.norm($"e"))
-        .withColumn("bucket", V.hyperplaneBucket($"e", planes, Dim))
-        .select($"vec_id", $"e", $"nrm", $"bucket").persist()
-      val n = v.as("a").join(v.as("b"),
-          $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
-        .select(V.cosine($"a.e", $"b.e", $"a.nrm", $"b.nrm").as("cosine"))
-        .filter($"cosine" >= 0.8).count()
-      v.unpersist()
-      n
-    }
-    time("q24-shape neardup (planes=12)") { neardupPairs(12) }
-    time("q24-shape neardup (planes=16)") { neardupPairs(16) }
+    // q24's all-pairs-in-bucket shape at its fixed 4-plane gate config is
+    // the one that does NOT survive 100x (16 buckets over 200k vectors ⇒
+    // ~1.2B candidate cosines — see the fan-in table); these runs go
+    // through the SHIPPED CosineNearDup operator (scaled planes +
+    // capBuckets), so the timing measures the production path:
+    def neardupPairs(planes: Int): Long =
+      graft.operators.CosineNearDup.pairs(
+        spark.read.parquet(s"$outDir/embeddings.parquet"),
+        "vec_id", "embedding", Dim, threshold = 0.8, planes = planes).count()
+    time(s"CosineNearDup (scaledPlanes=$planesAuto + cap)") { neardupPairs(planesAuto) }
+    time("CosineNearDup (planes=16 + cap)") { neardupPairs(16) }
     spark.stop()
   }
 }

@@ -56,9 +56,15 @@ object Skew {
       idCol: String,
       maxBucket: Int): DataFrame = {
     require(maxBucket > 0, "maxBucket must be positive")
-    val sizes = df.groupBy(col(bucketCol)).agg(count(lit(1)).as("__n"))
-    df.join(broadcast(sizes), Seq(bucketCol))
-      .withColumn("__splits", ceil(col("__n").cast("double") / maxBucket).cast("long"))
+    // broadcast only the OVER-cap buckets: for high-cardinality blocking
+    // keys (fine LSH bands, mostly-singleton buckets) the full size table
+    // is as big as the data and would blow the broadcast limit — the hot
+    // set is small by definition, and an absent key means 1 split
+    val hot = df.groupBy(col(bucketCol)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket)
+    df.join(broadcast(hot), Seq(bucketCol), "left")
+      .withColumn("__splits",
+        coalesce(ceil(col("__n").cast("double") / maxBucket).cast("long"), lit(1L)))
       .withColumn("__sub", pmod(xxhash64(col(idCol)), col("__splits")))
       .drop("__n", "__splits")
   }

@@ -138,30 +138,28 @@ object Extended {
              substr(text, 1, 16) AS head
       FROM documents"""))
 
-  /** Embedding-cosine near-dup pairs — the vector-space sibling of q15:
-    * sign-LSH buckets block the candidate set (same-bucket only, never
-    * all-pairs), then the exact cosine filters at the threshold. At
-    * 100 TB the bucket id is the shuffle key and the threshold/plane
-    * count trade recall against fan-in; the 0.3 threshold matches this
-    * synthetic corpus's similarity scale (real near-dup corpora use
-    * ~0.9 with the identical plan).
+  /** Embedding-cosine near-dup pairs — the vector-space sibling of q15,
+    * via [[graft.operators.CosineNearDup]]: sign-LSH buckets + hot-bucket
+    * capping block the candidate set (same-(bucket, sub) only, never
+    * all-pairs), then the exact cosine filters at the threshold. The gate
+    * pins `planes = 4` — the oracle's fixture config, at which every
+    * bucket is under the 500-row cap so the capped path is bit-identical
+    * to the uncapped one; production passes
+    * `CosineNearDup.scaledPlanes(n)` so the plane count grows with the
+    * corpus (FANIN.md findings 2/5: planes=4 at 100× ⇒ 1.76B candidate
+    * pairs; scaled planes + cap ⇒ tens of millions). The 0.3 threshold
+    * matches this synthetic corpus's similarity scale (real near-dup
+    * corpora use ~0.9 with the identical plan).
     */
   val q24 = QueryDef(
     "q24_embedding_neardup",
     (s, dir) => {
       import s.implicits._
-      import graft.functions.{VectorFunctions => V}
-      val v = Tables.load(s, dir, "embeddings")
-        .withColumn("e", V.asDouble($"embedding"))
-        .withColumn("nrm", V.norm($"e"))
-        .withColumn("bucket", V.hyperplaneBucket($"e", 4, 64))
-        .select($"vec_id", $"e", $"nrm", $"bucket")
-        .persist()
-      v.as("a").join(v.as("b"),
-          $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
-        .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
-          V.cosine($"a.e", $"b.e", $"a.nrm", $"b.nrm").as("cosine"))
-        .filter($"cosine" >= 0.3)
+      graft.operators.CosineNearDup.pairs(
+        Tables.load(s, dir, "embeddings"),
+        idCol = "vec_id", embCol = "embedding", dim = 64,
+        threshold = 0.3, planes = 4)
+        .select($"id_a".as("vec_a"), $"id_b".as("vec_b"), $"cosine")
     },
     Some("""
       WITH planes AS (

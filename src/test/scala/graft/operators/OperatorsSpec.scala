@@ -96,6 +96,56 @@ class OperatorsSpec extends AnyFunSuite with SparkSupport {
     assert(out.count() == 2) // (10:00,09:30) and (12:00,11:59); 07:00 out of range
   }
 
+  test("BucketedWindow.rangePreceding: values identical to the global RANGE frame") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // sparse keys WITH duplicates (RANGE peers) — the two cases a
+    // boundary-overlap bug would corrupt
+    val df = spark.range(0, 1000).select(
+      pmod(xxhash64($"id"), lit(500)).as("k"),
+      pmod(xxhash64($"id", lit("v")), lit(100)).cast("double").as("v"))
+    val global = Window.orderBy($"k").rangeBetween(-7, Window.currentRow)
+    val expected = df.select($"k", sum($"v").over(global).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val got = BucketedWindow.rangePreceding(df, "k", preceding = 7, bucketWidth = 64)(Seq(
+      "s" -> (w => sum(col("v")).over(w))))
+      .select($"k", $"s")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == expected)
+  }
+
+  test("BucketedWindow.rangePreceding: a bucket narrower than the frame is rejected") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = spark.range(10).select($"id".as("k"))
+    intercept[IllegalArgumentException] {
+      BucketedWindow.rangePreceding(df, "k", preceding = 10, bucketWidth = 10)(Seq(
+        "c" -> (w => count(lit(1)).over(w))))
+    }
+  }
+
+  test("CosineNearDup.scaledPlanes: grows ~log2(n), floored at the fixture config") {
+    assert(CosineNearDup.scaledPlanes(1L) == 4)
+    assert(CosineNearDup.scaledPlanes(1000L) == 4)
+    assert(CosineNearDup.scaledPlanes(200000L) == 12)
+    assert(CosineNearDup.scaledPlanes(1000000000L) == 24)
+  }
+
+  test("CosineNearDup: capping is a no-op under the cap, a bounded subset above it") {
+    val embs = graft.FanIn.genEmbeddings(spark, 300)
+    def pairsAt(cap: Int): Set[(Long, Long)] =
+      CosineNearDup.pairs(embs, "vec_id", "embedding", 64, 0.3, planes = 4, maxBucket = cap)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairsAt(1000000)
+    // 300 vectors over 16 buckets: every bucket is under the default 500
+    // cap, so the default path is bit-identical (the q24 gate invariant)
+    assert(pairsAt(500) == uncapped)
+    // a tiny cap drops cross-sub pairs but never invents any
+    val tight = pairsAt(20)
+    assert(tight.nonEmpty && tight.subsetOf(uncapped) && tight.size < uncapped.size)
+  }
+
   test("Media.imageMeta: PNG/JPEG/GIF/BMP headers parse without codecs") {
     // minimal PNG: signature + IHDR with width=640 height=480
     val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
