@@ -36,6 +36,13 @@ final case class StepContext(
       */
     abfragezeitpunkt: LocalDateTime = LocalDateTime.of(2026, 1, 1, 0, 0, 0))
 
+/** A proc-signalled step failure — the reference's `@OutputParam1 = -1`
+  * contract (`CommandExecuter.cs:1024-1041`): the executed SQL itself
+  * reports failure through its scalar result, distinct from an
+  * execution error.
+  */
+final class StepSignalledFailure(msg: String) extends RuntimeException(msg)
+
 /** Step executors — the reference's operators (SURVEY §2.1) as Spark
   * plans with real side effects. Each executor returns the moved row
   * count (recorded as `ErwarteteDaten`) where the reference records one.
@@ -294,7 +301,33 @@ object Steps {
       case _: org.apache.spark.sql.catalyst.plans.logical.CommandResult => true
       case _ => false
     }
-    if (!isCommand) { df.limit(1).collect(); () }
+    if (!isCommand) {
+      // `@OutputParam1 = -1 ⇒ step failure` (`CommandExecuter.cs:
+      // 1024-1041`, wired at `Step.cs:1198-1231`): reference procs signal
+      // a failed data-quality probe through an integer output parameter
+      // valued -1, and the step must abort. The Spark analog is the
+      // scalar SELECT probe: a SINGLE-column integral/decimal row valued
+      // -1 fails the step (the error is ledgered here like the
+      // reference's HandleErrorCatch, then rethrown so the runner marks
+      // the step failed); any other value, an empty result, or a
+      // multi-column data probe passes.
+      val probe = df.limit(1).collect()
+      val signalled = df.schema.length == 1 && probe.headOption.exists(r =>
+        !r.isNullAt(0) && (r.get(0) match {
+          case b: java.lang.Byte => b.longValue == -1L
+          case s: java.lang.Short => s.longValue == -1L
+          case i: java.lang.Integer => i.longValue == -1L
+          case l: java.lang.Long => l.longValue == -1L
+          case d: java.math.BigDecimal => d.compareTo(java.math.BigDecimal.valueOf(-1)) == 0
+          case _ => false
+        }))
+      if (signalled) {
+        val msg = s"step ${spec.id}: Befehl signalled failure (@OutputParam1 = -1)"
+        ctx.ledger.error(graft.model.ErrorRow.TypSql, graft.model.ErrorRow.SeverityMajor,
+          msg, schrittRunId = ctx.schrittRunId)
+        throw new StepSignalledFailure(msg)
+      }
+    }
     ()
   }
 

@@ -236,6 +236,35 @@ class StepsSpec extends AnyFunSuite with SparkSupport {
       "default must write a directory of parts, not force one task")
   }
 
+  test("SQL_TARGET: scalar probe of -1 fails the step and ledgers the error (@OutputParam1 contract)") {
+    val (ctx, ledger, _) = freshCtx()
+    // -1 through the scalar channel -> StepSignalledFailure + error row
+    assertThrows[StepSignalledFailure] {
+      Steps.execute(StepSpec(60, CommandType.SqlTarget, TaskType.Sql,
+        "SELECT CASE WHEN 1 = 1 THEN -1 ELSE 0 END AS outcome"), ctx)
+    }
+    assert(ledger.allErrors.exists(_.meldungstext.contains("@OutputParam1")),
+      "a signalled failure must write a ledger error row")
+    // 0 and other values pass
+    Steps.execute(StepSpec(61, CommandType.SqlTarget, TaskType.Sql,
+      "SELECT 0 AS outcome"), ctx)
+    Steps.execute(StepSpec(62, CommandType.SqlTarget, TaskType.Sql,
+      "SELECT 42 AS outcome"), ctx)
+    // an empty probe, a NULL, and a multi-column data probe all pass:
+    // only the reference's single-integer channel carries the signal
+    Steps.execute(StepSpec(63, CommandType.SqlTarget, TaskType.Sql,
+      "SELECT -1 AS a WHERE 1 = 0"), ctx)
+    Steps.execute(StepSpec(64, CommandType.SqlTarget, TaskType.Sql,
+      "SELECT CAST(NULL AS INT) AS outcome"), ctx)
+    Steps.execute(StepSpec(65, CommandType.SqlTarget, TaskType.Sql,
+      "SELECT -1 AS a, -1 AS b"), ctx)
+    // decimal -1 (a SUM() probe's natural type) also signals
+    assertThrows[StepSignalledFailure] {
+      Steps.execute(StepSpec(66, CommandType.SqlTarget, TaskType.Sql,
+        "SELECT CAST(-1 AS DECIMAL(10,2)) AS outcome"), ctx)
+    }
+  }
+
   test("SQL_TARGET with a SELECT Befehl does not materialize the result on the driver (ADVICE r2)") {
     val (ctx, _, _) = freshCtx()
     // 500M rows — collecting this would OOM the driver; probing one row is instant
