@@ -42,23 +42,47 @@ object Gates {
     // waiting claims in arrival order: (ticket, tables)
     private val waiting = mutable.ArrayBuffer.empty[(Long, Set[String])]
     private var nextTicket = 0L
+    // who holds what — enforces the release-before-reclaim contract
+    private val holdings = mutable.Map.empty[Thread, Set[String]]
 
+    /** Claims are all-or-nothing and NON-REENTRANT: a thread holding any
+      * tables must release before claiming again. A second claim while
+      * holding throws instead of deadlocking — under FIFO fairness the
+      * claimer would queue behind an earlier waiter that may be blocked
+      * on the very tables this thread holds (ADVICE r3). The reference
+      * has the same one-claim-per-step shape: a step claims its full
+      * source+target set once up front (`Step.cs:449-469`).
+      */
     def claim(tables: Set[String]): Unit = synchronized {
+      val me = Thread.currentThread()
+      val held = holdings.getOrElse(me, Set.empty)
+      if (held.nonEmpty)
+        throw new IllegalStateException(
+          s"thread ${me.getName} already holds ${held.mkString(",")}; " +
+            "release before claiming again (claims are all-or-nothing)")
       val ticket = nextTicket; nextTicket += 1
       waiting += ((ticket, tables))
-      def blocked: Boolean =
-        tables.exists(claimed.contains) ||
-          waiting.exists { case (t, ts) => t < ticket && ts.exists(tables.contains) }
-      while (blocked) wait()
-      waiting.filterInPlace(_._1 != ticket)
-      claimed ++= tables
-      // our dequeue may unblock a LATER disjoint claim that was only
-      // queued behind our waiting entry
-      notifyAll()
+      try {
+        def blocked: Boolean =
+          tables.exists(claimed.contains) ||
+            waiting.exists { case (t, ts) => t < ticket && ts.exists(tables.contains) }
+        while (blocked) wait()
+        claimed ++= tables
+        holdings(me) = tables
+      } finally {
+        // also on InterruptedException: an abandoned ticket left in the
+        // queue would permanently block every later conflicting claim
+        waiting.filterInPlace(_._1 != ticket)
+        // our dequeue may unblock a LATER claim that was only queued
+        // behind this entry
+        notifyAll()
+      }
     }
 
     def release(tables: Set[String]): Unit = synchronized {
       claimed --= tables
+      holdings.keys.toSeq.foreach(t => holdings(t) = holdings(t) -- tables)
+      holdings.filterInPlace((_, held) => held.nonEmpty)
       notifyAll()
     }
 

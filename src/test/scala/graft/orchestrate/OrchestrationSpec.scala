@@ -157,6 +157,34 @@ class OrchestrationSpec extends AnyFunSuite {
     assert(order.toArray.toSeq == Seq("waiter", "late"))
   }
 
+  test("TableLocks: an interrupted waiter leaves no stale ticket behind (ADVICE r3)") {
+    val locks = new Gates.TableLocks
+    locks.claim(Set("t"))
+    val interrupted = new java.util.concurrent.CountDownLatch(1)
+    val victim = new Thread(() => try locks.claim(Set("t")) catch {
+      case _: InterruptedException => interrupted.countDown()
+    })
+    victim.start()
+    Thread.sleep(50) // victim is queued and waiting
+    victim.interrupt()
+    assert(interrupted.await(2, TimeUnit.SECONDS), "victim did not see the interrupt")
+    locks.release(Set("t"))
+    // the abandoned ticket must not block a later conflicting claim
+    val done = new java.util.concurrent.CountDownLatch(1)
+    new Thread(() => locks.withTables(Set("t")) { done.countDown() }).start()
+    assert(done.await(2, TimeUnit.SECONDS), "stale ticket of the interrupted waiter blocks the table")
+  }
+
+  test("TableLocks: claiming while holding throws instead of deadlocking (ADVICE r3)") {
+    val locks = new Gates.TableLocks
+    locks.claim(Set("x"))
+    // under FIFO fairness a second claim could queue behind a waiter
+    // that is blocked on "x" — refuse it outright
+    intercept[IllegalStateException] { locks.claim(Set("y")) }
+    locks.release(Set("x"))
+    locks.withTables(Set("y")) { () } // released -> claiming again is fine
+  }
+
   test("ParallelLocks: a Parallelsperre module runs alone on its level") {
     val locks = new Gates.ParallelLocks
     val readers = new AtomicInteger(0)
