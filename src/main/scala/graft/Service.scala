@@ -43,9 +43,9 @@ object Service {
     val loop = new SchedulerLoop(manager, (workflowId, zid, _) => {
       val spec = ConfigAssembly.workflowSpec(workflowId, cfg)
       val result = runner.run(spec, zid,
-        (m: Macros.Context, stepRunId: Option[Long], confId: Option[Long]) =>
-          StepContext(spark, warehouse, ledger, m,
-            schrittRunId = stepRunId, konfigurationenId = confId))
+        (m: Macros.Context, stepRunId: Option[Long], real: RealizationSpec) =>
+          StepContext(spark, ConfigAssembly.warehouseFor(real, warehouse), ledger, m,
+            schrittRunId = stepRunId, konfigurationenId = real.konfigurationenId))
       // result-mail dispatch (`Workflow.cs:1296-1340` / Abort `1560-1605`):
       // select recipients per Nur_Fehler/CC, render the report, record the
       // send decision in the ledger (SMTP itself is environment wiring)

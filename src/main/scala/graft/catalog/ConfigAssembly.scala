@@ -5,6 +5,7 @@ import java.time.DayOfWeek
 import graft.model._
 import graft.orchestrate.{PackageSpec, RealizationSpec, WorkflowSpec}
 import graft.schedule.{Interval, Schedule, Takeover}
+import graft.sources.Connections
 import graft.steps.{CsvParams, StepSpec}
 
 /** Config assembly — the metadata join chain the reference walks at run
@@ -68,9 +69,57 @@ object ConfigAssembly {
               anzahlParalleleSchritte = u.anzahlParalleleSchritte,
               konfigurationenId = u.etlKonfigurationenId,
               parallelsperre = u.parallelsperre,
+              connections = resolveConnections(u.etlKonfigurationenId, m.mandantenId, cfg),
               steps = stepsOf(u.etlPaketUmsetzungenId, cfg))
           }
       }
+
+  /** Physical source/target for one configuration × tenant — the
+    * GetRealizationConnections chain (`Step.cs:1285-1767`):
+    * `pc.ETL_Konfigurationen[confId]` yields the LOGICAL
+    * Quell-/Ziel-Verbindung ids, `pc.ETL_Mandanten_Verbindungen
+    * [(verbindung, mandant)]` maps each through the tenant, and
+    * `conf.Datenverbindungen` supplies the physical spec. Returns None
+    * when the snapshot carries no connection model (warehouse-only
+    * deployments keep working unchanged); a PRESENT model with a missing
+    * row throws, like the reference's ETLException on a failed
+    * DataRow lookup.
+    */
+  def resolveConnections(
+      konfigurationenId: Option[Long],
+      mandantenId: Option[Int],
+      cfg: ConfigSet): Option[Connections.Resolved] =
+    konfigurationenId.filter(_ => cfg.konfigurationen.nonEmpty).map { confId =>
+      val k = cfg.konfigurationen.find(k => k.etlKonfigurationenId == confId && k.istAktiv)
+        .getOrElse(throw new IllegalArgumentException(s"no active Konfiguration $confId"))
+      def physical(verbindungId: Long, rolle: String): Connections.Spec = {
+        val mid = mandantenId.getOrElse(throw new IllegalArgumentException(
+          s"Konfiguration $confId needs a Mandanten_ID on the realization " +
+            s"to resolve its $rolle connection"))
+        val mv = cfg.mandantenVerbindungen.find(m =>
+          m.etlVerbindungenId == verbindungId && m.mandantenId == mid)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no Mandanten_Verbindung for (Verbindung $verbindungId, Mandant $mid)"))
+        cfg.datenverbindungen.find(_.datenverbindungenId == mv.datenverbindungenId)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no Datenverbindung ${mv.datenverbindungenId}"))
+          .spec
+      }
+      Connections.Resolved(
+        source = physical(k.quellEtlVerbindungenId, "source"),
+        target = physical(k.zielEtlVerbindungenId, "target"))
+    }
+
+  /** Warehouse for a realization: the tenant-resolved target when the
+    * config model carries one (a parquet-dir target IS a warehouse
+    * root), the service default otherwise.
+    */
+  def warehouseFor(real: RealizationSpec, default: Warehouse): Warehouse =
+    real.connections match {
+      case Some(Connections.Resolved(_, Connections.ParquetDir(dir))) =>
+        new Warehouse(dir, default.format)
+      case _ => default
+    }
 
   private def stepsOf(umsetzungId: Long, cfg: ConfigSet): Seq[StepSpec] =
     cfg.umsetzungSchritte

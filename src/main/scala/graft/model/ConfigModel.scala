@@ -115,6 +115,39 @@ final case class SchrittParameterRow(
     leerwert: Option[String],
     einzeldatei: Option[Boolean] = None)
 
+/** `pc.ETL_Konfigurationen` — a named configuration pointing at its
+  * LOGICAL source and target connections
+  * (`res/pc/ETL_Konfigurationen.sql`; read in `Step.cs:1352-1404`).
+  */
+final case class KonfigurationRow(
+    etlKonfigurationenId: Long,
+    konfiguration: String,
+    quellEtlVerbindungenId: Long,
+    zielEtlVerbindungenId: Long,
+    istAktiv: Boolean)
+
+/** `pc.ETL_Mandanten_Verbindungen` — the tenant indirection: (logical
+  * connection, Mandant) → physical data connection
+  * (`res/pc/ETL_Mandanten_Verbindungen.sql`; read in
+  * `Step.cs:1450-1516`). This is what lets the same configuration run
+  * against a different database per tenant.
+  */
+final case class MandantVerbindungRow(
+    mandantenId: Int,
+    etlVerbindungenId: Long,
+    datenverbindungenId: Long)
+
+/** `conf.Datenverbindungen` — the physical connection. The reference's
+  * host/port/instance/credential columns (`res/conf/Datenverbindungen
+  * .sql`) collapse into the Spark-side
+  * [[graft.sources.Connections.Spec]] variants (parquet dir, CSV drop,
+  * JDBC url+credentials).
+  */
+final case class DatenverbindungRow(
+    datenverbindungenId: Long,
+    verbindung: String,
+    spec: graft.sources.Connections.Spec)
+
 /** `conf.Email_Verteiler_Workflow` — per-workflow mail recipients with
   * the only-on-error and CC routing flags (`Workflow.cs:1296-1317`).
   */
@@ -136,4 +169,7 @@ final case class ConfigSet(
     umsetzungSchritte: Seq[UmsetzungSchrittRow],
     zeitplaene: Seq[ZeitplanRow] = Seq.empty,
     schrittParameter: Seq[SchrittParameterRow] = Seq.empty,
-    emailVerteiler: Seq[EmailVerteilerRow] = Seq.empty)
+    emailVerteiler: Seq[EmailVerteilerRow] = Seq.empty,
+    konfigurationen: Seq[KonfigurationRow] = Seq.empty,
+    mandantenVerbindungen: Seq[MandantVerbindungRow] = Seq.empty,
+    datenverbindungen: Seq[DatenverbindungRow] = Seq.empty)

@@ -22,6 +22,10 @@ final case class RealizationSpec(
     anzahlParalleleSchritte: Int = 1,
     konfigurationenId: Option[Long] = None,
     parallelsperre: Boolean = false,
+    /** Tenant-resolved physical endpoints (`Step.cs:1285-1767`), when
+      * the config snapshot carries the connection model.
+      */
+    connections: Option[graft.sources.Connections.Resolved] = None,
     steps: Seq[StepSpec] = Seq.empty)
 
 final case class PackageSpec(
@@ -82,7 +86,7 @@ final class WorkflowRunner(
   def run(
       spec: WorkflowSpec,
       zeitplanAusfuehrungenId: Int,
-      stepContext: (Macros.Context, Option[Long], Option[Long]) => StepContext): WorkflowResult = {
+      stepContext: (Macros.Context, Option[Long], RealizationSpec) => StepContext): WorkflowResult = {
 
     if (!manager.existsMapping(spec.id)) manager.register(spec.id, zeitplanAusfuehrungenId)
     else {
@@ -161,7 +165,7 @@ final class WorkflowRunner(
   /** Package DAG rooted at `rootPkg` with shared predecessor execution. */
   private def runPackageTree(
       spec: WorkflowSpec, rootPkg: Long, wfRunId: Long, macroCtx: Macros.Context,
-      stepContext: (Macros.Context, Option[Long], Option[Long]) => StepContext,
+      stepContext: (Macros.Context, Option[Long], RealizationSpec) => StepContext,
       token: RunToken): Unit = {
     val dag = new PackageDag(
       id => spec.packages.get(id.toLong).map(_.dependencies.map(_.toInt)).getOrElse(Seq.empty),
@@ -171,7 +175,7 @@ final class WorkflowRunner(
 
   private def runPackage(
       spec: WorkflowSpec, pkgId: Long, wfRunId: Long, macroCtx: Macros.Context,
-      stepContext: (Macros.Context, Option[Long], Option[Long]) => StepContext,
+      stepContext: (Macros.Context, Option[Long], RealizationSpec) => StepContext,
       token: RunToken): Unit = {
     token.checkpoint()
     val pkg = spec.packages.getOrElse(pkgId,
@@ -196,7 +200,7 @@ final class WorkflowRunner(
 
   private def runRealization(
       real: RealizationSpec, wfRunId: Long, pkgRunId: Long, macroCtx: Macros.Context,
-      stepContext: (Macros.Context, Option[Long], Option[Long]) => StepContext,
+      stepContext: (Macros.Context, Option[Long], RealizationSpec) => StepContext,
       token: RunToken): Unit = {
     token.checkpoint()
     val realRunId = ledger.start(RunLevel.Umsetzung, real.id,
@@ -233,7 +237,7 @@ final class WorkflowRunner(
   private def runStep(
       step: StepSpec, real: RealizationSpec, wfRunId: Long, pkgRunId: Long, realRunId: Long,
       macroCtx: Macros.Context,
-      stepContext: (Macros.Context, Option[Long], Option[Long]) => StepContext,
+      stepContext: (Macros.Context, Option[Long], RealizationSpec) => StepContext,
       token: RunToken): Unit = {
     token.checkpoint()
     val stepRunId = ledger.start(RunLevel.Schritt, step.id,
@@ -251,7 +255,7 @@ final class WorkflowRunner(
           // before they touch data (`Step.cs:888-1060` Abort)
           token.checkpoint()
           ledger.markExecuting(stepRunId)
-          Steps.execute(step, stepContext(stepMacroCtx, Some(stepRunId), real.konfigurationenId))
+          Steps.execute(step, stepContext(stepMacroCtx, Some(stepRunId), real))
         }
       }
     }

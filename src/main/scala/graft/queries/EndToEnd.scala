@@ -65,8 +65,9 @@ object EndToEnd {
               s"SELECT * FROM $view",
               zieltabelle = Some("lineitem_copy"), schrittReihenfolge = 2)))))))
     val result = runner.run(spec, zeitplanAusfuehrungenId = 7,
-      (m: Macros.Context, stepRunId: Option[Long], confId: Option[Long]) =>
-        StepContext(spark, wh, ledger, m, schrittRunId = stepRunId, konfigurationenId = confId))
+      (m: Macros.Context, stepRunId: Option[Long], real: RealizationSpec) =>
+        StepContext(spark, wh, ledger, m, schrittRunId = stepRunId,
+          konfigurationenId = real.konfigurationenId))
     result.error.foreach(throw _)
     (ledger, wh)
   }
@@ -166,9 +167,9 @@ object EndToEnd {
               "WHERE l_shipdate BETWEEN ##Uebernahme_von## AND ##Uebernahme_bis##",
             zieltabelle = Some("li_sliced"), zeitscheibe = true)))))))
       val result = runner.run(spec, zeitplanAusfuehrungenId = 8,
-        (m: Macros.Context, stepRunId: Option[Long], confId: Option[Long]) =>
+        (m: Macros.Context, stepRunId: Option[Long], real: RealizationSpec) =>
           StepContext(spark = s, warehouse = wh, ledger = ledger, macroCtx = m,
-            schrittRunId = stepRunId, konfigurationenId = confId))
+            schrittRunId = stepRunId, konfigurationenId = real.konfigurationenId))
       result.error.foreach(throw _)
       wh.read(s, "li_sliced")
         .groupBy(date_trunc("month", col("l_shipdate")).cast("timestamp_ntz").as("slice_from"))

@@ -41,6 +41,13 @@ object Connections {
       fetchSize: Int = 10000,
       numPartitions: Int = 8) extends Spec
 
+  /** A realization's resolved physical endpoints — the output of the
+    * per-tenant chain `ETL_Konfigurationen` → `ETL_Mandanten_
+    * Verbindungen` → `conf.Datenverbindungen`
+    * (`Step.cs:1285-1767` GetRealizationConnections).
+    */
+  final case class Resolved(source: Spec, target: Spec)
+
   /** Reader options for a JDBC query source — unit-testable without a
     * live database.
     */

@@ -91,8 +91,9 @@ class ConfigAssemblySpec extends AnyFunSuite with SparkSupport {
       clock = () => LocalDateTime.of(2026, 2, 1, 12, 0, 0))
     val spec = ConfigAssembly.workflowSpec(1, slice)
     val result = runner.run(spec, 99,
-      (m, stepRunId, confId) =>
-        StepContext(spark, wh, ledger, m, schrittRunId = stepRunId, konfigurationenId = confId))
+      (m, stepRunId, real) =>
+        StepContext(spark, wh, ledger, m, schrittRunId = stepRunId,
+          konfigurationenId = real.konfigurationenId))
     assert(result.success, s"failed: ${result.error}")
     val expected = spark.sql(
       "SELECT count(*) FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'")
@@ -102,6 +103,71 @@ class ConfigAssemblySpec extends AnyFunSuite with SparkSupport {
     assert(ledger.current.exists(r => r.level == RunLevel.Paket && r.refId == 11L && r.erfolgreich))
     // the config ids flowed through to the query log
     assert(ledger.allQueries.forall(_.konfigurationenId.contains(7L)))
+  }
+
+  test("per-tenant connections: one configuration resolves and writes to two tenant warehouses") {
+    import graft.sources.Connections
+    val whA = tmpDir("tenant-a"); val whB = tmpDir("tenant-b")
+    val cfg = ConfigSet(
+      workflows = Seq(WorkflowRow(2, 100, 20L, None, "tenants",
+        uebernahmeVon = Some(LocalDateTime.of(1990, 1, 1, 0, 0)),
+        uebernahmeBis = Some(LocalDateTime.of(1999, 1, 1, 0, 0)),
+        uebernahmeTageRueckwirkend = None, parallelsperre = false, istAktiv = true)),
+      pakete = Seq(PaketRow(20L, "pkg", parallelsperre = false, istAktiv = true)),
+      abhaengigkeiten = Seq.empty,
+      umsetzungen = Seq(UmsetzungRow(200L, anzahlParalleleSchritte = 1,
+        etlKonfigurationenId = Some(7L), parallelsperre = false, istAktiv = true)),
+      // the SAME realization listed once per tenant — the reference's
+      // multi-tenant replay shape (Mandanten_ID on pc.ETL_Pakete_Paketumsetzungen)
+      paketUmsetzungen = Seq(
+        PaketUmsetzungRow(2, 20L, 200L, paketPriorisierung = 1, mandantenId = Some(1)),
+        PaketUmsetzungRow(2, 20L, 200L, paketPriorisierung = 1, mandantenId = Some(2))),
+      schritte = Seq(SchrittRow(2000L, "copy", TaskType.Sql, CommandType.Copy,
+        "SELECT 1 AS x", zieltabelle = Some("tenant_out"), quelltabelle = None,
+        parallelsperre = false, zeitscheibe = false, istAktiv = true)),
+      umsetzungSchritte = Seq(UmsetzungSchrittRow(200L, 2000L, 1)),
+      konfigurationen = Seq(KonfigurationRow(7L, "cfg",
+        quellEtlVerbindungenId = 50L, zielEtlVerbindungenId = 51L, istAktiv = true)),
+      mandantenVerbindungen = Seq(
+        MandantVerbindungRow(1, 50L, 500L), MandantVerbindungRow(1, 51L, 501L),
+        MandantVerbindungRow(2, 50L, 500L), MandantVerbindungRow(2, 51L, 502L)),
+      datenverbindungen = Seq(
+        DatenverbindungRow(500L, "src", Connections.ParquetDir("/root/testdata/sf0.001")),
+        DatenverbindungRow(501L, "wh-a", Connections.ParquetDir(whA)),
+        DatenverbindungRow(502L, "wh-b", Connections.ParquetDir(whB))))
+
+    val spec = ConfigAssembly.workflowSpec(2, cfg)
+    val reals = spec.packages(20L).realizations
+    assert(reals.size == 2)
+    // both tenants share the physical SOURCE but resolve distinct TARGETS
+    assert(reals.flatMap(_.connections).map(_.source).toSet.size == 1)
+    assert(reals.flatMap(_.connections).map(_.target).toSet ==
+      Set(Connections.ParquetDir(whA), Connections.ParquetDir(whB)))
+
+    val ledger = new RunLedger(() => LocalDateTime.of(2026, 2, 1, 12, 0, 0))
+    val fallback = new Warehouse(tmpDir("tenant-default"))
+    val runner = new WorkflowRunner(
+      new WorkflowManager, ledger, new Gates.ThreadCap(8),
+      new Gates.TableLocks, new Gates.ParallelLocks,
+      clock = () => LocalDateTime.of(2026, 2, 1, 12, 0, 0))
+    val result = runner.run(spec, 98, (m, stepRunId, real) =>
+      StepContext(spark, ConfigAssembly.warehouseFor(real, fallback), ledger, m,
+        schrittRunId = stepRunId, konfigurationenId = real.konfigurationenId))
+    assert(result.success, s"failed: ${result.error}")
+    assert(new Warehouse(whA).read(spark, "tenant_out").count() == 1)
+    assert(new Warehouse(whB).read(spark, "tenant_out").count() == 1)
+  }
+
+  test("a present connection model with a missing tenant mapping refuses to assemble") {
+    import graft.sources.Connections
+    val base = slice.copy(
+      paketUmsetzungen = slice.paketUmsetzungen.map(_.copy(mandantenId = Some(9))),
+      konfigurationen = Seq(KonfigurationRow(7L, "cfg", 50L, 51L, istAktiv = true)),
+      mandantenVerbindungen = Seq(MandantVerbindungRow(9, 50L, 500L)), // ziel 51L missing
+      datenverbindungen = Seq(
+        DatenverbindungRow(500L, "src", Connections.ParquetDir("/root/testdata/sf0.001"))))
+    val e = intercept[IllegalArgumentException] { ConfigAssembly.workflowSpec(1, base) }
+    assert(e.getMessage.contains("Mandanten_Verbindung"))
   }
 
   test("config round-trips through parquet as typed Datasets") {

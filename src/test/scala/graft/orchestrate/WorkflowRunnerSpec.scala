@@ -31,8 +31,9 @@ class WorkflowRunnerSpec extends AnyFunSuite with SparkSupport {
       new WorkflowManager, ledger, new Gates.ThreadCap(8),
       new Gates.TableLocks, new Gates.ParallelLocks,
       clock = () => LocalDateTime.of(2026, 2, 1, 12, 0, 0))
-    val mkCtx = (m: graft.macros.Macros.Context, stepRunId: Option[Long], confId: Option[Long]) =>
-      StepContext(spark, wh, ledger, m, schrittRunId = stepRunId, konfigurationenId = confId)
+    val mkCtx = (m: graft.macros.Macros.Context, stepRunId: Option[Long], real: RealizationSpec) =>
+      StepContext(spark, wh, ledger, m, schrittRunId = stepRunId,
+        konfigurationenId = real.konfigurationenId)
     (ledger, wh, runner, mkCtx)
   }
 
