@@ -659,5 +659,49 @@ object Pipeline {
           * ((105000.0 - 900.0) / 1024) AS p99
       FROM cum"""))
 
-  val all: Seq[QueryDef] = Seq(q13, q14, q15, q16, q17, q18, q19, q29, q39, q41, q43, q44, q46)
+  /** Streaming exact dedup, oracle-gated — the continuous twin of q13
+    * run over the SAME corpus through a REAL file stream: the documents
+    * parquet is read with `readStream`, deduplicated by the production
+    * plan ([[graft.streaming.Streams.dedupExact]]: watermark +
+    * `dropDuplicatesWithinWatermark`, bounded state), drained with an
+    * AvailableNow trigger into an append-only parquet table
+    * (exactly-once via the checkpoint), and the gate compares that
+    * TABLE's fingerprint multiset to the batch answer. The output is the
+    * per-fingerprint row count of the deduped table — 1 for every
+    * distinct content — so the check is arrival-order-independent even
+    * on a corpus with exact duplicates (which survivor doc a stream
+    * keeps depends on arrival; that one row per content survives does
+    * not).
+    */
+  val q48 = QueryDef(
+    "q48_streaming_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("q48stream").toString
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      // the stream source wants a DIRECTORY; the sf dir + a glob filter
+      // selects the single documents file (testdata tables are one file)
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+      val q = graft.streaming.Streams.dedupExact(stream)
+        .select($"doc_id", $"fingerprint")
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .groupBy($"fingerprint").agg(count(lit(1)).as("n"))
+    },
+    Some("""
+      SELECT DISTINCT
+        md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS fingerprint,
+        CAST(1 AS BIGINT) AS n
+      FROM documents"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q13, q14, q15, q16, q17, q18, q19, q29, q39, q41, q43, q44, q46, q48)
 }
