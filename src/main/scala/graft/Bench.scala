@@ -13,12 +13,18 @@ object Bench {
     // toRdd, not count(): count() prunes the aggregate expressions, so the
     // flagship's decimal-fold codegen would otherwise compile INSIDE the
     // first measured run (~10 s of JIT booked to q01). One representative
-    // per plan family (agg, broadcast join, window) at sf0.001 — the JIT
-    // of each family otherwise lands on whichever of its queries runs
-    // first alphabetically.
+    // per plan family (agg, broadcast join, window). The warmup scale is
+    // the sibling sf0.001 dir when the measured dir follows the
+    // /…/sfX.Y layout, else the measured dir itself (ADVICE r3: a
+    // hardcoded path warms NOTHING on other layouts and the error is
+    // swallowed by design).
+    val warmDir = {
+      val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      if (sibling.isDirectory) sibling.toString else sfDir
+    }
     Seq("q01_pricing_summary", "q05_revenue_by_region", "q07_last_event_per_user")
       .foreach { w =>
-        try SparkEntry.queries(w)(spark, "/root/testdata/sf0.001").queryExecution.toRdd.count()
+        try SparkEntry.queries(w)(spark, warmDir).queryExecution.toRdd.count()
         catch { case e: Throwable =>
           System.err.println(s"[bench] warmup $w failed: ${e.getMessage}")
         }
@@ -30,7 +36,11 @@ object Bench {
     //    via queryExecution.toRdd.count() — unprunable, every projected
     //    column is actually computed.
     // "value"/"queries" report the new numbers; the old total is kept as
-    // "total_count_action" for cross-round continuity.
+    // "total_count_action" for cross-round continuity. The two totals are
+    // NOT independent samples: the full-plan run follows the count() run
+    // of the same query in the same JVM, so it inherits its JIT and page
+    // cache (ADVICE r3) — compare either total across rounds, not the
+    // two against each other.
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }

@@ -28,6 +28,15 @@ object AsOfJoin {
   /** `left` and `right` must both carry `keys` and `tsCol`; the result
     * is every left row plus `valueCols` from the matched right row
     * (null when no right row precedes it).
+    *
+    * CALLER CONTRACT — unique (keys, ts) on the right: ties among right
+    * rows at the same (key, ts) break on `monotonically_increasing_id`,
+    * which follows the right DataFrame's partition layout; when
+    * duplicate (key, ts) rows carry DIFFERENT values, "last in
+    * right-side order" is therefore not stable across partitionings
+    * (ADVICE r3). Pre-aggregate the right side to one row per
+    * (keys, ts) — every caller in this repo does — or the matched value
+    * is partition-layout-dependent.
     */
   def backward(
       left: DataFrame,
