@@ -36,8 +36,13 @@ object Service {
     val ledger = new RunLedger(clock)
     private val manager = new WorkflowManager
     private val warehouse = new Warehouse(warehouseDir)
+    /** `conf.Konfigurationsparameter`-driven knobs — the global step
+      * thread cap is `Anzahl_ETL_Threads` like the reference
+      * (`Processor.cs:66`), no longer a hardcoded constant.
+      */
+    val params: ConfigAssembly.ServiceParams = ConfigAssembly.serviceParams(cfg)
     private val runner = new WorkflowRunner(
-      manager, ledger, new Gates.ThreadCap(10),
+      manager, ledger, new Gates.ThreadCap(math.max(1, params.anzahlEtlThreads)),
       new Gates.TableLocks, new Gates.ParallelLocks, clock)
 
     val loop = new SchedulerLoop(manager, (workflowId, zid, _) => {
@@ -103,7 +108,9 @@ object Service {
       umsetzungSchritte = load[UmsetzungSchrittRow]("umsetzung_schritte"),
       zeitplaene = load[ZeitplanRow]("zeitplaene"),
       schrittParameter = load[SchrittParameterRow]("schritt_parameter"),
-      emailVerteiler = load[EmailVerteilerRow]("email_verteiler"))
+      emailVerteiler = load[EmailVerteilerRow]("email_verteiler"),
+      konfigurationsparameter =
+        load[KonfigurationsparameterRow]("konfigurationsparameter"))
   }
 
   /** `graft.Service <configDir> <dataDir> <warehouseDir> <ledgerDir>`:
@@ -125,8 +132,19 @@ object Service {
       engine.shutdown(Some(ledgerDir))
       ()
     }
+    // scheduler heartbeat, throttled by `LogInterval`
+    // (`Processor.cs:1142,1229-1243`: log only in debug or when the
+    // interval since the last scheduler message has passed)
+    var lastHeartbeat = LocalDateTime.now()
     while (running.get()) {
-      engine.tick(LocalDateTime.now())
+      val now = LocalDateTime.now()
+      engine.tick(now)
+      if (engine.params.debug ||
+          java.time.Duration.between(lastHeartbeat, now).toMinutes >=
+            engine.params.logIntervalMinutes) {
+        engine.ledger.message("scheduler alive")
+        lastHeartbeat = now
+      }
       Thread.sleep(10000)
     }
   }

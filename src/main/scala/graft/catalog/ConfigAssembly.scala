@@ -162,6 +162,32 @@ object ConfigAssembly {
           einzeldatei = p.einzeldatei.getOrElse(d.einzeldatei))
     }
 
+  /** Service-level parameters from `conf.Konfigurationsparameter`
+    * (`Helper.cs:300-430` ReadConfigurations). Defaults are the
+    * reference's (`stdNumThreads = 1`, `stdDebug = false`,
+    * `stdLogInterval = 5`); a malformed value keeps the default like the
+    * reference's per-row catch; unknown parameter names are ignored.
+    */
+  final case class ServiceParams(
+      anzahlEtlThreads: Int = 1,
+      debug: Boolean = false,
+      logIntervalMinutes: Int = 5)
+
+  def serviceParams(cfg: ConfigSet): ServiceParams =
+    cfg.konfigurationsparameter.foldLeft(ServiceParams()) { (p, row) =>
+      row.parametername match {
+        case "Anzahl_ETL_Threads" =>
+          row.parameterwert.trim.toIntOption.fold(p)(v => p.copy(anzahlEtlThreads = v))
+        case "Debug" =>
+          row.parameterwert.trim.toBooleanOption
+            .orElse(row.parameterwert.trim.toIntOption.map(_ != 0))
+            .fold(p)(v => p.copy(debug = v))
+        case "LogInterval" =>
+          row.parameterwert.trim.toIntOption.fold(p)(v => p.copy(logIntervalMinutes = v))
+        case _ => p
+      }
+    }
+
   /** Zeitplan row → pure schedule (interval by name, masks to enums). */
   def schedule(z: ZeitplanRow): Schedule =
     Schedule(

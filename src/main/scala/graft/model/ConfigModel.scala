@@ -115,6 +115,16 @@ final case class SchrittParameterRow(
     leerwert: Option[String],
     einzeldatei: Option[Boolean] = None)
 
+/** `conf.Konfigurationsparameter` — service-level name/value parameters
+  * (`Helper.cs:300-430` ReadConfigurations): `Anzahl_ETL_Threads`,
+  * `Debug`, `LogInterval`; unknown names are carried but ignored, and a
+  * malformed value falls back to the default like the reference's
+  * per-row catch.
+  */
+final case class KonfigurationsparameterRow(
+    parametername: String,
+    parameterwert: String)
+
 /** `pc.ETL_Konfigurationen` — a named configuration pointing at its
   * LOGICAL source and target connections
   * (`res/pc/ETL_Konfigurationen.sql`; read in `Step.cs:1352-1404`).
@@ -172,4 +182,5 @@ final case class ConfigSet(
     emailVerteiler: Seq[EmailVerteilerRow] = Seq.empty,
     konfigurationen: Seq[KonfigurationRow] = Seq.empty,
     mandantenVerbindungen: Seq[MandantVerbindungRow] = Seq.empty,
-    datenverbindungen: Seq[DatenverbindungRow] = Seq.empty)
+    datenverbindungen: Seq[DatenverbindungRow] = Seq.empty,
+    konfigurationsparameter: Seq[KonfigurationsparameterRow] = Seq.empty)

@@ -91,4 +91,22 @@ class ServiceSpec extends AnyFunSuite with SparkSupport {
     val events = spark.read.parquet(s"$ledgerDir/run_events")
     assert(events.filter("level = 'workflow'").select("id").distinct().count() == 2)
   }
+
+  test("conf.Konfigurationsparameter drives the service knobs; malformed values keep defaults") {
+    import graft.catalog.ConfigAssembly
+    import graft.model.{ConfigSet, KonfigurationsparameterRow => P}
+    // defaults are the reference's stdNumThreads/stdDebug/stdLogInterval
+    assert(ConfigAssembly.serviceParams(ConfigSet(Seq.empty, Seq.empty, Seq.empty,
+      Seq.empty, Seq.empty, Seq.empty, Seq.empty)) ==
+      ConfigAssembly.ServiceParams(1, debug = false, 5))
+    val cfg = ConfigSet(Seq.empty, Seq.empty, Seq.empty, Seq.empty, Seq.empty,
+      Seq.empty, Seq.empty,
+      konfigurationsparameter = Seq(
+        P("Anzahl_ETL_Threads", "8"),
+        P("Debug", "1"),
+        P("LogInterval", "not-a-number"), // malformed -> default, like the reference's catch
+        P("Unbekannt", "x")))             // unknown name ignored
+    assert(ConfigAssembly.serviceParams(cfg) ==
+      ConfigAssembly.ServiceParams(8, debug = true, 5))
+  }
 }
