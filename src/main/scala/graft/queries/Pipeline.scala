@@ -702,6 +702,70 @@ object Pipeline {
         CAST(1 AS BIGINT) AS n
       FROM documents"""))
 
+  /** Streaming signature stage, oracle-gated — the continuous twin of
+    * q14/q19: documents stream through tokens → shingles → hash32 →
+    * native MinHash/SimHash kernels
+    * ([[graft.streaming.Streams.signatureStream]], map-only, zero
+    * state) into an append-only signature table, and the gate compares
+    * that TABLE's signatures to the batch math. Map-only streams are
+    * fully deterministic (no watermark, no state, no arrival-order
+    * dependence), so the whole signature row is hash-comparable — the
+    * strongest possible streaming gate.
+    */
+  val q49 = QueryDef(
+    "q49_streaming_signatures",
+    (s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("q49stream").toString
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+      val sq = graft.streaming.Streams.signatureStream(stream, s"$base/out", s"$base/ckpt")
+      sq.processAllAvailable()
+      sq.stop()
+      s.read.parquet(s"$base/out").select(
+        $"doc_id",
+        element_at($"sig", 1).as("mh_0"),
+        element_at($"sig", 12).as("mh_11"),
+        $"simhash")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      ), sh AS (
+        SELECT doc_id,
+          CASE WHEN len(t) >= 3 THEN
+            list_distinct(list_transform(generate_series(1, len(t)-2),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+          ELSE [] END AS shingles
+        FROM toks
+      ), hs AS (
+        SELECT doc_id, list_transform(shingles,
+          s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hashes
+        FROM sh
+      ), sig AS (
+        SELECT doc_id,
+          list_transform(generate_series(0, 11), k ->
+            list_min(list_transform(hashes,
+              h -> ((2*k+1)*h + k*12582917) % 4294967311))) AS sig
+        FROM hs
+      ), bits AS (
+        SELECT doc_id, hashes,
+          list_transform(generate_series(0,31), i ->
+            CAST(len(list_filter(hashes, h -> (h // CAST(round(2**i) AS BIGINT)) % 2 = 1)) AS BIGINT)) AS ones
+        FROM hs
+      ), sh2 AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(generate_series(0,31), i ->
+              CASE WHEN ones[i+1] * 2 > len(hashes) THEN CAST(round(2**i) AS BIGINT) ELSE 0 END)),
+            (a,b) -> a+b) AS simhash
+        FROM bits
+      )
+      SELECT s.doc_id, s.sig[1] AS mh_0, s.sig[12] AS mh_11, sh2.simhash
+      FROM sig s JOIN sh2 USING (doc_id)"""))
+
   val all: Seq[QueryDef] =
-    Seq(q13, q14, q15, q16, q17, q18, q19, q29, q39, q41, q43, q44, q46, q48)
+    Seq(q13, q14, q15, q16, q17, q18, q19, q29, q39, q41, q43, q44, q46, q48, q49)
 }
