@@ -261,5 +261,92 @@ object Extended {
       )
       SELECT query_id, cell, rnk, neighbor_id, cosine FROM ranked WHERE rnk <= 3"""))
 
-  val all: Seq[QueryDef] = Seq(q22, q23, q24, q40, q45, q47)
+  /** IVF multi-probe ANN — q40 with the recall knob production IVF
+    * actually turns: each query searches its NPROBE (here 2) nearest
+    * cells instead of only the argmin cell, recovering neighbors that
+    * landed just across a Voronoi boundary. Cost scales on the QUERY
+    * side only (nprobe × query-cell fan-in — FANIN.md finding 3: the
+    * query side is insensitive to hot buckets), while the corpus keeps
+    * its single-cell assignment, so the same plan runs at 100 TB with
+    * nprobe tuned against recall on a held-out set. Cell ranking is a
+    * per-query window (partitioned — never global).
+    */
+  val q50 = QueryDef(
+    "q50_ann_ivf_nprobe",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.{VectorFunctions => V}
+      val v = Tables.load(s, dir, "embeddings")
+        .withColumn("e", V.asDouble($"embedding"))
+        .withColumn("nrm", V.norm($"e"))
+        .select($"vec_id", $"e", $"nrm")
+      val centroids = v.filter($"vec_id" < 8).orderBy($"vec_id")
+        .select($"e").collect().map(_.getSeq[Double](0).toSeq)
+      def distsOf(vec: org.apache.spark.sql.Column) = array(centroids.map { c =>
+        aggregate(zip_with(vec, typedlit(c), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)
+      }: _*)
+      val assigned = v
+        .withColumn("cell", (array_position(distsOf($"e"), array_min(distsOf($"e"))) - 1)
+          .cast("long"))
+        .persist()
+      // queries probe their 2 nearest cells (per-query ranking window)
+      val probeW = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"d", $"cid")
+      val probes = v.filter($"vec_id" < 30)
+        .select($"vec_id".as("query_id"), $"e".as("qe"), $"nrm".as("qn"),
+          posexplode(distsOf($"e")).as(Seq("cid", "d")))
+        .withColumn("prn", row_number().over(probeW))
+        .filter($"prn" <= 2)
+        .select($"query_id", $"qe", $"qn", $"cid".cast("long").as("cell"))
+      val scored = assigned.join(probes, Seq("cell"))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("neighbor_id"),
+          V.cosine($"qe", $"e", $"qn", $"nrm").as("cosine"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+      scored.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 3)
+        .select($"query_id", $"rnk", $"neighbor_id", $"cosine")
+    },
+    Some("""
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+      ), n AS (
+        SELECT vec_id, e, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(e, x -> x*x)), (a,b) -> a+b)) AS nrm FROM v
+      ), cents AS (
+        SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8
+      ), dists AS (
+        SELECT n.vec_id, c.cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> (n.e[i]-c.ce[i])*(n.e[i]-c.ce[i]))),
+            (a,b) -> a+b) AS d
+        FROM n CROSS JOIN cents c
+      ), assigned AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM dists) WHERE rn = 1
+      ), an AS (
+        SELECT n.*, a.cell FROM n JOIN assigned a USING (vec_id)
+      ), probes AS (
+        SELECT vec_id AS query_id, cid AS cell FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM dists WHERE vec_id < 30) WHERE rn <= 2
+      ), qv AS (
+        SELECT p.query_id, p.cell, n.e, n.nrm
+        FROM probes p JOIN n ON n.vec_id = p.query_id
+      ), scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> q.e[i]*c.e[i])), (a,b) -> a+b)
+            / (q.nrm * c.nrm) AS cosine
+        FROM qv q JOIN an c ON c.cell = q.cell AND c.vec_id <> q.query_id
+      ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM scored
+      )
+      SELECT query_id, rnk, neighbor_id, cosine FROM ranked WHERE rnk <= 3"""))
+
+  val all: Seq[QueryDef] = Seq(q22, q23, q24, q40, q45, q47, q50)
 }
