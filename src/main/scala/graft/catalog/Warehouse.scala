@@ -34,22 +34,55 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
     * any point leaves either the old or the new copy recoverable (never
     * a window where the table is only in a dir `read()` ignores).
     */
-  def deleteWhere(spark: SparkSession, table: String, predicate: String): Unit = {
+  def deleteWhere(spark: SparkSession, table: String, predicate: String): Unit =
+    if (exists(spark, table))
+      rewriteInPlace(table, read(spark, table).filter(s"NOT ($predicate)"))
+
+  /** Compact a table's accumulated small files — the maintenance pass
+    * every append-heavy table needs (each `append` and every streaming
+    * micro-batch adds part files; at 100 TB thousands of tiny files
+    * turn scan planning and NameNode/listing into the bottleneck).
+    * Rewrites the table into ⌈rows / targetRowsPerFile⌉ files via the
+    * same crash-safe swap as [[deleteWhere]]; contents are unchanged.
+    * Returns (files before, files after). This is the operation Delta's
+    * OPTIMIZE compiles to, expressed on the plain-parquet warehouse.
+    */
+  def compact(spark: SparkSession, table: String, targetRowsPerFile: Long = 1000000L): (Int, Int) = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    val before = partFiles(table)
     if (exists(spark, table)) {
-      val remaining = read(spark, table).filter(s"NOT ($predicate)")
-      val tmp = s"${path(table)}__rewrite"
-      remaining.write.mode(SaveMode.Overwrite).format(format).save(tmp)
-      val target = new java.io.File(path(table))
-      val old = new java.io.File(s"${path(table)}__old")
-      if (old.exists()) deleteRecursively(old)
-      if (!target.renameTo(old))
-        throw new IllegalStateException(s"rename $target -> $old failed")
-      if (!new java.io.File(tmp).renameTo(target)) {
-        old.renameTo(target) // restore — the swap failed, keep the table readable
-        throw new IllegalStateException(s"rename $tmp -> $target failed")
-      }
-      deleteRecursively(old)
+      val df = read(spark, table)
+      val rows = df.count()
+      val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
+      rewriteInPlace(table, df.repartition(nFiles))
     }
+    (before, partFiles(table))
+  }
+
+  private def partFiles(table: String): Int = {
+    val d = new java.io.File(path(table))
+    if (d.isDirectory) d.listFiles().count(_.getName.endsWith(s".$format")) else 0
+  }
+
+  /** Crash-safe table rewrite: the new contents land in a side dir, the
+    * old data is renamed aside BEFORE the new copy moves into place, so
+    * a crash at any point leaves either the old or the new copy
+    * recoverable (never a window where the table is only in a dir
+    * `read()` ignores).
+    */
+  private def rewriteInPlace(table: String, contents: org.apache.spark.sql.DataFrame): Unit = {
+    val tmp = s"${path(table)}__rewrite"
+    contents.write.mode(SaveMode.Overwrite).format(format).save(tmp)
+    val target = new java.io.File(path(table))
+    val old = new java.io.File(s"${path(table)}__old")
+    if (old.exists()) deleteRecursively(old)
+    if (!target.renameTo(old))
+      throw new IllegalStateException(s"rename $target -> $old failed")
+    if (!new java.io.File(tmp).renameTo(target)) {
+      old.renameTo(target) // restore — the swap failed, keep the table readable
+      throw new IllegalStateException(s"rename $tmp -> $target failed")
+    }
+    deleteRecursively(old)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

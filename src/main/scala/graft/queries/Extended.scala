@@ -348,5 +348,38 @@ object Extended {
       )
       SELECT query_id, rnk, neighbor_id, cosine FROM ranked WHERE rnk <= 3"""))
 
-  val all: Seq[QueryDef] = Seq(q22, q23, q24, q40, q45, q47, q50)
+  /** Multimodal segment sampling, oracle-gated — q23's sibling for the
+    * byte-level frame-sampling plumbing ([[Media.sampleSegments]]):
+    * every `stride` bytes of the payload yields a `width`-byte sample,
+    * capped at `maxSamples` per item — the partition shape of video
+    * frame extraction with the decode swapped for raw slicing (the
+    * sandbox has no codecs; the slicing, offsets, and batch shape are
+    * the real thing). Segments compare as hex so the gate hashes
+    * deterministically across engines.
+    */
+  val q51 = QueryDef(
+    "q51_media_segments",
+    (s, dir) => {
+      import s.implicits._
+      val media = Media.documentsAsMedia(Tables.load(s, dir, "documents"))
+      Media.sampleSegments(media, width = 16, stride = 64, maxSamples = 4)
+        .select($"media_id", $"offset".cast("long").as("seg_no"),
+          upper(hex($"segment")).as("seg_hex"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id AS media_id, encode(text) AS payload FROM documents
+      ), o AS (
+        SELECT media_id, payload,
+          unnest(generate_series(1,
+            LEAST(GREATEST(CAST(octet_length(payload) // 64 AS INT), 1), 4))) AS seg_no
+        FROM m
+      )
+      SELECT media_id, CAST(seg_no AS BIGINT) AS seg_no,
+             -- this DuckDB has no BLOB substring; slice the hex image
+             -- instead (2 hex chars per byte, same trailing semantics)
+             upper(substring(hex(payload), CAST((seg_no-1)*64*2 + 1 AS INT), 32)) AS seg_hex
+      FROM o"""))
+
+  val all: Seq[QueryDef] = Seq(q22, q23, q24, q40, q45, q47, q50, q51)
 }

@@ -236,6 +236,21 @@ class StepsSpec extends AnyFunSuite with SparkSupport {
       "default must write a directory of parts, not force one task")
   }
 
+  test("Warehouse.compact: many small appended files collapse; contents unchanged") {
+    import spark.implicits._
+    val wh = new Warehouse(tmpDir("compact-wh"))
+    // 12 appends of 3 rows = at least 12 part files (streaming/append shape)
+    (0 until 12).foreach(i =>
+      wh.append(Seq(i * 3, i * 3 + 1, i * 3 + 2).toDF("n").coalesce(1), "tiny"))
+    val before = wh.read(spark, "tiny").collect().map(_.getInt(0)).toSet
+    val (filesBefore, filesAfter) = wh.compact(spark, "tiny", targetRowsPerFile = 100)
+    assert(filesBefore >= 12, s"expected >=12 small files, got $filesBefore")
+    assert(filesAfter == 1, s"expected one compacted file, got $filesAfter")
+    assert(wh.read(spark, "tiny").collect().map(_.getInt(0)).toSet == before)
+    // compacting a missing table is a no-op, not an error
+    assert(wh.compact(spark, "missing") == ((0, 0)))
+  }
+
   test("SQL_TARGET: scalar probe of -1 fails the step and ledgers the error (@OutputParam1 contract)") {
     val (ctx, ledger, _) = freshCtx()
     // -1 through the scalar channel -> StepSignalledFailure + error row
