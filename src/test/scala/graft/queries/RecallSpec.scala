@@ -1,0 +1,44 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testkit.SparkSupport
+
+/** Quantifies the ANN recall claims the registry's plans make: the
+  * bucketed/celled searches (q17 sign-LSH, q40 IVF, q50 IVF-nprobe)
+  * trade recall for bounded fan-in, and q50's whole reason to exist is
+  * that probing a second cell recovers neighbors the single-cell
+  * search loses across Voronoi boundaries. Ground truth is the q16
+  * brute-force cosine top-k on the same fixture.
+  */
+class RecallSpec extends AnyFunSuite with SparkSupport {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** query_id -> ranked neighbor ids, from a registry query's output. */
+  private def neighbors(name: String, queryCol: String, neighborCol: String): Map[Long, Set[Long]] =
+    Registry.byName(name).run(spark, sf)
+      .select(queryCol, neighborCol).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+
+  test("IVF-nprobe recall at least matches single-cell IVF; both are graded against brute force") {
+    val truth = neighbors("q16_ann_topk", "query_id", "neighbor_id")
+    val ivf1 = neighbors("q40_ann_ivf", "query_id", "neighbor_id")
+    val ivf2 = neighbors("q50_ann_ivf_nprobe", "query_id", "neighbor_id")
+    // q16 uses its own query set; grade on the intersection of query ids
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val shared = truth.keySet.intersect(approx.keySet)
+      assert(shared.nonEmpty, "no shared query ids between baseline and approx")
+      shared.toSeq.map { q =>
+        val t = truth(q)
+        approx(q).count(t.contains).toDouble / t.size
+      }.sum / shared.size
+    }
+    val r1 = recall(ivf1)
+    val r2 = recall(ivf2)
+    info(f"recall vs brute force: IVF nprobe=1 $r1%.2f, nprobe=2 $r2%.2f")
+    assert(r2 >= r1, f"probing a second cell must not LOWER recall ($r2%.2f < $r1%.2f)")
+    assert(r2 > 0.3, f"nprobe=2 recall $r2%.2f implausibly low — cell assignment broken?")
+  }
+}
