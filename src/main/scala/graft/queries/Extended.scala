@@ -381,5 +381,67 @@ object Extended {
              upper(substring(hex(payload), CAST((seg_no-1)*64*2 + 1 AS INT), 32)) AS seg_hex
       FROM o"""))
 
-  val all: Seq[QueryDef] = Seq(q22, q23, q24, q40, q45, q47, q50, q51)
+  /** Vector near-dup collapse by leader clustering — the embedding-side
+    * answer to FANIN.md finding 4 (the pair LIST is quadratic when real
+    * dup clusters are giant; q43 is the text-side answer): each sign-LSH
+    * bucket elects a leader (min vec_id), and every vector joins the
+    * leader's cluster iff its cosine to the LEADER clears the
+    * threshold — exactly ONE cosine per vector, one aggregation + one
+    * small join (the leader table has one row per bucket — broadcast
+    * at any scale), zero pair enumeration. The recall trade vs full
+    * connected components (members similar to each other but not to the
+    * leader split off) is the standard leader-clustering contract.
+    */
+  val q52 = QueryDef(
+    "q52_vector_leader_clusters",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.{VectorFunctions => V}
+      val v = Tables.load(s, dir, "embeddings")
+        .withColumn("e", V.asDouble($"embedding"))
+        .withColumn("nrm", V.norm($"e"))
+        .withColumn("bucket", V.hyperplaneBucket($"e", 4, 64))
+        .select($"vec_id", $"e", $"nrm", $"bucket")
+        .persist()
+      val leaders = v.groupBy($"bucket").agg(min($"vec_id").as("leader_id"))
+        .join(v.select($"vec_id".as("leader_id"), $"e".as("le"), $"nrm".as("lnrm")),
+          Seq("leader_id"))
+      v.join(broadcast(leaders), Seq("bucket"))
+        .select($"vec_id",
+          when(V.cosine($"e", $"le", $"nrm", $"lnrm") >= 0.3, $"leader_id")
+            .otherwise($"vec_id").as("cluster_id"))
+    },
+    Some("""
+      WITH planes AS (
+        SELECT j, list_transform(generate_series(0,63),
+          d -> (CAST('0x' || substr(md5(j || ',' || d),1,8) AS BIGINT) % 2001 - 1000)/1000.0) AS w
+        FROM (SELECT unnest(generate_series(0,3)) AS j)
+      ), v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+      ), n AS (
+        SELECT vec_id, e, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(e, x -> x*x)), (a,b) -> a+b)) AS nrm FROM v
+      ), dots AS (
+        SELECT n.vec_id, p.j, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(generate_series(1,64), i -> p.w[i]*n.e[i])), (a,b) -> a+b) AS dot
+        FROM n CROSS JOIN planes p
+      ), buck AS (
+        SELECT vec_id, CAST(SUM(CASE WHEN dot > 0
+          THEN CAST(round(2**j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        FROM dots GROUP BY 1
+      ), bn AS (SELECT n.*, b.bucket FROM n JOIN buck b USING (vec_id)),
+      leaders AS (
+        SELECT bucket, MIN(vec_id) AS leader_id FROM bn GROUP BY 1
+      ), lw AS (
+        SELECT l.bucket, l.leader_id, n.e AS le, n.nrm AS lnrm
+        FROM leaders l JOIN n ON n.vec_id = l.leader_id
+      )
+      SELECT m.vec_id,
+        CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> m.e[i]*lw.le[i])), (a,b) -> a+b)
+            / (m.nrm * lw.lnrm) >= 0.3
+          THEN lw.leader_id ELSE m.vec_id END AS cluster_id
+      FROM bn m JOIN lw USING (bucket)"""))
+
+  val all: Seq[QueryDef] = Seq(q22, q23, q24, q40, q45, q47, q50, q51, q52)
 }
