@@ -59,6 +59,28 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
     (before, partFiles(table))
   }
 
+  /** Keyed upsert (SCD-1 merge): rows in `batch` REPLACE existing rows
+    * with the same key; everything else appends. Parquet has no row
+    * updates, so this is delete-matching + union + the crash-safe swap —
+    * the same rewrite Delta's MERGE compiles to for matched-update/
+    * not-matched-insert. The key set of one batch is assumed
+    * broadcastable (a batch is bounded; the TABLE is not), so the
+    * anti-join never shuffles the big side by itself.
+    */
+  def upsert(spark: SparkSession, table: String, batch: DataFrame, keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    if (!exists(spark, table)) append(batch, table)
+    else {
+      val existing = read(spark, table)
+      val keyCols = keys.map(org.apache.spark.sql.functions.col)
+      val kept = existing.join(
+        org.apache.spark.sql.functions.broadcast(batch.select(keyCols: _*).distinct()),
+        keys, "left_anti")
+      rewriteInPlace(table, kept.unionByName(batch.select(existing.columns.map(
+        org.apache.spark.sql.functions.col): _*)))
+    }
+  }
+
   private def partFiles(table: String): Int = {
     val d = new java.io.File(path(table))
     if (d.isDirectory) d.listFiles().count(_.getName.endsWith(s".$format")) else 0

@@ -238,5 +238,45 @@ object EndToEnd {
              'nation.xlsx' AS dateiname
       FROM nation ORDER BY n_nationkey"""))
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q36, q42)
+  /** Keyed upsert (SCD-1 merge) end-to-end — [[Warehouse.upsert]]: an
+    * initial load (even order keys) takes a batch whose keys overlap
+    * (all keys ≤ 1000, prices doubled); matched rows are REPLACED,
+    * unmatched batch rows insert, untouched rows survive. The oracle
+    * recomputes the final table state relationally (batch ∪ initial
+    * minus batch keys). The rewrite is delete-matching + union + the
+    * crash-safe swap — the plan Delta's MERGE compiles to; the batch
+    * key set broadcasts (a batch is bounded, the table is not).
+    */
+  val q53 = QueryDef(
+    "q53_upsert_merge",
+    (s, dir) => {
+      import s.implicits._
+      val wh = new Warehouse(java.nio.file.Files.createTempDirectory("q53wh").toString)
+      val orders = Tables.load(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus",
+          $"o_totalprice".cast("decimal(12,2)").as("price"))
+      wh.append(orders.filter($"o_orderkey" % 2 === 0), "tgt")
+      val batch = orders.filter($"o_orderkey" <= 1000)
+        .withColumn("price", ($"price" * 2).cast("decimal(12,2)"))
+      wh.upsert(s, "tgt", batch, Seq("o_orderkey"))
+      wh.read(s, "tgt")
+        .select($"o_orderkey", $"o_orderstatus", $"price".cast("double").as("price"))
+    },
+    Some("""
+      WITH src AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        FROM orders
+      ), initial AS (
+        SELECT * FROM src WHERE o_orderkey % 2 = 0
+      ), batch AS (
+        SELECT o_orderkey, o_orderstatus, CAST(price * 2 AS DECIMAL(12,2)) AS price
+        FROM src WHERE o_orderkey <= 1000
+      )
+      SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price FROM batch
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price
+      FROM initial WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)"""))
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q36, q42, q53)
 }
