@@ -766,6 +766,53 @@ object Pipeline {
       SELECT s.doc_id, s.sig[1] AS mh_0, s.sig[12] AS mh_11, sh2.simhash
       FROM sig s JOIN sh2 USING (doc_id)"""))
 
+  /** Streaming windowed counts, oracle-gated — the continuous twin of
+    * the per-window timeline aggregations: events stream through a
+    * watermarked 1-hour tumbling window in APPEND mode, so only windows
+    * the watermark has CLOSED are emitted (late data bounded, state
+    * bounded — the 100 TB contract). The oracle recomputes exactly that
+    * subset relationally: per-window counts where `window_end <=
+    * max(ts) - watermark`, which is the final watermark of a drained
+    * AvailableNow run. Trailing open windows are withheld by design —
+    * the semantic difference between a streaming append aggregation and
+    * its batch twin, pinned by the gate instead of papered over.
+    */
+  val q54 = QueryDef(
+    "q54_streaming_windowed_counts",
+    (s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("q54stream").toString
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        // events.ts is parquet TIMESTAMP(NANOS) read as long (see
+        // Tables.load) — rebuild the timestamp for the watermark
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val q = graft.streaming.Streams.windowedCounts(stream)
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select(QueryDef.ntz($"window_start").as("window_start"), $"event_type", $"n")
+    },
+    Some("""
+      WITH e AS (
+        SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+      ), agg AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               event_type, COUNT(*) AS n
+        FROM e GROUP BY 1, 2
+      ), wm AS (
+        SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM e
+      )
+      SELECT a.window_start, a.event_type, a.n
+      FROM agg a, wm
+      WHERE a.window_start + INTERVAL 1 HOUR <= wm.w"""))
+
   val all: Seq[QueryDef] =
-    Seq(q13, q14, q15, q16, q17, q18, q19, q29, q39, q41, q43, q44, q46, q48, q49)
+    Seq(q13, q14, q15, q16, q17, q18, q19, q29, q39, q41, q43, q44, q46, q48, q49, q54)
 }
