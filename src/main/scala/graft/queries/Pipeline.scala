@@ -813,6 +813,71 @@ object Pipeline {
       FROM agg a, wm
       WHERE a.window_start + INTERVAL 1 HOUR <= wm.w"""))
 
+  /** Streaming stateful sessionization, oracle-gated — the
+    * `flatMapGroupsWithState` path (custom per-user state + event-time
+    * timeout, the one shape the DataFrame API can't express) run over
+    * the events corpus as a file stream. Emitted = CLOSED sessions
+    * only: closed by a gap (a later event > 30 min after the session's
+    * last) or by the event-time timeout once the final watermark
+    * (max ts − 30 min) passes `last + gap`. The oracle recomputes the
+    * q12 session assignment relationally and applies exactly that
+    * closure condition; still-open trailing sessions are withheld by
+    * design. The single-file source drains as ONE data batch (+ the
+    * no-data flush batch), so emission is deterministic.
+    */
+  val q55 = QueryDef(
+    "q55_streaming_sessions",
+    (s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("q55stream").toString
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select($"user_id", $"ts", $"event_type", $"value")
+        .as[graft.streaming.Streams.Event]
+      val q = graft.streaming.Streams.sessionize(stream)
+        .filter(_.closed)
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // SessionUpdate carries java.sql.Timestamp, whose getTime-based
+      // state is millisecond-precision; compare starts as epoch millis
+      s.read.parquet(s"$base/out")
+        .groupBy($"user_id", unix_millis($"session_start").as("session_start_ms"))
+        .agg(max($"n_events").as("n_events"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      ), flagged AS (
+        SELECT user_id, ts,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      ), sess AS (
+        SELECT user_id, ts,
+          SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+      ), agg AS (
+        SELECT user_id, sid, MIN(ts) AS session_start, MAX(ts) AS last_ts,
+               COUNT(*) AS n_events
+        FROM sess GROUP BY 1, 2
+      ), wm AS (
+        SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM e
+      )
+      SELECT a.user_id, epoch_ms(a.session_start) AS session_start_ms, a.n_events
+      FROM agg a, wm
+      WHERE a.sid < (SELECT max(sid) FROM agg a2 WHERE a2.user_id = a.user_id)
+         OR a.last_ts + INTERVAL 30 MINUTE <= wm.w""")
+  )
+
   val all: Seq[QueryDef] =
-    Seq(q13, q14, q15, q16, q17, q18, q19, q29, q39, q41, q43, q44, q46, q48, q49, q54)
+    Seq(q13, q14, q15, q16, q17, q18, q19, q29, q39, q41, q43, q44, q46, q48, q49, q54, q55)
 }
