@@ -188,10 +188,15 @@ object FanIn {
     // ~1.2B candidate cosines — see the fan-in table); these runs go
     // through the SHIPPED CosineNearDup operator (scaled planes +
     // capBuckets), so the timing measures the production path:
-    def neardupPairs(planes: Int): Long =
-      graft.operators.CosineNearDup.pairs(
+    def neardupPairs(planes: Int): Long = {
+      val n = graft.operators.CosineNearDup.pairs(
         spark.read.parquet(s"$outDir/embeddings.parquet"),
         "vec_id", "embedding", Dim, threshold = 0.8, planes = planes).count()
+      // the operator persists its blocking frame (see its scaladoc);
+      // drop it between timed runs so one pass can't feed the next
+      spark.catalog.clearCache()
+      n
+    }
     time(s"CosineNearDup (scaledPlanes=$planesAuto + cap)") { neardupPairs(planesAuto) }
     time("CosineNearDup (planes=16 + cap)") { neardupPairs(16) }
     spark.stop()

@@ -48,9 +48,16 @@ object RelScale {
     val liRows = spark.read.parquet(s"$out/lineitem.parquet").count()
     println(f"# inflated lineitem rows: $liRows%,d")
 
-    // JIT warmup per plan family (same rationale as Bench)
+    // JIT warmup per plan family (same rationale and dir derivation as
+    // Bench: sibling sf0.001 when the layout has one, else the measured
+    // dir itself — a hardcoded path would silently warm nothing on other
+    // layouts and every 1x number would carry the JIT cost)
+    val warmDir = {
+      val sibling = new java.io.File(new java.io.File(src).getParentFile, "sf0.001")
+      if (sibling.isDirectory) sibling.toString else src
+    }
     Queries.foreach { q =>
-      try queries.Registry.byName(q).run(spark, "/root/testdata/sf0.001")
+      try queries.Registry.byName(q).run(spark, warmDir)
         .queryExecution.toRdd.count()
       catch { case e: Throwable => System.err.println(s"warmup $q: ${e.getMessage}") }
     }

@@ -110,7 +110,15 @@ object Service {
       schrittParameter = load[SchrittParameterRow]("schritt_parameter"),
       emailVerteiler = load[EmailVerteilerRow]("email_verteiler"),
       konfigurationsparameter =
-        load[KonfigurationsparameterRow]("konfigurationsparameter"))
+        load[KonfigurationsparameterRow]("konfigurationsparameter"),
+      // tenant-connection model: the Spec ADT is not parquet-encodable,
+      // so connections snapshot as the flat reference-DDL shape and
+      // resolve to Spec variants here — without these three tables a
+      // deployed service could never reach the per-tenant routing
+      konfigurationen = load[KonfigurationRow]("konfigurationen"),
+      mandantenVerbindungen = load[MandantVerbindungRow]("mandanten_verbindungen"),
+      datenverbindungen =
+        load[DatenverbindungFlatRow]("datenverbindungen").map(_.toRow))
   }
 
   /** `graft.Service <configDir> <dataDir> <warehouseDir> <ledgerDir>`:

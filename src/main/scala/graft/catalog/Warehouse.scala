@@ -69,6 +69,15 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
     */
   def upsert(spark: SparkSession, table: String, batch: DataFrame, keys: Seq[String]): Unit = {
     require(keys.nonEmpty, "upsert needs at least one key column")
+    // a batch with two versions of one key has no defined winner — refuse
+    // like Delta's MERGE on multiple source matches, instead of silently
+    // writing a duplicated key (CDC feeds must pre-collapse to last-wins)
+    val dupKeys = batch.groupBy(keys.map(org.apache.spark.sql.functions.col): _*)
+      .count().filter(org.apache.spark.sql.functions.col("count") > 1).limit(1).count()
+    if (dupKeys > 0)
+      throw new IllegalArgumentException(
+        s"upsert batch for $table carries duplicate keys on (${keys.mkString(",")}); " +
+          "collapse the batch to one row per key first")
     if (!exists(spark, table)) append(batch, table)
     else {
       val existing = read(spark, table)

@@ -158,6 +158,41 @@ final case class DatenverbindungRow(
     verbindung: String,
     spec: graft.sources.Connections.Spec)
 
+/** Parquet-flat form of [[DatenverbindungRow]] for config snapshots on
+  * disk: the `Connections.Spec` ADT has no Dataset encoder, so the
+  * snapshot stores the reference-DDL-shaped columns and `typ` selects
+  * the variant at load time ("parquet" | "csv" | "jdbc" — the engine's
+  * `conf.Datenquellentypen` vocabulary).
+  */
+final case class DatenverbindungFlatRow(
+    datenverbindungenId: Long,
+    verbindung: String,
+    typ: String,
+    /** parquet/csv base directory (`Verbindungszeichenkette` analog). */
+    pfad: Option[String] = None,
+    url: Option[String] = None,
+    benutzer: Option[String] = None,
+    kennwort: Option[String] = None,
+    treiber: Option[String] = None) {
+
+  def toRow: DatenverbindungRow = {
+    import graft.sources.Connections
+    val spec = typ match {
+      case "parquet" => Connections.ParquetDir(pfad.getOrElse(
+        throw new IllegalArgumentException(s"Datenverbindung $datenverbindungenId: parquet needs pfad")))
+      case "csv" => Connections.CsvDir(pfad.getOrElse(
+        throw new IllegalArgumentException(s"Datenverbindung $datenverbindungenId: csv needs pfad")))
+      case "jdbc" => Connections.Jdbc(
+        url.getOrElse(throw new IllegalArgumentException(
+          s"Datenverbindung $datenverbindungenId: jdbc needs url")),
+        benutzer.getOrElse(""), kennwort.getOrElse(""), treiber)
+      case other => throw new IllegalArgumentException(
+        s"Datenverbindung $datenverbindungenId: unknown typ '$other'")
+    }
+    DatenverbindungRow(datenverbindungenId, verbindung, spec)
+  }
+}
+
 /** `conf.Email_Verteiler_Workflow` — per-workflow mail recipients with
   * the only-on-error and CC routing flags (`Workflow.cs:1296-1317`).
   */

@@ -51,7 +51,12 @@ object BucketedWindow {
         "spans at most one bucket boundary")
     val originalCols = df.columns.toSeq
     val k = col(orderCol)
-    val bkt = floor(k / bucketWidth)
+    // floor division in EXACT integer arithmetic: `k / width` on longs is
+    // double division in Spark and rounds keys above 2^53 (epoch-nanos
+    // territory) onto the wrong bucket; `div` truncates toward zero, so
+    // adjust the negative non-multiples down to get a true floor
+    val trunc = expr(s"`$orderCol` div $bucketWidth")
+    val bkt = when(k < 0 && pmod(k, lit(bucketWidth)) =!= 0, trunc - 1).otherwise(trunc)
     // owner copy always; boundary-strip rows also copy into the next bucket
     val assigned = df.withColumn("__asg",
       explode(when(k >= (bkt + 1) * bucketWidth - preceding,

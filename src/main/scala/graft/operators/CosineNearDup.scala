@@ -54,6 +54,10 @@ object CosineNearDup {
   /** All pairs with cosine ≥ `threshold` among same-(bucket, sub) rows.
     * Output: (id_a, id_b, cosine), id_a < id_b. ONE shuffle on the
     * blocking key; candidate count bounded by the capped bucket sizes.
+    * The blocking frame is persisted (both sides of the self-join read
+    * it); a session that runs MANY corpora through pairs() should
+    * `spark.catalog.clearCache()` between them — at 100 TB this frame
+    * is a checkpointed signature table, not an in-memory cache.
     */
   def pairs(
       embeddings: DataFrame, idCol: String, embCol: String, dim: Int,

@@ -875,7 +875,7 @@ object Pipeline {
       SELECT a.user_id, epoch_ms(a.session_start) AS session_start_ms, a.n_events
       FROM agg a, wm
       WHERE a.sid < (SELECT max(sid) FROM agg a2 WHERE a2.user_id = a.user_id)
-         OR a.last_ts + INTERVAL 30 MINUTE <= wm.w""")
+         OR a.last_ts + INTERVAL 30 MINUTE < wm.w""")
   )
 
   val all: Seq[QueryDef] =

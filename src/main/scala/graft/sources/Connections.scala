@@ -44,7 +44,11 @@ object Connections {
   /** A realization's resolved physical endpoints — the output of the
     * per-tenant chain `ETL_Konfigurationen` → `ETL_Mandanten_
     * Verbindungen` → `conf.Datenverbindungen`
-    * (`Step.cs:1285-1767` GetRealizationConnections).
+    * (`Step.cs:1285-1767` GetRealizationConnections). The TARGET routes
+    * step writes today (`ConfigAssembly.warehouseFor`); the SOURCE spec
+    * is resolved and carried for the JDBC/CSV ingest paths but the
+    * registered-view COPY model does not consume it yet — disclosed in
+    * ARCHITECTURE.md rather than silently half-wired.
     */
   final case class Resolved(source: Spec, target: Spec)
 

@@ -306,13 +306,16 @@ object Steps {
       // 1024-1041`, wired at `Step.cs:1198-1231`): reference procs signal
       // a failed data-quality probe through an integer output parameter
       // valued -1, and the step must abort. The Spark analog is the
-      // scalar SELECT probe: a SINGLE-column integral/decimal row valued
-      // -1 fails the step (the error is ledgered here like the
-      // reference's HandleErrorCatch, then rethrown so the runner marks
-      // the step failed); any other value, an empty result, or a
-      // multi-column data probe passes.
-      val probe = df.limit(1).collect()
-      val signalled = df.schema.length == 1 && probe.headOption.exists(r =>
+      // scalar SELECT probe: a SINGLE-row, SINGLE-column integral/decimal
+      // result valued -1 fails the step (the error is ledgered here like
+      // the reference's HandleErrorCatch, then rethrown so the runner
+      // marks the step failed). Any other value, an empty result, a
+      // multi-column shape, or a MULTI-row result passes — sampling two
+      // rows distinguishes a true scalar from a data SELECT whose
+      // arbitrary first row might be -1 under one partition scheduling
+      // and not another.
+      val probe = df.limit(2).collect()
+      val signalled = df.schema.length == 1 && probe.length == 1 && probe.headOption.exists(r =>
         !r.isNullAt(0) && (r.get(0) match {
           case b: java.lang.Byte => b.longValue == -1L
           case s: java.lang.Short => s.longValue == -1L

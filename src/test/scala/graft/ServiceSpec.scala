@@ -92,6 +92,34 @@ class ServiceSpec extends AnyFunSuite with SparkSupport {
     assert(events.filter("level = 'workflow'").select("id").distinct().count() == 2)
   }
 
+  test("loadConfig round-trips the tenant-connection tables (flat Datenverbindungen form)") {
+    import spark.implicits._
+    import graft.model._
+    import graft.sources.Connections
+    val dir = tmpDir("svc-tenant-cfg")
+    Seq(KonfigurationRow(7L, "cfg", 50L, 51L, istAktiv = true)).toDS()
+      .write.parquet(s"$dir/konfigurationen")
+    Seq(MandantVerbindungRow(1, 51L, 501L)).toDS()
+      .write.parquet(s"$dir/mandanten_verbindungen")
+    Seq(
+      DatenverbindungFlatRow(501L, "wh-a", "parquet", pfad = Some("/tmp/wh-a")),
+      DatenverbindungFlatRow(502L, "drop", "csv", pfad = Some("/tmp/drop")),
+      DatenverbindungFlatRow(503L, "db", "jdbc", url = Some("jdbc:derby:x"),
+        benutzer = Some("u"), kennwort = Some("p"))).toDS()
+      .write.parquet(s"$dir/datenverbindungen")
+    val cfg = Service.loadConfig(spark, dir)
+    assert(cfg.konfigurationen.size == 1 && cfg.mandantenVerbindungen.size == 1)
+    val specs = cfg.datenverbindungen.map(d => d.datenverbindungenId -> d.spec).toMap
+    assert(specs(501L) == Connections.ParquetDir("/tmp/wh-a"))
+    assert(specs(502L) == Connections.CsvDir("/tmp/drop"))
+    assert(specs(503L) ==
+      Connections.Jdbc("jdbc:derby:x", "u", "p", None))
+    // a malformed typ refuses to load rather than mis-routing silently
+    intercept[IllegalArgumentException] {
+      DatenverbindungFlatRow(504L, "bad", "excel").toRow
+    }
+  }
+
   test("conf.Konfigurationsparameter drives the service knobs; malformed values keep defaults") {
     import graft.catalog.ConfigAssembly
     import graft.model.{ConfigSet, KonfigurationsparameterRow => P}

@@ -115,6 +115,27 @@ class OperatorsSpec extends AnyFunSuite with SparkSupport {
     assert(got == expected)
   }
 
+  test("BucketedWindow.rangePreceding: exact bucketing for 2^53+ and negative keys") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // keys above 2^53: double division of k/width rounds by ~4 ulps here,
+    // so a float-based floor would mis-bucket boundary rows
+    val base = 1770000000000000000L
+    def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      val global = Window.orderBy($"k").rangeBetween(-9, Window.currentRow)
+      val expected = df.select($"k", sum($"v").over(global).as("s"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val got = BucketedWindow.rangePreceding(df, "k", preceding = 9, bucketWidth = 64)(Seq(
+        "s" -> (w => sum(col("v")).over(w))))
+        .select($"k", $"s")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == expected)
+    }
+    check(spark.range(0, 300).select(($"id" + base).as("k"), lit(1.0).as("v")))
+    check(spark.range(0, 300).select(($"id" - 150).as("k"), lit(1.0).as("v")))
+  }
+
   test("BucketedWindow.rangePreceding: a bucket narrower than the frame is rejected") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -278,6 +278,23 @@ class StepsSpec extends AnyFunSuite with SparkSupport {
       Steps.execute(StepSpec(66, CommandType.SqlTarget, TaskType.Sql,
         "SELECT CAST(-1 AS DECIMAL(10,2)) AS outcome"), ctx)
     }
+    // a MULTI-row single-column data SELECT never signals, whatever its
+    // arbitrary first row is — only a true scalar carries the channel
+    Steps.execute(StepSpec(67, CommandType.SqlTarget, TaskType.Sql,
+      "SELECT -1 AS a FROM range(3)"), ctx)
+  }
+
+  test("Warehouse.upsert: replaces matched keys, refuses duplicate keys in one batch") {
+    import spark.implicits._
+    val wh = new Warehouse(tmpDir("upsert-wh"))
+    wh.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "t")
+    wh.upsert(spark, "t", Seq((2L, "B"), (3L, "c")).toDF("k", "v"), Seq("k"))
+    val out = wh.read(spark, "t").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "a"), (2L, "B"), (3L, "c")))
+    // two versions of one key in a batch have no defined winner
+    intercept[IllegalArgumentException] {
+      wh.upsert(spark, "t", Seq((5L, "x"), (5L, "y")).toDF("k", "v"), Seq("k"))
+    }
   }
 
   test("SQL_TARGET with a SELECT Befehl does not materialize the result on the driver (ADVICE r2)") {
