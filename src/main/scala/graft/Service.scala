@@ -50,7 +50,8 @@ object Service {
       val result = runner.run(spec, zid,
         (m: Macros.Context, stepRunId: Option[Long], real: RealizationSpec) =>
           StepContext(spark, ConfigAssembly.warehouseFor(real, warehouse), ledger, m,
-            schrittRunId = stepRunId, konfigurationenId = real.konfigurationenId))
+            schrittRunId = stepRunId, konfigurationenId = real.konfigurationenId,
+            sourceSpec = real.connections.map(_.source)))
       // result-mail dispatch (`Workflow.cs:1296-1340` / Abort `1560-1605`):
       // select recipients per Nur_Fehler/CC, render the report, record the
       // send decision in the ledger (SMTP itself is environment wiring)

@@ -45,10 +45,10 @@ object Connections {
     * per-tenant chain `ETL_Konfigurationen` → `ETL_Mandanten_
     * Verbindungen` → `conf.Datenverbindungen`
     * (`Step.cs:1285-1767` GetRealizationConnections). The TARGET routes
-    * step writes today (`ConfigAssembly.warehouseFor`); the SOURCE spec
-    * is resolved and carried for the JDBC/CSV ingest paths but the
-    * registered-view COPY model does not consume it yet — disclosed in
-    * ARCHITECTURE.md rather than silently half-wired.
+    * step writes (`ConfigAssembly.warehouseFor`); a JDBC SOURCE routes
+    * COPY's Befehl to that database via full-query pushdown
+    * (`Steps.sourceFrame`, Derby-tested live); parquet/CSV sources keep
+    * the registered-view model — the session catalog IS that source.
     */
   final case class Resolved(source: Spec, target: Spec)
 

@@ -26,6 +26,12 @@ final case class StepContext(
     macroCtx: Macros.Context,
     schrittRunId: Option[Long] = None,
     konfigurationenId: Option[Long] = None,
+    /** Tenant-resolved SOURCE connection (`Step.cs:1285-1767`): a JDBC
+      * spec routes COPY's source query to that database via full-query
+      * pushdown; parquet/CSV specs keep the registered-view model (the
+      * session catalog IS that source).
+      */
+    sourceSpec: Option[graft.sources.Connections.Spec] = None,
     /** Audit identities: `Nutzer` = destination user, `Datenproduzent` =
       * engine login (`CommandExecuter.cs:603-678`).
       */
@@ -75,9 +81,21 @@ object Steps {
     val target = targetTable(spec)
     val query = Macros.expand(spec.befehl, ctx.macroCtx)
     ctx.ledger.logQuery(query, ctx.schrittRunId, ctx.konfigurationenId)
-    val src = ctx.spark.sql(query)
-    writeAligned(src, target, ctx)
+    writeAligned(sourceFrame(query, ctx), target, ctx)
   }
+
+  /** COPY's source frame: a tenant-resolved JDBC source executes the
+    * step SQL in the SOURCE database (`(query) q` full-query pushdown —
+    * the reference ships the Befehl to the source the same way,
+    * `CommandExecuter.cs:463-510`); otherwise the session catalog is the
+    * source and the query runs on the registered views.
+    */
+  private def sourceFrame(query: String, ctx: StepContext): DataFrame =
+    ctx.sourceSpec match {
+      case Some(j: graft.sources.Connections.Jdbc) =>
+        graft.sources.Connections.read(ctx.spark, j, query)
+      case _ => ctx.spark.sql(query)
+    }
 
   /** S2 COPY + Zeitscheibe (`CommandExecuter.cs:50-304`): the takeover
     * window expands to month slices; the reference loops them serially,
@@ -96,7 +114,7 @@ object Steps {
           .replace("##Uebernahme_bis##", s"TIMESTAMP '${w.to.format(fmt)}'"),
         ctx.macroCtx)
       ctx.ledger.logQuery(q, ctx.schrittRunId, ctx.konfigurationenId)
-      ctx.spark.sql(q)
+      sourceFrame(q, ctx)
     }
     writeAligned(slices.reduce(_ unionByName _), target, ctx)
   }

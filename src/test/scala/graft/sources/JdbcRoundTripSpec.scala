@@ -39,4 +39,38 @@ class JdbcRoundTripSpec extends AnyFunSuite with SparkSupport {
     assert(parts.rdd.getNumPartitions == 2)
     assert(parts.count() == 100)
   }
+
+  test("COPY pulls from a tenant-resolved JDBC source (pushdown) into the tenant warehouse") {
+    import graft.catalog.Warehouse
+    import graft.ledger.RunLedger
+    import graft.macros.Macros
+    import graft.steps.{CommandType, StepContext, StepSpec, Steps, TaskType}
+    import spark.implicits._
+    val dbDir = tmpDir("derby-copy") + "/db"
+    val jdbc = Connections.Jdbc(s"jdbc:derby:$dbDir;create=true", "app", "app",
+      driver = Some("org.apache.derby.jdbc.EmbeddedDriver"))
+    val src = (1 to 40).map(i => (i, i * 10.0)).toDF("ID", "AMOUNT")
+    Connections.jdbcWriteOptions(jdbc, "ledger_src")
+      .foldLeft(src.write.format("jdbc"))((b, kv) => b.option(kv._1, kv._2))
+      .mode("append").save()
+
+    val wh = new Warehouse(tmpDir("jdbc-copy-wh"))
+    val ctx = StepContext(spark, wh, new RunLedger(),
+      Macros.Context(workflowId = 1,
+        takeoverVon = java.time.LocalDateTime.of(1990, 1, 1, 0, 0),
+        takeoverBis = java.time.LocalDateTime.of(1999, 1, 1, 0, 0)),
+      sourceSpec = Some(jdbc)) // what ConfigAssembly resolves for the tenant
+    // the Befehl executes IN DERBY (full-query pushdown), not on the
+    // session views — Derby-only syntax (FETCH FIRST) proves it
+    val rows = Steps.execute(StepSpec(70, CommandType.Copy, TaskType.Sql,
+      "SELECT ID, AMOUNT FROM ledger_src WHERE ID <= 25 " +
+        "ORDER BY ID FETCH FIRST 20 ROWS ONLY",
+      zieltabelle = Some("copied_from_db")), ctx).get
+    assert(rows == 20)
+    val back = wh.read(spark, "copied_from_db")
+    assert(back.count() == 20)
+    assert(back.agg(org.apache.spark.sql.functions.sum("AMOUNT")).head.getDouble(0) ==
+      (1 to 20).map(_ * 10.0).sum)
+    assert(back.columns.map(_.toLowerCase).contains("datenproduzent")) // audit cols applied
+  }
 }
