@@ -878,6 +878,80 @@ object Pipeline {
          OR a.last_ts + INTERVAL 30 MINUTE < wm.w""")
   )
 
+  /** Fuzzy string matching — edit-distance pairs over the SAME banded
+    * blocking as q15: MinHash-LSH proposes candidates (bounded fan-in,
+    * never all-pairs), then exact Levenshtein on the normalized text
+    * scores them — the fuzzy-join shape (record linkage, title/author
+    * matching) where token-set Jaccard is too coarse. Levenshtein is
+    * O(len²) per PAIR, which is precisely why it must never run
+    * all-pairs; after blocking it touches candidates only. Both engines
+    * ship the identical unit-cost DP, so the distances hash-match.
+    */
+  val q57 = QueryDef(
+    "q57_fuzzy_pairs",
+    (s, dir) => {
+      import s.implicits._
+      val sig = hashedShingles(s, dir)
+        .filter(size($"shingles") > 0)
+        .withColumn("sig", T.minhashFromHashes($"hashes", K))
+        .select($"doc_id", $"sig")
+        .persist()
+      val bands = sig.select(
+        $"doc_id",
+        explode(array((0 until BANDS).map(b =>
+          struct(lit(b).as("b"), T.bandKey($"sig", b, ROWS).as("key"))): _*)).as("band"))
+        .select($"doc_id", $"band.b", $"band.key")
+      val pairs = bands.as("x")
+        .join(bands.as("y"), $"x.b" === $"y.b" && $"x.key" === $"y.key" &&
+          $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+        .distinct()
+      val txt = docs(s, dir).select($"doc_id", trim(lower($"text")).as("norm"))
+      pairs
+        .join(txt.select($"doc_id".as("doc_a"), $"norm".as("na")), "doc_a")
+        .join(txt.select($"doc_id".as("doc_b"), $"norm".as("nb")), "doc_b")
+        .select($"doc_a", $"doc_b",
+          levenshtein($"na", $"nb").cast("long").as("lev"),
+          (lit(1.0) - levenshtein($"na", $"nb").cast("double") /
+            greatest(length($"na"), length($"nb")).cast("double")).as("sim"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      ), sh AS (
+        SELECT doc_id,
+          CASE WHEN len(t) >= 3 THEN
+            list_distinct(list_transform(generate_series(1, len(t)-2),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+          ELSE [] END AS shingles
+        FROM toks
+      ), sig AS (
+        SELECT doc_id,
+          list_transform(generate_series(0, 11), k ->
+            list_min(list_transform(
+              list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)),
+              h -> ((2*k+1)*h + k*12582917) % 4294967311))) AS sig
+        FROM sh WHERE len(shingles) > 0
+      ), bands AS (
+        SELECT doc_id, b,
+          md5(array_to_string(sig[(3*b+1):(3*b+3)], ',')) AS band_key
+        FROM sig, (SELECT unnest(generate_series(0,3)) AS b)
+      ), pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      ), txt AS (
+        SELECT doc_id, trim(lower(text)) AS norm FROM documents
+      )
+      SELECT p.doc_a, p.doc_b,
+        CAST(levenshtein(ta.norm, tb.norm) AS BIGINT) AS lev,
+        1.0 - CAST(levenshtein(ta.norm, tb.norm) AS DOUBLE) /
+          CAST(GREATEST(len(ta.norm), len(tb.norm)) AS DOUBLE) AS sim
+      FROM pairs p
+      JOIN txt ta ON ta.doc_id = p.doc_a
+      JOIN txt tb ON tb.doc_id = p.doc_b"""))
+
   val all: Seq[QueryDef] =
-    Seq(q13, q14, q15, q16, q17, q18, q19, q29, q39, q41, q43, q44, q46, q48, q49, q54, q55)
+    Seq(q13, q14, q15, q16, q17, q18, q19, q29, q39, q41, q43, q44, q46,
+      q48, q49, q54, q55, q57)
 }

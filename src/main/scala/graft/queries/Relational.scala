@@ -511,6 +511,34 @@ object Relational {
       WINDOW w AS (ORDER BY o_orderkey RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)"""))
 
   /** CUBE aggregation — all grouping combinations in one pass. */
+  /** Explicit GROUPING SETS — the general form rollup/cube (q25/q31)
+    * special-case: an arbitrary list of grouping combinations in one
+    * pass (here: by status, by priority, and the grand total — NOT the
+    * full cube). One shuffle; Catalyst expands the sets into a single
+    * Expand + aggregate like the cube path.
+    */
+  val q56 = QueryDef(
+    "q56_grouping_sets",
+    (s, dir) => {
+      Tables.load(s, dir, "orders").createOrReplaceTempView("q56_orders")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM q56_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+    },
+    Some("""
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+             CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""))
+
   val q31 = QueryDef(
     "q31_cube",
     (s, dir) => {
@@ -724,5 +752,5 @@ object Relational {
 
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06,
     q07, q08, q09, q10, q11, q12, q25, q26, q27, q28, q30, q31, q32, q33,
-    q34, q35, q37, q38)
+    q34, q35, q37, q38, q56)
 }
