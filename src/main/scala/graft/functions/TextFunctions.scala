@@ -18,6 +18,15 @@ object TextFunctions {
   /** Normalized token array: lowercase, trim, split on whitespace runs. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
+  /** Curation text normalization — the cleanup stage every corpus runs
+    * before fingerprinting/tokenizing: lowercase, control characters
+    * (C0 block) to spaces, whitespace runs collapsed, trimmed. Pure map
+    * of codegen'd built-ins; patterns kept in the Java∩RE2 subset so
+    * the oracle reproduces them byte-for-byte.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[\\x00-\\x1f]", " "), "\\s+", " "))
+
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   /** BPE-ish subword tokenization: letter runs, digit runs, and single

@@ -951,7 +951,44 @@ object Pipeline {
       JOIN txt ta ON ta.doc_id = p.doc_a
       JOIN txt tb ON tb.doc_id = p.doc_b"""))
 
+  /** Text normalization — the cleanup stage ahead of every fingerprint/
+    * tokenize pass, gated on deterministically DIRTIED input: the corpus
+    * text is seeded with upper-case prefixes, tabs, newlines and runs of
+    * spaces (both engines build the identical dirty string), then
+    * [[graft.functions.TextFunctions.normalizeText]] must produce a
+    * byte-identical clean form (verified via md5). Pure map, no shuffle.
+    */
+  val q58 = QueryDef(
+    "q58_text_normalize",
+    (s, dir) => {
+      import s.implicits._
+      val dirty = docs(s, dir).select(
+        $"doc_id",
+        concat(upper(substring($"text", 1, 12)), lit("\t  "), $"text",
+          lit("  trailing"), lit("\n"), lit(" ")).as("dirty"))
+      dirty.select(
+        $"doc_id",
+        T.normalizeText($"dirty").as("clean"))
+        .select($"doc_id", md5($"clean").as("clean_md5"),
+          length($"clean").cast("long").as("n_chars"))
+    },
+    Some("""
+      WITH dirty AS (
+        SELECT doc_id,
+          upper(substr(text, 1, 12)) || chr(9) || '  ' || text ||
+            '  trailing' || chr(10) || ' ' AS dirty
+        FROM documents
+      ), clean AS (
+        SELECT doc_id,
+          trim(regexp_replace(regexp_replace(lower(dirty), '[\x00-\x1f]', ' ', 'g'),
+            '\s+', ' ', 'g')) AS clean
+        FROM dirty
+      )
+      SELECT doc_id, md5(clean) AS clean_md5,
+             CAST(length(clean) AS BIGINT) AS n_chars
+      FROM clean"""))
+
   val all: Seq[QueryDef] =
     Seq(q13, q14, q15, q16, q17, q18, q19, q29, q39, q41, q43, q44, q46,
-      q48, q49, q54, q55, q57)
+      q48, q49, q54, q55, q57, q58)
 }
