@@ -988,7 +988,111 @@ object Pipeline {
              CAST(length(clean) AS BIGINT) AS n_chars
       FROM clean"""))
 
+  /** Deterministic train/val/test split — hash-based assignment (NOT
+    * `TABLESAMPLE`, which is seed/partitioning-dependent): the doc id's
+    * 32-bit hash mod 100 buckets 80/10/10. Reproducible on any engine,
+    * any partitioning, any rerun — the property a training-data split
+    * must have so a doc never migrates between splits across corpus
+    * rebuilds. Pure map.
+    */
+  val q59 = QueryDef(
+    "q59_hash_split",
+    (s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(
+        $"doc_id", $"source",
+        when(pmod(T.hash32($"doc_id".cast("string")), lit(100L)) < 80, "train")
+          .when(pmod(T.hash32($"doc_id".cast("string")), lit(100L)) < 90, "val")
+          .otherwise("test").as("split"))
+    },
+    Some("""
+      SELECT doc_id, source,
+        CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80
+               THEN 'train'
+             WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90
+               THEN 'val'
+             ELSE 'test' END AS split
+      FROM documents"""))
+
+  /** Per-source quality top-k — the "keep the best N per domain"
+    * curation filter: rank by the q18 quality score within each source,
+    * keep 5. The window partitions on `source` (shuffle key = the
+    * stratum — partition-parallel, never global); ties break on doc_id
+    * so the selection is total-order deterministic. At 100 TB this is
+    * the shape domain-balancing filters run per crawl snapshot.
+    */
+  val q60 = QueryDef(
+    "q60_quality_topk",
+    (s, dir) => {
+      import s.implicits._
+      val scored = docs(s, dir).select(
+        $"doc_id", $"source", T.qualityScore($"text").as("quality_score"))
+      val w = Window.partitionBy($"source")
+        .orderBy($"quality_score".desc, $"doc_id")
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter($"rnk" <= 5)
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, source,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS t,
+          CAST(length(text) AS BIGINT) AS n_chars_c,
+          CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
+        FROM documents
+      ), sig AS (
+        SELECT doc_id, source, n_chars_c, n_punct,
+          CAST(len(t) AS BIGINT) AS n_tokens,
+          CAST(len(list_filter(t, x -> list_contains(['the','and','of','to','a','in','is','der','die','und','das','ist','ein','el','la','de','que','y','es'], x))) AS BIGINT) AS stop_hits
+        FROM base
+      ), scored AS (
+        SELECT doc_id, source,
+          least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+            + least(CAST(stop_hits AS DOUBLE) / n_tokens * 4.0, 1.0) * 0.5
+            - least(CAST(n_punct AS DOUBLE) / n_chars_c * 5.0, 1.0) * 0.25 AS quality_score
+        FROM sig
+      )
+      SELECT doc_id, source, quality_score, rnk FROM (
+        SELECT *, CAST(row_number() OVER (
+          PARTITION BY source ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rnk
+        FROM scored)
+      WHERE rnk <= 5"""))
+
+  /** Token-budget sequence packing — pre-training prep: per source,
+    * documents (in stable doc_id order) are greedily packed into
+    * ~4096-token sequences; a doc belongs to the pack its FIRST token
+    * lands in (cumulative-sum bucketing). One window partitioned by
+    * source — partition-parallel, and the pack assignment is a pure
+    * function of the ordered prefix sums, so it is reproducible across
+    * engines and reruns.
+    */
+  val q61 = QueryDef(
+    "q61_token_packing",
+    (s, dir) => {
+      import s.implicits._
+      val toks = docs(s, dir).select(
+        $"doc_id", $"source", size(T.tokens($"text")).cast("long").as("n_tokens"))
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      toks.withColumn("cum", sum($"n_tokens").over(w))
+        .select($"doc_id", $"source", $"n_tokens",
+          (($"cum" - $"n_tokens") / 4096).cast("long").as("pack_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, source,
+          CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents
+      ), cum AS (
+        SELECT doc_id, source, n_tokens,
+          SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM toks
+      )
+      SELECT doc_id, source, n_tokens,
+             CAST((cum - n_tokens) // 4096 AS BIGINT) AS pack_id
+      FROM cum"""))
+
   val all: Seq[QueryDef] =
     Seq(q13, q14, q15, q16, q17, q18, q19, q29, q39, q41, q43, q44, q46,
-      q48, q49, q54, q55, q57, q58)
+      q48, q49, q54, q55, q57, q58, q59, q60, q61)
 }
