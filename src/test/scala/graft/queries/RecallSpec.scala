@@ -22,6 +22,29 @@ class RecallSpec extends AnyFunSuite with SparkSupport {
       .groupBy(_.getLong(0)).view
       .mapValues(_.map(_.getLong(1)).toSet).toMap
 
+  test("MinHash banding recall: every brute-force Jaccard>=0.5 pair survives the band blocking") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // ground truth by brute force on the fixture (500 docs -> 125k pairs
+    // locally; production never runs this, which is the point of banding)
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", graft.functions.TextFunctions.tokens($"text").as("t"))
+      .select($"doc_id", graft.functions.TextFunctions.shingles("t").as("sh"))
+      .filter(size($"sh") > 0)
+    val truth = toks.as("a").join(toks.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        graft.functions.TextFunctions.jaccard(col("a.sh"), col("b.sh")).as("j"))
+      .filter($"j" >= 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Registry.byName("q15_lsh_pairs").run(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture should contain at least one true near-dup pair")
+    val missed = truth -- banded
+    info(s"true pairs (J>=0.5): ${truth.size}, banded candidates: ${banded.size}, missed: ${missed.size}")
+    assert(missed.isEmpty,
+      s"banding missed ${missed.size} of ${truth.size} true near-dup pairs: ${missed.take(5)}")
+  }
+
   test("IVF-nprobe recall at least matches single-cell IVF; both are graded against brute force") {
     val truth = neighbors("q16_ann_topk", "query_id", "neighbor_id")
     val ivf1 = neighbors("q40_ann_ivf", "query_id", "neighbor_id")
