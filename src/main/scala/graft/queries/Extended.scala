@@ -443,5 +443,62 @@ object Extended {
           THEN lw.leader_id ELSE m.vec_id END AS cluster_id
       FROM bn m JOIN lw USING (bucket)"""))
 
-  val all: Seq[QueryDef] = Seq(q22, q23, q24, q40, q45, q47, q50, q51, q52)
+  /** Snapshot diff — the CDC/table-reconciliation operator: two corpus
+    * snapshots (here: deterministic key-range views of orders, with a
+    * seeded modification band) compared BY KEY into added / removed /
+    * changed rows. One full-outer equi-join on the key, change
+    * detection by md5 over the canonicalized row payload — never a
+    * row-by-row driver loop, and at 100 TB both sides shuffle once on
+    * the key (or not at all when bucketed on it).
+    */
+  val q62 = QueryDef(
+    "q62_snapshot_diff",
+    (s, dir) => {
+      import s.implicits._
+      val orders = Tables.load(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice".cast("decimal(12,2)").as("p"))
+      // snapshot A: keys < 6000; snapshot B: keys >= 2000, with the
+      // 3000-3999 band "modified" (price doubled)
+      val snapA = orders.filter($"o_orderkey" < 6000)
+      val snapB = orders.filter($"o_orderkey" >= 2000)
+        .withColumn("p", when($"o_orderkey".between(3000, 3999), ($"p" * 2).cast("decimal(12,2)"))
+          .otherwise($"p"))
+      def fp(c1: org.apache.spark.sql.Column, c2: org.apache.spark.sql.Column) =
+        md5(concat_ws("|", c1, c2.cast("string")))
+      val a = snapA.select($"o_orderkey", fp($"o_orderstatus", $"p").as("fp_a"))
+      val b = snapB.select($"o_orderkey", fp($"o_orderstatus", $"p").as("fp_b"))
+      a.join(b, Seq("o_orderkey"), "full_outer")
+        .select($"o_orderkey",
+          when($"fp_a".isNull, "added")
+            .when($"fp_b".isNull, "removed")
+            .when($"fp_a" =!= $"fp_b", "changed")
+            .otherwise("unchanged").as("status"))
+        .filter($"status" =!= "unchanged")
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2)) AS p
+        FROM orders
+      ), a AS (
+        SELECT o_orderkey, md5(o_orderstatus || '|' || CAST(p AS VARCHAR)) AS fp_a
+        FROM o WHERE o_orderkey < 6000
+      ), b AS (
+        SELECT o_orderkey,
+          md5(o_orderstatus || '|' || CAST(
+            CASE WHEN o_orderkey BETWEEN 3000 AND 3999
+                 THEN CAST(p * 2 AS DECIMAL(12,2)) ELSE p END AS VARCHAR)) AS fp_b
+        FROM o WHERE o_orderkey >= 2000
+      )
+      SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        CASE WHEN a.fp_a IS NULL THEN 'added'
+             WHEN b.fp_b IS NULL THEN 'removed'
+             WHEN a.fp_a <> b.fp_b THEN 'changed'
+             ELSE 'unchanged' END AS status
+      FROM a FULL OUTER JOIN b USING (o_orderkey)
+      WHERE (CASE WHEN a.fp_a IS NULL THEN 'added'
+                  WHEN b.fp_b IS NULL THEN 'removed'
+                  WHEN a.fp_a <> b.fp_b THEN 'changed'
+                  ELSE 'unchanged' END) <> 'unchanged'"""))
+
+  val all: Seq[QueryDef] = Seq(q22, q23, q24, q40, q45, q47, q50, q51, q52, q62)
 }
