@@ -172,4 +172,24 @@ object Media {
         col("media_id"),
         col("offset"),
         col("payload").substr((col("offset") - 1) * stride + 1, lit(width)).as("segment"))
+
+  /** Nearest-neighbor resize of a row-major byte matrix — the resize
+    * stage of an image pipeline with the pixel semantics expressed on
+    * the raw grid (a real decoder in [[codecDecoder]]'s slot hands this
+    * exactly such a W×H byte plane per channel). For each destination
+    * pixel (dy, dx) the source byte at (⌊dy·srcH/dstH⌋, ⌊dx·srcW/dstW⌋)
+    * is taken; the output is the reassembled dstW×dstH binary. Pure
+    * codegen'd byte slicing (`substr`/`concat` on BINARY) — no UDF, no
+    * per-row driver work; payloads shorter than srcW×srcH are the
+    * caller's filter (partial frames have no defined resize).
+    */
+  def resizeNearest(media: DataFrame, srcW: Int, srcH: Int, dstW: Int, dstH: Int): DataFrame = {
+    require(srcW > 0 && srcH > 0 && dstW > 0 && dstH > 0, "dimensions must be positive")
+    val samples = for { dy <- 0 until dstH; dx <- 0 until dstW } yield {
+      val sy = dy * srcH / dstH
+      val sx = dx * srcW / dstW
+      col("payload").substr(lit(sy * srcW + sx + 1), lit(1))
+    }
+    media.select(col("media_id"), concat(samples: _*).as("resized"))
+  }
 }

@@ -500,5 +500,33 @@ object Extended {
                   WHEN a.fp_a <> b.fp_b THEN 'changed'
                   ELSE 'unchanged' END) <> 'unchanged'"""))
 
-  val all: Seq[QueryDef] = Seq(q22, q23, q24, q40, q45, q47, q50, q51, q52, q62)
+  /** Media resize, oracle-gated — [[Media.resizeNearest]] over the
+    * documents-as-media corpus: payloads with at least a full 16×16
+    * byte frame are downsampled to 4×4 by nearest-neighbor sampling of
+    * the raw grid. The oracle samples the identical positions from the
+    * hex image of the payload (this DuckDB has no BLOB substring — 2
+    * hex chars per byte). The decode that would hand a real pixel plane
+    * to this operator is the disclosed codec slot; the sampling math,
+    * byte plumbing, and distribution are the real thing.
+    */
+  val q63 = QueryDef(
+    "q63_media_resize",
+    (s, dir) => {
+      import s.implicits._
+      val media = Media.documentsAsMedia(Tables.load(s, dir, "documents"))
+        .filter(length($"payload") >= 256)
+      Media.resizeNearest(media, srcW = 16, srcH = 16, dstW = 4, dstH = 4)
+        .select($"media_id", upper(hex($"resized")).as("resized_hex"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id AS media_id, hex(encode(text)) AS hexp
+        FROM documents WHERE octet_length(encode(text)) >= 256
+      )
+      SELECT media_id,
+        upper(array_to_string(list_transform(generate_series(0, 15),
+          i -> substring(hexp, 2*(((i // 4) * 4) * 16 + (i % 4) * 4) + 1, 2)), '')) AS resized_hex
+      FROM m"""))
+
+  val all: Seq[QueryDef] = Seq(q22, q23, q24, q40, q45, q47, q50, q51, q52, q62, q63)
 }

@@ -167,6 +167,17 @@ class OperatorsSpec extends AnyFunSuite with SparkSupport {
     assert(tight.nonEmpty && tight.subsetOf(uncapped) && tight.size < uncapped.size)
   }
 
+  test("Media.resizeNearest: known 4x4 grid downsamples to the expected 2x2 corners") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // row-major 4x4 grid 0..15; nearest-neighbor 2x2 takes (0,0),(0,2),(2,0),(2,2)
+    val grid: Array[Byte] = (0 until 16).map(_.toByte).toArray
+    val media = Seq((1L, grid)).toDF("media_id", "payload")
+    val out = Media.resizeNearest(media, srcW = 4, srcH = 4, dstW = 2, dstH = 2)
+      .select($"media_id", $"resized").head()
+    assert(out.getAs[Array[Byte]](1).toSeq == Seq[Byte](0, 2, 8, 10))
+  }
+
   test("Media.imageMeta: PNG/JPEG/GIF/BMP headers parse without codecs") {
     // minimal PNG: signature + IHDR with width=640 height=480
     val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
