@@ -174,6 +174,12 @@ object FanIn {
       val rows = f
       println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.1f s, $rows%,d rows")
     }
+    time("q13_exact_dedup") {
+      graft.queries.Pipeline.q13.run(spark, outDir).queryExecution.toRdd.count()
+    }
+    time("q43_neardup_clusters") {
+      graft.queries.Pipeline.q43.run(spark, outDir).queryExecution.toRdd.count()
+    }
     time("q15_lsh_pairs") {
       graft.queries.Pipeline.q15.run(spark, outDir).queryExecution.toRdd.count()
     }
