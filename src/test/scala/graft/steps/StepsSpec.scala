@@ -295,6 +295,10 @@ class StepsSpec extends AnyFunSuite with SparkSupport {
     intercept[IllegalArgumentException] {
       wh.upsert(spark, "t", Seq((5L, "x"), (5L, "y")).toDF("k", "v"), Seq("k"))
     }
+    // idempotent on retry: replaying the SAME batch leaves the state
+    // unchanged — a step retried after a crash must not duplicate
+    wh.upsert(spark, "t", Seq((2L, "B"), (3L, "c")).toDF("k", "v"), Seq("k"))
+    assert(wh.read(spark, "t").collect().map(r => (r.getLong(0), r.getString(1))).toSet == out)
   }
 
   test("SQL_TARGET with a SELECT Befehl does not materialize the result on the driver (ADVICE r2)") {
