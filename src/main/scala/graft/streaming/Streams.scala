@@ -166,6 +166,43 @@ object Streams {
       .start()
   }
 
+  /** Streaming CDC apply — a keyed change stream continuously merged
+    * into a warehouse table: each micro-batch is collapsed to its
+    * last-wins row per key (max `versionCol`, ties broken by the later
+    * row's values via struct-max) and upserted
+    * ([[graft.catalog.Warehouse.upsert]]: delete-matching + union +
+    * crash-safe swap). `foreachBatch` is the right tool here — MERGE is
+    * a table-level transaction, not a row-append, so it cannot be a
+    * streaming sink format; exactly-once comes from the checkpoint +
+    * the upsert's idempotency on replay (re-applying a batch leaves the
+    * table unchanged).
+    */
+  def upsertSink(
+      changes: DataFrame,
+      warehouse: graft.catalog.Warehouse,
+      table: String,
+      keys: Seq[String],
+      versionCol: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val valueCols = batch.columns.filterNot(keys.contains)
+          // last-wins per key within the batch: max over (version, values)
+          // struct orders by version first — deterministic given versions
+          val collapsed = batch
+            .groupBy(keys.map(col): _*)
+            .agg(max(struct((col(versionCol) +: valueCols.filterNot(_ == versionCol)
+              .map(col)): _*)).as("__w"))
+            .select(keys.map(col) ++
+              (versionCol +: valueCols.filterNot(_ == versionCol).toSeq)
+                .map(c => col(s"__w.$c").as(c)): _*)
+          warehouse.upsert(batch.sparkSession, table, collapsed, keys)
+        }
+      }
+      .start()
+
   /** Stateful sessionization — gap > `gapSeconds` closes a session
     * (q12's batch semantics) via `flatMapGroupsWithState` with an
     * event-time timeout: per-user state is (start, last, count); a

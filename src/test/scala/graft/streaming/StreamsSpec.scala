@@ -15,6 +15,32 @@ class StreamsSpec extends AnyFunSuite with SparkSupport {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  test("upsertSink: keyed change stream merges last-wins into the warehouse table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val wh = new graft.catalog.Warehouse(tmpDir("stream-upsert-wh"))
+    wh.append(Seq((1L, 0L, "base1"), (2L, 0L, "base2")).toDF("k", "ver", "v"), "cdc")
+    val input = MemoryStream[(Long, Long, String)]
+    val query = Streams.upsertSink(
+      input.toDF().toDF("k", "ver", "v"), wh, "cdc",
+      keys = Seq("k"), versionCol = "ver",
+      checkpointDir = tmpDir("stream-upsert-ckpt"))
+    try {
+      // one batch with an in-batch supersede (k=2: ver 1 then 2) + insert
+      input.addData((2L, 1L, "old"), (2L, 2L, "new"), (3L, 1L, "ins"))
+      query.processAllAvailable()
+      val s1 = wh.read(spark, "cdc").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(s1 == Set((1L, 0L, "base1"), (2L, 2L, "new"), (3L, 1L, "ins")))
+      // a later batch updates again; untouched keys survive
+      input.addData((1L, 5L, "upd1"))
+      query.processAllAvailable()
+      val s2 = wh.read(spark, "cdc").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(s2 == Set((1L, 5L, "upd1"), (2L, 2L, "new"), (3L, 1L, "ins")))
+    } finally query.stop()
+  }
+
   test("windowedCounts: watermark closes windows, counts per type") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
