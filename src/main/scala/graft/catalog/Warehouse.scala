@@ -67,17 +67,22 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
     * broadcastable (a batch is bounded; the TABLE is not), so the
     * anti-join never shuffles the big side by itself.
     */
-  def upsert(spark: SparkSession, table: String, batch: DataFrame, keys: Seq[String]): Unit = {
+  def upsert(spark: SparkSession, table: String, batch: DataFrame, keys: Seq[String],
+      keysKnownUnique: Boolean = false): Unit = {
     require(keys.nonEmpty, "upsert needs at least one key column")
     // a batch with two versions of one key has no defined winner — refuse
     // like Delta's MERGE on multiple source matches, instead of silently
-    // writing a duplicated key (CDC feeds must pre-collapse to last-wins)
-    val dupKeys = batch.groupBy(keys.map(org.apache.spark.sql.functions.col): _*)
-      .count().filter(org.apache.spark.sql.functions.col("count") > 1).limit(1).count()
-    if (dupKeys > 0)
-      throw new IllegalArgumentException(
-        s"upsert batch for $table carries duplicate keys on (${keys.mkString(",")}); " +
-          "collapse the batch to one row per key first")
+    // writing a duplicated key (CDC feeds must pre-collapse to last-wins).
+    // Callers whose batch is unique BY CONSTRUCTION (e.g. the streaming
+    // sink's groupBy collapse) skip the extra aggregation job.
+    if (!keysKnownUnique) {
+      val dupKeys = batch.groupBy(keys.map(org.apache.spark.sql.functions.col): _*)
+        .count().filter(org.apache.spark.sql.functions.col("count") > 1).limit(1).count()
+      if (dupKeys > 0)
+        throw new IllegalArgumentException(
+          s"upsert batch for $table carries duplicate keys on (${keys.mkString(",")}); " +
+            "collapse the batch to one row per key first")
+    }
     if (!exists(spark, table)) append(batch, table)
     else {
       val existing = read(spark, table)

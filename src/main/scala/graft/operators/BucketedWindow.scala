@@ -51,12 +51,24 @@ object BucketedWindow {
         "spans at most one bucket boundary")
     val originalCols = df.columns.toSeq
     val k = col(orderCol)
-    // floor division in EXACT integer arithmetic: `k / width` on longs is
-    // double division in Spark and rounds keys above 2^53 (epoch-nanos
-    // territory) onto the wrong bucket; `div` truncates toward zero, so
-    // adjust the negative non-multiples down to get a true floor
-    val trunc = expr(s"`$orderCol` div $bucketWidth")
-    val bkt = when(k < 0 && pmod(k, lit(bucketWidth)) =!= 0, trunc - 1).otherwise(trunc)
+    // bucket = floor(k / width), computed in the key's OWN arithmetic:
+    //  - integral keys use exact integer division (`k / width` on longs
+    //    is double division in Spark and rounds keys above 2^53 —
+    //    epoch-nanos territory — onto the wrong bucket; `div` truncates
+    //    toward zero, so negative non-multiples adjust down to a floor);
+    //  - fractional/decimal keys keep floor(k / width) — their frames
+    //    are defined in that same arithmetic, so there is nothing more
+    //    exact to compute.
+    import org.apache.spark.sql.types._
+    val bkt = df.schema(orderCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val trunc = expr(s"`$orderCol` div $bucketWidth")
+        when(k < 0 && pmod(k, lit(bucketWidth)) =!= 0, trunc - 1).otherwise(trunc)
+      case DoubleType | FloatType | _: DecimalType =>
+        floor(k / bucketWidth)
+      case other => throw new IllegalArgumentException(
+        s"rangePreceding needs a numeric ordering column; $orderCol is $other")
+    }
     // owner copy always; boundary-strip rows also copy into the next bucket
     val assigned = df.withColumn("__asg",
       explode(when(k >= (bkt + 1) * bucketWidth - preceding,

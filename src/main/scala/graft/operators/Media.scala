@@ -185,6 +185,13 @@ object Media {
     */
   def resizeNearest(media: DataFrame, srcW: Int, srcH: Int, dstW: Int, dstH: Int): DataFrame = {
     require(srcW > 0 && srcH > 0 && dstW > 0 && dstH > 0, "dimensions must be positive")
+    // one substr expression per destination pixel: bounded so the plan
+    // stays codegen-compilable (a 64x64 target would be 4096 exprs and
+    // blow the JVM's 64KB method limit); larger targets belong in the
+    // per-partition codec slot where resize runs as plain byte code
+    require(dstW * dstH <= 256,
+      s"resizeNearest builds one expression per destination pixel; " +
+        s"$dstW x $dstH exceeds the 256-pixel expression budget — use the codec slot")
     val samples = for { dy <- 0 until dstH; dx <- 0 until dstW } yield {
       val sy = dy * srcH / dstH
       val sx = dx * srcW / dstW

@@ -46,6 +46,27 @@ object Pipeline {
       .persist()
   }
 
+  /** (doc_id, b, key) band frame from a (doc_id, sig, …) signature
+    * frame — the MinHash-LSH blocking q15/q43/q57 all share (one
+    * definition so the banding scheme cannot drift between them).
+    */
+  private def bandFrame(sig: DataFrame): DataFrame =
+    sig.select(
+      col("doc_id"),
+      explode(array((0 until BANDS).map(b =>
+        struct(lit(b).as("b"), T.bandKey(col("sig"), b, ROWS).as("key"))): _*)).as("band"))
+      .select(col("doc_id"), col("band.b"), col("band.key"))
+
+  /** Distinct candidate pairs (doc_a < doc_b) from a band frame — the
+    * blocked join that replaces all-pairs everywhere.
+    */
+  private def candidatePairs(bands: DataFrame): DataFrame =
+    bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
   /** Exact dedup (hash-groupBy): canonical fingerprint = md5 of the
     * whitespace-normalized text; one row per distinct content with the
     * surviving doc (min id), the duplicate count, and the order-sensitive
@@ -152,16 +173,7 @@ object Pipeline {
         .withColumn("sig", T.minhashFromHashes($"hashes", K))
         .select($"doc_id", $"shingles", $"sig")
         .persist()
-      val bands = sig.select(
-        $"doc_id",
-        explode(array((0 until BANDS).map(b =>
-          struct(lit(b).as("b"), T.bandKey($"sig", b, ROWS).as("key"))): _*)).as("band"))
-        .select($"doc_id", $"band.b", $"band.key")
-      val pairs = bands.as("x")
-        .join(bands.as("y"), $"x.b" === $"y.b" && $"x.key" === $"y.key" &&
-          $"x.doc_id" < $"y.doc_id")
-        .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
-        .distinct()
+      val pairs = candidatePairs(bandFrame(sig))
       pairs
         .join(sig.select($"doc_id".as("doc_a"), $"shingles".as("sh_a"), $"sig".as("sig_a")), "doc_a")
         .join(sig.select($"doc_id".as("doc_b"), $"shingles".as("sh_b"), $"sig".as("sig_b")), "doc_b")
@@ -526,11 +538,7 @@ object Pipeline {
         .filter(size($"shingles") > 0)
         .withColumn("sig", T.minhashFromHashes($"hashes", K))
         .select($"doc_id", $"sig")
-      val bands = sig.select($"doc_id",
-        explode(array((0 until BANDS).map(b =>
-          struct(lit(b).as("b"), T.bandKey($"sig", b, ROWS).as("key"))): _*)).as("band"))
-        .select($"doc_id", $"band.b", $"band.key")
-        .persist()
+      val bands = bandFrame(sig).persist()
       val m1 = bands.groupBy($"b", $"key").agg(min($"doc_id").as("m"))
       val l1 = bands.join(m1, Seq("b", "key")).groupBy($"doc_id").agg(min($"m").as("label"))
       val m2 = bands.join(l1, "doc_id").groupBy($"b", $"key").agg(min($"label").as("m"))
@@ -796,7 +804,11 @@ object Pipeline {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(s"$base/out")
+      // explicit schema: an append sink that emitted nothing has no part
+      // files, and schema inference would throw instead of comparing
+      // empty-to-empty
+      s.read.schema("window_start TIMESTAMP, event_type STRING, n BIGINT")
+        .parquet(s"$base/out")
         .select(QueryDef.ntz($"window_start").as("window_start"), $"event_type", $"n")
     },
     Some("""
@@ -847,8 +859,12 @@ object Pipeline {
         .start()
       q.awaitTermination()
       // SessionUpdate carries java.sql.Timestamp, whose getTime-based
-      // state is millisecond-precision; compare starts as epoch millis
-      s.read.parquet(s"$base/out")
+      // state is millisecond-precision; compare starts as epoch millis.
+      // Explicit schema so a zero-closed-sessions run reads as empty
+      // instead of failing parquet schema inference.
+      s.read.schema(
+        "user_id BIGINT, session_start TIMESTAMP, n_events BIGINT, closed BOOLEAN")
+        .parquet(s"$base/out")
         .groupBy($"user_id", unix_millis($"session_start").as("session_start_ms"))
         .agg(max($"n_events").as("n_events"))
     },
@@ -896,16 +912,7 @@ object Pipeline {
         .withColumn("sig", T.minhashFromHashes($"hashes", K))
         .select($"doc_id", $"sig")
         .persist()
-      val bands = sig.select(
-        $"doc_id",
-        explode(array((0 until BANDS).map(b =>
-          struct(lit(b).as("b"), T.bandKey($"sig", b, ROWS).as("key"))): _*)).as("band"))
-        .select($"doc_id", $"band.b", $"band.key")
-      val pairs = bands.as("x")
-        .join(bands.as("y"), $"x.b" === $"y.b" && $"x.key" === $"y.key" &&
-          $"x.doc_id" < $"y.doc_id")
-        .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
-        .distinct()
+      val pairs = candidatePairs(bandFrame(sig))
       val txt = docs(s, dir).select($"doc_id", trim(lower($"text")).as("norm"))
       pairs
         .join(txt.select($"doc_id".as("doc_a"), $"norm".as("na")), "doc_a")
@@ -1075,7 +1082,9 @@ object Pipeline {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       toks.withColumn("cum", sum($"n_tokens").over(w))
         .select($"doc_id", $"source", $"n_tokens",
-          (($"cum" - $"n_tokens") / 4096).cast("long").as("pack_id"))
+          // exact integral division — `/` on longs is double division and
+          // rounds above 2^53 (the BucketedWindow rationale applies here)
+          expr("(cum - n_tokens) div 4096").as("pack_id"))
     },
     Some("""
       WITH toks AS (

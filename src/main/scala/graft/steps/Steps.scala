@@ -308,48 +308,82 @@ object Steps {
   def sqlExec(spec: StepSpec, ctx: StepContext): Unit = {
     val text = Macros.expand(spec.befehl, ctx.macroCtx)
     ctx.ledger.logQuery(text, ctx.schrittRunId, ctx.konfigurationenId)
-    val df = ctx.spark.sql(text)
-    // DDL/DML commands execute eagerly inside sql() — nothing to fetch. A
-    // SELECT-shaped Befehl is the reference's scalar @OutputParam probe
-    // (`CommandExecuter.cs:997-1075`): sample ONE row instead of
-    // collecting the whole result to the driver (a misconfigured step
-    // must not be able to OOM the driver).
-    val isCommand = df.queryExecution.analyzed match {
-      case _: org.apache.spark.sql.catalyst.plans.logical.Command => true
-      case _: org.apache.spark.sql.catalyst.plans.logical.CommandResult => true
-      case _ => false
-    }
-    if (!isCommand) {
-      // `@OutputParam1 = -1 ⇒ step failure` (`CommandExecuter.cs:
-      // 1024-1041`, wired at `Step.cs:1198-1231`): reference procs signal
-      // a failed data-quality probe through an integer output parameter
-      // valued -1, and the step must abort. The Spark analog is the
-      // scalar SELECT probe: a SINGLE-row, SINGLE-column integral/decimal
-      // result valued -1 fails the step (the error is ledgered here like
-      // the reference's HandleErrorCatch, then rethrown so the runner
-      // marks the step failed). Any other value, an empty result, a
-      // multi-column shape, or a MULTI-row result passes — sampling two
-      // rows distinguishes a true scalar from a data SELECT whose
-      // arbitrary first row might be -1 under one partition scheduling
-      // and not another.
-      val probe = df.limit(2).collect()
-      val signalled = df.schema.length == 1 && probe.length == 1 && probe.headOption.exists(r =>
-        !r.isNullAt(0) && (r.get(0) match {
-          case b: java.lang.Byte => b.longValue == -1L
-          case s: java.lang.Short => s.longValue == -1L
-          case i: java.lang.Integer => i.longValue == -1L
-          case l: java.lang.Long => l.longValue == -1L
-          case d: java.math.BigDecimal => d.compareTo(java.math.BigDecimal.valueOf(-1)) == 0
+    (spec.befehlstyp, ctx.sourceSpec) match {
+      // SQL_SOURCE with a tenant-resolved JDBC source runs IN that
+      // database, like COPY's sourceFrame — a source-side data-quality
+      // probe must see the tenant's data, not same-named session views
+      case (CommandType.SqlSource, Some(j: graft.sources.Connections.Jdbc)) =>
+        sqlExecJdbc(text, j, spec, ctx)
+      case _ =>
+        val df = ctx.spark.sql(text)
+        // DDL/DML commands execute eagerly inside sql() — nothing to
+        // fetch. A SELECT-shaped Befehl is the reference's scalar
+        // @OutputParam probe (`CommandExecuter.cs:997-1075`): sample two
+        // rows instead of collecting the whole result to the driver (a
+        // misconfigured step must not be able to OOM the driver).
+        val isCommand = df.queryExecution.analyzed match {
+          case _: org.apache.spark.sql.catalyst.plans.logical.Command => true
+          case _: org.apache.spark.sql.catalyst.plans.logical.CommandResult => true
           case _ => false
-        }))
-      if (signalled) {
-        val msg = s"step ${spec.id}: Befehl signalled failure (@OutputParam1 = -1)"
-        ctx.ledger.error(graft.model.ErrorRow.TypSql, graft.model.ErrorRow.SeverityMajor,
-          msg, schrittRunId = ctx.schrittRunId)
-        throw new StepSignalledFailure(msg)
-      }
+        }
+        if (!isCommand)
+          failIfSignalled(df.schema.length, df.limit(2).collect(), spec, ctx)
     }
     ()
+  }
+
+  /** SQL_SOURCE against a tenant JDBC source: SELECT-shaped text is
+    * pushed down (`(query) q` — the source DBMS executes it) and probed
+    * under the same scalar contract; anything else executes as a
+    * driver-side statement, the control action the reference's
+    * `ExecuteCommand` performs on its `DbConnection`
+    * (`CommandExecuter.cs:997-1075` — not a distributed operation).
+    */
+  private def sqlExecJdbc(
+      text: String, j: graft.sources.Connections.Jdbc,
+      spec: StepSpec, ctx: StepContext): Unit =
+    if (text.trim.toUpperCase.startsWith("SELECT")) {
+      val df = graft.sources.Connections.read(ctx.spark, j, text)
+      failIfSignalled(df.schema.length, df.limit(2).collect(), spec, ctx)
+    } else {
+      j.driver.foreach(Class.forName)
+      val conn = java.sql.DriverManager.getConnection(j.url, j.user, j.password)
+      try {
+        val st = conn.createStatement()
+        try { st.execute(text); () } finally st.close()
+      } finally conn.close()
+    }
+
+  /** `@OutputParam1 = -1 ⇒ step failure` (`CommandExecuter.cs:1024-1041`,
+    * wired at `Step.cs:1198-1231`): reference procs signal a failed
+    * data-quality probe through an integer output parameter valued -1,
+    * and the step must abort. The analog here is the scalar SELECT
+    * probe: a SINGLE-row, SINGLE-column integral/decimal result valued
+    * -1 fails the step (ledgered like the reference's HandleErrorCatch,
+    * then rethrown so the runner marks the step failed). Any other
+    * value, an empty result, a multi-column shape, or a MULTI-row
+    * result passes — sampling two rows distinguishes a true scalar from
+    * a data SELECT whose arbitrary first row might be -1 under one
+    * partition scheduling and not another.
+    */
+  private def failIfSignalled(
+      schemaLen: Int, probe: Array[org.apache.spark.sql.Row],
+      spec: StepSpec, ctx: StepContext): Unit = {
+    val signalled = schemaLen == 1 && probe.length == 1 && probe.headOption.exists(r =>
+      !r.isNullAt(0) && (r.get(0) match {
+        case b: java.lang.Byte => b.longValue == -1L
+        case s: java.lang.Short => s.longValue == -1L
+        case i: java.lang.Integer => i.longValue == -1L
+        case l: java.lang.Long => l.longValue == -1L
+        case d: java.math.BigDecimal => d.compareTo(java.math.BigDecimal.valueOf(-1)) == 0
+        case _ => false
+      }))
+    if (signalled) {
+      val msg = s"step ${spec.id}: Befehl signalled failure (@OutputParam1 = -1)"
+      ctx.ledger.error(graft.model.ErrorRow.TypSql, graft.model.ErrorRow.SeverityMajor,
+        msg, schrittRunId = ctx.schrittRunId)
+      throw new StepSignalledFailure(msg)
+    }
   }
 
   /** S8 TEST / RunDummy (`CommandExecuter.cs:28-33`): sleep `Befehl`

@@ -198,7 +198,10 @@ object Streams {
             .select(keys.map(col) ++
               (versionCol +: valueCols.filterNot(_ == versionCol).toSeq)
                 .map(c => col(s"__w.$c").as(c)): _*)
-          warehouse.upsert(batch.sparkSession, table, collapsed, keys)
+            .persist() // consumed twice (key anti-join + union write)
+          try warehouse.upsert(batch.sparkSession, table, collapsed, keys,
+            keysKnownUnique = true) // the groupBy collapse guarantees it
+          finally { collapsed.unpersist(); () }
         }
       }
       .start()

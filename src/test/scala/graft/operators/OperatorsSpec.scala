@@ -136,6 +136,20 @@ class OperatorsSpec extends AnyFunSuite with SparkSupport {
     check(spark.range(0, 300).select(($"id" - 150).as("k"), lit(1.0).as("v")))
   }
 
+  test("BucketedWindow.rangePreceding: fractional ordering keys still work (floor in key arithmetic)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = spark.range(0, 200).select(($"id".cast("double") / 3.0).as("k"), lit(1.0).as("v"))
+    val global = Window.orderBy($"k").rangeBetween(-5, Window.currentRow)
+    val expected = df.select($"k", sum($"v").over(global).as("s"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    val got = BucketedWindow.rangePreceding(df, "k", preceding = 5, bucketWidth = 16)(Seq(
+      "s" -> (w => sum(col("v")).over(w))))
+      .select($"k", $"s").collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(got == expected)
+  }
+
   test("BucketedWindow.rangePreceding: a bucket narrower than the frame is rejected") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -72,5 +72,16 @@ class JdbcRoundTripSpec extends AnyFunSuite with SparkSupport {
     assert(back.agg(org.apache.spark.sql.functions.sum("AMOUNT")).head.getDouble(0) ==
       (1 to 20).map(_ * 10.0).sum)
     assert(back.columns.map(_.toLowerCase).contains("datenproduzent")) // audit cols applied
+
+    // SQL_SOURCE with the same tenant source: DML executes IN Derby...
+    Steps.execute(StepSpec(71, CommandType.SqlSource, TaskType.Sql,
+      "INSERT INTO ledger_src VALUES (999, 42.0)"), ctx)
+    assert(Connections.read(spark, jdbc,
+      "SELECT ID FROM ledger_src WHERE ID = 999").count() == 1)
+    // ...and a source-side scalar probe of -1 fails the step there too
+    intercept[graft.steps.StepSignalledFailure] {
+      Steps.execute(StepSpec(72, CommandType.SqlSource, TaskType.Sql,
+        "SELECT -1 AS outcome FROM SYSIBM.SYSDUMMY1"), ctx)
+    }
   }
 }
