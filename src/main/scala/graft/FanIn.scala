@@ -114,13 +114,19 @@ object FanIn {
       .filter(size($"shingles") > 0)
       .withColumn("sig", T.minhashFromHashes($"hashes", K))
       .persist()
-    val bands = sig.select($"doc_id",
-      explode(array((0 until Bands).map(b =>
-        struct(lit(b).as("b"), T.bandKey($"sig", b, Rows).as("key"))): _*)).as("band"))
-      .select($"doc_id", $"band.b", $"band.key")
     println("| blocking | groups | max | p99 | mean | candidate_pairs |")
     println("|---|---|---|---|---|---|")
-    println(blockStats(bands, Seq("b", "key"), s"minhash bands (K=$K, b=$Bands)"))
+    // the b/r knob: more bands of fewer rows = lower match threshold
+    // (~(1/b)^(1/r)) = more candidates — the banding-side analog of the
+    // plane-count sweep below (q15 ships b=4, r=3)
+    Seq(2, 3, 4, 6).foreach { b =>
+      val r = K / b
+      val bands = sig.select($"doc_id",
+        explode(array((0 until b).map(i =>
+          struct(lit(i).as("b"), T.bandKey($"sig", i, r).as("key"))): _*)).as("band"))
+        .select($"doc_id", $"band.b", $"band.key")
+      println(blockStats(bands, Seq("b", "key"), s"minhash bands (K=$K, b=$b, r=$r)"))
+    }
 
     // ---- sign-LSH bucket fan-in at several plane counts (q17/q24) ----
     val vecs = spark.read.parquet(s"$outDir/embeddings.parquet")
