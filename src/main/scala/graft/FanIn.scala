@@ -160,17 +160,39 @@ object FanIn {
       s"q24 default blocking yields $candAuto candidate pairs at x$mult — over the 50M bound")
     println(f"q24 default blocking candidate pairs at x$mult: $candAuto%,d (< 50M bound: OK)")
 
-    // ---- IVF cell fan-in at several codebook sizes (q40) ----
-    Seq(8, 64, 256).foreach { cells =>
-      val centroids = vecs.filter($"vec_id" < cells).orderBy($"vec_id")
-        .select($"e").collect().map(_.getSeq[Double](0).toSeq)
-      val dists = array(centroids.map { c =>
-        aggregate(zip_with($"e", typedlit(c), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x)
-      }: _*)
-      val keyed = vecs.withColumn("cell",
-        (array_position(dists, array_min(dists)) - 1).cast("long"))
-      println(blockStats(keyed, Seq("cell"), s"IVF cells (C=$cells)"))
+    // ---- q52 leader clustering at the production plane count (VERDICT
+    // r5 item 2): the leader table is one row per occupied bucket WITH a
+    // full 64-dim embedding attached — measured against the corpus to
+    // show why an unconditional broadcast(leaders) cannot survive scale
+    // (the hint is gone; AQE picks broadcast only when actually small) ----
+    {
+      val keyed52 = vecs.select($"vec_id",
+        V.hyperplaneBucket($"e", planesAuto, Dim).as("bucket"))
+      val nLeaders = keyed52.select($"bucket").distinct().count()
+      val bytesPerLeader = 8L + 8L + Dim * 8L // bucket + leader_id + embedding
+      println(f"q52 leader table at planes=$planesAuto: $nLeaders%,d leaders over $nVecs%,d vectors " +
+        f"(${100.0 * nLeaders / nVecs}%.2f%% of corpus, ≈${nLeaders * bytesPerLeader / 1048576.0}%.1f MiB " +
+        "with embeddings — grows with n, so the join strategy is AQE's call, never a hard hint)")
+    }
+
+    // ---- IVF cell fan-in at several codebook sizes (q40). The codebook
+    // is a broadcast TABLE (IvfIndex — codebook as data), so C scales
+    // without growing the plan; C=1024 is the size whose inlined-literal
+    // form the old shape could not compile (VERDICT r5 item 1). Plan
+    // build time is printed to prove the literal blowup is gone. ----
+    Seq(8, 64, 256, 1024).foreach { cells =>
+      val cents = vecs.filter($"vec_id" < cells)
+        .select($"vec_id".cast("long").as("cid"), $"e".as("ce"))
+      val t0 = System.nanoTime()
+      val keyed = graft.operators.IvfIndex.assign(
+        vecs.select($"vec_id", $"e"), cents, embCol = "e", idCol = "vec_id")
+      keyed.queryExecution.executedPlan // force analyze + optimize + plan
+      val planMs = (System.nanoTime() - t0) / 1e6
+      val t1 = System.nanoTime()
+      val stats = blockStats(keyed, Seq("cell"), s"IVF cells (C=$cells)")
+      val runS = (System.nanoTime() - t1) / 1e9
+      println(stats)
+      println(f"  IVF C=$cells: plan build $planMs%.0f ms, assign+stats $runS%.1f s")
     }
 
     // ---- end-to-end runs on the 100x corpus (FANIN_E2E=0 skips) ----
@@ -211,6 +233,33 @@ object FanIn {
     }
     time(s"CosineNearDup (scaledPlanes=$planesAuto + cap)") { neardupPairs(planesAuto) }
     time("CosineNearDup (planes=16 + cap)") { neardupPairs(16) }
+    // q52's exact shape (leader election + equi-join, no broadcast hint)
+    // at the production plane count — one cosine per vector, end to end
+    time(s"q52 leader clustering (planes=$planesAuto)") {
+      val v2 = spark.read.parquet(s"$outDir/embeddings.parquet")
+        .withColumn("e", V.asDouble($"embedding"))
+        .withColumn("nrm", V.norm($"e"))
+        .withColumn("bucket", V.hyperplaneBucket($"e", planesAuto, Dim))
+        .select($"vec_id", $"e", $"nrm", $"bucket")
+      val leaders = v2.groupBy($"bucket").agg(min($"vec_id").as("leader_id"))
+        .join(v2.select($"vec_id".as("leader_id"), $"e".as("le"), $"nrm".as("lnrm")),
+          Seq("leader_id"))
+      v2.join(leaders, Seq("bucket"))
+        .select($"vec_id",
+          when(V.cosine($"e", $"le", $"nrm", $"lnrm") >= 0.8, $"leader_id")
+            .otherwise($"vec_id").as("cluster_id"))
+        .queryExecution.toRdd.count()
+    }
+    // IVF assignment end-to-end at a production codebook size, through
+    // the broadcast-table operator (plan is O(1) in C)
+    time("IvfIndex.assign (C=1024)") {
+      val v3 = spark.read.parquet(s"$outDir/embeddings.parquet")
+        .withColumn("e", V.asDouble($"embedding")).select($"vec_id", $"e")
+      val cents = v3.filter($"vec_id" < 1024)
+        .select($"vec_id".cast("long").as("cid"), $"e".as("ce"))
+      graft.operators.IvfIndex.assign(v3, cents, embCol = "e", idCol = "vec_id")
+        .queryExecution.toRdd.count()
+    }
     spark.stop()
   }
 }

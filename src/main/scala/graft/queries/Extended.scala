@@ -193,10 +193,12 @@ object Extended {
     * vectors are assigned to the nearest of C centroids (deterministic
     * "codebook": the first C vectors; production swaps in k-means
     * centroids, the plan is identical), and search touches only the
-    * query's cell. The centroid table is tiny and driver-collected into
-    * literals — exactly how a trained codebook ships to executors as a
-    * broadcast. Cell assignment is argmin of exact squared-L2 (strict
-    * left folds), so DuckDB reproduces every assignment.
+    * query's cell. The codebook is DATA — a broadcast centroid table
+    * joined per vector ([[graft.operators.IvfIndex]]), so the plan is
+    * O(1) in C and survives production codebooks (C=4096–65536) where
+    * inlined literal expressions would blow the codegen limits. Cell
+    * assignment is argmin of exact squared-L2 (strict left folds), so
+    * DuckDB reproduces every assignment.
     */
   val q40 = QueryDef(
     "q40_ann_ivf",
@@ -207,14 +209,10 @@ object Extended {
         .withColumn("e", V.asDouble($"embedding"))
         .withColumn("nrm", V.norm($"e"))
         .select($"vec_id", $"e", $"nrm")
-      val centroids = v.filter($"vec_id" < 8).orderBy($"vec_id")
-        .select($"e").collect().map(_.getSeq[Double](0).toSeq)
-      val dists = array(centroids.map { c =>
-        aggregate(zip_with($"e", typedlit(c), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x)
-      }: _*)
-      val assigned = v
-        .withColumn("cell", (array_position(dists, array_min(dists)) - 1).cast("long"))
+      val cents = v.filter($"vec_id" < 8)
+        .select($"vec_id".cast("long").as("cid"), $"e".as("ce"))
+      val assigned = graft.operators.IvfIndex
+        .assign(v, cents, embCol = "e", idCol = "vec_id")
         .persist()
       val queries = assigned.filter($"vec_id" < 30)
         .select($"vec_id".as("query_id"), $"e".as("qe"), $"nrm".as("qn"), $"cell")
@@ -268,37 +266,29 @@ object Extended {
     * side only (nprobe × query-cell fan-in — FANIN.md finding 3: the
     * query side is insensitive to hot buckets), while the corpus keeps
     * its single-cell assignment, so the same plan runs at 100 TB with
-    * nprobe tuned against recall on a held-out set. Cell ranking is a
-    * per-query window (partitioned — never global).
+    * nprobe tuned against recall on a held-out set. The codebook is a
+    * broadcast table ([[graft.operators.IvfIndex]], plan O(1) in C) and
+    * cell ranking is a per-query window (partitioned — never global).
     */
   val q50 = QueryDef(
     "q50_ann_ivf_nprobe",
     (s, dir) => {
       import s.implicits._
       import graft.functions.{VectorFunctions => V}
+      import graft.operators.IvfIndex
       val v = Tables.load(s, dir, "embeddings")
         .withColumn("e", V.asDouble($"embedding"))
         .withColumn("nrm", V.norm($"e"))
         .select($"vec_id", $"e", $"nrm")
-      val centroids = v.filter($"vec_id" < 8).orderBy($"vec_id")
-        .select($"e").collect().map(_.getSeq[Double](0).toSeq)
-      def distsOf(vec: org.apache.spark.sql.Column) = array(centroids.map { c =>
-        aggregate(zip_with(vec, typedlit(c), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x)
-      }: _*)
-      val assigned = v
-        .withColumn("cell", (array_position(distsOf($"e"), array_min(distsOf($"e"))) - 1)
-          .cast("long"))
+      val cents = v.filter($"vec_id" < 8)
+        .select($"vec_id".cast("long").as("cid"), $"e".as("ce"))
+      val assigned = IvfIndex.assign(v, cents, embCol = "e", idCol = "vec_id")
         .persist()
       // queries probe their 2 nearest cells (per-query ranking window)
-      val probeW = org.apache.spark.sql.expressions.Window
-        .partitionBy($"query_id").orderBy($"d", $"cid")
-      val probes = v.filter($"vec_id" < 30)
-        .select($"vec_id".as("query_id"), $"e".as("qe"), $"nrm".as("qn"),
-          posexplode(distsOf($"e")).as(Seq("cid", "d")))
-        .withColumn("prn", row_number().over(probeW))
-        .filter($"prn" <= 2)
-        .select($"query_id", $"qe", $"qn", $"cid".cast("long").as("cell"))
+      val probes = IvfIndex.probeCells(
+        v.filter($"vec_id" < 30)
+          .select($"vec_id".as("query_id"), $"e".as("qe"), $"nrm".as("qn")),
+        cents, embCol = "qe", idCol = "query_id", nprobe = 2)
       val scored = assigned.join(probes, Seq("cell"))
         .filter($"vec_id" =!= $"query_id")
         .select($"query_id", $"vec_id".as("neighbor_id"),
@@ -387,10 +377,15 @@ object Extended {
     * bucket elects a leader (min vec_id), and every vector joins the
     * leader's cluster iff its cosine to the LEADER clears the
     * threshold — exactly ONE cosine per vector, one aggregation + one
-    * small join (the leader table has one row per bucket — broadcast
-    * at any scale), zero pair enumeration. The recall trade vs full
-    * connected components (members similar to each other but not to the
-    * leader split off) is the standard leader-clustering contract.
+    * equi-join on the bucket, zero pair enumeration. The leader table
+    * has one row per bucket, but under production plane counts
+    * (`CosineNearDup.scaledPlanes`: buckets ≈ n/1000) that is ~0.1% of
+    * the corpus WITH full embeddings attached — tens of GB at 100 TB —
+    * so no broadcast hint: AQE broadcasts when the build side is
+    * actually small and shuffles the equi-join otherwise (the same fix
+    * as `Skew.capBuckets`' over-cap-only broadcast). The recall trade vs
+    * full connected components (members similar to each other but not to
+    * the leader split off) is the standard leader-clustering contract.
     */
   val q52 = QueryDef(
     "q52_vector_leader_clusters",
@@ -406,7 +401,7 @@ object Extended {
       val leaders = v.groupBy($"bucket").agg(min($"vec_id").as("leader_id"))
         .join(v.select($"vec_id".as("leader_id"), $"e".as("le"), $"nrm".as("lnrm")),
           Seq("leader_id"))
-      v.join(broadcast(leaders), Seq("bucket"))
+      v.join(leaders, Seq("bucket"))
         .select($"vec_id",
           when(V.cosine($"e", $"le", $"nrm", $"lnrm") >= 0.3, $"leader_id")
             .otherwise($"vec_id").as("cluster_id"))

@@ -296,6 +296,73 @@ class OperatorsSpec extends AnyFunSuite with SparkSupport {
     assert(dot.contains("color=red")) // the failed step
   }
 
+  test("IvfIndex.assign: argmin of exact squared L2, ties to lowest cid, input columns carried") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val vecs = spark.range(50).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(7)),
+        d => pmod(xxhash64($"id", d), lit(100)).cast("double")).as("e"))
+    val cents = vecs.filter($"vec_id" < 4).select($"vec_id".as("cid"), $"e".as("ce"))
+    val out = IvfIndex.assign(vecs, cents, embCol = "e", idCol = "vec_id")
+    assert(out.columns.toSeq == Seq("vec_id", "cell", "e"))
+    val cArr = cents.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1)
+    val expect = vecs.collect().map { r =>
+      val e = r.getSeq[Double](1)
+      val best = cArr.map { case (cid, ce) =>
+        (cid, e.zip(ce).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }.minBy { case (cid, d) => (d, cid) }
+      r.getLong(0) -> best._1
+    }.toMap
+    val got = out.select($"vec_id", $"cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
+  test("IvfIndex.probeCells: the nprobe nearest cells per query, query columns carried") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val vecs = spark.range(20).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(7)),
+        d => pmod(xxhash64($"id", d), lit(100)).cast("double")).as("e"))
+    val cents = vecs.filter($"vec_id" < 5).select($"vec_id".as("cid"), $"e".as("ce"))
+    val queries = vecs.filter($"vec_id" >= 17)
+    val out = IvfIndex.probeCells(queries, cents, embCol = "e", idCol = "vec_id", nprobe = 2)
+    assert(out.columns.toSeq == Seq("vec_id", "e", "cell"))
+    val cArr = cents.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1)
+    val expect = queries.collect().map { r =>
+      val e = r.getSeq[Double](1)
+      val near2 = cArr.map { case (cid, ce) =>
+        (cid, e.zip(ce).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }.sortBy { case (cid, d) => (d, cid) }.take(2).map(_._1).toSet
+      r.getLong(0) -> near2
+    }.toMap
+    val got = out.select($"vec_id", $"cell").collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    assert(got == expect)
+  }
+
+  test("IvfIndex.assign plans a broadcast hash join + partial aggregation (codebook as data)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // spark.range (not Seq.toDF) so ConvertToLocalRelation can't fold the plan away
+    val vecs = spark.range(200).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(7)),
+        d => pmod(xxhash64($"id", d), lit(100)).cast("double")).as("e"))
+    val cents = vecs.filter($"vec_id" < 8).select($"vec_id".as("cid"), $"e".as("ce"))
+    val out = IvfIndex.assign(vecs, cents, embCol = "e", idCol = "vec_id")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"codebook must be a broadcast build side:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"constant-key equi-join must not degrade to a nested loop:\n$plan")
+    // the C-way expansion must reduce map-side (one shuffled row per
+    // vector, not C): the min_by aggregate plans a partial step
+    val aggs = plan.linesIterator.filter(_.contains("Aggregate")).toSeq
+    assert(aggs.exists(_.contains("partial")),
+      s"expected partial (map-side) min_by aggregation in:\n${aggs.mkString("\n")}")
+  }
+
   test("safe exit closes every open ledger row unsuccessfully (Helper.cs:2964-3140)") {
     val ledger = new RunLedger(() => LocalDateTime.of(2026, 2, 1, 12, 0))
     val a = ledger.start(RunLevel.Workflow, 1)

@@ -97,6 +97,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkSupport {
     assert(wins46.isEmpty, "q46 finalize must not plan a window operator")
   }
 
+  test("q40: the IVF codebook ships as a broadcast table, not a C-wide literal expression array") {
+    val plan = physicalPlan("q40_ann_ivf")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cell assignment must join a broadcast centroid table:\n$plan")
+    // the old shape's argmin over an inlined literal array — its marker
+    // expression must be gone (plan size would be O(C) otherwise)
+    assert(!plan.contains("array_min"),
+      "literal-array argmin resurfaced — codebook must stay a table")
+  }
+
+  test("q52: leader-join strategy is AQE's choice — no hard broadcast hint (leaders grow with n)") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val df = Registry.byName("q52_vector_leader_clusters").run(spark, sf)
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.isEmpty,
+      s"q52 must not pin a join strategy; found: ${hints.map(_.hints).mkString(", ")}")
+  }
+
   test("whole-stage codegen covers the scan->project pipelines") {
     // the "*(n)" operator prefix is the whole-stage-codegen marker in
     // physical plan strings
