@@ -55,17 +55,22 @@ object Bench {
           (name, -1.0, -1.0)
       }
     }
-    val qs = results.map { case (k, _, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val totalOld = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val total = results.collect { case (_, _, v) if v >= 0 => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""total_count_action":$totalOld,"total_full_plan":$total,"sf":"$sfDir"}"""
-    println(line)
-    // Belt-and-braces for parseability (round-1 driver saw "[info] "-prefixed
-    // stdout and recorded parsed:null): also drop the line into a file.
+    def line(fmt: Double => String): String = {
+      val qs = results.map { case (k, _, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""total_count_action":$totalOld,"total_full_plan":$total,"sf":"$sfDir"}"""
+    }
+    // stdout gets ONE COMPACT line (per-query seconds at ms precision) as
+    // the very last output — r4's full-precision line outgrew the
+    // driver's tail capture and the official record lost structure
+    // ("parsed": null, VERDICT r4 item 7); totals keep full precision.
+    println(line(v => (math.rint(v * 1000) / 1000).toString))
+    // full-precision detail goes to the sidecar file.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line(_.toString) + "\n")
     catch { case _: Throwable => () }
     spark.stop()
   }

@@ -31,7 +31,15 @@ object Service {
       warehouseDir: String,
       cfg: ConfigSet,
       schedules: Map[Int, Int], // workflowId -> zeitplanId
-      clock: () => LocalDateTime = () => LocalDateTime.now())(implicit ec: ExecutionContext) {
+      clock: () => LocalDateTime = () => LocalDateTime.now(),
+      /** Result-mail delivery (`Helper.cs:422-595`); the sandbox default
+        * records the send decision in the ledger without SMTP.
+        */
+      mailer: graft.report.Mailer = graft.report.Mailer.NoOp,
+      /** Prior run's ledger dir: when set, [[start]] reloads the plan
+        * store and neutralizes stale open plans (`Worker.cs:45-51`).
+        */
+      restoreDir: Option[String] = None)(implicit ec: ExecutionContext) {
 
     val ledger = new RunLedger(clock)
     private val manager = new WorkflowManager
@@ -53,36 +61,58 @@ object Service {
             schrittRunId = stepRunId, konfigurationenId = real.konfigurationenId,
             sourceSpec = real.connections.map(_.source)))
       // result-mail dispatch (`Workflow.cs:1296-1340` / Abort `1560-1605`):
-      // select recipients per Nur_Fehler/CC, render the report, record the
-      // send decision in the ledger (SMTP itself is environment wiring)
+      // select recipients per Nur_Fehler/CC, render the report, deliver
+      // through the Mailer boundary, record the send decision in the
+      // ledger; a delivery failure error-logs but never fails the run
+      // (`Helper.cs:580-595`)
       val rcpt = graft.report.MailReport.recipients(
         cfg.emailVerteiler, workflowId, result.success)
       if (graft.report.MailReport.shouldSend(result.success, rcpt) &&
           (rcpt.to.nonEmpty || rcpt.cc.nonEmpty)) {
         val report = graft.report.MailReport.render(ledger, result.workflowRunId)
+        val subject = s"ETL Workflow $workflowId " +
+          (if (result.success) "erfolgreich" else "fehlgeschlagen")
+        try mailer.send(graft.report.Mailer.Mail(rcpt.to, rcpt.cc, subject, report,
+          graft.report.MailReport.renderHtml(ledger, result.workflowRunId)))
+        catch {
+          case scala.util.control.NonFatal(e) => ledger.error(
+            ErrorRow.TypDienst, ErrorRow.SeverityMinor,
+            s"Mailversand fehlgeschlagen: ${e.getMessage}",
+            workflowRunId = Some(result.workflowRunId))
+        }
         ledger.message(
           s"result mail to=[${rcpt.to.mkString(",")}] cc=[${rcpt.cc.mkString(",")}]: " +
             report.linesIterator.next(),
           workflowRunId = Some(result.workflowRunId))
       }
       ()
-    })
+    }, ledger = Some(ledger))
 
     def start(): Unit = {
       Tables.registerAll(spark, dataDir)
+      // restart recovery (`Worker.cs:45-51`): reload the persisted plan
+      // store, then neutralize every still-open plan — a crashed
+      // service's stale plans must never fire; the loop re-plans fresh
+      restoreDir.foreach { d =>
+        val reloaded = ledger.restorePlans(spark, d)
+        val stale = ledger.neutralizeOpenPlans()
+        if (reloaded > 0) ledger.message(
+          s"restart recovery: $reloaded plans reloaded, $stale stale neutralized")
+      }
       schedules.foreach { case (wfId, zeitplanId) =>
         val z = cfg.zeitplaene.find(_.etlZeitplaeneId == zeitplanId)
           .getOrElse(throw new IllegalArgumentException(s"no zeitplan $zeitplanId"))
-        loop.register(wfId, ConfigAssembly.schedule(z))
+        loop.register(wfId, ConfigAssembly.schedule(z), zeitplanId)
       }
     }
 
     def tick(now: LocalDateTime): Seq[Int] = loop.tick(now)
 
-    /** Safe exit (`Helper.cs:2964-3140`): close open ledger rows and
-      * persist the run history.
+    /** Safe exit (`Helper.cs:2964-3140` + `Worker.cs` `StopAsync`): close
+      * open ledger rows, neutralize open plans, persist the run history.
       */
     def shutdown(ledgerDir: Option[String]): Int = {
+      ledger.neutralizeOpenPlans()
       val closed = ledger.closeAllOpen()
       ledgerDir.foreach(d => ledger.persist(spark, d))
       closed
@@ -133,7 +163,8 @@ object Service {
     val cfg = loadConfig(spark, configDir)
     val schedules = cfg.workflows.filter(_.istAktiv)
       .map(w => w.etlWorkflowId -> w.etlZeitplaeneId).toMap
-    val engine = new Engine(spark, dataDir, warehouseDir, cfg, schedules)
+    val engine = new Engine(spark, dataDir, warehouseDir, cfg, schedules,
+      restoreDir = Some(ledgerDir))
     engine.start()
     val running = new java.util.concurrent.atomic.AtomicBoolean(true)
     sys.addShutdownHook {
@@ -152,6 +183,9 @@ object Service {
           java.time.Duration.between(lastHeartbeat, now).toMinutes >=
             engine.params.logIntervalMinutes) {
         engine.ledger.message("scheduler alive")
+        // snapshot the tiny plan store so a crash leaves the stale open
+        // rows for the next start's Worker.cs:45-51 neutralization
+        engine.ledger.persistPlans(spark, ledgerDir)
         lastHeartbeat = now
       }
       Thread.sleep(10000)

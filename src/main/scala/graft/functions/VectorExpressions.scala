@@ -134,10 +134,77 @@ case class SumSquares(child: Expression)
     copy(child = newChild)
 }
 
+/** Σ (xᵢ-yᵢ)² with the same strict left fold — the fused form of
+  * `IvfIndex.sqDist`'s `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)))`.
+  * The IVF coarse quantizer evaluates this C times per vector (every
+  * centroid), so the interpreted higher-order form dominates assignment
+  * cost at production codebooks; this emits one fused loop. NULL/length
+  * semantics identical to [[DotProduct]].
+  */
+case class SquaredL2(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_sqdist"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_sqdist expects two array<double> arguments, got " +
+          s"${left.dataType.sql}, ${right.dataType.sql}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getDouble(i) - y.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |final int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final double $d = $x.getDouble($i) - $y.getDouble($i);
+         |    $acc += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SquaredL2 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Optimizer rule fusing the composed vector folds:
   *
   *   aggregate(zip_with(a, b, (x,y) => x*y), 0.0, (acc,x) => acc+x) → graft_dot(a, b)
   *   aggregate(transform(a, x => x*x),       0.0, (acc,x) => acc+x) → graft_sumsq(a)
+  *   aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), …)             → graft_sqdist(a, b)
   *
   * Library code stays written against documented built-ins (runs on any
   * vanilla session, and the DuckDB oracle mirrors it as `list_reduce`);
@@ -158,6 +225,9 @@ object VectorFoldRewrite
       case ArrayAggregate(ArrayTransform(a, SquareLambda()), DoubleZero(), SumLambda(), IdLambda())
           if isDoubleArray(a) =>
         SumSquares(a)
+      case ArrayAggregate(ZipWith(a, b, SqDiffLambda()), DoubleZero(), SumLambda(), IdLambda())
+          if isDoubleArray(a) && isDoubleArray(b) =>
+        SquaredL2(a, b)
     }
 
   private def isDoubleArray(e: Expression): Boolean = e.dataType match {
@@ -178,6 +248,21 @@ object VectorFoldRewrite
       case LambdaFunction(Multiply(l: NamedLambdaVariable, r: NamedLambdaVariable, _),
           Seq(a1: NamedLambdaVariable, a2: NamedLambdaVariable), _) =>
         Set(l.exprId, r.exprId) == Set(a1.exprId, a2.exprId) && l.exprId != r.exprId
+      case _ => false
+    }
+  }
+
+  /** (x, y) => (x - y) * (x - y) over the two lambda arguments, same
+    * subtraction order on both sides of the multiply.
+    */
+  private object SqDiffLambda {
+    def unapply(f: Expression): Boolean = f match {
+      case LambdaFunction(
+          Multiply(Subtract(l1: NamedLambdaVariable, r1: NamedLambdaVariable, _),
+            Subtract(l2: NamedLambdaVariable, r2: NamedLambdaVariable, _), _),
+          Seq(a1: NamedLambdaVariable, a2: NamedLambdaVariable), _) =>
+        l1.exprId == a1.exprId && r1.exprId == a2.exprId &&
+          l2.exprId == a1.exprId && r2.exprId == a2.exprId
       case _ => false
     }
   }

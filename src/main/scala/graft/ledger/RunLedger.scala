@@ -36,6 +36,7 @@ final class RunLedger(clock: () => LocalDateTime = () => LocalDateTime.now()) {
   private val messages = mutable.ArrayBuffer.empty[MessageRow]
   private val errors = mutable.ArrayBuffer.empty[ErrorRow]
   private val queries = mutable.ArrayBuffer.empty[QueryRow]
+  private val plans = mutable.LinkedHashMap.empty[Long, PlanRow]
 
   /** `InitializeLogging` (`Helper.cs:2312-2479`): insert the level row
     * with `Anforderungszeitpunkt`, flags 0, and return the new id.
@@ -118,6 +119,56 @@ final class RunLedger(clock: () => LocalDateTime = () => LocalDateTime.now()) {
     queries += QueryRow(nextId.getAndIncrement(), schrittRunId, konfigurationenId, sql, clock())
   }
 
+  // -- planned executions (`pc.ETL_Zeitplan_Ausfuehrungen`)
+
+  /** Materialize one planned execution (`Scheduler.cs` insert). */
+  def planExecution(workflowId: Int, zeitplanId: Int,
+      plannedAt: LocalDateTime): Long = synchronized {
+    val id = nextId.getAndIncrement()
+    plans(id) = PlanRow(id, workflowId, zeitplanId, plannedAt,
+      ausgefuehrt = false, letzteAenderung = clock())
+    id
+  }
+
+  /** Flip a consumed plan to `Ausgefuehrt = 1` (run started). */
+  def markPlanExecuted(id: Long): Unit = synchronized {
+    plans.get(id).foreach(p =>
+      plans(id) = p.copy(ausgefuehrt = true, letzteAenderung = clock()))
+  }
+
+  /** Service start/stop recovery (`Worker.cs:45-51` / `StopAsync`):
+    * `UPDATE pc.ETL_Zeitplan_Ausfuehrungen SET Ausgefuehrt = 1 WHERE
+    * Ausgefuehrt = 0` — neutralize every stale open plan so it can never
+    * fire; the scheduler re-plans from the calculus. Returns the count.
+    */
+  def neutralizeOpenPlans(): Int = synchronized {
+    val open = plans.values.filterNot(_.ausgefuehrt).toSeq
+    open.foreach(p =>
+      plans(p.id) = p.copy(ausgefuehrt = true, letzteAenderung = clock()))
+    open.size
+  }
+
+  def openPlans: Seq[PlanRow] = synchronized(plans.values.filterNot(_.ausgefuehrt).toSeq)
+  def allPlans: Seq[PlanRow] = synchronized(plans.values.toSeq)
+
+  /** Reload persisted plan state (service restart — the reference's
+    * plans live in MSSQL so they survive the process; ours re-seed from
+    * the persisted parquet). Also advances the id sequence past every
+    * reloaded id.
+    */
+  def restorePlans(spark: SparkSession, dir: String): Int = {
+    val path = s"$dir/zeitplan_ausfuehrungen"
+    if (!new java.io.File(path).exists()) return 0
+    import spark.implicits._
+    val rows = spark.read.parquet(path).as[PlanRow].collect()
+    synchronized {
+      rows.foreach(p => plans(p.id) = p)
+      val maxId = (plans.keys ++ Seq(0L)).max
+      while (nextId.get() <= maxId) nextId.incrementAndGet()
+      rows.length
+    }
+  }
+
   // -- snapshots (driver-side, for tests and small control planes)
   def events: Seq[RunRow] = synchronized(runEvents.toSeq)
   def current: Seq[RunRow] = synchronized(currentRows.values.toSeq)
@@ -187,5 +238,20 @@ final class RunLedger(clock: () => LocalDateTime = () => LocalDateTime.now()) {
       errorsDf(spark).write.mode("append").parquet(s"$dir/fehlermeldungen")
     if (allQueries.nonEmpty)
       queriesDf(spark).write.mode("append").parquet(s"$dir/sql_anfragen")
+    persistPlans(spark, dir)
   }
+
+  /** Snapshot just the plan store. Plans are CURRENT-STATE (the
+    * reference UPDATEs `pc.ETL_Zeitplan_Ausfuehrungen` in place in
+    * MSSQL, where they survive a crash for free), so the snapshot
+    * overwrites and is cheap enough for the service heartbeat to call —
+    * that heartbeat is what makes [[restorePlans]] after a crash see
+    * the stale open rows `Worker.cs:45-51` neutralizes.
+    */
+  def persistPlans(spark: SparkSession, dir: String): Unit =
+    if (allPlans.nonEmpty) {
+      import spark.implicits._
+      allPlans.toDS().write.mode("overwrite")
+        .parquet(s"$dir/zeitplan_ausfuehrungen")
+    }
 }

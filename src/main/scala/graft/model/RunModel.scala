@@ -80,6 +80,22 @@ object ErrorRow {
   val SeverityMajor = "major"
 }
 
+/** `pc.ETL_Zeitplan_Ausfuehrungen` — one MATERIALIZED planned execution
+  * per (workflow, planned instant). `ausgefuehrt` flips to true when the
+  * run starts, and the service neutralizes every still-open row at both
+  * start and stop (`Worker.cs:45-51` / `StopAsync`: `UPDATE … SET
+  * Ausgefuehrt = 1 WHERE Ausgefuehrt = 0`) so a crashed service's stale
+  * plans never fire after restart — the scheduler re-creates fresh rows
+  * from the calculus instead.
+  */
+final case class PlanRow(
+    id: Long,
+    etlWorkflowId: Int,
+    etlZeitplaeneId: Int,
+    geplanterStart: LocalDateTime,
+    ausgefuehrt: Boolean,
+    letzteAenderung: LocalDateTime)
+
 /** `Logging.ETL_SQL_Anfragen` (executed-query log — DDL is drift in the
   * reference, reconciled per SURVEY §1.2).
   */

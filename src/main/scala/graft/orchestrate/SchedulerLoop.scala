@@ -22,21 +22,32 @@ final class SchedulerLoop(
     manager: WorkflowManager,
     execute: (Int, Int, LocalDateTime) => Unit,
     tickSeconds: Int = 10,
-    maxStrikes: Int = 10) {
+    maxStrikes: Int = 10,
+    /** When present, every computed plan materializes as a
+      * `pc.ETL_Zeitplan_Ausfuehrungen` row ([[graft.model.PlanRow]]) and
+      * its ledger id becomes the run's `zeitplanAusfuehrungenId` — the
+      * persistence that makes service-restart recovery possible
+      * (`Worker.cs:45-51`). Without it the loop falls back to a local
+      * counter (pure unit-test mode).
+      */
+    ledger: Option[graft.ledger.RunLedger] = None) {
 
   final case class Entry(
       workflowId: Int,
       schedule: Schedule,
+      zeitplanId: Int,
       var active: Boolean = true,
       var strikes: Int = 0,
-      var plannedAt: Option[LocalDateTime] = None)
+      var plannedAt: Option[LocalDateTime] = None,
+      var planId: Option[Long] = None)
 
   private val entries = mutable.LinkedHashMap.empty[Int, Entry]
   private var nextZeitplanAusfuehrungenId = 1
 
-  def register(workflowId: Int, schedule: Schedule): Unit = synchronized {
-    entries(workflowId) = Entry(workflowId, schedule)
-  }
+  def register(workflowId: Int, schedule: Schedule, zeitplanId: Int = 0): Unit =
+    synchronized {
+      entries(workflowId) = Entry(workflowId, schedule, zeitplanId)
+    }
 
   def deactivate(workflowId: Int): Unit = synchronized {
     entries.get(workflowId).foreach(_.active = false)
@@ -62,6 +73,10 @@ final class SchedulerLoop(
             case _ => NextRun.nextRun(e.schedule, now,
               manager.wasExecutedOnce(e.workflowId))
           }
+          if (!e.plannedAt.contains(next)) {
+            // a NEW plan: materialize the Zeitplan_Ausfuehrungen row
+            e.planId = ledger.map(_.planExecution(e.workflowId, e.zeitplanId, next))
+          }
           e.plannedAt = Some(next)
           e.strikes = 0
           if (next.isBefore(now.plusSeconds(tickSeconds.toLong))) Some(e) else None
@@ -76,9 +91,17 @@ final class SchedulerLoop(
     }
     due.map { e =>
       val zid = synchronized {
-        val z = nextZeitplanAusfuehrungenId
-        nextZeitplanAusfuehrungenId += 1
+        val z = e.planId match {
+          case Some(pid) =>
+            ledger.foreach(_.markPlanExecuted(pid)) // Ausgefuehrt = 1
+            pid.toInt
+          case None =>
+            val n = nextZeitplanAusfuehrungenId
+            nextZeitplanAusfuehrungenId += 1
+            n
+        }
         e.plannedAt = None // consumed; next tick recomputes
+        e.planId = None
         z
       }
       execute(e.workflowId, zid, now)

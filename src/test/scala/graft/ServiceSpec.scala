@@ -92,6 +92,90 @@ class ServiceSpec extends AnyFunSuite with SparkSupport {
     assert(events.filter("level = 'workflow'").select("id").distinct().count() == 2)
   }
 
+  test("result mail delivers through the Mailer: failure reaches Nur_Fehler recipients, success does not") {
+    val configDir = tmpDir("svc-mail-cfg")
+    writeConfig(configDir)
+    val cfg0 = Service.loadConfig(spark, configDir)
+    var now = LocalDateTime.of(2026, 3, 2, 9, 0, 55)
+
+    // run 1: the configured workflow succeeds — err@example (Nur_Fehler)
+    // must NOT be a recipient, ops@example must
+    val okMailer = new graft.report.Mailer.Recording
+    val okEngine = new Service.Engine(spark, "/root/testdata/sf0.001", tmpDir("svc-mail-wh"),
+      cfg0, Map(1 -> 100), clock = () => now, mailer = okMailer)
+    okEngine.start()
+    assert(okEngine.tick(now) == Seq(1))
+    assert(okMailer.sent.size == 1)
+    val ok = okMailer.sent.head
+    assert(ok.subject == "ETL Workflow 1 erfolgreich")
+    assert(ok.to == Seq("ops@example") && !ok.to.contains("err@example"))
+    assert(ok.bodyText.contains("ERFOLGREICH"))
+    assert(ok.bodyHtml.startsWith("<html>"))
+
+    // run 2: break the step (bad SQL) — the failure mail goes to BOTH
+    // recipients including the error-only one
+    val cfgBad = cfg0.copy(schritte = cfg0.schritte.map(_.copy(
+      befehl = "SELECT * FROM no_such_table")))
+    val badMailer = new graft.report.Mailer.Recording
+    val badEngine = new Service.Engine(spark, "/root/testdata/sf0.001", tmpDir("svc-mail-wh2"),
+      cfgBad, Map(1 -> 100), clock = () => now, mailer = badMailer)
+    badEngine.start()
+    assert(badEngine.tick(now) == Seq(1))
+    assert(badMailer.sent.size == 1)
+    val bad = badMailer.sent.head
+    assert(bad.subject == "ETL Workflow 1 fehlgeschlagen")
+    assert(bad.to.toSet == Set("ops@example", "err@example"))
+    assert(bad.bodyText.contains("FEHLGESCHLAGEN"))
+
+    // delivery failure: error-ledgered as Dienst, run itself unaffected
+    val failEngine = new Service.Engine(spark, "/root/testdata/sf0.001", tmpDir("svc-mail-wh3"),
+      cfg0, Map(1 -> 100), clock = () => now, mailer = new graft.report.Mailer.Failing)
+    failEngine.start()
+    assert(failEngine.tick(now) == Seq(1))
+    val deliveryErrors = failEngine.ledger.allErrors
+      .filter(_.meldungstext.startsWith("Mailversand fehlgeschlagen"))
+    assert(deliveryErrors.size == 1 && deliveryErrors.head.fehlertyp == "Dienst")
+    // the workflow run is still successful — mail failure is not run failure
+    assert(failEngine.ledger.current.exists(r => r.level == "workflow" && r.erfolgreich))
+  }
+
+  test("service restart neutralizes stale open plans and re-schedules (Worker.cs:45-51)") {
+    val configDir = tmpDir("svc-restart-cfg")
+    val ledgerDir = tmpDir("svc-restart-ledger")
+    writeConfig(configDir)
+    val cfg = Service.loadConfig(spark, configDir)
+    var now = LocalDateTime.of(2026, 3, 2, 9, 0, 30)
+
+    // first service life: a tick mid-minute PLANS the 09:01:00 run
+    // (not yet due), the heartbeat snapshots the plan store, then the
+    // service "crashes" (no shutdown — the open row stays persisted)
+    val e1 = new Service.Engine(spark, "/root/testdata/sf0.001", tmpDir("svc-restart-wh"),
+      cfg, Map(1 -> 100), clock = () => now)
+    e1.start()
+    assert(e1.tick(now).isEmpty) // planned, not due
+    assert(e1.ledger.openPlans.size == 1)
+    assert(e1.ledger.openPlans.head.geplanterStart == LocalDateTime.of(2026, 3, 2, 9, 1, 0))
+    e1.ledger.persistPlans(spark, ledgerDir)
+
+    // second life: start() reloads the store and neutralizes the stale
+    // open plan, then the loop re-plans from the calculus
+    now = LocalDateTime.of(2026, 3, 2, 10, 30, 55)
+    val e2 = new Service.Engine(spark, "/root/testdata/sf0.001", tmpDir("svc-restart-wh2"),
+      cfg, Map(1 -> 100), clock = () => now, restoreDir = Some(ledgerDir))
+    e2.start()
+    assert(e2.ledger.allPlans.size == 1 && e2.ledger.openPlans.isEmpty,
+      "the stale plan must be reloaded and neutralized (Ausgefuehrt = 1)")
+    assert(e2.ledger.allMessages.exists(_.meldungstext.startsWith("restart recovery")))
+    // re-scheduled: the next tick creates a FRESH plan row and runs it
+    assert(e2.tick(now) == Seq(1))
+    assert(e2.ledger.allPlans.size == 2)
+    val fresh = e2.ledger.allPlans.maxBy(_.id)
+    assert(fresh.ausgefuehrt && fresh.geplanterStart == LocalDateTime.of(2026, 3, 2, 10, 31, 0))
+    // the consumed plan's ledger id is the run's zeitplanAusfuehrungenId
+    val wfRun = e2.ledger.current.find(_.level == "workflow").get
+    assert(wfRun.zeitplanAusfuehrungenId.contains(fresh.id))
+  }
+
   test("loadConfig round-trips the tenant-connection tables (flat Datenverbindungen form)") {
     import spark.implicits._
     import graft.model._

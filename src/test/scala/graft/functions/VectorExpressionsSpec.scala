@@ -103,6 +103,29 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSupport {
       plain.map(java.lang.Double.doubleToLongBits).toSeq)
   }
 
+  test("SquaredL2 fuses IvfIndex.sqDist and is bit-identical to the composed fold") {
+    import ext.implicits._
+    import graft.operators.IvfIndex
+    // rewrite fires on the (x-y)*(x-y) fold
+    val plan = rangeVecs(ext).select(IvfIndex.sqDist($"a", $"b").as("d"))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_sqdist"), s"sqDist fold must fuse:\n$plan")
+    // bit-exact vs a driver-side strict left fold in the same IEEE order
+    // (the order DuckDB's list_reduce performs)
+    val rows = Seq.tabulate(200) { i =>
+      (Seq.tabulate(64)(d => math.sin(i * 64 + d) * (d + 1)),
+        Seq.tabulate(64)(d => math.cos(i * 64 + d) / (d + 1)))
+    }.toDF("a", "b")
+      .select(IvfIndex.sqDist($"a", $"b").as("d"), $"a", $"b").collect()
+    assert(rows.forall { r =>
+      val a = r.getSeq[Double](1); val b = r.getSeq[Double](2)
+      var acc = 0.0
+      a.indices.foreach { i => val d0 = a(i) - b(i); acc += d0 * d0 }
+      java.lang.Double.doubleToLongBits(acc) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(0))
+    })
+  }
+
   test("codegen: the fused expressions stay in whole-stage codegen") {
     import ext.implicits._
     val q = rangeVecs(ext).select(V.norm($"a").as("n"), V.dot($"a", $"b").as("d"))

@@ -84,6 +84,30 @@ class StepsSpec extends AnyFunSuite with SparkSupport {
     assert(wh.read(spark, "li_sliced").count() == unsliced)
   }
 
+  test("timesliced COPY over a catalog source compiles to exactly ONE scan (VERDICT r5 item 3)") {
+    val (ctx, ledger, _) = freshCtx()
+    val spec = StepSpec(3, CommandType.Copy, TaskType.Sql,
+      "SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem " +
+        "WHERE l_shipdate BETWEEN ##Uebernahme_von## AND ##Uebernahme_bis##",
+      zieltabelle = Some("li_sliced"), zeitscheibe = true)
+    // the 7-year takeover makes 85 month slices (incl. the reference's
+    // degenerate trailing window) — branch-per-slice would mean 85 scans
+    // of the unpartitioned source
+    val windows = MonthWindows.windows(ctx.macroCtx.takeoverVon, ctx.macroCtx.takeoverBis)
+    assert(windows.size == 85)
+    val src = Steps.timeslicedSource(spec, ctx)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = src.queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }
+    assert(scans.size == 1, s"catalog timeslice must plan ONE scan, got ${scans.size}")
+    // one executed query logged (the overall range), not one per slice
+    assert(ledger.allQueries.size == 1)
+    // and the single range is row-equivalent to the slice union
+    val expected = spark.sql(
+      "SELECT count(*) FROM lineitem WHERE l_shipdate BETWEEN TIMESTAMP '1992-01-01 00:00:00' " +
+        "AND TIMESTAMP '1998-12-31 23:59:59'").head.getLong(0)
+    assert(src.count() == expected)
+  }
+
   test("CSV export honors the 7 ETL_Paketschritt_Parameter options") {
     val (ctx, _, _) = freshCtx()
     val out = tmpDir("csvout") + "/export"
