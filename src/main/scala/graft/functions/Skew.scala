@@ -69,6 +69,82 @@ object Skew {
       .drop("__n", "__splits")
   }
 
+  /** Hot-key sessionize — the window-family salting recipe (VERDICT r5
+    * item 8). Gap-based session numbering (`new session when the gap to
+    * the previous event exceeds gapSec`, q12's semantics) is
+    * sequence-dependent per user, so a plain per-user window puts a hot
+    * user's entire history in ONE task. This version partitions the
+    * heavy window by (user, time-bucket) — a hot user's events spread
+    * over #buckets tasks — and stitches sessions across bucket edges
+    * with a SECOND, tiny window over the one-row-per-(user, bucket)
+    * summary frame:
+    *
+    *   - within a bucket: the normal lag/flag/running-sum numbering;
+    *   - `bucketSpanSec >= gapSec` guarantees a session can only span
+    *     CONSECUTIVE summary rows (events in non-adjacent buckets are
+    *     > span >= gap apart in unix seconds), so one lag over the
+    *     summary decides every boundary merge;
+    *   - the per-bucket session offset is a running sum of
+    *     (starts − merged) and the global id is
+    *     `offset + local_k − merge` — bit-identical numbering to the
+    *     single-window plan (asserted in FunctionsSpec).
+    *
+    * Cost: one shuffle on (user, bucket) for the big frame, one tiny
+    * summary window, one co-partitioned join back. Session ids are
+    * 1-based per user, like the q12 running sum.
+    */
+  def sessionizeBucketed(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      tieCol: String,
+      gapSec: Long,
+      bucketSpanSec: Long,
+      out: String = "session_id"): DataFrame = {
+    require(gapSec > 0, "gapSec must be positive")
+    require(bucketSpanSec >= gapSec,
+      s"bucketSpanSec ($bucketSpanSec) must be >= gapSec ($gapSec) so sessions " +
+        "can only span adjacent buckets")
+    import org.apache.spark.sql.expressions.Window
+    val u = unix_timestamp(col(tsCol))
+    // exact integer floor-div (epoch seconds are far below 2^53, but the
+    // BucketedWindow discipline costs nothing)
+    val bucket = (u - pmod(u, lit(bucketSpanSec))) / bucketSpanSec
+    val wIn = Window.partitionBy(col(userCol), col("__b"))
+      .orderBy(col(tsCol), col(tieCol))
+    // persisted: both the summary branch and the final join read this
+    // frame — without the cache the heavy window runs TWICE (measured
+    // 2.4× the plain window at 40M events; same discipline as
+    // CosineNearDup's blocking frame)
+    val flagged = df
+      .withColumn("__b", bucket.cast("long"))
+      .withColumn("__u", u)
+      .withColumn("__prev", lag(col("__u"), 1).over(wIn))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("__u") - col("__prev") > gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("__k", sum(col("__new"))
+        .over(wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .persist()
+    val summary = flagged.groupBy(col(userCol), col("__b")).agg(
+      min(col("__u")).as("__first"),
+      max(col("__u")).as("__last"),
+      max(col("__k")).as("__starts"))
+    val wUser = Window.partitionBy(col(userCol)).orderBy(col("__b"))
+    val offsets = summary
+      .withColumn("__prev_last", lag(col("__last"), 1).over(wUser))
+      .withColumn("__merge",
+        when(col("__prev_last").isNotNull &&
+          col("__first") - col("__prev_last") <= gapSec, 1L).otherwise(0L))
+      .withColumn("__offset",
+        coalesce(sum(col("__starts") - col("__merge"))
+          .over(wUser.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(userCol), col("__b"), col("__merge"), col("__offset"))
+    flagged.join(offsets, Seq(userCol, "__b"))
+      .withColumn(out, col("__offset") + col("__k") - col("__merge"))
+      .drop("__b", "__u", "__prev", "__new", "__k", "__merge", "__offset")
+  }
+
   /** Salted broadcast-free join for one known-hot build side: the big
     * (probe) side gets a deterministic salt, the small side is
     * replicated once per bucket, and the join key becomes (key, salt) —

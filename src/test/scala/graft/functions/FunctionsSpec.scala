@@ -138,4 +138,53 @@ class FunctionsSpec extends AnyFunSuite with SparkSupport {
     // k=256 → relative standard error ~1/sqrt(254) ≈ 6.3%; allow 5 sigma
     assert(math.abs(est - n) / n < 0.32, s"estimate $est too far from $n")
   }
+
+  test("sessionizeBucketed: session ids identical to the global per-user window, incl. boundary merges") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val gap = 1800L
+    val span = 1800L
+    // hot user 1 with pseudo-random gaps crossing many bucket edges
+    // (some inside the gap → merge, some outside → new session), plus a
+    // user whose events sit EXACTLY on a bucket boundary at exactly the
+    // gap distance (<= gap must merge), plus a single-event user
+    val hot = (0 until 500).scanLeft(0L) { (acc, i) =>
+      acc + (math.abs(math.sin(i.toDouble)) * 2500).toLong + 1
+    }.map(ts => (1L, ts))
+    val edge = Seq((2L, 1799L), (2L, 3599L), (2L, 5400L), (2L, 7201L))
+    val single = Seq((3L, 42L))
+    val df = (hot ++ edge ++ single).zipWithIndex
+      .map { case ((u, ts), i) => (u, i.toLong, ts) }
+      .toDF("user_id", "event_id", "epoch")
+      .withColumn("ts", timestamp_seconds($"epoch")).drop("epoch")
+      .repartition(7) // arbitrary layout; result must not depend on it
+    // reference: the single global-window numbering (q12's shape)
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val expect = df
+      .withColumn("prev", lag($"ts", 1).over(w))
+      .withColumn("nw", when($"prev".isNull ||
+        unix_timestamp($"ts") - unix_timestamp($"prev") > gap, 1L).otherwise(0L))
+      .withColumn("sid", sum($"nw").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"user_id", $"event_id", $"sid")
+    val got = Skew.sessionizeBucketed(df, "user_id", "ts", "event_id", gap, span)
+      .select($"user_id", $"event_id", $"session_id")
+    assert(got.columns.length == 3)
+    val diff = expect.join(got, Seq("user_id", "event_id"))
+      .filter($"sid" =!= $"session_id").count()
+    assert(diff == 0, s"$diff events numbered differently from the global window")
+    assert(got.count() == df.count())
+    // sanity on the mitigation itself: the hot user's heavy window is
+    // partitioned by (user, bucket), never by user alone
+    import org.apache.spark.sql.execution.window.WindowExec
+    val heavyWins = Skew.sessionizeBucketed(df, "user_id", "ts", "event_id", gap, span)
+      .queryExecution.sparkPlan.collect { case x: WindowExec => x }
+    assert(heavyWins.forall(_.partitionSpec.nonEmpty))
+    assert(heavyWins.exists(_.partitionSpec.size == 2), "heavy window must key on (user, bucket)")
+    // span < gap is rejected (sessions could span non-adjacent buckets)
+    intercept[IllegalArgumentException] {
+      Skew.sessionizeBucketed(df, "user_id", "ts", "event_id", gapSec = 1800, bucketSpanSec = 600)
+    }
+  }
 }
