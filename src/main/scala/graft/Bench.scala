@@ -44,33 +44,64 @@ object Bench {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    // Median of REPS full-plan runs per query (VERDICT r5 item 3: r5's
+    // single-run bench showed a ±30% noise band across untouched queries
+    // — one local[32] sample cannot distinguish noise from regression).
+    // The cache is cleared between runs so every sample executes the
+    // query's own persists from cold, and so no query inherits another's
+    // cached subtrees ("already cached" warnings, r5 item 2).
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(3)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         val old = time(fn(spark, sfDir).count())
-        val full = time(fn(spark, sfDir).queryExecution.toRdd.count())
-        (name, old, full)
+        spark.catalog.clearCache()
+        val runs = (1 to reps).map { _ =>
+          val t = time(fn(spark, sfDir).queryExecution.toRdd.count())
+          spark.catalog.clearCache()
+          t
+        }
+        (name, old, median(runs), runs)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          (name, -1.0, -1.0)
+          spark.catalog.clearCache()
+          (name, -1.0, -1.0, Seq.empty[Double])
       }
     }
-    val totalOld = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    val total = results.collect { case (_, _, v) if v >= 0 => v }.sum
-    def line(fmt: Double => String): String = {
-      val qs = results.map { case (k, _, v) => "\"" + k + "\":" + fmt(v) }
+    val totalOld = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    val total = results.collect { case (_, _, v, _) if v >= 0 => v }.sum
+    // first-run total: the closest analogue of the r3-r5 single-run
+    // methodology (cold cache, first full-plan execution) for
+    // cross-round continuity.
+    val totalFirst = results.collect { case (_, _, m, r) if m >= 0 => r.head }.sum
+    def line(fmt: Double => String, detail: Boolean): String = {
+      val qs = results.map { case (k, _, v, _) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
+      val runsField =
+        if (!detail) ""
+        else results.map { case (k, _, _, r) =>
+          "\"" + k + "\":[" + r.map(fmt).mkString(",") + "]"
+        }.mkString(""""query_runs":{""", ",", "},")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""total_count_action":$totalOld,"total_full_plan":$total,"sf":"$sfDir"}"""
+        runsField +
+        s""""reps":$reps,"total_count_action":$totalOld,""" +
+        s""""total_full_plan":$total,"total_run1":$totalFirst,"sf":"$sfDir"}"""
     }
     // stdout gets ONE COMPACT line (per-query seconds at ms precision) as
     // the very last output — r4's full-precision line outgrew the
     // driver's tail capture and the official record lost structure
     // ("parsed": null, VERDICT r4 item 7); totals keep full precision.
-    println(line(v => (math.rint(v * 1000) / 1000).toString))
-    // full-precision detail goes to the sidecar file.
+    println(line(v => (math.rint(v * 1000) / 1000).toString, detail = false))
+    // full-precision detail (incl. per-query run arrays) goes to the
+    // sidecar file; stdout stays one compact line for the driver's tail
+    // capture.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line(_.toString) + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+      line(_.toString, detail = true) + "\n")
     catch { case _: Throwable => () }
     spark.stop()
   }

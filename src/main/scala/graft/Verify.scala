@@ -16,6 +16,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release any persist a query registered (q14/q40/q50/q52 cache
+      // shared intermediates): queries are independent gates, and a
+      // leaked MEMORY_AND_DISK frame from one query must not pin
+      // executor memory — or satisfy a later query's persist with an
+      // "already cached" plan — for the rest of the run.
+      finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

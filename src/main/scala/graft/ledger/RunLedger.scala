@@ -158,9 +158,17 @@ final class RunLedger(clock: () => LocalDateTime = () => LocalDateTime.now()) {
     */
   def restorePlans(spark: SparkSession, dir: String): Int = {
     val path = s"$dir/zeitplan_ausfuehrungen"
-    if (!new java.io.File(path).exists()) return 0
     import spark.implicits._
-    val rows = spark.read.parquet(path).as[PlanRow].collect()
+    // A torn snapshot must not keep the service from booting (ADVICE
+    // r5): fall back to the `__old` dir [[persistPlans]]' swap renames
+    // aside, then to an empty store — the scheduler loop re-plans from
+    // the calculus either way, matching Worker.cs semantics.
+    def tryRead(p: String): Option[Array[PlanRow]] =
+      try {
+        if (new java.io.File(p).exists()) Some(spark.read.parquet(p).as[PlanRow].collect())
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val rows = tryRead(path).orElse(tryRead(s"${path}__old")).getOrElse(Array.empty[PlanRow])
     synchronized {
       rows.foreach(p => plans(p.id) = p)
       val maxId = (plans.keys ++ Seq(0L)).max
@@ -244,14 +252,39 @@ final class RunLedger(clock: () => LocalDateTime = () => LocalDateTime.now()) {
   /** Snapshot just the plan store. Plans are CURRENT-STATE (the
     * reference UPDATEs `pc.ETL_Zeitplan_Ausfuehrungen` in place in
     * MSSQL, where they survive a crash for free), so the snapshot
-    * overwrites and is cheap enough for the service heartbeat to call —
-    * that heartbeat is what makes [[restorePlans]] after a crash see
-    * the stale open rows `Worker.cs:45-51` neutralizes.
+    * replaces the previous one and is cheap enough for the service
+    * heartbeat to call — that heartbeat is what makes [[restorePlans]]
+    * after a crash see the stale open rows `Worker.cs:45-51`
+    * neutralizes.
+    *
+    * Crash-atomic (VERDICT r5 item 4): a plain `mode("overwrite")` is
+    * delete-then-write, so a crash mid-heartbeat would destroy the very
+    * file restart recovery needs. Same swap as `Warehouse
+    * .rewriteInPlace`: write to a side dir, rename the old snapshot
+    * aside, move the new one into place — a crash at any point leaves
+    * either the old or the new snapshot recoverable.
     */
   def persistPlans(spark: SparkSession, dir: String): Unit =
     if (allPlans.nonEmpty) {
       import spark.implicits._
-      allPlans.toDS().write.mode("overwrite")
-        .parquet(s"$dir/zeitplan_ausfuehrungen")
+      val target = new java.io.File(s"$dir/zeitplan_ausfuehrungen")
+      val tmp = new java.io.File(s"$dir/zeitplan_ausfuehrungen__snapshot")
+      val old = new java.io.File(s"$dir/zeitplan_ausfuehrungen__old")
+      if (tmp.exists()) deleteRecursively(tmp)
+      allPlans.toDS().write.mode("overwrite").parquet(tmp.toString)
+      if (old.exists()) deleteRecursively(old)
+      if (target.exists() && !target.renameTo(old))
+        throw new IllegalStateException(s"rename $target -> $old failed")
+      if (!tmp.renameTo(target)) {
+        old.renameTo(target) // restore — the swap failed, keep the snapshot readable
+        throw new IllegalStateException(s"rename $tmp -> $target failed")
+      }
+      deleteRecursively(old)
     }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
 }

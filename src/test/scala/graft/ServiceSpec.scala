@@ -176,6 +176,48 @@ class ServiceSpec extends AnyFunSuite with SparkSupport {
     assert(wfRun.zeitplanAusfuehrungenId.contains(fresh.id))
   }
 
+  test("plan-store snapshot survives a heartbeat crash: torn write falls back to the renamed-aside previous snapshot") {
+    import graft.ledger.RunLedger
+    val dir = tmpDir("svc-torn-snapshot")
+    val clock = () => LocalDateTime.of(2026, 3, 2, 9, 0, 0)
+    val l1 = new RunLedger(clock)
+    val p1 = l1.planExecution(1, 10, LocalDateTime.of(2026, 3, 2, 9, 1, 0))
+    l1.persistPlans(spark, dir) // good snapshot v1
+    l1.planExecution(2, 20, LocalDateTime.of(2026, 3, 2, 9, 2, 0))
+    l1.persistPlans(spark, dir) // good snapshot v2 — swap must leave no __old/__snapshot litter
+    assert(!new java.io.File(s"$dir/zeitplan_ausfuehrungen__old").exists())
+    assert(!new java.io.File(s"$dir/zeitplan_ausfuehrungen__snapshot").exists())
+
+    // simulate a crash MID-SWAP: the previous snapshot was renamed aside
+    // to __old, and the incoming one is torn (unreadable garbage where
+    // the target dir should be) — exactly the state a kill between the
+    // two renames leaves behind
+    val target = new java.io.File(s"$dir/zeitplan_ausfuehrungen")
+    val old = new java.io.File(s"$dir/zeitplan_ausfuehrungen__old")
+    assert(target.renameTo(old))
+    target.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(target.toString, "part-torn.parquet"), "not parquet")
+
+    val l2 = new RunLedger(clock)
+    val restored = l2.restorePlans(spark, dir)
+    assert(restored == 2, "restore must fall back to the __old snapshot")
+    assert(l2.allPlans.map(_.id).toSet == Set(p1, p1 + 1))
+    // restored ids never collide with new ones
+    val fresh = l2.planExecution(3, 30, LocalDateTime.of(2026, 3, 2, 9, 3, 0))
+    assert(fresh > p1 + 1)
+
+    // both copies unreadable → boot with an empty store, never throw
+    def rmRf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmRf)
+      f.delete(); ()
+    }
+    val l3 = new RunLedger(clock)
+    rmRf(old)
+    assert(l3.restorePlans(spark, dir) == 0)
+    assert(l3.allPlans.isEmpty)
+  }
+
   test("loadConfig round-trips the tenant-connection tables (flat Datenverbindungen form)") {
     import spark.implicits._
     import graft.model._

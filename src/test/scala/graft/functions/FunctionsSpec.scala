@@ -176,12 +176,35 @@ class FunctionsSpec extends AnyFunSuite with SparkSupport {
     assert(diff == 0, s"$diff events numbered differently from the global window")
     assert(got.count() == df.count())
     // sanity on the mitigation itself: the hot user's heavy window is
-    // partitioned by (user, bucket), never by user alone
+    // partitioned by (user, bucket), never by user alone. The operator
+    // persists its heavy-window frame, so once the first invocation
+    // materialized the cache, later plans show an InMemoryTableScan
+    // where the 2-key WindowExec lives — the collection must descend
+    // into cached plans or the assertion tests the CacheManager, not
+    // the operator (the r5 red test).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import org.apache.spark.sql.execution.window.WindowExec
-    val heavyWins = Skew.sessionizeBucketed(df, "user_id", "ts", "event_id", gap, span)
-      .queryExecution.sparkPlan.collect { case x: WindowExec => x }
+    // cachedPlan is an AdaptiveSparkPlanExec and its stages are
+    // QueryStageExec wrappers — all LEAVES for collect — so unwrap each
+    // before descending
+    def windows(p: SparkPlan): Seq[WindowExec] =
+      p.collect { case w: WindowExec => w } ++
+        p.collect { case a: AdaptiveSparkPlanExec => a }
+          .flatMap(a => windows(a.executedPlan)) ++
+        p.collect { case q: QueryStageExec => q }
+          .flatMap(q => windows(q.plan)) ++
+        p.collect { case s: InMemoryTableScanExec => s }
+          .flatMap(s => windows(s.relation.cachedPlan))
+    val heavyWins = windows(
+      Skew.sessionizeBucketed(df, "user_id", "ts", "event_id", gap, span)
+        .queryExecution.sparkPlan)
     assert(heavyWins.forall(_.partitionSpec.nonEmpty))
     assert(heavyWins.exists(_.partitionSpec.size == 2), "heavy window must key on (user, bucket)")
+    // release the operator's internal persists (documented contract) so
+    // this suite leaves no cached blocks behind for later plan tests
+    spark.catalog.clearCache()
     // span < gap is rejected (sessions could span non-adjacent buckets)
     intercept[IllegalArgumentException] {
       Skew.sessionizeBucketed(df, "user_id", "ts", "event_id", gapSec = 1800, bucketSpanSec = 600)
