@@ -195,6 +195,37 @@ object FanIn {
       println(f"  IVF C=$cells: plan build $planMs%.0f ms, assign+stats $runS%.1f s")
     }
 
+    // ---- IVF broadcast bound at production dims (VERDICT r5 item 7):
+    // the codebook guard's arithmetic across real embedding-model
+    // shapes, plus a measured high-dim assign to show the plan and
+    // kernel hold when each centroid is 8 KB instead of 512 B. ----
+    println("| C | dims | est codebook | vs 512 MiB bound |")
+    println("|---|---|---|---|")
+    for (c <- Seq(1024L, 8192L, 65536L); d <- Seq(64, 1024, 4096)) {
+      val est = graft.operators.IvfIndex.codebookBytes(c, d)
+      val verdict = if (est <= graft.operators.IvfIndex.DefaultMaxCodebookBytes)
+        "broadcast" else "REFUSED (hierarchical quantizer territory)"
+      println(f"| $c%,d | $d | ${est / 1048576.0}%.1f MiB | $verdict |")
+    }
+    {
+      val hiDim = 1024
+      val hiVecs = spark.range(20000L * mult / 100).select($"id".as("vec_id"),
+        transform(sequence(lit(0), lit(hiDim - 1)),
+          d => pmod(xxhash64($"id", d), lit(1000)).cast("double") / 1000.0).as("e"))
+      val hiCents = hiVecs.filter($"vec_id" < 1024)
+        .select($"vec_id".as("cid"), $"e".as("ce"))
+      val t0 = System.nanoTime()
+      val assigned = graft.operators.IvfIndex.assign(hiVecs, hiCents,
+        embCol = "e", idCol = "vec_id")
+      assigned.queryExecution.executedPlan
+      val planMs = (System.nanoTime() - t0) / 1e6
+      val t1 = System.nanoTime()
+      val n = assigned.queryExecution.toRdd.count()
+      println(f"high-dim IVF (dim=$hiDim, C=1024, ${n}%,d vectors ≈ " +
+        f"${graft.operators.IvfIndex.codebookBytes(1024, hiDim) / 1048576.0}%.0f MiB codebook): " +
+        f"plan build $planMs%.0f ms, assign ${(System.nanoTime() - t1) / 1e9}%.1f s")
+    }
+
     // ---- end-to-end runs on the 100x corpus (FANIN_E2E=0 skips) ----
     if (sys.env.get("FANIN_E2E").contains("0")) { spark.stop(); return }
     def time(name: String)(f: => Long): Unit = {

@@ -43,25 +43,63 @@ object IvfIndex {
     */
   private def constKey(idLike: Column): Column = pmod(xxhash64(idLike), lit(1L))
 
+  /** Hard ceiling on the broadcast codebook (VERDICT r5 item 7). The
+    * constant-key design REQUIRES a broadcast build side: a shuffled
+    * equi-join on a single-valued key lands the entire corpus on one
+    * reducer — far worse than failing fast. Brute-force assignment also
+    * inherently visits every (vector, centroid) pair, so there is no
+    * shuffle-join rescue for an over-sized codebook; the scale path is a
+    * hierarchical (two-level) quantizer that keeps each level's codebook
+    * under this bound. 512 MB default: C=65536 × 64 dims ≈ 34 MB passes,
+    * C=65536 × 1024 dims ≈ 537 MB (a real embedding model) trips it —
+    * well under Spark's 8 GB broadcast hard limit, leaving headroom for
+    * the driver holding the build side plus its compressed copy.
+    */
+  val DefaultMaxCodebookBytes: Long = 512L << 20
+
+  /** Estimated broadcast bytes for a codebook: rows × (array data +
+    * array header + cid + row overhead).
+    */
+  def codebookBytes(rows: Long, dims: Int): Long = rows * (dims * 8L + 64L)
+
   /** Corpus × codebook expansion: broadcast equi-join on a constant key
     * (BroadcastHashJoin with the tiny codebook as build side) + one
     * distance fold per (vector, centroid). Never materialized — callers
-    * pipe it straight into an aggregate or window.
+    * pipe it straight into an aggregate or window. Guards the broadcast
+    * bound with two cheap metadata actions (count + one head row).
     */
   private def expand(vectors: DataFrame, centroids: DataFrame, embCol: String,
-                     idCol: String): DataFrame =
+                     idCol: String, maxCodebookBytes: Long): DataFrame = {
+    val c = centroids.count()
+    val dims = centroids.select(size(col("ce"))).head().getInt(0)
+    val est = codebookBytes(c, dims)
+    require(est <= maxCodebookBytes,
+      f"IVF codebook too large to broadcast: C=$c%,d × $dims dims ≈ ${est / 1048576.0}%.0f MiB " +
+        f"(bound ${maxCodebookBytes / 1048576.0}%.0f MiB). A shuffled equi-join on the constant " +
+        "key would serialize the corpus through one reducer, so this operator refuses instead; " +
+        "use a hierarchical (two-level) quantizer whose per-level codebooks fit the bound, or " +
+        "raise maxCodebookBytes if the cluster's driver/executor memory genuinely allows it.")
     vectors.withColumn(One, constKey(col(idCol)))
       .join(broadcast(centroids.withColumn(One, constKey(col("cid")))), One)
       .drop(One)
       .withColumn("__d", sqDist(col(embCol), col("ce")))
+  }
 
   /** Assign every vector to its nearest centroid. Input `vectors` keeps
     * all its columns; output = `idCol`, `cell` (the winning cid), then
     * the remaining input columns. `centroids` must be `(cid, ce)`.
+    *
+    * A vector whose distance fold is NULL against every centroid
+    * (mismatched embedding length, null elements) DROPS OUT of the
+    * output instead of silently winning the lowest cid — null sorts
+    * first in the argmin struct ordering, so without the filter a
+    * corrupt vector would mis-assign rather than surface (ADVICE r5).
     */
-  def assign(vectors: DataFrame, centroids: DataFrame, embCol: String, idCol: String): DataFrame = {
+  def assign(vectors: DataFrame, centroids: DataFrame, embCol: String, idCol: String,
+             maxCodebookBytes: Long = DefaultMaxCodebookBytes): DataFrame = {
     val carry = vectors.columns.filter(_ != idCol).toSeq
-    expand(vectors, centroids, embCol, idCol)
+    expand(vectors, centroids, embCol, idCol, maxCodebookBytes)
+      .filter(col("__d").isNotNull)
       .groupBy(col(idCol))
       .agg(min_by(
         struct(col("cid").as("cell") +: carry.map(col): _*),
@@ -72,11 +110,13 @@ object IvfIndex {
   /** The `nprobe` nearest cells per query vector (the IVF recall knob):
     * output = input columns + `cell`, `nprobe` rows per query. Cost is
     * query-side only — the corpus keeps its single-cell assignment.
+    * Corrupt queries (null distance) drop out like in [[assign]].
     */
   def probeCells(queries: DataFrame, centroids: DataFrame, embCol: String, idCol: String,
-                 nprobe: Int): DataFrame = {
+                 nprobe: Int, maxCodebookBytes: Long = DefaultMaxCodebookBytes): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("__d"), col("cid"))
-    expand(queries, centroids, embCol, idCol)
+    expand(queries, centroids, embCol, idCol, maxCodebookBytes)
+      .filter(col("__d").isNotNull)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= nprobe)
       .drop("__d", "__rn", "ce")

@@ -20,7 +20,7 @@ import graft.schedule.{NextRun, Schedule, ScheduleException}
   */
 final class SchedulerLoop(
     manager: WorkflowManager,
-    execute: (Int, Int, LocalDateTime) => Unit,
+    execute: (Int, Long, LocalDateTime) => Unit,
     tickSeconds: Int = 10,
     maxStrikes: Int = 10,
     /** When present, every computed plan materializes as a
@@ -42,7 +42,7 @@ final class SchedulerLoop(
       var planId: Option[Long] = None)
 
   private val entries = mutable.LinkedHashMap.empty[Int, Entry]
-  private var nextZeitplanAusfuehrungenId = 1
+  private var nextZeitplanAusfuehrungenId = 1L
 
   def register(workflowId: Int, schedule: Schedule, zeitplanId: Int = 0): Unit =
     synchronized {
@@ -68,9 +68,16 @@ final class SchedulerLoop(
     val due = synchronized {
       entries.values.filter(_.active).flatMap { e =>
         try {
+          // a materialized plan stays pending until CONSUMED — the
+          // reference starts every open row regardless of lateness
+          // (`Scheduler.cs:552` GetAllWorkflowsToStart filters only
+          // `Startzeitpunkt IS NULL AND Ausgefuehrt = 0`), so a tick
+          // delayed past plannedAt runs the plan late instead of
+          // superseding it with a fresh row (which would orphan the old
+          // one as a phantom open plan — ADVICE r5)
           val next = e.plannedAt match {
-            case Some(p) if !p.isBefore(now) => p // still pending
-            case _ => NextRun.nextRun(e.schedule, now,
+            case Some(p) => p // still pending (possibly overdue)
+            case None => NextRun.nextRun(e.schedule, now,
               manager.wasExecutedOnce(e.workflowId))
           }
           if (!e.plannedAt.contains(next)) {
@@ -94,7 +101,7 @@ final class SchedulerLoop(
         val z = e.planId match {
           case Some(pid) =>
             ledger.foreach(_.markPlanExecuted(pid)) // Ausgefuehrt = 1
-            pid.toInt
+            pid
           case None =>
             val n = nextZeitplanAusfuehrungenId
             nextZeitplanAusfuehrungenId += 1

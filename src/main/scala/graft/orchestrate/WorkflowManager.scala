@@ -48,13 +48,13 @@ final class WorkflowManager {
   private val failedL = mutable.ArrayBuffer.empty[Int]
   private val finishedL = mutable.ArrayBuffer.empty[Int]
   private val executedOnce = mutable.LinkedHashSet.empty[Int]
-  private val zeitplanMapping = mutable.LinkedHashMap.empty[Int, Int]
+  private val zeitplanMapping = mutable.LinkedHashMap.empty[Int, Long]
 
   /** Constructor-equivalent of `new Workflow(...)` which schedules itself
     * and registers its schedule-run mapping (`Workflow.cs` ctor →
     * `SetWorkflowScheduled` + `AddMapping`).
     */
-  def register(id: Int, zeitplanAusfuehrungenId: Int): Unit = synchronized {
+  def register(id: Int, zeitplanAusfuehrungenId: Long): Unit = synchronized {
     setScheduledLocked(id)
     addMappingLocked(id, zeitplanAusfuehrungenId)
   }
@@ -168,10 +168,10 @@ final class WorkflowManager {
   /** `AddMapping` (`1375-1424`): duplicate workflow id throws (duplicate
     * target value is fine).
     */
-  def addMapping(id: Int, zeitplanAusfuehrungenId: Int): Unit =
+  def addMapping(id: Int, zeitplanAusfuehrungenId: Long): Unit =
     synchronized(addMappingLocked(id, zeitplanAusfuehrungenId))
 
-  private def addMappingLocked(id: Int, zid: Int): Unit = {
+  private def addMappingLocked(id: Int, zid: Long): Unit = {
     if (zeitplanMapping.contains(id))
       throw new EtlStateException(s"Workflow $id already has a zeitplan mapping")
     zeitplanMapping(id) = zid
@@ -189,10 +189,10 @@ final class WorkflowManager {
   def existsMapping(id: Int): Boolean = synchronized(zeitplanMapping.contains(id))
 
   /** `GetZeitplanAusfuehrungenID` (`1505-1529`): unknown id throws. */
-  def zeitplanAusfuehrungenId(id: Int): Int = synchronized {
+  def zeitplanAusfuehrungenId(id: Int): Long = synchronized {
     zeitplanMapping.getOrElse(id,
       throw new EtlStateException(s"No zeitplan mapping for workflow $id"))
   }
 
-  def mapping: Map[Int, Int] = synchronized(zeitplanMapping.toMap)
+  def mapping: Map[Int, Long] = synchronized(zeitplanMapping.toMap)
 }

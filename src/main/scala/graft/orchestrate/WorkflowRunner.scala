@@ -85,7 +85,7 @@ final class WorkflowRunner(
     */
   def run(
       spec: WorkflowSpec,
-      zeitplanAusfuehrungenId: Int,
+      zeitplanAusfuehrungenId: Long,
       stepContext: (Macros.Context, Option[Long], RealizationSpec) => StepContext): WorkflowResult = {
 
     if (!manager.existsMapping(spec.id)) manager.register(spec.id, zeitplanAusfuehrungenId)
@@ -102,7 +102,7 @@ final class WorkflowRunner(
 
     val requestedAt = clock()
     val wfRunId = ledger.start(RunLevel.Workflow, spec.id.toLong,
-      zeitplanAusfuehrungenId = Some(zeitplanAusfuehrungenId.toLong),
+      zeitplanAusfuehrungenId = Some(zeitplanAusfuehrungenId),
       parallelsperre = spec.parallelsperre)
 
     manager.scheduledToInitializing(spec.id)
@@ -114,7 +114,7 @@ final class WorkflowRunner(
       takeoverVon = von, takeoverBis = bis,
       belegungszeit = Some(requestedAt),
       prozesslaeufeId = Some(wfRunId),
-      zeitplanAusfuehrungenId = Some(zeitplanAusfuehrungenId.toLong),
+      zeitplanAusfuehrungenId = Some(zeitplanAusfuehrungenId),
       etlProzesslaeufeId = Some(wfRunId))
 
     manager.initializingToExecuting(spec.id)

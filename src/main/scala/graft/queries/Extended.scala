@@ -523,5 +523,38 @@ object Extended {
           i -> substring(hexp, 2*(((i // 4) * 4) * 16 + (i % 4) * 4) + 1, 2)), '')) AS resized_hex
       FROM m"""))
 
-  val all: Seq[QueryDef] = Seq(q22, q23, q24, q40, q45, q47, q50, q51, q52, q62, q63)
+  /** q12's session numbering through the HOT-KEY bucketed path
+    * ([[graft.functions.Skew.sessionizeBucketed]]) — the escape hatch
+    * for the one-hot-user case where a plain per-user window serializes
+    * a user's whole history into one task (VERDICT r5 item 6). The gate
+    * emits the PER-EVENT numbering (not a per-user rollup), so the
+    * DuckDB oracle — the plain global-window numbering — hash-proves
+    * the bucketed plan's ids event for event. `bucketSpanSec` (3600) ≠
+    * `gapSec` (1800) on purpose: the two knobs must not be conflated
+    * for the boundary-merge algebra to be exercised.
+    */
+  val q64 = QueryDef(
+    "q64_sessionize_bucketed",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.Skew.sessionizeBucketed(
+        Tables.load(s, dir, "events"), "user_id", "ts", "event_id",
+        gapSec = 1800, bucketSpanSec = 3600)
+        .select($"user_id", $"event_id", $"session_id")
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      )
+      SELECT user_id, event_id,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q22, q23, q24, q40, q45, q47, q50, q51, q52, q62, q63, q64)
 }

@@ -115,6 +115,23 @@ object Steps {
     *     `yyyyMMdd000000`/`yyyyMMdd235959` bounds) and Zeitscheibe's
     *     contract is range batching; the first-slice-unclamped quirk is
     *     preserved since the overall range reuses `windows.last.to`.
+    *
+    * **Second-resolution contract (hard, ADVICE r5)**: slice bounds are
+    * second-granular, so a timestamp with fractional seconds in an
+    * intermediate gap `(23:59:59, 24:00:00)` is DROPPED by the
+    * per-slice BETWEENs (the reference's serial loop drops it the same
+    * way) but INCLUDED by the fused catalog range. Sources whose slice
+    * column carries sub-second precision must truncate it in the step
+    * SQL (`date_trunc('second', …)`) — under that contract the two
+    * paths return identical rows. The fused path is the half-open
+    * reading (no data loss); the divergence only exists for data that
+    * violates the contract.
+    *
+    * **Audit parity** (`CommandExecuter.cs:143-261` logs one
+    * `ETL_SQL_Anfragen` row per slice): the catalog path logs the SAME
+    * per-slice query rows the reference's loop would, and documents the
+    * fold in a `Meldungen` message carrying the actually-executed range
+    * query — row-for-row query-log parity, plus the fold made visible.
     */
   def copyTimesliced(spec: StepSpec, ctx: StepContext): Long =
     writeAligned(timeslicedSource(spec, ctx), targetTable(spec), ctx)
@@ -138,8 +155,14 @@ object Steps {
         }
         slices.reduce(_ unionByName _)
       case _ =>
+        windows.foreach { w =>
+          ctx.ledger.logQuery(sliceQuery(w.from, w.to), ctx.schrittRunId, ctx.konfigurationenId)
+        }
         val q = sliceQuery(windows.head.from, windows.last.to)
-        ctx.ledger.logQuery(q, ctx.schrittRunId, ctx.konfigurationenId)
+        ctx.ledger.message(
+          s"Zeitscheiben 1..${windows.size} zu einem Scan gefaltet " +
+            s"[${windows.head.from} .. ${windows.last.to}]: $q",
+          schrittRunId = ctx.schrittRunId)
         ctx.spark.sql(q)
     }
   }

@@ -341,6 +341,54 @@ class OperatorsSpec extends AnyFunSuite with SparkSupport {
     assert(got == expect)
   }
 
+  test("IvfIndex: corrupt vectors (dim mismatch / null element) drop out of assign and probeCells instead of winning cid 0 (ADVICE r5)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val good = spark.range(10).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(7)),
+        d => pmod(xxhash64($"id", d), lit(100)).cast("double")).as("e"))
+    val cents = good.filter($"vec_id" < 3).select($"vec_id".as("cid"), $"e".as("ce"))
+    // vec 100: wrong length (3 elems); vec 101: a null element
+    val corrupt = Seq(
+      (100L, Seq[java.lang.Double](1.0, 2.0, 3.0)),
+      (101L, Seq[java.lang.Double](1.0, null, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0))
+    ).toDF("vec_id", "e").select($"vec_id", $"e".cast("array<double>").as("e"))
+    val all = good.unionByName(corrupt)
+    val out = IvfIndex.assign(all, cents, embCol = "e", idCol = "vec_id")
+    val ids = out.select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids == (0L until 10L).toSet, s"corrupt vectors must drop out, got $ids")
+    // a corrupt vector must never claim the lowest cid
+    assert(!out.filter($"vec_id" >= 100).collect().exists(_.getLong(1) == 0L))
+    val probed = IvfIndex.probeCells(corrupt, cents, embCol = "e", idCol = "vec_id", nprobe = 2)
+    assert(probed.count() == 0, "corrupt queries must probe no cells")
+  }
+
+  test("IvfIndex refuses a codebook over the broadcast bound with actionable guidance (VERDICT r5 item 7)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // C=65536 × 1024 dims ≈ 537 MiB estimated — a real embedding-model
+    // codebook that must NOT be hard-broadcast (the constant-key join
+    // has no shuffle fallback; the scale path is hierarchical)
+    val dims = 1024
+    val bigBook = spark.range(65536).select($"id".as("cid"),
+      transform(sequence(lit(0), lit(dims - 1)),
+        d => pmod(xxhash64($"id", d), lit(100)).cast("double")).as("ce"))
+    val vecs = spark.range(4).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(dims - 1)), d => d.cast("double")).as("e"))
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.assign(vecs, bigBook, embCol = "e", idCol = "vec_id")
+    }
+    assert(e.getMessage.contains("too large to broadcast"))
+    assert(e.getMessage.contains("hierarchical"))
+    assert(IvfIndex.codebookBytes(65536L, dims) > IvfIndex.DefaultMaxCodebookBytes)
+    // the same codebook is accepted when the caller raises the bound
+    val out = IvfIndex.assign(vecs.limit(1), bigBook.limit(8),
+      embCol = "e", idCol = "vec_id", maxCodebookBytes = 1L << 30)
+    assert(out.count() == 1)
+    // and the 64-dim production case (C=65536) stays comfortably inside
+    assert(IvfIndex.codebookBytes(65536L, 64) < IvfIndex.DefaultMaxCodebookBytes)
+  }
+
   test("IvfIndex.assign plans a broadcast hash join + partial aggregation (codebook as data)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

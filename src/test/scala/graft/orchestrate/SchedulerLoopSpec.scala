@@ -16,7 +16,7 @@ class SchedulerLoopSpec extends AnyFunSuite {
     Schedule(Interval.Minute, start, start.toLocalTime)
 
   test("due workflows start within the tick horizon; future ones wait") {
-    val started = mutable.ArrayBuffer.empty[(Int, Int)]
+    val started = mutable.ArrayBuffer.empty[(Int, Long)]
     val loop = new SchedulerLoop(new WorkflowManager,
       (wf, zid, _) => started += ((wf, zid)), tickSeconds = 10)
     loop.register(1, minutely(base))                 // due at 09:00
@@ -29,14 +29,14 @@ class SchedulerLoopSpec extends AnyFunSuite {
   }
 
   test("zeitplan execution ids are unique and increasing across ticks") {
-    val started = mutable.ArrayBuffer.empty[(Int, Int)]
+    val started = mutable.ArrayBuffer.empty[(Int, Long)]
     val loop = new SchedulerLoop(new WorkflowManager,
       (wf, zid, _) => started += ((wf, zid)), tickSeconds = 10)
     loop.register(1, minutely(base))
     loop.tick(base)
     loop.tick(base.plusMinutes(1))
     loop.tick(base.plusMinutes(2))
-    assert(started.map(_._2).toSeq == Seq(1, 2, 3))
+    assert(started.map(_._2).toSeq == Seq(1L, 2L, 3L))
   }
 
   test("a workflow whose schedule is exhausted strikes out and deactivates (Processor.cs:168-214)") {
@@ -49,6 +49,28 @@ class SchedulerLoopSpec extends AnyFunSuite {
     assert(loop.isActive(5))
     loop.tick(base.plusMinutes(3))
     assert(!loop.isActive(5)) // third strike
+  }
+
+  test("a plan missed by a delayed tick runs LATE under its original row — never superseded into a phantom open plan (ADVICE r5)") {
+    val ledger = new graft.ledger.RunLedger(() => base)
+    val started = mutable.ArrayBuffer.empty[(Int, Long)]
+    val loop = new SchedulerLoop(new WorkflowManager,
+      (wf, zid, _) => started += ((wf, zid)), tickSeconds = 10, ledger = Some(ledger))
+    loop.register(1, minutely(base))
+    // tick mid-minute: the 09:01:00 run is PLANNED (not due at 09:00:30)
+    assert(loop.tick(base.plusSeconds(30)).isEmpty)
+    assert(ledger.openPlans.size == 1)
+    val plannedId = ledger.openPlans.head.id
+    // the next tick arrives LATE (a long synchronous execute delayed the
+    // loop past the planned instant): the plan fires under its own id —
+    // the reference starts every open row regardless of lateness
+    // (Scheduler.cs:552 filters only Startzeitpunkt IS NULL AND
+    // Ausgefuehrt = 0)
+    assert(loop.tick(base.plusMinutes(5)) == Seq(1))
+    assert(started.toSeq == Seq((1, plannedId)))
+    // consumed, not orphaned: zero open plans, exactly one row total
+    assert(ledger.openPlans.isEmpty)
+    assert(ledger.allPlans.count(_.etlWorkflowId == 1) == 1)
   }
 
   test("Sofort_Ausfuehrung fires immediately on first registration only") {

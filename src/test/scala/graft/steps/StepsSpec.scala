@@ -99,8 +99,22 @@ class StepsSpec extends AnyFunSuite with SparkSupport {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val scans = src.queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }
     assert(scans.size == 1, s"catalog timeslice must plan ONE scan, got ${scans.size}")
-    // one executed query logged (the overall range), not one per slice
-    assert(ledger.allQueries.size == 1)
+    // audit parity (VERDICT r5 item 5): the query log carries the SAME
+    // per-slice rows the reference's serial loop writes — one per slice,
+    // each with its own second-granular bounds
+    assert(ledger.allQueries.size == windows.size)
+    windows.foreach { w =>
+      val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      assert(ledger.allQueries.exists(q =>
+        q.sql.contains(s"TIMESTAMP '${w.from.format(fmt)}'") &&
+          q.sql.contains(s"TIMESTAMP '${w.to.format(fmt)}'")),
+        s"missing per-slice query row for slice $w")
+    }
+    // and the fold itself is documented: a message with the slice count
+    // and the actually-executed range query
+    assert(ledger.allMessages.exists(m =>
+      m.meldungstext.startsWith(s"Zeitscheiben 1..${windows.size} zu einem Scan gefaltet") &&
+        m.meldungstext.contains("1998-12-31 23:59:59")))
     // and the single range is row-equivalent to the slice union
     val expected = spark.sql(
       "SELECT count(*) FROM lineitem WHERE l_shipdate BETWEEN TIMESTAMP '1992-01-01 00:00:00' " +
