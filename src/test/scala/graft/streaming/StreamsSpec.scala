@@ -112,6 +112,42 @@ class StreamsSpec extends AnyFunSuite with SparkSupport {
     } finally query.stop()
   }
 
+  test("sessionizeTws (state v2 / RocksDB): same sessions as the flatMapGroupsWithState path") {
+    // a CLONED session carries the RocksDB provider conf so the shared
+    // session's streaming gates keep their default HDFS-backed store
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    assert(!Streams.stateV2Ready(spark), "default session must stay on the portable path")
+    assert(Streams.stateV2Ready(s2))
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    val input = MemoryStream[Streams.Event]
+    // sessionizeAuto must pick the v2 path on this session; same
+    // fixture + expectations as the flatMapGroupsWithState test above
+    val query = Streams.sessionizeAuto(input.toDS(), gapSeconds = 1800, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sess_tws_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Streams.Event(1, ts("2026-01-01 08:00:00"), "a", 1.0),
+        Streams.Event(1, ts("2026-01-01 08:10:00"), "a", 1.0))
+      query.processAllAvailable()
+      input.addData(Streams.Event(1, ts("2026-01-01 10:30:00"), "a", 1.0))
+      query.processAllAvailable()
+      input.addData(Streams.Event(2, ts("2026-01-01 13:00:00"), "a", 1.0))
+      query.processAllAvailable()
+      input.addData(Streams.Event(2, ts("2026-01-01 15:00:00"), "a", 1.0))
+      query.processAllAvailable()
+      val out = s2.sql(
+        "SELECT user_id, session_start, n_events FROM sess_tws_out WHERE user_id = 1 ORDER BY session_start")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSeq
+      assert(out == Seq(
+        (1L, ts("2026-01-01 08:00:00"), 2L),
+        (1L, ts("2026-01-01 10:30:00"), 1L)))
+    } finally query.stop()
+  }
+
   test("xlsxIngest: workbooks stream through the executor-side decoder, exactly once") {
     import java.nio.file.{Files, Paths}
     val base = Paths.get(tmpDir("xlsx-stream"))
