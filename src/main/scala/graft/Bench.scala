@@ -50,7 +50,8 @@ object Bench {
     // The cache is cleared between runs so every sample executes the
     // query's own persists from cold, and so no query inherits another's
     // cached subtrees ("already cached" warnings, r5 item 2).
-    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(3)
+    val reps = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(3))
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2

@@ -70,8 +70,11 @@ object IvfIndex {
     */
   private def expand(vectors: DataFrame, centroids: DataFrame, embCol: String,
                      idCol: String, maxCodebookBytes: Long): DataFrame = {
-    val c = centroids.count()
-    val dims = centroids.select(size(col("ce"))).head().getInt(0)
+    // one metadata job for the guard: count and the widest centroid
+    // (max(size) also charges a ragged codebook at its worst row)
+    val meta = centroids.agg(count(lit(1)), coalesce(max(size(col("ce"))), lit(0))).head()
+    val c = meta.getLong(0)
+    val dims = meta.getInt(1)
     val est = codebookBytes(c, dims)
     require(est <= maxCodebookBytes,
       f"IVF codebook too large to broadcast: C=$c%,d × $dims dims ≈ ${est / 1048576.0}%.0f MiB " +
