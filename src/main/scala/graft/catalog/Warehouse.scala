@@ -106,24 +106,8 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
     * recoverable (never a window where the table is only in a dir
     * `read()` ignores).
     */
-  private def rewriteInPlace(table: String, contents: org.apache.spark.sql.DataFrame): Unit = {
-    val tmp = s"${path(table)}__rewrite"
-    contents.write.mode(SaveMode.Overwrite).format(format).save(tmp)
-    val target = new java.io.File(path(table))
-    val old = new java.io.File(s"${path(table)}__old")
-    if (old.exists()) deleteRecursively(old)
-    if (!target.renameTo(old))
-      throw new IllegalStateException(s"rename $target -> $old failed")
-    if (!new java.io.File(tmp).renameTo(target)) {
-      old.renameTo(target) // restore — the swap failed, keep the table readable
-      throw new IllegalStateException(s"rename $tmp -> $target failed")
+  private def rewriteInPlace(table: String, contents: org.apache.spark.sql.DataFrame): Unit =
+    graft.util.AtomicSwap.swapInto(path(table), "__rewrite") { tmp =>
+      contents.write.mode(SaveMode.Overwrite).format(format).save(tmp)
     }
-    deleteRecursively(old)
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    f.delete()
-    ()
-  }
 }

@@ -64,9 +64,13 @@ object IvfIndex {
 
   /** Corpus × codebook expansion: broadcast equi-join on a constant key
     * (BroadcastHashJoin with the tiny codebook as build side) + one
-    * distance fold per (vector, centroid). Never materialized — callers
-    * pipe it straight into an aggregate or window. Guards the broadcast
-    * bound with two cheap metadata actions (count + one head row).
+    * distance fold per (vector, centroid). The guard runs ONE metadata
+    * job over the codebook plan at construction time (the call is
+    * eager to that extent); the broadcast then executes the codebook
+    * plan again at run time — so a codebook that is itself an
+    * expensive pipeline (k-means output, a multi-join) should be
+    * persisted or written out by the caller before it comes here,
+    * which a production indexing flow does anyway.
     */
   private def expand(vectors: DataFrame, centroids: DataFrame, embCol: String,
                      idCol: String, maxCodebookBytes: Long): DataFrame = {

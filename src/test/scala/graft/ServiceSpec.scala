@@ -207,13 +207,29 @@ class ServiceSpec extends AnyFunSuite with SparkSupport {
     val fresh = l2.planExecution(3, 30, LocalDateTime.of(2026, 3, 2, 9, 3, 0))
     assert(fresh > p1 + 1)
 
-    // both copies unreadable → boot with an empty store, never throw
-    def rmRf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmRf)
-      f.delete(); ()
-    }
-    val l3 = new RunLedger(clock)
+    // crash in the OTHER window: the side dir was fully written but the
+    // swap never started — target torn, no __old, complete __snapshot.
+    // This is the state a second crash used to make unrecoverable
+    // (r6 review finding); restore must read the side dir.
+    def rmRf(f: java.io.File): Unit = graft.util.AtomicSwap.deleteRecursively(f)
     rmRf(old)
+    val l2b = new RunLedger(clock)
+    l2b.planExecution(1, 10, LocalDateTime.of(2026, 3, 2, 9, 1, 0))
+    l2b.planExecution(2, 20, LocalDateTime.of(2026, 3, 2, 9, 2, 0))
+    l2b.planExecution(3, 30, LocalDateTime.of(2026, 3, 2, 9, 3, 0))
+    l2b.persistPlans(spark, dir) // good target again (3 rows)
+    val snapshot = new java.io.File(s"$dir/zeitplan_ausfuehrungen__snapshot")
+    assert(target.renameTo(snapshot)) // "write completed, swap never ran"
+    target.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(target.toString, "part-torn.parquet"), "still not parquet")
+    val l2c = new RunLedger(clock)
+    assert(l2c.restorePlans(spark, dir) == 3,
+      "restore must fall back to the fully-written __snapshot side dir")
+
+    // every copy unreadable → boot with an empty store, never throw
+    val l3 = new RunLedger(clock)
+    rmRf(snapshot)
     assert(l3.restorePlans(spark, dir) == 0)
     assert(l3.allPlans.isEmpty)
   }

@@ -209,5 +209,17 @@ class FunctionsSpec extends AnyFunSuite with SparkSupport {
     intercept[IllegalArgumentException] {
       Skew.sessionizeBucketed(df, "user_id", "ts", "event_id", gapSec = 1800, bucketSpanSec = 600)
     }
+    // the managed (loan) variant: same numbering inside `use`, and the
+    // internal persist is RELEASED afterwards — the whole point of the
+    // wrapper, so it must be pinned by a test or it can silently rot
+    assert(spark.sharedState.cacheManager.isEmpty, "precondition: cache cleared above")
+    val managedDiff = Skew.sessionizeBucketedManaged(
+      df, "user_id", "ts", "event_id", gap, span) { sessions =>
+      expect.join(sessions, Seq("user_id", "event_id"))
+        .filter($"sid" =!= $"session_id").count()
+    }
+    assert(managedDiff == 0)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "sessionizeBucketedManaged must unpersist its heavy-window frame")
   }
 }

@@ -381,7 +381,13 @@ class OperatorsSpec extends AnyFunSuite with SparkSupport {
     assert(e.getMessage.contains("too large to broadcast"))
     assert(e.getMessage.contains("hierarchical"))
     assert(IvfIndex.codebookBytes(65536L, dims) > IvfIndex.DefaultMaxCodebookBytes)
-    // the same codebook is accepted when the caller raises the bound
+    // the SAME over-default codebook passes when the caller raises the
+    // bound — construction only (the guard is the construction-time
+    // check; actually broadcasting 516 MiB is not a unit test's job)
+    val accepted = IvfIndex.assign(vecs, bigBook,
+      embCol = "e", idCol = "vec_id", maxCodebookBytes = 1L << 30)
+    assert(accepted.columns.contains("cell"))
+    // and a small codebook still executes end-to-end under a raised bound
     val out = IvfIndex.assign(vecs.limit(1), bigBook.limit(8),
       embCol = "e", idCol = "vec_id", maxCodebookBytes = 1L << 30)
     assert(out.count() == 1)
