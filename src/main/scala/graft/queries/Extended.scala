@@ -555,6 +555,78 @@ object Extended {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM flagged"""))
 
+  /** Two-level (hierarchical) IVF assignment, oracle-gated — the scale
+    * path the flat codebook's 512 MiB broadcast guard points to
+    * ([[graft.operators.IvfIndex.assignHierarchical]]): an
+    * embedding-model codebook (C=65536 × 1024 dims) cannot broadcast,
+    * but C1 × C2 coarse/residual books of √C rows each give the same
+    * effective cells from two broadcastable tables. The gate exercises
+    * the full production build: coarse book = first 4 vectors, fine
+    * book = the residuals of the NEXT 4 vectors against their nearest
+    * coarse centroid (the seed step of a residual k-means), then every
+    * vector two-level-assigned. All arithmetic is strict left folds and
+    * exact double subtraction, so DuckDB reproduces every (cell1,
+    * cell2, flat cell) bit-for-bit; ties break on the lowest cid at
+    * both levels in both engines.
+    */
+  val q65 = QueryDef(
+    "q65_ann_ivf_hierarchical",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.{VectorFunctions => V}
+      import graft.operators.IvfIndex
+      val v = Tables.load(s, dir, "embeddings")
+        .withColumn("e", V.asDouble($"embedding"))
+        .select($"vec_id", $"e")
+      val coarse = v.filter($"vec_id" < 4)
+        .select($"vec_id".cast("long").as("cid"), $"e".as("ce"))
+      // fine book: residuals of seed vectors [4, 8) vs their nearest
+      // coarse centroid — the deterministic stand-in for residual
+      // k-means output (the plan is identical with learned centroids)
+      val seeds = IvfIndex.assign(
+        v.filter($"vec_id" >= 4 && $"vec_id" < 8), coarse,
+        embCol = "e", idCol = "vec_id")
+      val fine = seeds.join(broadcast(coarse), seeds("cell") === coarse("cid"))
+        .select(($"vec_id" - 4).cast("long").as("cid"),
+          zip_with($"e", $"ce", (x, y) => x - y).as("ce"))
+      IvfIndex.assignHierarchical(v, coarse, fine, embCol = "e", idCol = "vec_id")
+        .select($"vec_id", $"cell1", $"cell2", $"cell")
+    },
+    Some("""
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+      ), coarse AS (
+        SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 4
+      ), d1 AS (
+        SELECT v.vec_id, c.cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> (v.e[i]-c.ce[i])*(v.e[i]-c.ce[i]))),
+            (a,b) -> a+b) AS d
+        FROM v CROSS JOIN coarse c
+      ), a1 AS (
+        SELECT vec_id, cid AS cell1 FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM d1) WHERE rn = 1
+      ), res AS (
+        SELECT v.vec_id, a1.cell1,
+          list_transform(generate_series(1,64), i -> v.e[i] - c.ce[i]) AS r
+        FROM v JOIN a1 USING (vec_id) JOIN coarse c ON c.cid = a1.cell1
+      ), fine AS (
+        SELECT vec_id - 4 AS cid, r AS ce FROM res WHERE vec_id >= 4 AND vec_id < 8
+      ), d2 AS (
+        SELECT res.vec_id, f.cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> (res.r[i]-f.ce[i])*(res.r[i]-f.ce[i]))),
+            (a,b) -> a+b) AS d
+        FROM res CROSS JOIN fine f
+      ), a2 AS (
+        SELECT vec_id, cid AS cell2 FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM d2) WHERE rn = 1
+      )
+      SELECT r.vec_id, r.cell1, a2.cell2, r.cell1 * 4 + a2.cell2 AS cell
+      FROM res r JOIN a2 USING (vec_id)"""))
+
   val all: Seq[QueryDef] =
-    Seq(q22, q23, q24, q40, q45, q47, q50, q51, q52, q62, q63, q64)
+    Seq(q22, q23, q24, q40, q45, q47, q50, q51, q52, q62, q63, q64, q65)
 }

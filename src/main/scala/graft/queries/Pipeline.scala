@@ -894,6 +894,78 @@ object Pipeline {
          OR a.last_ts + INTERVAL 30 MINUTE < wm.w""")
   )
 
+  /** q55's sessionization through the state-v2 path, oracle-gated
+    * (VERDICT r6 missing #3): `sessionizeAuto` silently selects the
+    * Spark-4 `transformWithState` / `SessionProcessor` implementation on
+    * a RocksDB-configured session, so the path that ships on a
+    * production cluster must be the path the oracle hashes — not just
+    * equivalence-tested against the v1 fixture. A CLONED session carries
+    * the RocksDB provider conf (the v2 backend requirement) so the
+    * shared session's other streaming gates keep their default
+    * HDFS-backed store; the gate then REQUIRES that the auto-selector
+    * actually picked v2 before running. Same corpus, emission contract,
+    * and oracle as q55 — a divergence between the two state backends
+    * breaks this hash while q55 stays green, which is exactly the
+    * signal wanted.
+    */
+  val q66 = QueryDef(
+    "q66_streaming_sessions_v2",
+    (s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      require(graft.streaming.Streams.stateV2Ready(s2),
+        "state-v2 gate needs Spark 4+ with the RocksDB state store provider")
+      import s2.implicits._
+      val base = java.nio.file.Files.createTempDirectory("q66stream").toString
+      val schema = s2.read.parquet(s"$dir/events.parquet").schema
+      val stream = s2.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select($"user_id", $"ts", $"event_type", $"value")
+        .as[graft.streaming.Streams.Event]
+      val q = graft.streaming.Streams.sessionizeAuto(stream)
+        .filter(_.closed)
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.schema(
+        "user_id BIGINT, session_start TIMESTAMP, n_events BIGINT, closed BOOLEAN")
+        .parquet(s"$base/out")
+        .groupBy(col("user_id"), unix_millis(col("session_start")).as("session_start_ms"))
+        .agg(max(col("n_events")).as("n_events"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      ), flagged AS (
+        SELECT user_id, ts,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      ), sess AS (
+        SELECT user_id, ts,
+          SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+      ), agg AS (
+        SELECT user_id, sid, MIN(ts) AS session_start, MAX(ts) AS last_ts,
+               COUNT(*) AS n_events
+        FROM sess GROUP BY 1, 2
+      ), wm AS (
+        SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM e
+      )
+      SELECT a.user_id, epoch_ms(a.session_start) AS session_start_ms, a.n_events
+      FROM agg a, wm
+      WHERE a.sid < (SELECT max(sid) FROM agg a2 WHERE a2.user_id = a.user_id)
+         OR a.last_ts + INTERVAL 30 MINUTE < wm.w""")
+  )
+
   /** Fuzzy string matching — edit-distance pairs over the SAME banded
     * blocking as q15: MinHash-LSH proposes candidates (bounded fan-in,
     * never all-pairs), then exact Levenshtein on the normalized text
@@ -1103,5 +1175,5 @@ object Pipeline {
 
   val all: Seq[QueryDef] =
     Seq(q13, q14, q15, q16, q17, q18, q19, q29, q39, q41, q43, q44, q46,
-      q48, q49, q54, q55, q57, q58, q59, q60, q61)
+      q48, q49, q54, q55, q57, q58, q59, q60, q61, q66)
 }

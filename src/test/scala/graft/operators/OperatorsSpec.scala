@@ -395,6 +395,120 @@ class OperatorsSpec extends AnyFunSuite with SparkSupport {
     assert(IvfIndex.codebookBytes(65536L, 64) < IvfIndex.DefaultMaxCodebookBytes)
   }
 
+  test("IvfIndex.assignHierarchical: two-level argmin matches the driver-side reference, flat cell = cell1*C2 + cell2") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val vecs = spark.range(60).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(7)),
+        d => pmod(xxhash64($"id", d), lit(100)).cast("double")).as("e"))
+    val coarse = vecs.filter($"vec_id" < 3).select($"vec_id".as("cid"), $"e".as("ce"))
+    // fine book: 4 arbitrary residual-space centroids (deterministic)
+    val fine = spark.range(4).select($"id".as("cid"),
+      transform(sequence(lit(0), lit(7)),
+        d => (pmod(xxhash64($"id" + 7, d), lit(41)).cast("double") - 20.0)).as("ce"))
+    val out = IvfIndex.assignHierarchical(vecs, coarse, fine, embCol = "e", idCol = "vec_id")
+    assert(out.columns.toSeq == Seq("vec_id", "cell1", "cell2", "cell", "e"))
+    val cArr = coarse.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1)
+    val fArr = fine.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1)
+    def argmin(e: Seq[Double], book: Array[(Long, Seq[Double])]): (Long, Seq[Double]) = {
+      val (cid, _, ce) = book.map { case (cid, ce) =>
+        (cid, e.zip(ce).map { case (x, y) => (x - y) * (x - y) }.sum, ce)
+      }.minBy { case (cid, d, _) => (d, cid) }
+      (cid, ce)
+    }
+    val expect = vecs.collect().map { r =>
+      val e = r.getSeq[Double](1)
+      val (c1, ce1) = argmin(e, cArr)
+      val res = e.zip(ce1).map { case (x, y) => x - y }
+      val (c2, _) = argmin(res, fArr)
+      r.getLong(0) -> ((c1, c2, c1 * 4 + c2))
+    }.toMap
+    val got = out.select($"vec_id", $"cell1", $"cell2", $"cell").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect)
+  }
+
+  test("IvfIndex.assignHierarchical: the embedding-model codebook the flat guard refuses (C=65536 x 1024 dims) WORKS through the hierarchy") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dims = 1024
+    // effective C = 256 x 256 = 65536 cells — the exact shape the flat
+    // 512 MiB guard refuses; each level's book is ~2 MiB and broadcasts
+    val coarse = spark.range(256).select($"id".as("cid"),
+      transform(sequence(lit(0), lit(dims - 1)),
+        d => pmod(xxhash64($"id", d), lit(100)).cast("double")).as("ce"))
+    val fine = spark.range(256).select($"id".as("cid"),
+      transform(sequence(lit(0), lit(dims - 1)),
+        d => (pmod(xxhash64($"id" + 13, d), lit(21)).cast("double") - 10.0)).as("ce"))
+    assert(IvfIndex.codebookBytes(65536L, dims) > IvfIndex.DefaultMaxCodebookBytes,
+      "the flat equivalent must be over-bound for this test to mean anything")
+    assert(IvfIndex.codebookBytes(256L, dims) * 2 < IvfIndex.DefaultMaxCodebookBytes)
+    val vecs = spark.range(4).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(dims - 1)),
+        d => pmod(xxhash64($"id" + 99, d), lit(100)).cast("double")).as("e"))
+    val out = IvfIndex.assignHierarchical(vecs, coarse, fine,
+      embCol = "e", idCol = "vec_id").select($"vec_id", $"cell").collect()
+    assert(out.length == 4)
+    assert(out.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 65536L),
+      "flat cell ids must live in [0, C1*C2)")
+    // and the probe side holds at the same shape
+    val probes = IvfIndex.probeCellsHierarchical(vecs.limit(1), coarse, fine,
+      embCol = "e", idCol = "vec_id", nprobeCoarse = 2, nprobeFine = 3)
+    assert(probes.count() == 6, "nprobeCoarse x nprobeFine candidate cells per query")
+  }
+
+  test("IvfIndex.probeCellsHierarchical: nprobe1 x nprobe2 cells, residual taken against each PROBED coarse centroid") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val vecs = spark.range(30).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(7)),
+        d => pmod(xxhash64($"id", d), lit(100)).cast("double")).as("e"))
+    val coarse = vecs.filter($"vec_id" < 4).select($"vec_id".as("cid"), $"e".as("ce"))
+    val fine = spark.range(3).select($"id".as("cid"),
+      transform(sequence(lit(0), lit(7)),
+        d => (pmod(xxhash64($"id" + 5, d), lit(31)).cast("double") - 15.0)).as("ce"))
+    val queries = vecs.filter($"vec_id" >= 28)
+    val out = IvfIndex.probeCellsHierarchical(queries, coarse, fine,
+      embCol = "e", idCol = "vec_id", nprobeCoarse = 2, nprobeFine = 2)
+    val cArr = coarse.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1)
+    val fArr = fine.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1)
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expect = queries.collect().flatMap { r =>
+      val e = r.getSeq[Double](1)
+      cArr.map { case (c1, ce1) => (c1, d2(e, ce1), ce1) }
+        .sortBy { case (c1, d, _) => (d, c1) }.take(2)
+        .flatMap { case (c1, _, ce1) =>
+          val res = e.zip(ce1).map { case (x, y) => x - y }
+          fArr.map { case (c2, ce2) => (c2, d2(res, ce2)) }
+            .sortBy { case (c2, d) => (d, c2) }.take(2)
+            .map { case (c2, _) => (r.getLong(0), c1, c2, c1 * 3 + c2) }
+        }
+    }.toSet
+    val got = out.select($"vec_id", $"cell1", $"cell2", $"cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect)
+  }
+
+  test("IvfIndex.codebookMeta memoizes per canonicalized plan: an independently-built identical pipeline hits the cache (VERDICT r6 #1)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    IvfIndex.clearCodebookMetaCache()
+    val dir = tmpDir("ivf-meta")
+    spark.range(16).select($"id".as("cid"),
+      transform(sequence(lit(0), lit(7)), d => d.cast("double")).as("ce"))
+      .write.mode("overwrite").parquet(s"$dir/book")
+    def book() = spark.read.parquet(s"$dir/book").filter($"cid" < 8)
+    val m1 = IvfIndex.codebookMeta(book())
+    val m2 = IvfIndex.codebookMeta(book()) // fresh read, same canonical plan
+    assert(m1 == IvfIndex.CodebookMeta(8, 8))
+    assert(m1 eq m2, "cache hit must return the memoized instance (no second metadata job)")
+    // a semantically different plan misses (and measures correctly)
+    val m3 = IvfIndex.codebookMeta(spark.read.parquet(s"$dir/book").filter($"cid" < 4))
+    assert(m3.rows == 4 && !(m3 eq m1))
+    IvfIndex.clearCodebookMetaCache()
+  }
+
   test("IvfIndex.assign plans a broadcast hash join + partial aggregation (codebook as data)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
