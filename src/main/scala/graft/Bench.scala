@@ -75,6 +75,19 @@ object Bench {
     }
     val totalOld = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
     val total = results.collect { case (_, _, v, _) if v >= 0 => v }.sum
+    // Streaming gates execute a full StreamingQuery lifecycle (checkpoint
+    // dir, AvailableNow drain, parquet sink commit protocol, readback) —
+    // ~2-3 s each of fixed overhead that measures Structured Streaming's
+    // bookkeeping, not operator cost, and at 5 queries dominates noise in
+    // the cross-round total (VERDICT r6 item 6). Split it out so the
+    // batch total tracks operator work; per-query medians stay untouched.
+    val streamingQs = Set(
+      "q48_streaming_dedup", "q49_streaming_signatures",
+      "q54_streaming_windowed_counts", "q55_streaming_sessions",
+      "q66_streaming_sessions_v2")
+    val totalStreaming =
+      results.collect { case (n, _, v, _) if v >= 0 && streamingQs(n) => v }.sum
+    val totalBatch = total - totalStreaming
     // first-run total: the closest analogue of the r3-r5 single-run
     // methodology (cold cache, first full-plan execution) for
     // cross-round continuity.
@@ -90,7 +103,9 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         runsField +
         s""""reps":$reps,"total_count_action":$totalOld,""" +
-        s""""total_full_plan":$total,"total_run1":$totalFirst,"sf":"$sfDir"}"""
+        s""""total_full_plan":$total,"total_run1":$totalFirst,""" +
+        s""""total_streaming_lifecycle":$totalStreaming,"total_batch":$totalBatch,""" +
+        s""""sf":"$sfDir"}"""
     }
     // stdout gets ONE COMPACT line (per-query seconds at ms precision) as
     // the very last output — r4's full-precision line outgrew the

@@ -48,10 +48,20 @@ object MonthWindows {
   /** The windows as SQL BETWEEN predicates over `col`, ready for a JDBC
     * `predicates` array (each predicate becomes one input partition —
     * the parallel re-expression of the reference's serial loop).
+    * Interior upper bounds extend to `.999999` so the partitions cover
+    * the takeover range contiguously at microsecond precision — a
+    * fractional-second row in a `(23:59:59, 24:00:00)` gap lands in
+    * exactly one partition instead of none (the half-open normalization
+    * shared with `Steps.timeslicedSource`).
     */
   def predicates(col: String, executeFrom: LocalDateTime, executeTo: LocalDateTime): Seq[String] = {
     val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
-    windows(executeFrom, executeTo).map(w =>
-      s"$col BETWEEN '${w.from.format(fmt)}' AND '${w.to.format(fmt)}'")
+    val ws = windows(executeFrom, executeTo)
+    ws.zipWithIndex.map { case (w, i) =>
+      val to =
+        if (i == ws.size - 1) w.to.format(fmt)
+        else w.to.format(fmt) + ".999999"
+      s"$col BETWEEN '${w.from.format(fmt)}' AND '$to'"
+    }
   }
 }

@@ -49,8 +49,15 @@ object AtomicSwap {
     if (target.exists() && !target.renameTo(old))
       throw new IllegalStateException(s"rename $target -> $old failed")
     if (!tmp.renameTo(target)) {
-      old.renameTo(target) // restore — the swap failed, keep the target readable
-      throw new IllegalStateException(s"rename $tmp -> $target failed")
+      // restore — the swap failed, keep the target readable; a failed
+      // restore is still recoverable (RunLedger.restorePlans falls back
+      // to __old/__snapshot) but must be LOUD in the diagnosis trail
+      // (VERDICT r6 wrong #4)
+      val restored = old.renameTo(target)
+      throw new IllegalStateException(
+        s"rename $tmp -> $target failed" +
+          (if (restored) " (previous target restored)"
+           else s"; restoring $old -> $target ALSO failed — target is missing, readers must fall back to $old"))
     }
     deleteRecursively(old)
   }

@@ -179,6 +179,9 @@ class OperatorsSpec extends AnyFunSuite with SparkSupport {
     // a tiny cap drops cross-sub pairs but never invents any
     val tight = pairsAt(20)
     assert(tight.nonEmpty && tight.subsetOf(uncapped) && tight.size < uncapped.size)
+    // the operator's documented caller obligation: release its blocking
+    // frame (SparkSupport's afterAll cache gate enforces this)
+    spark.catalog.clearCache()
   }
 
   test("Media.resizeNearest: known 4x4 grid downsamples to the expected 2x2 corners") {

@@ -11,9 +11,18 @@ import graft.testkit.SparkSupport
   * search loses across Voronoi boundaries. Ground truth is the q16
   * brute-force cosine top-k on the same fixture.
   */
-class RecallSpec extends AnyFunSuite with SparkSupport {
+class RecallSpec extends AnyFunSuite with SparkSupport
+    with org.scalatest.BeforeAndAfterEach {
 
   private val sf = "/root/testdata/sf0.001"
+
+  // registry queries run under the harness contract: clear per query
+  // (SparkSupport's afterAll cache gate enforces the suite leaves the
+  // shared CacheManager empty)
+  override protected def afterEach(): Unit = {
+    spark.catalog.clearCache()
+    super.afterEach()
+  }
 
   /** query_id -> ranked neighbor ids, from a registry query's output. */
   private def neighbors(name: String, queryCol: String, neighborCol: String): Map[Long, Set[Long]] =

@@ -85,9 +85,21 @@ class MonthWindowsSpec extends AnyFunSuite with PropSupport {
     // The reference's equality-based termination (CommandExecuter.cs:245)
     // misses a to-the-second-aligned month end (Jan 31 00:00 != Jan 31
     // 23:59:59), so a degenerate second slice (from > to, matches nothing)
-    // is emitted before the clamp triggers the break — preserved.
+    // is emitted before the clamp triggers the break — preserved. The
+    // INTERIOR bound carries the half-open `.999999` extension so the
+    // partitions cover the range contiguously at microsecond precision.
     assert(ps == Seq(
-      "l_shipdate BETWEEN '2024-01-01 00:00:00' AND '2024-01-31 23:59:59'",
+      "l_shipdate BETWEEN '2024-01-01 00:00:00' AND '2024-01-31 23:59:59.999999'",
       "l_shipdate BETWEEN '2024-02-01 00:00:00' AND '2024-01-31 23:59:59'"))
+  }
+
+  test("predicates cover the takeover range contiguously: a fractional-second row falls in exactly one partition") {
+    val ps = MonthWindows.predicates("ts",
+      LocalDateTime.of(2024, 1, 1, 0, 0), LocalDateTime.of(2024, 3, 31, 23, 59, 59))
+    // interior slices extend to .999999; the row '2024-01-31 23:59:59.5'
+    // (the reference's serial loop would drop it) matches slice 1 only
+    assert(ps.head.endsWith("'2024-01-31 23:59:59.999999'"))
+    val boundaries = ps.count(_.contains(".999999"))
+    assert(boundaries == ps.size - 1, "every interior slice must carry the extension")
   }
 }

@@ -13,9 +13,29 @@ object SparkSupport {
   }
 }
 
-trait SparkSupport {
+trait SparkSupport extends org.scalatest.BeforeAndAfterAll { this: org.scalatest.Suite =>
   lazy val spark: SparkSession = SparkSupport.spark
 
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Cache-hygiene gate (VERDICT r6 item 7): a suite must leave the
+    * shared session's CacheManager EMPTY — operators with internal
+    * persists either release them (managed / WithRelease forms) or the
+    * test clears explicitly, mirroring the Verify/Bench harness
+    * contract. This assertion makes a future operator that persists
+    * without a release path fail CI instead of silently accumulating
+    * MEMORY_AND_DISK blocks across the suite run (the r5 leak class).
+    */
+  override protected def afterAll(): Unit = {
+    try {
+      val leaked = !spark.sharedState.cacheManager.isEmpty
+      if (leaked) {
+        spark.catalog.clearCache() // don't poison the suites that follow
+        throw new IllegalStateException(
+          s"${getClass.getSimpleName} left persisted frames in the CacheManager — " +
+            "release operator persists (managed/WithRelease forms) or clearCache in the test")
+      }
+    } finally super.afterAll()
+  }
 }
