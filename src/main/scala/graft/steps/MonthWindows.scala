@@ -52,14 +52,20 @@ object MonthWindows {
     * the takeover range contiguously at microsecond precision — a
     * fractional-second row in a `(23:59:59, 24:00:00)` gap lands in
     * exactly one partition instead of none (the half-open normalization
-    * shared with `Steps.timeslicedSource`).
+    * shared with `Steps.timeslicedSource`). The extension is CAPPED at
+    * the overall takeover end: a month-aligned takeover ends with a
+    * degenerate last window (the preserved reference quirk above), so the
+    * real final slice sits at an interior index and an uncapped
+    * `.999999` would cover rows past the requested range (ADVICE r7).
     */
   def predicates(col: String, executeFrom: LocalDateTime, executeTo: LocalDateTime): Seq[String] = {
     val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
     val ws = windows(executeFrom, executeTo)
+    val overallTo = ws.last.to
     ws.zipWithIndex.map { case (w, i) =>
       val to =
         if (i == ws.size - 1) w.to.format(fmt)
+        else if (w.to.plusNanos(999999000L).isAfter(overallTo)) overallTo.format(fmt)
         else w.to.format(fmt) + ".999999"
       s"$col BETWEEN '${w.from.format(fmt)}' AND '$to'"
     }

@@ -165,9 +165,21 @@ object Steps {
   private[steps] def timeslicedSource(spec: StepSpec, ctx: StepContext): DataFrame = {
     val windows = MonthWindows.windows(ctx.macroCtx.takeoverVon, ctx.macroCtx.takeoverBis)
     // half-open contiguous coverage (see the scaladoc above): interior
-    // upper bounds extend to the last microsecond before the next slice
+    // upper bounds extend to the last microsecond before the next slice,
+    // CAPPED at the overall takeover end — a month-aligned takeover ends
+    // with a degenerate last window (reference quirk, MonthWindows), so
+    // the real final slice sits at an interior index and an uncapped
+    // extension would ingest fractional-second rows beyond the requested
+    // range that the fused catalog path excludes (ADVICE r7).
+    val overallTo = windows.last.to
     val bounds = windows.zipWithIndex.map { case (w, i) =>
-      (w.from, if (i == windows.size - 1) w.to else w.to.plusNanos(999999000L))
+      val to =
+        if (i == windows.size - 1) w.to
+        else {
+          val ext = w.to.plusNanos(999999000L)
+          if (ext.isAfter(overallTo)) overallTo else ext
+        }
+      (w.from, to)
     }
     def sliceQuery(from: LocalDateTime, to: LocalDateTime,
                    literal: LocalDateTime => String): String =

@@ -86,10 +86,13 @@ class MonthWindowsSpec extends AnyFunSuite with PropSupport {
     // misses a to-the-second-aligned month end (Jan 31 00:00 != Jan 31
     // 23:59:59), so a degenerate second slice (from > to, matches nothing)
     // is emitted before the clamp triggers the break — preserved. The
-    // INTERIOR bound carries the half-open `.999999` extension so the
-    // partitions cover the range contiguously at microsecond precision.
+    // REAL final slice therefore sits at an interior index, and its bound
+    // must NOT take the `.999999` extension: the cap at the overall
+    // takeover end keeps the slice union identical to the fused
+    // `[from, takeoverBis]` range (ADVICE r7 — an uncapped extension
+    // ingested fractional-second rows past the requested range).
     assert(ps == Seq(
-      "l_shipdate BETWEEN '2024-01-01 00:00:00' AND '2024-01-31 23:59:59.999999'",
+      "l_shipdate BETWEEN '2024-01-01 00:00:00' AND '2024-01-31 23:59:59'",
       "l_shipdate BETWEEN '2024-02-01 00:00:00' AND '2024-01-31 23:59:59'"))
   }
 
@@ -99,7 +102,32 @@ class MonthWindowsSpec extends AnyFunSuite with PropSupport {
     // interior slices extend to .999999; the row '2024-01-31 23:59:59.5'
     // (the reference's serial loop would drop it) matches slice 1 only
     assert(ps.head.endsWith("'2024-01-31 23:59:59.999999'"))
+    // the trailing degenerate window (Apr 1 > Mar 31) demotes the REAL
+    // final slice (Mar) to an interior index, where the cap at the
+    // overall takeover end suppresses its extension — so exactly the
+    // slices BEFORE the real final one carry `.999999` (ADVICE r7)
+    assert(ps.size == 4)
     val boundaries = ps.count(_.contains(".999999"))
-    assert(boundaries == ps.size - 1, "every interior slice must carry the extension")
+    assert(boundaries == ps.size - 2,
+      "every interior slice except the capped real-final one must carry the extension")
+    assert(ps(2).endsWith("'2024-03-31 23:59:59'"), s"capped real-final slice: ${ps(2)}")
+  }
+
+  test("no predicate bound ever exceeds the takeover end (ADVICE r7 over-coverage property)") {
+    // Property form of the cap: for ANY takeover range, parse every
+    // rendered upper bound back and require it <= takeoverBis at
+    // microsecond precision. Before the cap, month-aligned ends rendered
+    // '…23:59:59.999999' on the real final slice and violated this.
+    val fmtS = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    val fmtF = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+    forAllSamples(genRange) { case (from, to) =>
+      MonthWindows.predicates("ts", from, to).foreach { p =>
+        val upper = p.substring(p.lastIndexOf("AND '") + 5, p.length - 1)
+        val parsed =
+          if (upper.contains(".")) LocalDateTime.parse(upper, fmtF)
+          else LocalDateTime.parse(upper, fmtS)
+        assert(!parsed.isAfter(to), s"bound $upper exceeds takeover end $to in: $p")
+      }
+    }
   }
 }

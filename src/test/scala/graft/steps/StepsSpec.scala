@@ -104,10 +104,16 @@ class StepsSpec extends AnyFunSuite with SparkSupport {
     // each with its own bounds (interior upper bounds carry the
     // half-open `.999999` extension the executed queries use)
     assert(ledger.allQueries.size == windows.size)
+    // interior bounds carry the half-open `.999999` extension EXCEPT the
+    // real final slice before the degenerate trailing window, whose
+    // extension is capped at the overall takeover end (ADVICE r7)
+    val overallTo = windows.last.to
     windows.zipWithIndex.foreach { case (w, i) =>
       val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
       val toLit =
         if (i == windows.size - 1) s"TIMESTAMP '${w.to.format(fmt)}'"
+        else if (w.to.plusNanos(999999000L).isAfter(overallTo))
+          s"TIMESTAMP '${overallTo.format(fmt)}'"
         else s"TIMESTAMP '${w.to.format(fmt)}.999999'"
       assert(ledger.allQueries.exists(q =>
         q.sql.contains(s"TIMESTAMP '${w.from.format(fmt)}'") && q.sql.contains(toLit)),
@@ -134,7 +140,14 @@ class StepsSpec extends AnyFunSuite with SparkSupport {
       // its serial loop silently drops this row; the half-open
       // normalization keeps it on BOTH paths
       (2, java.sql.Timestamp.valueOf("2024-01-31 23:59:59.5")),
-      (3, java.sql.Timestamp.valueOf("2024-02-10 00:00:00")))
+      (3, java.sql.Timestamp.valueOf("2024-02-10 00:00:00")),
+      // PAST the takeover end (bis = 2024-02-29 23:59:59): the month-
+      // aligned end makes the trailing window degenerate, so the REAL
+      // final slice (Feb) sits at an interior index — an uncapped
+      // `.999999` extension would ingest this row on the JDBC path while
+      // the fused catalog range excludes it (ADVICE r7); the cap at the
+      // overall takeover end must drop it on BOTH paths
+      (4, java.sql.Timestamp.valueOf("2024-02-29 23:59:59.5")))
     val df = rows.toDF("ID", "TS")
     df.createOrReplaceTempView("ts_gap_src")
     val dbDir = tmpDir("derby-ts") + "/db"
@@ -157,7 +170,8 @@ class StepsSpec extends AnyFunSuite with SparkSupport {
     val jdbcIds = ids(StepContext(spark, new Warehouse(tmpDir("wh-ts-b")),
       new RunLedger(), macroCtx, sourceSpec = Some(jdbc)))
     assert(catalogIds == jdbcIds, "both source paths must return the same row set")
-    assert(catalogIds == Set(1, 2, 3), "the half-open reading keeps the gap row")
+    assert(catalogIds == Set(1, 2, 3),
+      "the half-open reading keeps the gap row; the capped final bound drops the past-end row")
   }
 
   test("CSV export honors the 7 ETL_Paketschritt_Parameter options") {
