@@ -627,6 +627,130 @@ object Extended {
       SELECT r.vec_id, r.cell1, a2.cell2, r.cell1 * 4 + a2.cell2 AS cell
       FROM res r JOIN a2 USING (vec_id)"""))
 
+  /** End-to-end ANN search through the two-level index — the q50
+    * analogue for [[graft.operators.IvfIndex.probeCellsHierarchical]]
+    * (VERDICT r7 missing #3: q65 gates the assignment, this gates the
+    * SEARCH): the corpus is two-level-assigned (same books as q65), each
+    * query probes its 2 nearest coarse cells × 2 nearest residual cells
+    * within each (4 of the 16 effective cells — the two recall knobs a
+    * production IVF-residual index turns), candidates meet the corpus on
+    * the flat cell id, and the probed set is exact-cosine re-ranked to
+    * top-3. Cost shape at 100 TB: probing is query-side only, the corpus
+    * keeps its single-cell assignment, and the candidate join is an
+    * equi-join on `cell` — never all-pairs. RecallSpec grades this plan
+    * against the q16 brute-force ground truth.
+    */
+  val q67 = QueryDef(
+    "q67_ann_ivf_hier_search",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.{VectorFunctions => V}
+      import graft.operators.IvfIndex
+      val v = Tables.load(s, dir, "embeddings")
+        .withColumn("e", V.asDouble($"embedding"))
+        .withColumn("nrm", V.norm($"e"))
+        .select($"vec_id", $"e", $"nrm")
+      val coarse = v.filter($"vec_id" < 4)
+        .select($"vec_id".cast("long").as("cid"), $"e".as("ce"))
+      // same deterministic book build as q65: fine = residuals of seed
+      // vectors [4, 8) against their nearest coarse centroid
+      val seeds = IvfIndex.assign(
+        v.filter($"vec_id" >= 4 && $"vec_id" < 8).select($"vec_id", $"e"),
+        coarse, embCol = "e", idCol = "vec_id")
+      val fine = seeds.join(broadcast(coarse), seeds("cell") === coarse("cid"))
+        .select(($"vec_id" - 4).cast("long").as("cid"),
+          zip_with($"e", $"ce", (x, y) => x - y).as("ce"))
+      val assigned = IvfIndex
+        .assignHierarchical(v, coarse, fine, embCol = "e", idCol = "vec_id")
+        .select($"vec_id", $"cell", $"e", $"nrm")
+        .persist()
+      val probes = IvfIndex.probeCellsHierarchical(
+        v.filter($"vec_id" < 30)
+          .select($"vec_id".as("query_id"), $"e".as("qe"), $"nrm".as("qn")),
+        coarse, fine, embCol = "qe", idCol = "query_id",
+        nprobeCoarse = 2, nprobeFine = 2)
+        .select($"query_id", $"cell", $"qe", $"qn")
+      val scored = assigned.join(probes, Seq("cell"))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("neighbor_id"),
+          V.cosine($"qe", $"e", $"qn", $"nrm").as("cosine"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+      scored.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 3)
+        .select($"query_id", $"rnk", $"neighbor_id", $"cosine")
+    },
+    Some("""
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+      ), n AS (
+        SELECT vec_id, e, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(e, x -> x*x)), (a,b) -> a+b)) AS nrm FROM v
+      ), coarse AS (
+        SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 4
+      ), d1 AS (
+        SELECT v.vec_id, c.cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> (v.e[i]-c.ce[i])*(v.e[i]-c.ce[i]))),
+            (a,b) -> a+b) AS d
+        FROM v CROSS JOIN coarse c
+      ), a1 AS (
+        SELECT vec_id, cid AS cell1 FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM d1) WHERE rn = 1
+      ), res AS (
+        SELECT v.vec_id, a1.cell1,
+          list_transform(generate_series(1,64), i -> v.e[i] - c.ce[i]) AS r
+        FROM v JOIN a1 USING (vec_id) JOIN coarse c ON c.cid = a1.cell1
+      ), fine AS (
+        SELECT vec_id - 4 AS cid, r AS ce FROM res WHERE vec_id >= 4 AND vec_id < 8
+      ), d2 AS (
+        SELECT res.vec_id, f.cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> (res.r[i]-f.ce[i])*(res.r[i]-f.ce[i]))),
+            (a,b) -> a+b) AS d
+        FROM res CROSS JOIN fine f
+      ), a2 AS (
+        SELECT vec_id, cid AS cell2 FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM d2) WHERE rn = 1
+      ), corpus AS (
+        SELECT r.vec_id, r.cell1 * 4 + a2.cell2 AS cell, n.e, n.nrm
+        FROM res r JOIN a2 USING (vec_id) JOIN n USING (vec_id)
+      ), p1 AS (
+        SELECT vec_id AS query_id, cid AS cell1 FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM d1 WHERE vec_id < 30) WHERE rn <= 2
+      ), qres AS (
+        SELECT p1.query_id, p1.cell1,
+          list_transform(generate_series(1,64), i -> v.e[i] - c.ce[i]) AS r
+        FROM p1 JOIN v ON v.vec_id = p1.query_id JOIN coarse c ON c.cid = p1.cell1
+      ), qd2 AS (
+        SELECT qres.query_id, qres.cell1, f.cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> (qres.r[i]-f.ce[i])*(qres.r[i]-f.ce[i]))),
+            (a,b) -> a+b) AS d
+        FROM qres CROSS JOIN fine f
+      ), p2 AS (
+        SELECT query_id, cell1 * 4 + cell2 AS cell FROM (
+          SELECT query_id, cell1, cid AS cell2,
+            row_number() OVER (PARTITION BY query_id, cell1 ORDER BY d, cid) AS rn
+          FROM qd2) WHERE rn <= 2
+      ), qv AS (
+        SELECT p.query_id, p.cell, n.e, n.nrm
+        FROM p2 p JOIN n ON n.vec_id = p.query_id
+      ), scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> q.e[i]*c.e[i])), (a,b) -> a+b)
+            / (q.nrm * c.nrm) AS cosine
+        FROM qv q JOIN corpus c ON c.cell = q.cell AND c.vec_id <> q.query_id
+      ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM scored
+      )
+      SELECT query_id, rnk, neighbor_id, cosine FROM ranked WHERE rnk <= 3"""))
+
   val all: Seq[QueryDef] =
-    Seq(q22, q23, q24, q40, q45, q47, q50, q51, q52, q62, q63, q64, q65)
+    Seq(q22, q23, q24, q40, q45, q47, q50, q51, q52, q62, q63, q64, q65, q67)
 }
