@@ -119,6 +119,7 @@ object Bench {
     catch { case _: Throwable => () }
     println(totalsLine(total, totalOld, totalFirst, totalStreaming, totalBatch,
       reps, results.size, sfDir))
+    graft.util.TempDirs.sweep()
     spark.stop()
   }
 

@@ -47,6 +47,9 @@ object Verify {
       .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // every result parquet is written — drop gate scratch dirs (streaming
+    // checkpoints/sinks, warehouses) so repeated runs don't accrete /tmp
+    graft.util.TempDirs.sweep()
     spark.stop()
   }
 }

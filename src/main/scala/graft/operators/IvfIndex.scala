@@ -70,40 +70,56 @@ object IvfIndex {
     */
   def codebookBytes(rows: Long, dims: Int): Long = rows * (dims * 8L + 64L)
 
-  /** Guarded codebook shape — row count and the widest centroid (max
-    * size also charges a ragged codebook at its worst row).
+  /** Guarded codebook shape — row count, the widest centroid (max size
+    * also charges a ragged codebook at its worst row), and the cid range
+    * (the hierarchical paths require DENSE cids, see [[assignHierarchical]]).
     */
-  final case class CodebookMeta(rows: Long, dims: Int) {
+  final case class CodebookMeta(rows: Long, dims: Int, minCid: Long, maxCid: Long) {
     def bytes: Long = codebookBytes(rows, dims)
+    /** cids are exactly 0 … rows−1 — the invariant that makes the flat
+      * cell id `cell1 × fineC + cell2` injective. */
+    def denseCids: Boolean = rows == 0 || (minCid == 0 && maxCid == rows - 1)
   }
 
-  /** Guard results keyed by the codebook's CANONICALIZED logical plan
-    * (exprIds normalized, so two independent `spark.read.parquet(...)
-    * .filter(...)` pipelines over the same source hit the same entry).
-    * Same immutability assumption as Spark's own CacheManager: a source
-    * whose files change under an identical plan must not be reused —
-    * call [[clearCodebookMetaCache]] after re-indexing. Bounded, tiny
-    * (a handful of codebooks per service life); cleared wholesale if it
+  /** Guard results keyed by a FINGERPRINT of the codebook's canonicalized
+    * logical plan — `semanticHash` plus an MD5 of the canonical tree
+    * string (exprIds normalized, so two independent `spark.read
+    * .parquet(...).filter(...)` pipelines over the same source hit the
+    * same entry). Keying by fingerprint rather than by the plan itself
+    * means the cache never retains plan trees (which pin relation and
+    * session references for the service lifetime — ADVICE r7). Same
+    * immutability assumption as Spark's own CacheManager: a source whose
+    * files change under an identical plan must not be reused — call
+    * [[clearCodebookMetaCache]] after re-indexing. Bounded, tiny (a
+    * handful of codebooks per service life); cleared wholesale if it
     * ever grows past the bound.
     */
   private val metaCache =
-    new java.util.concurrent.ConcurrentHashMap[LogicalPlan, CodebookMeta]
+    new java.util.concurrent.ConcurrentHashMap[String, CodebookMeta]
   private val MetaCacheBound = 64
 
-  /** The codebook's (rows, dims), ONE metadata job per distinct codebook
-    * plan per session (VERDICT r6: the per-call guard job was ~0.2 s of
-    * pure overhead on q40+q50, O(1) in corpus size but paid on every
-    * `expand`). An indexing flow can call this once up front to warm the
-    * cache; every assign/probe over the same codebook plan then plans
-    * with zero extra jobs.
+  private def planFingerprint(plan: LogicalPlan): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digest = md.digest(plan.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    f"${plan.semanticHash()}%08x:${digest.map(b => f"$b%02x").mkString}"
+  }
+
+  /** The codebook's (rows, dims, cid range), ONE metadata job per
+    * distinct codebook plan per session (VERDICT r6: the per-call guard
+    * job was ~0.2 s of pure overhead on q40+q50, O(1) in corpus size but
+    * paid on every `expand`). An indexing flow can call this once up
+    * front to warm the cache; every assign/probe over the same codebook
+    * plan then plans with zero extra jobs.
     */
   def codebookMeta(centroids: DataFrame): CodebookMeta = {
-    val key = centroids.queryExecution.analyzed.canonicalized
+    val key = planFingerprint(centroids.queryExecution.analyzed.canonicalized)
     val cached = metaCache.get(key)
     if (cached != null) cached
     else {
-      val m = centroids.agg(count(lit(1)), coalesce(max(size(col("ce"))), lit(0))).head()
-      val meta = CodebookMeta(m.getLong(0), m.getInt(1))
+      val m = centroids.agg(count(lit(1)), coalesce(max(size(col("ce"))), lit(0)),
+        coalesce(min(col("cid")), lit(0L)).cast("long"),
+        coalesce(max(col("cid")), lit(-1L)).cast("long")).head()
+      val meta = CodebookMeta(m.getLong(0), m.getInt(1), m.getLong(2), m.getLong(3))
       if (metaCache.size >= MetaCacheBound) metaCache.clear()
       metaCache.put(key, meta)
       meta
@@ -111,7 +127,12 @@ object IvfIndex {
   }
 
   /** Drop memoized guard results (after overwriting a codebook source in
-    * place, or in tests).
+    * place, or in tests). This is a CORRECTNESS requirement, not just
+    * guard hygiene: [[assignHierarchical]]/[[probeCellsHierarchical]]
+    * take `fineC` (the fine codebook's row count) from the memoized meta
+    * to build the flat cell id `cell1 × fineC + cell2` — a stale count
+    * after an in-place overwrite would silently produce WRONG cell ids,
+    * not merely a mis-sized broadcast guard (ADVICE r7).
     */
   def clearCodebookMetaCache(): Unit = metaCache.clear()
 
@@ -183,6 +204,30 @@ object IvfIndex {
       .withColumnRenamed("cid", "cell")
   }
 
+  /** The hierarchical paths' shared precondition (ADVICE r7): the flat
+    * cell id `cell1 × fineC + cell2` is injective only when fine cids
+    * are DENSE in [0, fineC) and coarse cids non-negative — a filtered
+    * or re-keyed codebook with sparse cids would make distinct
+    * (cell1, cell2) pairs collide in the flat cell, consistently on both
+    * the assign and probe sides, i.e. silently. The check rides the
+    * memoized metadata job, so it costs no extra job. Returns `fineC`.
+    */
+  private def denseGuarded(coarse: DataFrame, fine: DataFrame,
+                           maxCodebookBytes: Long): Long = {
+    val fm = guarded(fine, maxCodebookBytes)
+    require(fm.denseCids,
+      s"hierarchical IVF requires DENSE fine cids 0…${fm.rows - 1} (got range " +
+        s"[${fm.minCid}, ${fm.maxCid}] over ${fm.rows} rows): the flat cell id " +
+        "cell1 × fineC + cell2 is not injective on sparse cids — re-key the fine " +
+        "codebook (e.g. row_number() - 1 over cid) before indexing.")
+    val cm = guarded(coarse, maxCodebookBytes)
+    require(cm.rows == 0 || cm.minCid >= 0,
+      s"hierarchical IVF requires non-negative coarse cids (got min ${cm.minCid}): " +
+        "a negative coarse cid folds distinct (cell1, cell2) pairs onto the same " +
+        "flat cell id.")
+    fm.rows
+  }
+
   /** Two-level (coarse + residual) assignment — the scale path the flat
     * guard names: an embedding-model codebook (C=65536 × 1024 dims ≈
     * 537 MiB) cannot broadcast, but C1=256 coarse centroids and C2=256
@@ -194,7 +239,10 @@ object IvfIndex {
     * expansions + two one-row-per-vector partial-agg shuffles — the plan
     * is O(1) in C1·C2 and every stage is map-side-combined.
     *
-    * `coarse` and `fine` are both `(cid, ce)`; output = `idCol`,
+    * `coarse` and `fine` are both `(cid, ce)` with DENSE fine cids
+    * 0…C2−1 and non-negative coarse cids (enforced via the memoized
+    * metadata, zero extra jobs — see the injectivity note on the guard);
+    * output = `idCol`,
     * `cell1` (coarse cid), `cell2` (fine cid), `cell` (= cell1 × C2 +
     * cell2, the flat cell id downstream search joins on), then the
     * remaining input columns. Corrupt vectors (null distance at either
@@ -203,7 +251,7 @@ object IvfIndex {
   def assignHierarchical(vectors: DataFrame, coarse: DataFrame, fine: DataFrame,
                          embCol: String, idCol: String,
                          maxCodebookBytes: Long = DefaultMaxCodebookBytes): DataFrame = {
-    val fineC = guarded(fine, maxCodebookBytes).rows
+    val fineC = denseGuarded(coarse, fine, maxCodebookBytes)
     val carry = vectors.columns.filter(_ != idCol).toSeq
     val lvl1 = expand(vectors, coarse, embCol, idCol, maxCodebookBytes)
       .filter(col("__d").isNotNull)
@@ -238,7 +286,7 @@ object IvfIndex {
                              embCol: String, idCol: String,
                              nprobeCoarse: Int, nprobeFine: Int,
                              maxCodebookBytes: Long = DefaultMaxCodebookBytes): DataFrame = {
-    val fineC = guarded(fine, maxCodebookBytes).rows
+    val fineC = denseGuarded(coarse, fine, maxCodebookBytes)
     val w1 = Window.partitionBy(col(idCol)).orderBy(col("__d"), col("cid"))
     val lvl1 = expand(queries, coarse, embCol, idCol, maxCodebookBytes)
       .filter(col("__d").isNotNull)

@@ -45,7 +45,7 @@ object EndToEnd {
     Tables.registerAll(spark, dir)
     val ledger = new RunLedger(() => FixedClock)
     val wh = new Warehouse(
-      java.nio.file.Files.createTempDirectory("graft-e2e").toString)
+      graft.util.TempDirs.scratch("graft-e2e"))
     val runner = new WorkflowRunner(
       new WorkflowManager, ledger, new Gates.ThreadCap(8),
       new Gates.TableLocks, new Gates.ParallelLocks, clock = () => FixedClock)
@@ -151,7 +151,7 @@ object EndToEnd {
       Tables.registerAll(s, dir)
       val ledger = new RunLedger(() => FixedClock)
       val wh = new Warehouse(
-        java.nio.file.Files.createTempDirectory("graft-e2e-ts").toString)
+        graft.util.TempDirs.scratch("graft-e2e-ts"))
       val runner = new WorkflowRunner(
         new WorkflowManager, ledger, new Gates.ThreadCap(8),
         new Gates.TableLocks, new Gates.ParallelLocks, clock = () => FixedClock)
@@ -200,7 +200,7 @@ object EndToEnd {
     "q42_xlsx_ingest",
     (s, dir) => {
       Tables.registerAll(s, dir)
-      val base = java.nio.file.Files.createTempDirectory("graft-xlsx")
+      val base = java.nio.file.Paths.get(graft.util.TempDirs.scratch("graft-xlsx"))
       val insert = base.resolve("Insert")
       java.nio.file.Files.createDirectories(insert)
       val asof0 = LocalDateTime.of(2026, 1, 15, 10, 30, 0)
@@ -216,7 +216,7 @@ object EndToEnd {
         header = Seq("n_nationkey", "n_name", "n_regionkey", "asof"), rows = rows)
       val ledger = new RunLedger(() => FixedClock)
       val wh = new Warehouse(
-        java.nio.file.Files.createTempDirectory("graft-xlsx-wh").toString)
+        graft.util.TempDirs.scratch("graft-xlsx-wh"))
       val ctx = StepContext(s, wh, ledger,
         Macros.Context(3L, asof0, asof0), abfragezeitpunkt = FixedClock)
       Steps.execute(
@@ -251,7 +251,7 @@ object EndToEnd {
     "q53_upsert_merge",
     (s, dir) => {
       import s.implicits._
-      val wh = new Warehouse(java.nio.file.Files.createTempDirectory("q53wh").toString)
+      val wh = new Warehouse(graft.util.TempDirs.scratch("q53wh"))
       val orders = Tables.load(s, dir, "orders")
         .select($"o_orderkey", $"o_orderstatus",
           $"o_totalprice".cast("decimal(12,2)").as("price"))

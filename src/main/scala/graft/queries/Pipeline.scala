@@ -685,7 +685,7 @@ object Pipeline {
     "q48_streaming_dedup",
     (s, dir) => {
       import s.implicits._
-      val base = java.nio.file.Files.createTempDirectory("q48stream").toString
+      val base = graft.util.TempDirs.scratch("q48stream")
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       // the stream source wants a DIRECTORY; the sf dir + a glob filter
       // selects the single documents file (testdata tables are one file)
@@ -724,7 +724,7 @@ object Pipeline {
     "q49_streaming_signatures",
     (s, dir) => {
       import s.implicits._
-      val base = java.nio.file.Files.createTempDirectory("q49stream").toString
+      val base = graft.util.TempDirs.scratch("q49stream")
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
@@ -789,7 +789,7 @@ object Pipeline {
     "q54_streaming_windowed_counts",
     (s, dir) => {
       import s.implicits._
-      val base = java.nio.file.Files.createTempDirectory("q54stream").toString
+      val base = graft.util.TempDirs.scratch("q54stream")
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -841,7 +841,7 @@ object Pipeline {
     "q55_streaming_sessions",
     (s, dir) => {
       import s.implicits._
-      val base = java.nio.file.Files.createTempDirectory("q55stream").toString
+      val base = graft.util.TempDirs.scratch("q55stream")
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -917,7 +917,7 @@ object Pipeline {
       require(graft.streaming.Streams.stateV2Ready(s2),
         "state-v2 gate needs Spark 4+ with the RocksDB state store provider")
       import s2.implicits._
-      val base = java.nio.file.Files.createTempDirectory("q66stream").toString
+      val base = graft.util.TempDirs.scratch("q66stream")
       val schema = s2.read.parquet(s"$dir/events.parquet").schema
       val stream = s2.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)

@@ -504,11 +504,41 @@ class OperatorsSpec extends AnyFunSuite with SparkSupport {
     def book() = spark.read.parquet(s"$dir/book").filter($"cid" < 8)
     val m1 = IvfIndex.codebookMeta(book())
     val m2 = IvfIndex.codebookMeta(book()) // fresh read, same canonical plan
-    assert(m1 == IvfIndex.CodebookMeta(8, 8))
+    assert(m1 == IvfIndex.CodebookMeta(8, 8, 0, 7))
     assert(m1 eq m2, "cache hit must return the memoized instance (no second metadata job)")
     // a semantically different plan misses (and measures correctly)
     val m3 = IvfIndex.codebookMeta(spark.read.parquet(s"$dir/book").filter($"cid" < 4))
     assert(m3.rows == 4 && !(m3 eq m1))
+    IvfIndex.clearCodebookMetaCache()
+  }
+
+  test("hierarchical IVF refuses a sparse-cid fine codebook (flat cell id not injective, ADVICE r7)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    IvfIndex.clearCodebookMetaCache()
+    val vecs = spark.range(20).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(3)),
+        d => pmod(xxhash64($"id", d), lit(100)).cast("double")).as("e"))
+    val coarse = vecs.filter($"vec_id" < 2).select($"vec_id".as("cid"), $"e".as("ce"))
+    // cids {0, 2, 3}: max(cid)=3 != rows-1=2 — (cell1=0,cell2=3) would
+    // collide with (cell1=1,cell2=0) in cell1*3+cell2 arithmetic
+    val sparseFine = vecs.filter($"vec_id".isin(2, 4, 5))
+      .select(when($"vec_id" === 2, 0L).when($"vec_id" === 4, 2L).otherwise(3L).as("cid"),
+        $"e".as("ce"))
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.assignHierarchical(vecs, coarse, sparseFine, embCol = "e", idCol = "vec_id")
+    }
+    assert(e.getMessage.contains("DENSE fine cids"))
+    // dense books pass (and probe side enforces the same contract)
+    val denseFine = vecs.filter($"vec_id" >= 2 && $"vec_id" < 5)
+      .select(($"vec_id" - 2).as("cid"), $"e".as("ce"))
+    assert(IvfIndex.assignHierarchical(vecs, coarse, denseFine,
+      embCol = "e", idCol = "vec_id").count() == 20)
+    val e2 = intercept[IllegalArgumentException] {
+      IvfIndex.probeCellsHierarchical(vecs.limit(3), coarse, sparseFine,
+        embCol = "e", idCol = "vec_id", nprobeCoarse = 1, nprobeFine = 1)
+    }
+    assert(e2.getMessage.contains("DENSE fine cids"))
     IvfIndex.clearCodebookMetaCache()
   }
 

@@ -16,8 +16,9 @@ object SparkSupport {
 trait SparkSupport extends org.scalatest.BeforeAndAfterAll { this: org.scalatest.Suite =>
   lazy val spark: SparkSession = SparkSupport.spark
 
-  def tmpDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  /** Registered with the global TempDirs registry, so the forked test
+    * JVM's shutdown hook sweeps fixture dirs when the run ends. */
+  def tmpDir(prefix: String): String = graft.util.TempDirs.scratch(prefix)
 
   /** Cache-hygiene gate (VERDICT r6 item 7): a suite must leave the
     * shared session's CacheManager EMPTY — operators with internal
