@@ -98,7 +98,7 @@ object FanIn {
     val mult = sys.env.getOrElse("FANIN_MULT", "100").toInt
     val nDocs = 5000L * mult
     val nVecs = 2000L * mult
-    val outDir = java.nio.file.Files.createTempDirectory("fanin").toString
+    val outDir = graft.util.TempDirs.scratch("fanin")
     println(s"# corpus: $nDocs docs, $nVecs vectors (x$mult sf0.1), dir $outDir")
 
     genDocuments(spark, nDocs).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
@@ -258,6 +258,82 @@ object FanIn {
         f"flat book ${flatBytes / 1048576.0}%.0f MiB REFUSED, levels ${lvlBytes / 1048576.0}%.1f MiB " +
         f"each broadcast; plan build $planMs%.0f ms, assign $assignS%.1f s " +
         f"(${rows / math.max(assignS, 1e-9) / 1000}%.0f k vec/s)")
+
+      // ---- hierarchical multi-probe knob sweep (VERDICT r7 stretch 8):
+      // recall@10 × cost over the (nprobeCoarse, nprobeFine) grid, so the
+      // production index has a documented knob table like the MinHash b/r
+      // sweep. Ground truth = exact L2 top-10 for a bounded query sample
+      // (the quantizer's own metric). ----
+      {
+        val corpus = assigned.select($"vec_id", $"cell", $"e").persist()
+        corpus.count()
+        val nQ = 50
+        val queries = hiVecs.filter($"vec_id" < nQ)
+          .select($"vec_id".as("query_id"), $"e".as("qe"))
+        val qk = queries.withColumn("__k", pmod(xxhash64($"query_id"), lit(1L)))
+        val truth = hiVecs.withColumn("__k", pmod(xxhash64($"vec_id"), lit(1L)))
+          .join(broadcast(qk), "__k")
+          .filter($"vec_id" =!= $"query_id")
+          .select($"query_id", $"vec_id",
+            graft.operators.IvfIndex.sqDist($"qe", $"e").as("d"))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"query_id").orderBy($"d", $"vec_id")))
+          .filter($"rn" <= 10)
+          .select($"query_id", $"vec_id").collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+        println("| nprobe_coarse | nprobe_fine | cells/query | candidates | search_s | recall@10 |")
+        println("|---|---|---|---|---|---|")
+        for (npc <- Seq(1, 2, 4); npf <- Seq(1, 2, 4)) {
+          val t2 = System.nanoTime()
+          val probed = graft.operators.IvfIndex.probeCellsHierarchical(
+            queries, coarse, fine, embCol = "qe", idCol = "query_id",
+            nprobeCoarse = npc, nprobeFine = npf)
+            .select($"query_id", $"cell", $"qe")
+          val cand = corpus.join(probed, Seq("cell"))
+            .filter($"vec_id" =!= $"query_id")
+          val nCand = cand.count()
+          val got = cand
+            .select($"query_id", $"vec_id",
+              graft.operators.IvfIndex.sqDist($"qe", $"e").as("d"))
+            .withColumn("rn", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy($"query_id").orderBy($"d", $"vec_id")))
+            .filter($"rn" <= 10)
+            .select($"query_id", $"vec_id").collect()
+            .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+          val searchS = (System.nanoTime() - t2) / 1e9
+          val recall = truth.keys.toSeq.map { q =>
+            got.getOrElse(q, Set.empty).intersect(truth(q)).size / 10.0
+          }.sum / truth.size
+          println(f"| $npc | $npf | ${npc * npf} | $nCand%,d | $searchS%.1f | $recall%.2f |")
+        }
+        corpus.unpersist()
+      }
+    }
+
+    // ---- distributed codebook TRAINING cost (VERDICT r7 item 4): the
+    // index-BUILD story at 100× — k-means|| init + 2 Lloyd iterations at
+    // the production coarse-book size (k=256) over the synthetic corpus.
+    // Every cross-row accumulation is fixed-point (bit-reproducible on
+    // any cluster); per-iteration cost is one corpus pass + a
+    // (k × dims)-bounded shuffle. ----
+    {
+      import graft.operators.KMeansCodebook
+      val v = spark.read.parquet(s"$outDir/embeddings.parquet")
+        .withColumn("e", V.asDouble($"embedding")).select($"vec_id", $"e")
+      val t0 = System.nanoTime()
+      val init = KMeansCodebook.initKMeansParallel(v, "e", "vec_id", k = 256,
+        rounds = 3, oversample = 2.0)
+      val initN = init.count()
+      val initS = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val book = KMeansCodebook.train(v, init, "e", "vec_id", iters = 2)
+      val bookN = book.count()
+      val trainS = (System.nanoTime() - t1) / 1e9
+      println(f"k-means training (dim=$Dim, $nVecs%,d vectors): k-means|| init (3 rounds) " +
+        f"$initS%.1f s → $initN centers; 2 Lloyd iterations $trainS%.1f s → $bookN cells " +
+        f"(${2 * nVecs / math.max(trainS, 1e-9) / 1000}%.0f k vec-assigns/s)")
     }
 
     // ---- end-to-end runs on the 100x corpus (FANIN_E2E=0 skips) ----

@@ -27,7 +27,7 @@ object RelScale {
     val spark = Sessions.local()
     val mult = sys.env.getOrElse("REL_MULT", "10").toInt
     val src = sys.env.getOrElse("REL_SF_DIR", "/root/testdata/sf0.1")
-    val out = java.nio.file.Files.createTempDirectory("relscale").toString
+    val out = graft.util.TempDirs.scratch("relscale")
     println(s"# relational x$mult corpus from $src -> $out")
 
     def inflate(table: String, keyCols: Seq[String]): Unit = {

@@ -71,7 +71,7 @@ object SkewProbe {
     val spark = Sessions.local()
     import spark.implicits._
     val n = sys.env.getOrElse("SKEW_EVENTS", "10000000").toLong
-    val outDir = java.nio.file.Files.createTempDirectory("skewprobe").toString
+    val outDir = graft.util.TempDirs.scratch("skewprobe")
     println(s"# $n events, hot user = 10%, dir $outDir")
 
     genEvents(spark, n, users = 100000L, hotShare = 10)

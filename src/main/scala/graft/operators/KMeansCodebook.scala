@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StructField, StructType}
+
+/** Distributed codebook TRAINING (VERDICT r7 item 4): both IVF paths
+  * assume trained books; this ships the index-BUILD story — seeded
+  * k-means|| initialization (Bahmani et al., "Scalable k-means++",
+  * VLDB 2012) plus fixed-iteration Lloyd refinement, all as DataFrame
+  * ops over the same broadcast-codebook kernels the index uses.
+  *
+  * Bit-reproducibility is a design requirement, not a test convenience:
+  * a floating-point mean over a shuffled group depends on partial-merge
+  * ORDER, so the same training job on two clusters (or two runs) yields
+  * different books and therefore different indexes. Every cross-row
+  * accumulation here is therefore EXACT integer arithmetic:
+  *
+  *   - Lloyd centroid updates quantize each coordinate to fixed point
+  *     (`floor(x · 2^30)`, one exact double multiply by a power of two +
+  *     one floor), sum as DECIMAL(38,0) (exact, commutative, partial-agg
+  *     friendly), and divide back out — the mean is identical under ANY
+  *     partitioning, and DuckDB reproduces it digit-for-digit (q68).
+  *     The 2^-30 ≈ 1e-9 quantization is far below embedding noise.
+  *   - k-means|| sampling thresholds use the same fixed-point total
+  *     cost, and "random" draws are `xxhash64(id, round)` — so the
+  *     sampled candidate set is a pure function of the data.
+  *
+  * Assignment reuses [[IvfIndex.assign]] (broadcast codebook, map-side
+  * combined argmin, strict left-fold distances, ties to the lowest cid),
+  * so training scales exactly like the index it feeds: no all-pairs, no
+  * driver-side data paths — the only driver-side step is the k-means||
+  * reduction over the BOUNDED candidate set (O(oversample · rounds)
+  * rows, the algorithm's own contract).
+  */
+object KMeansCodebook {
+
+  /** Fixed-point scale for exact distributed means: 2^30. */
+  val Scale: Double = 1073741824.0
+
+  /** Deterministic seed book: the k lowest-id vectors, re-keyed to the
+    * dense cids 0…k−1 the hierarchical paths require.
+    */
+  def initLowestIds(vectors: DataFrame, embCol: String, idCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    vectors.select(col(idCol), col(embCol)).orderBy(col(idCol)).limit(k)
+      .select((row_number().over(Window.orderBy(col(idCol))) - 1).cast("long").as("cid"),
+        col(embCol).as("ce"))
+  }
+
+  /** One Lloyd update: assign every vector to its nearest centroid
+    * (broadcast book, one corpus pass), then recompute each cell's mean
+    * per dimension in fixed point. Cells that lose every vector DROP
+    * (deterministically) — with seed centroids drawn from the data this
+    * does not happen in practice; callers that must keep k constant can
+    * union the missing cids back from the previous book.
+    *
+    * Plan shape: posexplode multiplies rows × dims into a (cell, pos)
+    * partial aggregate — map-side combine reduces shuffle traffic to
+    * O(k · dims · partitions) rows regardless of corpus size — then a
+    * k-row groupBy rebuilds the centroid arrays (bounded by dims).
+    */
+  def lloydStep(vectors: DataFrame, book: DataFrame, embCol: String, idCol: String,
+                maxCodebookBytes: Long = IvfIndex.DefaultMaxCodebookBytes): DataFrame = {
+    IvfIndex.assign(vectors.select(col(idCol), col(embCol)), book, embCol, idCol,
+        maxCodebookBytes)
+      .select(col("cell"), posexplode(col(embCol)).as(Seq("pos", "x")))
+      .select(col("cell"), col("pos"),
+        floor(col("x") * Scale).cast("decimal(38,0)").as("q"))
+      .groupBy(col("cell"), col("pos"))
+      .agg(((sum(col("q")).cast("double") / Scale) / count(lit(1))).as("v"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        s => s.getField("v")).as("ce"))
+      .select(col("cell").as("cid"), col("ce"))
+  }
+
+  /** `iters` Lloyd updates from `init`. Each intermediate book is
+    * localCheckpoint'ed: an assign executes its book plan twice (guard
+    * metadata + broadcast), so UNBROKEN lineage would re-run every
+    * earlier iteration's full corpus pass exponentially; checkpointing
+    * makes each iteration exactly one corpus pass. The returned book is
+    * the raw final plan (not checkpointed) so callers can inspect it.
+    */
+  def train(vectors: DataFrame, init: DataFrame, embCol: String, idCol: String,
+            iters: Int,
+            maxCodebookBytes: Long = IvfIndex.DefaultMaxCodebookBytes): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    var book = init
+    for (i <- 1 to iters) {
+      val next = lloydStep(vectors, book, embCol, idCol, maxCodebookBytes)
+      book = if (i == iters) next else next.localCheckpoint(true)
+    }
+    book
+  }
+
+  /** Deterministic k-means|| initialization: `rounds` passes, each
+    * sampling every point independently with probability
+    * `oversample · k · d²(x, C) / φ` (φ = the fixed-point total cost),
+    * using `xxhash64(id, round)` as the uniform draw; the bounded
+    * candidate set is then reduced to k centers on the driver by a
+    * weighted farthest-point sweep (the k-means++ MAX variant —
+    * deterministic, no sampling), weights = how many corpus points each
+    * candidate won. Output is `(cid, ce)` with dense cids 0…k−1,
+    * ready for [[train]].
+    */
+  def initKMeansParallel(vectors: DataFrame, embCol: String, idCol: String, k: Int,
+                         rounds: Int = 3, oversample: Double = 2.0): DataFrame = {
+    require(k > 0 && rounds > 0, "k and rounds must be positive")
+    val spark = vectors.sparkSession
+    val v = vectors.select(col(idCol).cast("long").as("id"),
+      col(embCol).cast(ArrayType(DoubleType)).as("e"))
+
+    // first candidate: the lowest-id vector (deterministic)
+    val first = v.orderBy(col("id")).limit(1).collect()(0)
+    var candidates = Vector[(Long, Seq[Double])](
+      (first.getLong(0), first.getSeq[Double](1)))
+
+    def candBook: DataFrame = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        candidates.zipWithIndex.map { case ((_, ce), i) =>
+          Row(i.toLong, ce)
+        }, numSlices = 1),
+      StructType(Seq(StructField("cid", LongType), StructField("ce", ArrayType(DoubleType)))))
+
+    for (r <- 1 to rounds) {
+      // d²(x, C): broadcast the candidate book, min over candidates —
+      // same expansion shape as assignment (map-side combined)
+      val book = candBook
+      val dmin = v.withColumn("__k", pmod(xxhash64(col("id")), lit(1L)))
+        .join(broadcast(book.withColumn("__k", pmod(xxhash64(col("cid")), lit(1L)))), "__k")
+        .groupBy(col("id"), col("e"))
+        .agg(min(IvfIndex.sqDist(col("e"), col("ce"))).as("d"))
+      // φ in fixed point (exact, order-independent) — a double sum here
+      // would make the sampling threshold, and so the INIT, depend on
+      // partial-merge order
+      val phiRow = dmin.agg(sum(floor(col("d") * Scale).cast("decimal(38,0)"))).head()
+      val phi = if (phiRow.isNullAt(0)) 0.0 else phiRow.getDecimal(0).doubleValue() / Scale
+      if (phi > 0) {
+        val threshold = lit(oversample * k) * col("d") / lit(phi)
+        val draw = pmod(xxhash64(col("id"), lit(r)), lit(1000000L)).cast("double") / 1e6
+        val sampled = dmin.filter(col("d") > 0 && draw < threshold)
+          .select(col("id"), col("e")).collect() // bounded: E[|sample|] = oversample·k
+        val have = candidates.map(_._1).toSet
+        candidates ++= sampled.toSeq.sortBy(_.getLong(0))
+          .collect { case row if !have.contains(row.getLong(0)) =>
+            (row.getLong(0), row.getSeq[Double](1)) }
+      }
+    }
+
+    // weight candidates by how many corpus points they win
+    val weights = IvfIndex.assign(v, candBook, embCol = "e", idCol = "id")
+      .groupBy(col("cell")).agg(count(lit(1)).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cand = candidates.zipWithIndex.map { case ((_, ce), i) =>
+      (ce.toArray, weights.getOrElse(i.toLong, 0L))
+    }
+
+    // driver-side weighted farthest-point reduction to k (deterministic:
+    // ties break to the lowest candidate index)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val startIdx = cand.indices.maxBy(i => (cand(i)._2, -i))
+    val chosen = scala.collection.mutable.ArrayBuffer(startIdx)
+    while (chosen.size < math.min(k, cand.size)) {
+      val next = cand.indices.filterNot(chosen.contains).maxBy { i =>
+        val dNear = chosen.map(j => d2(cand(i)._1, cand(j)._1)).min
+        (cand(i)._2 * dNear, -i.toDouble)
+      }
+      chosen += next
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        chosen.toSeq.sorted.zipWithIndex.map { case (ci, i) =>
+          Row(i.toLong, cand(ci)._1.toSeq)
+        }, numSlices = 1),
+      StructType(Seq(StructField("cid", LongType), StructField("ce", ArrayType(DoubleType)))))
+  }
+}

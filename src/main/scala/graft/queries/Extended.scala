@@ -751,6 +751,76 @@ object Extended {
       )
       SELECT query_id, rnk, neighbor_id, cosine FROM ranked WHERE rnk <= 3"""))
 
+  /** Distributed codebook TRAINING, oracle-gated (VERDICT r7 item 4):
+    * [[graft.operators.KMeansCodebook.train]] — deterministic seeds (the
+    * k lowest-id vectors) + two full Lloyd iterations over the corpus.
+    * The centroid mean is the operator's bit-reproducibility story:
+    * coordinates are quantized to fixed point (`floor(x·2^30)`), summed
+    * as exact integers (DECIMAL(38,0) / HUGEINT — commutative, so the
+    * result is identical under ANY partitioning or merge order), and
+    * divided back out — which is why DuckDB can hash-match a FLOAT
+    * training run at all. Assignment reuses the q40/q65 broadcast-argmin
+    * kernel (strict left folds, ties to the lowest cid). The oracle
+    * unrolls the two iterations as CTEs.
+    */
+  val q68 = QueryDef(
+    "q68_kmeans_train",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.{VectorFunctions => V}
+      import graft.operators.KMeansCodebook
+      val v = Tables.load(s, dir, "embeddings")
+        .select($"vec_id", V.asDouble($"embedding").as("e"))
+      val init = KMeansCodebook.initLowestIds(v, embCol = "e", idCol = "vec_id", k = 4)
+      KMeansCodebook.train(v, init, embCol = "e", idCol = "vec_id", iters = 2)
+    },
+    Some("""
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+      ), seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
+        FROM v ORDER BY vec_id LIMIT 4
+      ), d1 AS (
+        SELECT v.vec_id, s.cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> (v.e[i]-s.ce[i])*(v.e[i]-s.ce[i]))),
+            (a,b) -> a+b) AS d
+        FROM v CROSS JOIN seeds s
+      ), a1 AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM d1) WHERE rn = 1
+      ), px1 AS (
+        SELECT a1.cell, i.i AS pos,
+          CAST(floor(v.e[i.i] * 1073741824.0) AS HUGEINT) AS q
+        FROM a1 JOIN v USING (vec_id)
+        CROSS JOIN (SELECT unnest(generate_series(1,64)) AS i) i
+      ), c1 AS (
+        SELECT cell, pos, (CAST(SUM(q) AS DOUBLE) / 1073741824.0) / COUNT(*) AS val
+        FROM px1 GROUP BY 1, 2
+      ), b1 AS (
+        SELECT cell AS cid, list(val ORDER BY pos) AS ce FROM c1 GROUP BY cell
+      ), d2 AS (
+        SELECT v.vec_id, b.cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> (v.e[i]-b.ce[i])*(v.e[i]-b.ce[i]))),
+            (a,b) -> a+b) AS d
+        FROM v CROSS JOIN b1 b
+      ), a2 AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM d2) WHERE rn = 1
+      ), px2 AS (
+        SELECT a2.cell, i.i AS pos,
+          CAST(floor(v.e[i.i] * 1073741824.0) AS HUGEINT) AS q
+        FROM a2 JOIN v USING (vec_id)
+        CROSS JOIN (SELECT unnest(generate_series(1,64)) AS i) i
+      ), c2 AS (
+        SELECT cell, pos, (CAST(SUM(q) AS DOUBLE) / 1073741824.0) / COUNT(*) AS val
+        FROM px2 GROUP BY 1, 2
+      )
+      SELECT cell AS cid, list(val ORDER BY pos) AS ce FROM c2 GROUP BY cell"""))
+
   val all: Seq[QueryDef] =
-    Seq(q22, q23, q24, q40, q45, q47, q50, q51, q52, q62, q63, q64, q65, q67)
+    Seq(q22, q23, q24, q40, q45, q47, q50, q51, q52, q62, q63, q64, q65, q67, q68)
 }
