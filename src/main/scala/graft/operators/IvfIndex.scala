@@ -277,10 +277,13 @@ object IvfIndex {
     * its `nprobeCoarse` nearest coarse cells, and within EACH probed
     * coarse cell its `nprobeFine` nearest residual cells — `nprobeCoarse
     * × nprobeFine` candidate flat cells per query (the two recall knobs
-    * of a production IVF-residual index). The level-2 residual is taken
-    * against the PROBED coarse centroid (not just the nearest), matching
-    * how the corpus side quantized the cells being searched. Output =
-    * input columns + `cell1`, `cell2`, `cell`; cost is query-side only.
+    * of a production IVF-residual index; FANIN.md records the measured
+    * recall@10 × candidate-count × latency grid over both knobs at the
+    * 100× corpus, next to the MinHash b/r sweep). The level-2 residual
+    * is taken against the PROBED coarse centroid (not just the nearest),
+    * matching how the corpus side quantized the cells being searched.
+    * Output = input columns + `cell1`, `cell2`, `cell`; cost is
+    * query-side only.
     */
   def probeCellsHierarchical(queries: DataFrame, coarse: DataFrame, fine: DataFrame,
                              embCol: String, idCol: String,

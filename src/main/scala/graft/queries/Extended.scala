@@ -821,6 +821,116 @@ object Extended {
       )
       SELECT cell AS cid, list(val ORDER BY pos) AS ce FROM c2 GROUP BY cell"""))
 
+  /** The TRAINED hierarchical index, end to end (composition of q68 +
+    * q65): coarse book = one Lloyd iteration of k-means over the corpus,
+    * fine book = one Lloyd iteration over the RESIDUALS against the
+    * trained coarse book (actual residual k-means — q65 used seed-vector
+    * residuals as a deterministic stand-in; this gate retires that
+    * caveat), then every vector two-level-assigned through
+    * [[graft.operators.IvfIndex.assignHierarchical]]. Both books are
+    * localCheckpoint'ed before indexing — the caller-side contract the
+    * IvfIndex scaladoc asks for (a codebook that is itself a training
+    * pipeline must not re-execute per guard/broadcast). Training means
+    * are fixed-point (q68), distances strict left folds (q65), so DuckDB
+    * reproduces the whole build digit-for-digit.
+    */
+  val q69 = QueryDef(
+    "q69_kmeans_hier_index",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.{VectorFunctions => V}
+      import graft.operators.{IvfIndex, KMeansCodebook}
+      val v = Tables.load(s, dir, "embeddings")
+        .select($"vec_id", V.asDouble($"embedding").as("e"))
+      val coarse = KMeansCodebook.train(v,
+        KMeansCodebook.initLowestIds(v, "e", "vec_id", k = 4),
+        "e", "vec_id", iters = 1).localCheckpoint(true)
+      val resid = IvfIndex.assign(v, coarse, embCol = "e", idCol = "vec_id")
+        .join(broadcast(coarse), $"cell" === $"cid")
+        .select($"vec_id", zip_with($"e", $"ce", (x, y) => x - y).as("r"))
+      val fine = KMeansCodebook.train(resid,
+        KMeansCodebook.initLowestIds(resid, "r", "vec_id", k = 4),
+        "r", "vec_id", iters = 1).localCheckpoint(true)
+      IvfIndex.assignHierarchical(v, coarse, fine, embCol = "e", idCol = "vec_id")
+        .select($"vec_id", $"cell1", $"cell2", $"cell")
+    },
+    Some("""
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+      ), seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
+        FROM v ORDER BY vec_id LIMIT 4
+      ), d1 AS (
+        SELECT v.vec_id, s.cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> (v.e[i]-s.ce[i])*(v.e[i]-s.ce[i]))),
+            (a,b) -> a+b) AS d
+        FROM v CROSS JOIN seeds s
+      ), a1 AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM d1) WHERE rn = 1
+      ), px1 AS (
+        SELECT a1.cell, i.i AS pos,
+          CAST(floor(v.e[i.i] * 1073741824.0) AS HUGEINT) AS q
+        FROM a1 JOIN v USING (vec_id)
+        CROSS JOIN (SELECT unnest(generate_series(1,64)) AS i) i
+      ), c1 AS (
+        SELECT cell, pos, (CAST(SUM(q) AS DOUBLE) / 1073741824.0) / COUNT(*) AS val
+        FROM px1 GROUP BY 1, 2
+      ), coarse AS (
+        SELECT cell AS cid, list(val ORDER BY pos) AS ce FROM c1 GROUP BY cell
+      ), dc AS (
+        SELECT v.vec_id, c.cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> (v.e[i]-c.ce[i])*(v.e[i]-c.ce[i]))),
+            (a,b) -> a+b) AS d
+        FROM v CROSS JOIN coarse c
+      ), ac AS (
+        SELECT vec_id, cid AS cell1 FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM dc) WHERE rn = 1
+      ), res AS (
+        SELECT v.vec_id, ac.cell1,
+          list_transform(generate_series(1,64), i -> v.e[i] - c.ce[i]) AS r
+        FROM v JOIN ac USING (vec_id) JOIN coarse c ON c.cid = ac.cell1
+      ), fseeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, r AS ce
+        FROM res ORDER BY vec_id LIMIT 4
+      ), fd1 AS (
+        SELECT res.vec_id, f.cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> (res.r[i]-f.ce[i])*(res.r[i]-f.ce[i]))),
+            (a,b) -> a+b) AS d
+        FROM res CROSS JOIN fseeds f
+      ), fa1 AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM fd1) WHERE rn = 1
+      ), fpx AS (
+        SELECT fa1.cell, i.i AS pos,
+          CAST(floor(res.r[i.i] * 1073741824.0) AS HUGEINT) AS q
+        FROM fa1 JOIN res USING (vec_id)
+        CROSS JOIN (SELECT unnest(generate_series(1,64)) AS i) i
+      ), fc1 AS (
+        SELECT cell, pos, (CAST(SUM(q) AS DOUBLE) / 1073741824.0) / COUNT(*) AS val
+        FROM fpx GROUP BY 1, 2
+      ), fine AS (
+        SELECT cell AS cid, list(val ORDER BY pos) AS ce FROM fc1 GROUP BY cell
+      ), fd2 AS (
+        SELECT res.vec_id, res.cell1, f.cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> (res.r[i]-f.ce[i])*(res.r[i]-f.ce[i]))),
+            (a,b) -> a+b) AS d
+        FROM res CROSS JOIN fine f
+      ), fa2 AS (
+        SELECT vec_id, cell1, cid AS cell2 FROM (
+          SELECT vec_id, cell1, cid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM fd2) WHERE rn = 1
+      )
+      SELECT vec_id, cell1, cell2, cell1 * 4 + cell2 AS cell FROM fa2"""))
+
   val all: Seq[QueryDef] =
-    Seq(q22, q23, q24, q40, q45, q47, q50, q51, q52, q62, q63, q64, q65, q67, q68)
+    Seq(q22, q23, q24, q40, q45, q47, q50, q51, q52, q62, q63, q64, q65, q67, q68, q69)
 }
