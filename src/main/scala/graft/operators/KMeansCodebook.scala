@@ -104,6 +104,19 @@ object KMeansCodebook {
     * deterministic, no sampling), weights = how many corpus points each
     * candidate won. Output is `(cid, ce)` with dense cids 0…k−1,
     * ready for [[train]].
+    *
+    * The cost state `(dmin, near)` is maintained INCREMENTALLY (FANIN
+    * r8: the recompute-everything form spent 180 s where Lloyd spent
+    * 12): each round expands only against the candidates added LAST
+    * round and folds the new minimum into the persisted state, so every
+    * candidate's distance is computed exactly once, and the final
+    * weighting is a groupBy over the tracked argmin instead of a full
+    * assignment pass. `least`/strict-`<` updates preserve the exact
+    * values and the lowest-cid tie-break of the recompute form (new
+    * candidates always carry HIGHER cids, so keep-old-on-ties is the
+    * same ordering) — the sampled candidate set, and therefore the
+    * init, is bit-identical. Persisted state is released before return
+    * (one frame live at a time).
     */
   def initKMeansParallel(vectors: DataFrame, embCol: String, idCol: String, k: Int,
                          rounds: Int = 3, oversample: Double = 2.0): DataFrame = {
@@ -117,42 +130,83 @@ object KMeansCodebook {
     var candidates = Vector[(Long, Seq[Double])](
       (first.getLong(0), first.getSeq[Double](1)))
 
-    def candBook: DataFrame = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        candidates.zipWithIndex.map { case ((_, ce), i) =>
-          Row(i.toLong, ce)
-        }, numSlices = 1),
-      StructType(Seq(StructField("cid", LongType), StructField("ce", ArrayType(DoubleType)))))
+    def bookOf(slice: Seq[((Long, Seq[Double]), Int)]): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          slice.map { case ((_, ce), i) => Row(i.toLong, ce) }, numSlices = 1),
+        StructType(Seq(StructField("cid", LongType), StructField("ce", ArrayType(DoubleType)))))
 
+    // state: (id, e, dmin, near) vs all candidates so far; corrupt rows
+    // (null distance vs every candidate) drop at the first fold, the
+    // assign-path convention
+    var state: DataFrame = null
+    var fresh: Seq[((Long, Seq[Double]), Int)] = candidates.zipWithIndex
     for (r <- 1 to rounds) {
-      // d²(x, C): broadcast the candidate book, min over candidates —
-      // same expansion shape as assignment (map-side combined)
-      val book = candBook
-      val dmin = v.withColumn("__k", pmod(xxhash64(col("id")), lit(1L)))
-        .join(broadcast(book.withColumn("__k", pmod(xxhash64(col("cid")), lit(1L)))), "__k")
-        .groupBy(col("id"), col("e"))
-        .agg(min(IvfIndex.sqDist(col("e"), col("ce"))).as("d"))
+      val newBook = bookOf(fresh)
+      val nd = (if (state == null) v else state)
+        .withColumn("__k", pmod(xxhash64(col("id")), lit(1L)))
+        .join(broadcast(newBook.withColumn("__k", pmod(xxhash64(col("cid")), lit(1L)))), "__k")
+        .withColumn("__d", IvfIndex.sqDist(col("e"), col("ce")))
+        .filter(col("__d").isNotNull)
+        .groupBy((Seq("id", "e") ++ (if (state == null) Nil else Seq("dmin", "near")))
+          .map(col): _*)
+        .agg(min(col("__d")).as("__nd"),
+          min_by(col("cid"), struct(col("__d"), col("cid"))).as("__nn"))
+      val next = (if (state == null)
+          nd.select(col("id"), col("e"), col("__nd").as("dmin"), col("__nn").as("near"))
+        else
+          nd.select(col("id"), col("e"),
+            least(col("dmin"), col("__nd")).as("dmin"),
+            when(col("__nd") < col("dmin"), col("__nn")).otherwise(col("near")).as("near")))
+        .persist()
+      next.count()
+      if (state != null) state.unpersist()
+      state = next
       // φ in fixed point (exact, order-independent) — a double sum here
       // would make the sampling threshold, and so the INIT, depend on
       // partial-merge order
-      val phiRow = dmin.agg(sum(floor(col("d") * Scale).cast("decimal(38,0)"))).head()
+      val phiRow = state.agg(sum(floor(col("dmin") * Scale).cast("decimal(38,0)"))).head()
       val phi = if (phiRow.isNullAt(0)) 0.0 else phiRow.getDecimal(0).doubleValue() / Scale
+      fresh = Nil
       if (phi > 0) {
-        val threshold = lit(oversample * k) * col("d") / lit(phi)
+        val threshold = lit(oversample * k) * col("dmin") / lit(phi)
         val draw = pmod(xxhash64(col("id"), lit(r)), lit(1000000L)).cast("double") / 1e6
-        val sampled = dmin.filter(col("d") > 0 && draw < threshold)
+        val sampled = state.filter(col("dmin") > 0 && draw < threshold)
           .select(col("id"), col("e")).collect() // bounded: E[|sample|] = oversample·k
         val have = candidates.map(_._1).toSet
-        candidates ++= sampled.toSeq.sortBy(_.getLong(0))
+        val added = sampled.toSeq.sortBy(_.getLong(0))
           .collect { case row if !have.contains(row.getLong(0)) =>
             (row.getLong(0), row.getSeq[Double](1)) }
+        fresh = added.zipWithIndex.map { case (c, i) => (c, candidates.size + i) }
+        candidates ++= added
       }
     }
+    // distances to candidates added in the LAST round were never folded
+    // in — fold them now so the weighting sees every candidate
+    if (fresh.nonEmpty) {
+      val newBook = bookOf(fresh)
+      val next = state
+        .withColumn("__k", pmod(xxhash64(col("id")), lit(1L)))
+        .join(broadcast(newBook.withColumn("__k", pmod(xxhash64(col("cid")), lit(1L)))), "__k")
+        .withColumn("__d", IvfIndex.sqDist(col("e"), col("ce")))
+        .filter(col("__d").isNotNull)
+        .groupBy(col("id"), col("e"), col("dmin"), col("near"))
+        .agg(min(col("__d")).as("__nd"),
+          min_by(col("cid"), struct(col("__d"), col("cid"))).as("__nn"))
+        .select(col("id"), col("e"),
+          least(col("dmin"), col("__nd")).as("dmin"),
+          when(col("__nd") < col("dmin"), col("__nn")).otherwise(col("near")).as("near"))
+        .persist()
+      next.count()
+      state.unpersist()
+      state = next
+    }
 
-    // weight candidates by how many corpus points they win
-    val weights = IvfIndex.assign(v, candBook, embCol = "e", idCol = "id")
-      .groupBy(col("cell")).agg(count(lit(1)).as("w"))
+    // weight candidates by how many corpus points they win — a groupBy
+    // over the tracked argmin, no extra assignment pass
+    val weights = state.groupBy(col("near")).agg(count(lit(1)).as("w"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    state.unpersist()
     val cand = candidates.zipWithIndex.map { case ((_, ce), i) =>
       (ce.toArray, weights.getOrElse(i.toLong, 0L))
     }
