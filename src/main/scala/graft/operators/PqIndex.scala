@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization — the compression story for vector corpora at
+  * 100 TB: a dim-D float vector (4·D bytes) becomes `m` small codes
+  * (one byte each at k≤256 centroids per subspace), a 32× reduction at
+  * D=64/m=4, while asymmetric-distance search (ADC) stays a table
+  * lookup per subspace. Composes with the IVF family: the corpus keeps
+  * (cell, codes) and a probed-cell candidate set is re-ranked by ADC
+  * instead of exact folds over raw vectors.
+  *
+  * Spark shape (everything narrow, nothing all-pairs):
+  *   - [[encode]]: one `posexplode` of the m subvector slices per
+  *     vector, ONE broadcast equi-join on the REAL key `(sub)` against
+  *     the per-subspace books (a plain BroadcastHashJoin — no constant
+  *     key needed: subspace ids are genuine join keys), the same strict
+  *     left-fold distance as [[IvfIndex]], argmin per (vector, sub)
+  *     grouped NARROW (the FANIN r8 finding: wide composite group keys
+  *     over expanded joins are 12× slower — group (id, sub), carry
+  *     nothing, join payloads back only if needed), then codes
+  *     reassembled in subspace order. Shuffle: one row per (vector,
+  *     sub), map-side combined.
+  *   - [[adcTables]]: the per-query lookup tables — queries × (m·k)
+  *     book rows, query-side only, the probed-IVF re-rank companion.
+  *   - [[adcScore]]: the fold `Σ_s table[s][code_s]` as a zip_with over
+  *     the code array and the query's table array — codegen-friendly,
+  *     no UDF.
+  *
+  * Books are `(sub, cid, ce)` with dense cids 0…k−1 per subspace and
+  * subvector centroids of length D/m; [[trainBooks]] builds them from
+  * the corpus with [[KMeansCodebook]] per subspace (seeded, exact
+  * fixed-point means — bit-reproducible like everything else here).
+  * All arithmetic is strict left folds and exact double ops, so DuckDB
+  * reproduces codes and ADC scores digit-for-digit (q70).
+  */
+object PqIndex {
+
+  /** Split `e` into `m` equal subvectors; row per (sub, sube). */
+  private def subvectors(e: Column, dims: Int, m: Int): Column = {
+    require(dims % m == 0, s"dims $dims not divisible by m=$m")
+    val w = dims / m
+    array((0 until m).map(s =>
+      struct(lit(s.toLong).as("sub"), slice(e, s * w + 1, w).as("sube"))): _*)
+  }
+
+  /** PQ-encode every vector: output = `idCol`, `codes` (array of the m
+    * winning cids in subspace order). Corrupt subvectors (null distance
+    * against every centroid of their subspace) drop that VECTOR — a
+    * partial code is useless — mirroring [[IvfIndex.assign]]'s
+    * drop-don't-misassign contract.
+    */
+  def encode(vectors: DataFrame, books: DataFrame, dims: Int, m: Int,
+             embCol: String, idCol: String): DataFrame = {
+    val sub = vectors.select(col(idCol), posexplode(subvectors(col(embCol), dims, m)))
+      .select(col(idCol), col("col.sub").as("sub"), col("col.sube").as("sube"))
+    sub.join(broadcast(books), "sub")
+      .withColumn("__d", IvfIndex.sqDist(col("sube"), col("ce")))
+      .filter(col("__d").isNotNull)
+      .select(col(idCol), col("sub"), col("__d"), col("cid"))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min_by(col("cid"), struct(col("__d"), col("cid"))).as("code"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n"),
+        transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+          s => s.getField("code")).as("codes"))
+      .filter(col("__n") === m) // all m subspaces survived
+      .drop("__n")
+  }
+
+  /** Per-subspace codebooks trained on the corpus itself: subspace `s`'s
+    * book = [[KMeansCodebook.train]] over the s-th slices, seeded with
+    * the k lowest-id subvectors. Output `(sub, cid, ce)`, each book's
+    * cids dense 0…k−1.
+    */
+  def trainBooks(vectors: DataFrame, dims: Int, m: Int, k: Int,
+                 embCol: String, idCol: String, iters: Int = 1): DataFrame = {
+    val w = dims / m
+    (0 until m).map { s =>
+      val sl = vectors.select(col(idCol),
+        slice(col(embCol), s * w + 1, w).as("sube"))
+      KMeansCodebook.train(sl,
+        KMeansCodebook.initLowestIds(sl, "sube", idCol, k),
+        "sube", idCol, iters)
+        .select(lit(s.toLong).as("sub"), col("cid"), col("ce"))
+    }.reduce(_.union(_))
+  }
+
+  /** Per-query ADC lookup tables: one row per (query, sub, cid) with the
+    * exact squared L2 between the query's subvector and that centroid —
+    * `queries × m × k` rows, query-side only. Downstream search joins a
+    * candidate's exploded codes on (sub, cid) or uses [[adcScore]] on a
+    * collected table array.
+    */
+  def adcTables(queries: DataFrame, books: DataFrame, dims: Int, m: Int,
+                embCol: String, idCol: String): DataFrame = {
+    queries.select(col(idCol), posexplode(subvectors(col(embCol), dims, m)))
+      .select(col(idCol), col("col.sub").as("sub"), col("col.sube").as("sube"))
+      .join(broadcast(books), "sub")
+      .select(col(idCol), col("sub"), col("cid"),
+        IvfIndex.sqDist(col("sube"), col("ce")).as("d"))
+  }
+
+  /** ADC distance `Σ_s table[s][codes_s]` where `table` is the query's
+    * lookup tables as an array-of-arrays (sub-major, cid-minor — the
+    * shape `collect_list` + `array_sort` over [[adcTables]] yields) and
+    * `codes` a corpus row's PQ codes. Strict left fold, codegen'd.
+    */
+  def adcScore(table: Column, codes: Column): Column =
+    aggregate(
+      zip_with(table, codes, (t, c) => element_at(t, (c + 1).cast("int"))),
+      lit(0.0), (acc, x) => acc + x)
+}

@@ -931,6 +931,90 @@ object Extended {
       )
       SELECT vec_id, cell1, cell2, cell1 * 4 + cell2 AS cell FROM fa2"""))
 
+  /** Product quantization end to end, oracle-gated: the corpus is
+    * PQ-encoded ([[graft.operators.PqIndex.encode]] — m=4 subspaces ×
+    * k=4 centroids, books = the subvector slices of the 4 lowest-id
+    * vectors), each query builds its ADC lookup tables, and every
+    * corpus vector is scored by the table-lookup distance
+    * `Σ_s table[s][code_s]` ([[graft.operators.PqIndex.adcScore]]) —
+    * top-3 per query. This is the COMPRESSION story at 100 TB: a
+    * 64-dim float vector (256 B) becomes 4 codes (4 B at k≤256), and
+    * candidate re-ranking reads codes + a per-query table instead of
+    * raw vectors (in production the candidate set comes from IVF cell
+    * probing, q67 — the gate scores the full corpus only because it is
+    * gate-sized). The ADC sum is an ORDERED fold over subspaces in both
+    * engines, so scores are bit-identical and the oracle hashes them.
+    */
+  val q70 = QueryDef(
+    "q70_pq_adc_topk",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.{VectorFunctions => V}
+      import graft.operators.PqIndex
+      val m = 4; val dims = 64; val w = dims / m
+      val v = Tables.load(s, dir, "embeddings")
+        .select($"vec_id", V.asDouble($"embedding").as("e"))
+      val books = v.filter($"vec_id" < 4)
+        .select($"vec_id", explode(sequence(lit(0L), lit(m - 1L))).as("sub"), $"e")
+        .select($"sub", $"vec_id".as("cid"),
+          expr(s"slice(e, sub * $w + 1, $w)").as("ce"))
+      val codes = PqIndex.encode(v, books, dims, m, embCol = "e", idCol = "vec_id")
+      val tables = PqIndex.adcTables(
+        v.filter($"vec_id" < 30).select($"vec_id".as("query_id"), $"e"),
+        books, dims, m, embCol = "e", idCol = "query_id")
+        .groupBy($"query_id", $"sub")
+        .agg(transform(array_sort(collect_list(struct($"cid", $"d"))),
+          x => x.getField("d")).as("t"))
+        .groupBy($"query_id")
+        .agg(transform(array_sort(collect_list(struct($"sub", $"t"))),
+          x => x.getField("t")).as("table"))
+      val scored = codes.withColumn("__k", pmod(xxhash64($"vec_id"), lit(1L)))
+        .join(broadcast(tables.withColumn("__k", pmod(xxhash64($"query_id"), lit(1L)))), "__k")
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("neighbor_id"),
+          PqIndex.adcScore($"table", $"codes").as("adc"))
+      val rw = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"adc", $"neighbor_id")
+      scored.withColumn("rnk", row_number().over(rw))
+        .filter($"rnk" <= 3)
+        .select($"query_id", $"rnk", $"neighbor_id", $"adc")
+    },
+    Some("""
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+      ), subs AS (
+        SELECT unnest(generate_series(0, 3)) AS sub
+      ), d1 AS (
+        SELECT v.vec_id, s.sub, b.vec_id AS cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,16),
+              i -> (v.e[s.sub*16+i] - b.e[s.sub*16+i]) * (v.e[s.sub*16+i] - b.e[s.sub*16+i]))),
+            (a,b) -> a+b) AS d
+        FROM v CROSS JOIN subs s CROSS JOIN v b
+        WHERE b.vec_id < 4
+      ), codes AS (
+        SELECT vec_id, sub, cid AS code FROM (
+          SELECT vec_id, sub, cid,
+            row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn
+          FROM d1) WHERE rn = 1
+      ), qd AS (
+        SELECT c.vec_id AS neighbor_id, q.vec_id AS query_id, c.sub,
+          d1.d
+        FROM codes c
+        CROSS JOIN (SELECT vec_id FROM v WHERE vec_id < 30) q
+        JOIN d1 ON d1.vec_id = q.vec_id AND d1.sub = c.sub AND d1.cid = c.code
+        WHERE c.vec_id <> q.vec_id
+      ), adc AS (
+        SELECT query_id, neighbor_id,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d ORDER BY sub)),
+            (a,b) -> a+b) AS adc
+        FROM qd GROUP BY 1, 2
+      ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rnk
+        FROM adc
+      )
+      SELECT query_id, rnk, neighbor_id, adc FROM ranked WHERE rnk <= 3"""))
+
   val all: Seq[QueryDef] =
-    Seq(q22, q23, q24, q40, q45, q47, q50, q51, q52, q62, q63, q64, q65, q67, q68, q69)
+    Seq(q22, q23, q24, q40, q45, q47, q50, q51, q52, q62, q63, q64, q65, q67, q68, q69, q70)
 }
