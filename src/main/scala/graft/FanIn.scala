@@ -336,6 +336,30 @@ object FanIn {
         f"(${2 * nVecs / math.max(trainS, 1e-9) / 1000}%.0f k vec-assigns/s)")
     }
 
+    // ---- PQ encode at 100× (r8): the compression path — per-subspace
+    // books trained on the corpus, every vector encoded to m codes.
+    // Compression arithmetic is printed with the throughput: raw float
+    // vectors vs one byte per code at k≤256. ----
+    {
+      import graft.operators.PqIndex
+      val m = 8
+      val v = spark.read.parquet(s"$outDir/embeddings.parquet")
+        .withColumn("e", V.asDouble($"embedding")).select($"vec_id", $"e")
+      val t0 = System.nanoTime()
+      val books = PqIndex.trainBooks(v, Dim, m, k = 16, "e", "vec_id", iters = 1)
+        .localCheckpoint(true)
+      val trainS = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val nCodes = PqIndex.encode(v, books, Dim, m, "e", "vec_id")
+        .queryExecution.toRdd.count()
+      val encS = (System.nanoTime() - t1) / 1e9
+      val raw = Dim * 4L
+      println(f"PQ (dim=$Dim, m=$m subspaces, k=16): book training $trainS%.1f s, " +
+        f"encode $nCodes%,d vectors in $encS%.1f s " +
+        f"(${nCodes / math.max(encS, 1e-9) / 1000}%.0f k vec/s); " +
+        f"$raw B raw → $m B codes (${raw / m}× compression)")
+    }
+
     // ---- end-to-end runs on the 100x corpus (FANIN_E2E=0 skips) ----
     if (sys.env.get("FANIN_E2E").contains("0")) { spark.stop(); return }
     def time(name: String)(f: => Long): Unit = {

@@ -1015,6 +1015,179 @@ object Extended {
       )
       SELECT query_id, rnk, neighbor_id, adc FROM ranked WHERE rnk <= 3"""))
 
+  /** The full production ANN pipeline in one gate — IVF-PQ: the corpus
+    * is two-level-assigned (q65's books) AND PQ-encoded (q70's books);
+    * each query probes 2×2 hierarchical cells (q67), candidates meet the
+    * corpus on the flat cell id, ADC pre-ranks them to the top-8 from
+    * codes + the query's lookup tables (never touching raw candidate
+    * vectors), and only those 8 get the exact-cosine re-rank to top-3.
+    * At 100 TB this is the read-path story: the probed-cell scan reads
+    * (cell, codes) — m bytes a vector — and raw embeddings are fetched
+    * for the final handful only. Every stage is a gated operator; this
+    * gate pins the COMPOSITION. Both ADC and cosine are ordered folds,
+    * so DuckDB reproduces the two-stage cut bit-for-bit.
+    */
+  val q71 = QueryDef(
+    "q71_ivf_pq_search",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.{VectorFunctions => V}
+      import graft.operators.{IvfIndex, PqIndex}
+      val m = 4; val dims = 64; val w = dims / m
+      val v = Tables.load(s, dir, "embeddings")
+        .withColumn("e", V.asDouble($"embedding"))
+        .withColumn("nrm", V.norm($"e"))
+        .select($"vec_id", $"e", $"nrm")
+      val coarse = v.filter($"vec_id" < 4)
+        .select($"vec_id".cast("long").as("cid"), $"e".as("ce"))
+      val seeds = IvfIndex.assign(
+        v.filter($"vec_id" >= 4 && $"vec_id" < 8).select($"vec_id", $"e"),
+        coarse, embCol = "e", idCol = "vec_id")
+      val fine = seeds.join(broadcast(coarse), seeds("cell") === coarse("cid"))
+        .select(($"vec_id" - 4).cast("long").as("cid"),
+          zip_with($"e", $"ce", (x, y) => x - y).as("ce"))
+      val pqBooks = v.filter($"vec_id" < 4)
+        .select($"vec_id", explode(sequence(lit(0L), lit(m - 1L))).as("sub"), $"e")
+        .select($"sub", $"vec_id".as("cid"),
+          expr(s"slice(e, sub * $w + 1, $w)").as("ce"))
+      val corpus = IvfIndex
+        .assignHierarchical(v, coarse, fine, embCol = "e", idCol = "vec_id")
+        .select($"vec_id", $"cell", $"e", $"nrm")
+        .join(PqIndex.encode(v, pqBooks, dims, m, "e", "vec_id"), Seq("vec_id"))
+      val queries = v.filter($"vec_id" < 30)
+        .select($"vec_id".as("query_id"), $"e".as("qe"), $"nrm".as("qn"))
+      val probes = IvfIndex.probeCellsHierarchical(
+        queries, coarse, fine, embCol = "qe", idCol = "query_id",
+        nprobeCoarse = 2, nprobeFine = 2)
+        .select($"query_id", $"cell")
+      val tables = PqIndex.adcTables(
+        queries.select($"query_id", $"qe".as("e")), pqBooks, dims, m, "e", "query_id")
+        .groupBy($"query_id", $"sub")
+        .agg(transform(array_sort(collect_list(struct($"cid", $"d"))),
+          x => x.getField("d")).as("t"))
+        .groupBy($"query_id")
+        .agg(transform(array_sort(collect_list(struct($"sub", $"t"))),
+          x => x.getField("t")).as("table"))
+      val wAdc = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"adc", $"neighbor_id")
+      val shortlist = corpus.join(probes, Seq("cell"))
+        .filter($"vec_id" =!= $"query_id")
+        .join(broadcast(tables), Seq("query_id"))
+        .select($"query_id", $"vec_id".as("neighbor_id"), $"e", $"nrm",
+          PqIndex.adcScore($"table", $"codes").as("adc"))
+        .withColumn("__r", row_number().over(wAdc))
+        .filter($"__r" <= 8)
+      val wCos = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+      shortlist
+        .join(queries, Seq("query_id"))
+        .select($"query_id", $"neighbor_id",
+          V.cosine($"qe", $"e", $"qn", $"nrm").as("cosine"))
+        .withColumn("rnk", row_number().over(wCos))
+        .filter($"rnk" <= 3)
+        .select($"query_id", $"rnk", $"neighbor_id", $"cosine")
+    },
+    Some("""
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+      ), n AS (
+        SELECT vec_id, e, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(e, x -> x*x)), (a,b) -> a+b)) AS nrm FROM v
+      ), coarse AS (
+        SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 4
+      ), d1 AS (
+        SELECT v.vec_id, c.cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> (v.e[i]-c.ce[i])*(v.e[i]-c.ce[i]))),
+            (a,b) -> a+b) AS d
+        FROM v CROSS JOIN coarse c
+      ), a1 AS (
+        SELECT vec_id, cid AS cell1 FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM d1) WHERE rn = 1
+      ), res AS (
+        SELECT v.vec_id, a1.cell1,
+          list_transform(generate_series(1,64), i -> v.e[i] - c.ce[i]) AS r
+        FROM v JOIN a1 USING (vec_id) JOIN coarse c ON c.cid = a1.cell1
+      ), fine AS (
+        SELECT vec_id - 4 AS cid, r AS ce FROM res WHERE vec_id >= 4 AND vec_id < 8
+      ), d2 AS (
+        SELECT res.vec_id, f.cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> (res.r[i]-f.ce[i])*(res.r[i]-f.ce[i]))),
+            (a,b) -> a+b) AS d
+        FROM res CROSS JOIN fine f
+      ), a2 AS (
+        SELECT vec_id, cid AS cell2 FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM d2) WHERE rn = 1
+      ), subs AS (
+        SELECT unnest(generate_series(0, 3)) AS sub
+      ), pqd AS (
+        SELECT v.vec_id, s.sub, b.vec_id AS cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,16),
+              i -> (v.e[s.sub*16+i] - b.e[s.sub*16+i]) * (v.e[s.sub*16+i] - b.e[s.sub*16+i]))),
+            (a,b) -> a+b) AS d
+        FROM v CROSS JOIN subs s CROSS JOIN v b
+        WHERE b.vec_id < 4
+      ), codes AS (
+        SELECT vec_id, sub, cid AS code FROM (
+          SELECT vec_id, sub, cid,
+            row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn
+          FROM pqd) WHERE rn = 1
+      ), corpus AS (
+        SELECT r.vec_id, r.cell1 * 4 + a2.cell2 AS cell, n.e, n.nrm
+        FROM res r JOIN a2 USING (vec_id) JOIN n USING (vec_id)
+      ), p1 AS (
+        SELECT vec_id AS query_id, cid AS cell1 FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM d1 WHERE vec_id < 30) WHERE rn <= 2
+      ), qres AS (
+        SELECT p1.query_id, p1.cell1,
+          list_transform(generate_series(1,64), i -> v.e[i] - c.ce[i]) AS r
+        FROM p1 JOIN v ON v.vec_id = p1.query_id JOIN coarse c ON c.cid = p1.cell1
+      ), qd2 AS (
+        SELECT qres.query_id, qres.cell1, f.cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> (qres.r[i]-f.ce[i])*(qres.r[i]-f.ce[i]))),
+            (a,b) -> a+b) AS d
+        FROM qres CROSS JOIN fine f
+      ), p2 AS (
+        SELECT query_id, cell1 * 4 + cell2 AS cell FROM (
+          SELECT query_id, cell1, cid AS cell2,
+            row_number() OVER (PARTITION BY query_id, cell1 ORDER BY d, cid) AS rn
+          FROM qd2) WHERE rn <= 2
+      ), cand AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id, c.e, c.nrm
+        FROM p2 p JOIN corpus c ON c.cell = p.cell AND c.vec_id <> p.query_id
+      ), adc AS (
+        SELECT ca.query_id, ca.neighbor_id,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE), list(pqd.d ORDER BY cd.sub)),
+            (a,b) -> a+b) AS adc
+        FROM cand ca
+        JOIN codes cd ON cd.vec_id = ca.neighbor_id
+        JOIN pqd ON pqd.vec_id = ca.query_id AND pqd.sub = cd.sub AND pqd.cid = cd.code
+        GROUP BY 1, 2
+      ), shortlist AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn
+          FROM adc) WHERE rn <= 8
+      ), exact AS (
+        SELECT s.query_id, s.neighbor_id,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> q.e[i]*c.e[i])), (a,b) -> a+b)
+            / (q.nrm * c.nrm) AS cosine
+        FROM shortlist s
+        JOIN n q ON q.vec_id = s.query_id
+        JOIN n c ON c.vec_id = s.neighbor_id
+      ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM exact
+      )
+      SELECT query_id, rnk, neighbor_id, cosine FROM ranked WHERE rnk <= 3"""))
+
   val all: Seq[QueryDef] =
-    Seq(q22, q23, q24, q40, q45, q47, q50, q51, q52, q62, q63, q64, q65, q67, q68, q69, q70)
+    Seq(q22, q23, q24, q40, q45, q47, q50, q51, q52, q62, q63, q64, q65, q67, q68, q69, q70, q71)
 }
