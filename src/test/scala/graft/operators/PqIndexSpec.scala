@@ -73,6 +73,55 @@ class PqIndexSpec extends AnyFunSuite with SparkSupport {
     }
   }
 
+  test("ADC shortlist quality: trained books beat seed books at recalling the exact top-3") {
+    import spark.implicits._
+    val v = corpus()
+    def shortlistRecall(books: DataFrame): Double = {
+      val codes = PqIndex.encode(v, books, Dims, M, "e", "vec_id")
+      val queries = v.filter($"vec_id" >= 20 && $"vec_id" < 40)
+        .select($"vec_id".as("query_id"), $"e".as("qe"))
+      val tables = PqIndex.adcTables(
+        queries.select($"query_id", $"qe".as("e")), books, Dims, M, "e", "query_id")
+        .groupBy($"query_id", $"sub")
+        .agg(transform(array_sort(collect_list(struct($"cid", $"d"))),
+          x => x.getField("d")).as("t"))
+        .groupBy($"query_id")
+        .agg(transform(array_sort(collect_list(struct($"sub", $"t"))),
+          x => x.getField("t")).as("table"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"adc", $"vec_id")
+      val shortlist = codes.withColumn("__k", lit(0))
+        .join(broadcast(tables.withColumn("__k", lit(0))), "__k")
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id", PqIndex.adcScore($"table", $"codes").as("adc"))
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= 8)
+        .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val vArr = v.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      def d2(a: Seq[Double], b: Seq[Double]): Double =
+        a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+      (20L until 40L).map { q =>
+        val qe = vArr.find(_._1 == q).get._2
+        val top3 = vArr.filter(_._1 != q).map { case (id, e) => (id, d2(qe, e)) }
+          .sortBy { case (id, d) => (d, id) }.take(3).map(_._1).toSet
+        top3.count(shortlist(q).contains) / 3.0
+      }.sum / 20
+    }
+    // seed books (4 raw subvectors per subspace) on a UNIFORM fixture are
+    // a floor, not a target — near-neighbors are barely closer than
+    // random here; the operative claim is that TRAINED books recover
+    // real shortlist quality from the same corpus, mirroring the
+    // reconstruction-error assertion below
+    val seed = shortlistRecall(seedBooks(v))
+    val trained = shortlistRecall(
+      PqIndex.trainBooks(v, Dims, M, k = 8, "e", "vec_id", iters = 2).localCheckpoint(true))
+    info(f"ADC@8 shortlist recall of exact top-3: seed $seed%.2f, trained(k=8) $trained%.2f")
+    assert(trained >= seed,
+      f"training must not LOWER shortlist recall (seed $seed%.2f > trained $trained%.2f)")
+    assert(trained >= 0.4,
+      f"trained ADC shortlist recall $trained%.2f implausibly low — code/table arithmetic broken?")
+    spark.catalog.clearCache()
+  }
+
   test("trainBooks: m dense-cid books whose encode beats seed books on quantization error") {
     import spark.implicits._
     val v = corpus()
