@@ -1188,6 +1188,46 @@ object Extended {
       )
       SELECT query_id, rnk, neighbor_id, cosine FROM ranked WHERE rnk <= 3"""))
 
+  /** Scalar (int8-range) quantization, oracle-gated: per-dimension
+    * min/max over the corpus, step = range/256 (an exact double op),
+    * every vector coded 0…255 per dimension
+    * ([[graft.operators.ScalarQuant]]). The 4×-smaller at-rest format a
+    * vector store keeps below the PQ index — training-free and
+    * distance-kernel-preserving. Encode is a pure map against two
+    * dims-length literal arrays (no join, no shuffle); the gate hashes
+    * every code of every vector, so a one-ulp divergence in any
+    * dimension's step arithmetic breaks it.
+    */
+  val q72 = QueryDef(
+    "q72_scalar_quant",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.{VectorFunctions => V}
+      import graft.operators.ScalarQuant
+      val v = Tables.load(s, dir, "embeddings")
+        .select($"vec_id", V.asDouble($"embedding").as("e"))
+      ScalarQuant.encode(v, embCol = "e", idCol = "vec_id")
+    },
+    Some("""
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+      ), px AS (
+        SELECT i.i AS pos, v.e[i.i] AS x
+        FROM v CROSS JOIN (SELECT unnest(generate_series(1,64)) AS i) i
+      ), st AS (
+        SELECT pos, min(x) AS lo, (max(x) - min(x)) / 256.0 AS step
+        FROM px GROUP BY pos
+      ), arrs AS (
+        SELECT list(lo ORDER BY pos) AS lo, list(step ORDER BY pos) AS step FROM st
+      )
+      SELECT v.vec_id,
+        list_transform(generate_series(1,64), i ->
+          CASE WHEN a.step[i] = 0 THEN 0
+               ELSE LEAST(255, CAST(floor((v.e[i] - a.lo[i]) / a.step[i]) AS BIGINT))
+          END) AS codes
+      FROM v CROSS JOIN arrs a"""))
+
   val all: Seq[QueryDef] =
-    Seq(q22, q23, q24, q40, q45, q47, q50, q51, q52, q62, q63, q64, q65, q67, q68, q69, q70, q71)
+    Seq(q22, q23, q24, q40, q45, q47, q50, q51, q52, q62, q63, q64, q65, q67, q68, q69,
+      q70, q71, q72)
 }
