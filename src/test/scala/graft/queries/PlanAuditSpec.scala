@@ -131,4 +131,41 @@ class PlanAuditSpec extends AnyFunSuite with SparkSupport
     val plan = physicalPlan("q02_copy_align")
     assert(plan.contains("*(1)"), s"narrow copy plan must be codegen'd:\n$plan")
   }
+
+  test("PQ encode joins the subspace books as a broadcast build side on the real (sub) key") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val v = spark.range(100).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        d => pmod(xxhash64($"id", d), lit(100)).cast("double")).as("e"))
+    val books = v.filter($"vec_id" < 4)
+      .select($"vec_id", explode(sequence(lit(0L), lit(3L))).as("sub"), $"e")
+      .select($"sub", $"vec_id".as("cid"), expr("slice(e, sub * 4 + 1, 4)").as("ce"))
+    val out = graft.operators.PqIndex.encode(v, books, 16, 4, "e", "vec_id")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"subspace books must broadcast-hash-join on (sub):\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"PQ encode must never plan a nested loop:\n$plan")
+  }
+
+  test("SQ8 encode is a pure map: no join and no shuffle in the encode stage") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val spark2 = spark
+    import spark2.implicits._
+    val v = spark.range(100).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        d => pmod(xxhash64($"id", d), lit(100)).cast("double")).as("e"))
+    val (lo, step) = graft.operators.ScalarQuant.ranges(v, "e")
+    val enc = v.select($"vec_id",
+      graft.operators.ScalarQuant.encodeExpr($"e", lo, step).as("codes"))
+    val sp = enc.queryExecution.executedPlan
+    val shuffles = sp.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.isEmpty, s"SQ8 encode must not shuffle:\n$sp")
+    assert(!sp.toString.contains("Join"),
+      s"SQ8 encode must not join (ranges are literal arrays):\n$sp")
+  }
 }
