@@ -1227,7 +1227,167 @@ object Extended {
           END) AS codes
       FROM v CROSS JOIN arrs a"""))
 
+  /** Canonical IVF-PQ (residual encoding), oracle-gated: unlike q71
+    * (which PQ-codes RAW vectors), the corpus codes its RESIDUAL
+    * `v − centroid(cell)` — the FAISS-style design where the PQ book
+    * models what the coarse quantizer leaves behind — and each query
+    * builds a SEPARATE ADC table per probed cell from its residual
+    * against that cell's centroid. Candidates meet the probed cells on
+    * `cell`, ADC pre-ranks the top-8 from codes alone, exact cosine
+    * re-ranks to top-3. The per-(query, cell) table key is the flat
+    * `query_id × C + cell` (C=4 here — dense cells, same injectivity
+    * contract as the hierarchical cell id). All folds ordered; DuckDB
+    * hashes the full two-stage result.
+    */
+  val q73 = QueryDef(
+    "q73_ivfpq_residual",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.{VectorFunctions => V}
+      import graft.operators.{IvfIndex, PqIndex}
+      val m = 4; val dims = 64; val w = dims / m
+      val v = Tables.load(s, dir, "embeddings")
+        .withColumn("e", V.asDouble($"embedding"))
+        .withColumn("nrm", V.norm($"e"))
+        .select($"vec_id", $"e", $"nrm")
+      val coarse = v.filter($"vec_id" < 4)
+        .select($"vec_id".cast("long").as("cid"), $"e".as("ce"))
+      val res = IvfIndex.assign(v, coarse, embCol = "e", idCol = "vec_id")
+        .join(broadcast(coarse), $"cell" === $"cid")
+        .select($"vec_id", $"cell", $"e", $"nrm",
+          zip_with($"e", $"ce", (x, y) => x - y).as("r"))
+      // PQ books over residual space: seed subvectors from vectors [4, 8)
+      val pqBooks = res.filter($"vec_id" >= 4 && $"vec_id" < 8)
+        .select($"vec_id", explode(sequence(lit(0L), lit(m - 1L))).as("sub"), $"r")
+        .select($"sub", ($"vec_id" - 4).as("cid"),
+          expr(s"slice(r, sub * $w + 1, $w)").as("ce"))
+      val corpus = res
+        .join(PqIndex.encode(res.select($"vec_id", $"r"), pqBooks, dims, m, "r", "vec_id"),
+          Seq("vec_id"))
+        .select($"vec_id", $"cell", $"e", $"nrm", $"codes")
+      val q2 = v.filter($"vec_id" < 30)
+        .select($"vec_id".as("query_id"), $"e".as("qe"), $"nrm".as("qn"))
+      val probes = IvfIndex.probeCells(q2, coarse, embCol = "qe", idCol = "query_id",
+        nprobe = 2)
+        .join(broadcast(coarse), $"cell" === $"cid")
+        .select($"query_id", $"cell",
+          zip_with($"qe", $"ce", (x, y) => x - y).as("qr"))
+      val tables = PqIndex.adcTables(
+        probes.select(($"query_id" * 4 + $"cell").as("qk"), $"qr".as("e")),
+        pqBooks, dims, m, embCol = "e", idCol = "qk")
+        .groupBy($"qk", $"sub")
+        .agg(transform(array_sort(collect_list(struct($"cid", $"d"))),
+          x => x.getField("d")).as("t"))
+        .groupBy($"qk")
+        .agg(transform(array_sort(collect_list(struct($"sub", $"t"))),
+          x => x.getField("t")).as("table"))
+      val wAdc = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"adc", $"neighbor_id")
+      val shortlist = corpus.join(probes.select($"query_id", $"cell"), Seq("cell"))
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("qk", $"query_id" * 4 + $"cell")
+        .join(broadcast(tables), Seq("qk"))
+        .select($"query_id", $"vec_id".as("neighbor_id"), $"e", $"nrm",
+          PqIndex.adcScore($"table", $"codes").as("adc"))
+        .withColumn("__r", row_number().over(wAdc))
+        .filter($"__r" <= 8)
+      val wCos = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+      shortlist
+        .join(q2, Seq("query_id"))
+        .select($"query_id", $"neighbor_id",
+          V.cosine($"qe", $"e", $"qn", $"nrm").as("cosine"))
+        .withColumn("rnk", row_number().over(wCos))
+        .filter($"rnk" <= 3)
+        .select($"query_id", $"rnk", $"neighbor_id", $"cosine")
+    },
+    Some("""
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+      ), n AS (
+        SELECT vec_id, e, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(e, x -> x*x)), (a,b) -> a+b)) AS nrm FROM v
+      ), coarse AS (
+        SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 4
+      ), d1 AS (
+        SELECT v.vec_id, c.cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> (v.e[i]-c.ce[i])*(v.e[i]-c.ce[i]))),
+            (a,b) -> a+b) AS d
+        FROM v CROSS JOIN coarse c
+      ), a1 AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM d1) WHERE rn = 1
+      ), res AS (
+        SELECT v.vec_id, a1.cell,
+          list_transform(generate_series(1,64), i -> v.e[i] - c.ce[i]) AS r
+        FROM v JOIN a1 USING (vec_id) JOIN coarse c ON c.cid = a1.cell
+      ), subs AS (
+        SELECT unnest(generate_series(0, 3)) AS sub
+      ), pqbooks AS (
+        SELECT s.sub, res.vec_id - 4 AS cid, res.r
+        FROM res CROSS JOIN subs s
+        WHERE res.vec_id >= 4 AND res.vec_id < 8
+      ), pqd AS (
+        SELECT res.vec_id, b.sub, b.cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,16),
+              i -> (res.r[b.sub*16+i] - b.r[b.sub*16+i]) * (res.r[b.sub*16+i] - b.r[b.sub*16+i]))),
+            (a,b) -> a+b) AS d
+        FROM res CROSS JOIN pqbooks b
+      ), codes AS (
+        SELECT vec_id, sub, cid AS code FROM (
+          SELECT vec_id, sub, cid,
+            row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn
+          FROM pqd) WHERE rn = 1
+      ), p1 AS (
+        SELECT vec_id AS query_id, cid AS cell FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM d1 WHERE vec_id < 30) WHERE rn <= 2
+      ), qres AS (
+        SELECT p1.query_id, p1.cell,
+          list_transform(generate_series(1,64), i -> v.e[i] - c.ce[i]) AS qr
+        FROM p1 JOIN v ON v.vec_id = p1.query_id JOIN coarse c ON c.cid = p1.cell
+      ), qtab AS (
+        SELECT q.query_id, q.cell, b.sub, b.cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,16),
+              i -> (q.qr[b.sub*16+i] - b.r[b.sub*16+i]) * (q.qr[b.sub*16+i] - b.r[b.sub*16+i]))),
+            (a,b) -> a+b) AS d
+        FROM qres q CROSS JOIN pqbooks b
+      ), cand AS (
+        SELECT p.query_id, p.cell, r.vec_id AS neighbor_id
+        FROM p1 p JOIN res r ON r.cell = p.cell AND r.vec_id <> p.query_id
+      ), adc AS (
+        SELECT ca.query_id, ca.neighbor_id,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE), list(qt.d ORDER BY cd.sub)),
+            (a,b) -> a+b) AS adc
+        FROM cand ca
+        JOIN codes cd ON cd.vec_id = ca.neighbor_id
+        JOIN qtab qt ON qt.query_id = ca.query_id AND qt.cell = ca.cell
+                    AND qt.sub = cd.sub AND qt.cid = cd.code
+        GROUP BY 1, 2
+      ), shortlist AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn
+          FROM adc) WHERE rn <= 8
+      ), exact AS (
+        SELECT s.query_id, s.neighbor_id,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> q.e[i]*c.e[i])), (a,b) -> a+b)
+            / (q.nrm * c.nrm) AS cosine
+        FROM shortlist s
+        JOIN n q ON q.vec_id = s.query_id
+        JOIN n c ON c.vec_id = s.neighbor_id
+      ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM exact
+      )
+      SELECT query_id, rnk, neighbor_id, cosine FROM ranked WHERE rnk <= 3"""))
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q40, q45, q47, q50, q51, q52, q62, q63, q64, q65, q67, q68, q69,
-      q70, q71, q72)
+      q70, q71, q72, q73)
 }
