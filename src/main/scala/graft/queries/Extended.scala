@@ -762,6 +762,14 @@ object Extended {
     * training run at all. Assignment reuses the q40/q65 broadcast-argmin
     * kernel (strict left folds, ties to the lowest cid). The oracle
     * unrolls the two iterations as CTEs.
+    *
+    * The gate projects the book to exploded `(cid, pos, val)` rows — one
+    * row per centroid coordinate — because the driver's comparator sorts
+    * result rows by every column and cannot sort array cells (VERDICT
+    * r8: q68/q72 were `err` in CORRECTNESS_r08 for exactly this; q14's
+    * `getItem` projection set the scalar-output convention, and
+    * PlanAuditSpec now enforces it registry-wide). Same hash coverage:
+    * every coordinate of every centroid is still compared.
     */
   val q68 = QueryDef(
     "q68_kmeans_train",
@@ -773,6 +781,7 @@ object Extended {
         .select($"vec_id", V.asDouble($"embedding").as("e"))
       val init = KMeansCodebook.initLowestIds(v, embCol = "e", idCol = "vec_id", k = 4)
       KMeansCodebook.train(v, init, embCol = "e", idCol = "vec_id", iters = 2)
+        .select($"cid", posexplode($"ce").as(Seq("pos", "val")))
     },
     Some("""
       WITH v AS (
@@ -819,7 +828,7 @@ object Extended {
         SELECT cell, pos, (CAST(SUM(q) AS DOUBLE) / 1073741824.0) / COUNT(*) AS val
         FROM px2 GROUP BY 1, 2
       )
-      SELECT cell AS cid, list(val ORDER BY pos) AS ce FROM c2 GROUP BY cell"""))
+      SELECT cell AS cid, pos - 1 AS pos, val FROM c2"""))
 
   /** The TRAINED hierarchical index, end to end (composition of q68 +
     * q65): coarse book = one Lloyd iteration of k-means over the corpus,
@@ -1196,7 +1205,11 @@ object Extended {
     * distance-kernel-preserving. Encode is a pure map against two
     * dims-length literal arrays (no join, no shuffle); the gate hashes
     * every code of every vector, so a one-ulp divergence in any
-    * dimension's step arithmetic breaks it.
+    * dimension's step arithmetic breaks it. Output is exploded
+    * `(vec_id, pos, code)` rows — the driver's comparator sorts rows by
+    * every column and cannot sort an `array<long>` cell (VERDICT r8);
+    * the scalar-output convention is enforced registry-wide by
+    * PlanAuditSpec.
     */
   val q72 = QueryDef(
     "q72_scalar_quant",
@@ -1207,6 +1220,7 @@ object Extended {
       val v = Tables.load(s, dir, "embeddings")
         .select($"vec_id", V.asDouble($"embedding").as("e"))
       ScalarQuant.encode(v, embCol = "e", idCol = "vec_id")
+        .select($"vec_id", posexplode($"codes").as(Seq("pos", "code")))
     },
     Some("""
       WITH v AS (
@@ -1220,12 +1234,12 @@ object Extended {
       ), arrs AS (
         SELECT list(lo ORDER BY pos) AS lo, list(step ORDER BY pos) AS step FROM st
       )
-      SELECT v.vec_id,
-        list_transform(generate_series(1,64), i ->
-          CASE WHEN a.step[i] = 0 THEN 0
-               ELSE LEAST(255, CAST(floor((v.e[i] - a.lo[i]) / a.step[i]) AS BIGINT))
-          END) AS codes
-      FROM v CROSS JOIN arrs a"""))
+      SELECT v.vec_id, i.i - 1 AS pos,
+        CASE WHEN a.step[i.i] = 0 THEN 0
+             ELSE LEAST(255, CAST(floor((v.e[i.i] - a.lo[i.i]) / a.step[i.i]) AS BIGINT))
+        END AS code
+      FROM v CROSS JOIN arrs a
+      CROSS JOIN (SELECT unnest(generate_series(1,64)) AS i) i"""))
 
   /** Canonical IVF-PQ (residual encoding), oracle-gated: unlike q71
     * (which PQ-codes RAW vectors), the corpus codes its RESIDUAL

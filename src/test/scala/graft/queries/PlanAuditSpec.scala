@@ -82,6 +82,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkSupport
       }
   }
 
+  test("no gate exposes an array/map/struct-typed output column (driver comparator contract)") {
+    // The driver's DuckDB compare sorts result rows by EVERY column via
+    // pandas, which cannot sort ndarray cells — an array-typed gate output
+    // is a gate the driver constitutionally cannot grade (VERDICT r8:
+    // q68/q72 shipped `err`, not `fail`, and the engine looked broken for
+    // a round). Project arrays to scalars (q14's getItem) or explode to
+    // rows (q68's (cid, pos, val)) before returning from a gate. Schema
+    // only — no collect — so the sweep stays cheap; e2e gates (q20/q21)
+    // are included, their slice run is memoized per session.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    Registry.all.foreach { q =>
+      val bad = q.run(spark, sf).schema.fields.filter(_.dataType match {
+        case _: ArrayType | _: MapType | _: StructType => true
+        case _ => false
+      })
+      assert(bad.isEmpty,
+        s"${q.name} output has non-scalar columns the driver cannot sort: " +
+          bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
+    }
+  }
+
   test("q30: the sliding window is partition-parallel; q46 finalize plans no window at all") {
     import org.apache.spark.sql.execution.window.WindowExec
     // q30 must keep the window shape, but every WindowExec needs a
