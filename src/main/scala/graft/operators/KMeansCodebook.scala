@@ -39,6 +39,16 @@ object KMeansCodebook {
   /** Fixed-point scale for exact distributed means: 2^30. */
   val Scale: Double = 1073741824.0
 
+  /** Default hard cap on the candidates COLLECTED per k-means|| round,
+    * as a multiple of the expected draw (oversample · k): the
+    * bounded-collect contract, enforced rather than assumed (VERDICT
+    * r8 nit 3 — a pathological `dmin` distribution can overshoot the
+    * E[|sample|] = oversample·k expectation, and the driver must refuse
+    * loudly instead of OOMing). Floor of 64 so tiny (oversample, k)
+    * configurations keep sampling headroom.
+    */
+  val DefaultSampleCapFactor: Int = 16
+
   /** Deterministic seed book: the k lowest-id vectors, re-keyed to the
     * dense cids 0…k−1 the hierarchical paths require.
     */
@@ -116,11 +126,20 @@ object KMeansCodebook {
     * candidates always carry HIGHER cids, so keep-old-on-ties is the
     * same ordering) — the sampled candidate set, and therefore the
     * init, is bit-identical. Persisted state is released before return
-    * (one frame live at a time).
+    * (one frame live at a time). `maxSampledPerRound` (> 0) overrides
+    * the per-round bounded-collect cap — default
+    * [[DefaultSampleCapFactor]] · oversample · k, floor 64.
     */
   def initKMeansParallel(vectors: DataFrame, embCol: String, idCol: String, k: Int,
-                         rounds: Int = 3, oversample: Double = 2.0): DataFrame = {
+                         rounds: Int = 3, oversample: Double = 2.0,
+                         maxSampledPerRound: Int = 0): DataFrame = {
     require(k > 0 && rounds > 0, "k and rounds must be positive")
+    // bounded-collect contract, enforced: the per-round candidate draw is
+    // expected to be oversample·k rows; `cap` (default 16× that, floor
+    // 64, overridable for tests/tuning) turns an overshoot into a loud
+    // refusal instead of a driver OOM
+    val cap = if (maxSampledPerRound > 0) maxSampledPerRound
+      else math.max(64, math.ceil(DefaultSampleCapFactor * oversample * k).toInt)
     val spark = vectors.sparkSession
     val v = vectors.select(col(idCol).cast("long").as("id"),
       col(embCol).cast(ArrayType(DoubleType)).as("e"))
@@ -158,19 +177,29 @@ object KMeansCodebook {
           min_by(col("cid"), struct(col("__d"), col("cid"))).as("__nn"))
       base.join(win, Seq("id"))
     }
+    val weights = try {
     for (r <- 1 to rounds) {
-      val newBook = bookOf(fresh)
-      val nd = foldRound(if (state == null) v else state, newBook)
-      val next = (if (state == null)
-          nd.select(col("id"), col("e"), col("__nd").as("dmin"), col("__nn").as("near"))
-        else
-          nd.select(col("id"), col("e"),
-            least(col("dmin"), col("__nd")).as("dmin"),
-            when(col("__nd") < col("dmin"), col("__nn")).otherwise(col("near")).as("near")))
-        .persist()
-      next.count()
-      if (state != null) state.unpersist()
-      state = next
+      // a round that sampled NOTHING (φ == 0 or an empty draw) must not
+      // fold: bookOf(Nil) is an empty book, foldRound's inner join would
+      // return zero rows, and the persisted (dmin, near) state would be
+      // silently WIPED — collapsing every candidate weight to 0 and
+      // degenerating the weighted farthest-point reduction to "first k
+      // candidates" (ADVICE r8). Skip the fold, keep the state; the
+      // sampling below still runs (its draw is salted with the round).
+      if (fresh.nonEmpty) {
+        val newBook = bookOf(fresh)
+        val nd = foldRound(if (state == null) v else state, newBook)
+        val next = (if (state == null)
+            nd.select(col("id"), col("e"), col("__nd").as("dmin"), col("__nn").as("near"))
+          else
+            nd.select(col("id"), col("e"),
+              least(col("dmin"), col("__nd")).as("dmin"),
+              when(col("__nd") < col("dmin"), col("__nn")).otherwise(col("near")).as("near")))
+          .persist()
+        next.count()
+        if (state != null) state.unpersist()
+        state = next
+      }
       // φ in fixed point (exact, order-independent) — a double sum here
       // would make the sampling threshold, and so the INIT, depend on
       // partial-merge order
@@ -180,8 +209,16 @@ object KMeansCodebook {
       if (phi > 0) {
         val threshold = lit(oversample * k) * col("dmin") / lit(phi)
         val draw = pmod(xxhash64(col("id"), lit(r)), lit(1000000L)).cast("double") / 1e6
+        // bounded collect, ENFORCED: limit(cap + 1) bounds what ever
+        // reaches the driver (under the cap, limit returns the full
+        // deterministic sample set), and the require turns an overshoot
+        // into a loud refusal instead of an OOM
         val sampled = state.filter(col("dmin") > 0 && draw < threshold)
-          .select(col("id"), col("e")).collect() // bounded: E[|sample|] = oversample·k
+          .select(col("id"), col("e")).limit(cap + 1).collect()
+        require(sampled.length <= cap,
+          s"k-means|| round $r drew more than $cap candidates " +
+            s"(expected ~${oversample * k} = oversample·k) — pathological dmin " +
+            "distribution; raise maxSampledPerRound only if the driver can hold it")
         val have = candidates.map(_._1).toSet
         val added = sampled.toSeq.sortBy(_.getLong(0))
           .collect { case row if !have.contains(row.getLong(0)) =>
@@ -205,9 +242,14 @@ object KMeansCodebook {
 
     // weight candidates by how many corpus points they win — a groupBy
     // over the tracked argmin, no extra assignment pass
-    val weights = state.groupBy(col("near")).agg(count(lit(1)).as("w"))
+    state.groupBy(col("near")).agg(count(lit(1)).as("w"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    state.unpersist()
+    } finally {
+      // release the persisted state on EVERY exit — including the
+      // bounded-collect require refusing mid-loop; an abandoned persist
+      // would pin executor memory for the rest of the session
+      if (state != null) state.unpersist()
+    }
     val cand = candidates.zipWithIndex.map { case ((_, ce), i) =>
       (ce.toArray, weights.getOrElse(i.toLong, 0L))
     }

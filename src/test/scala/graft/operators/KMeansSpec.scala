@@ -95,4 +95,36 @@ class KMeansSpec extends AnyFunSuite with SparkSupport {
     assert(refined.count() == 3)
     spark.catalog.clearCache()
   }
+
+  test("initKMeansParallel: a dry round (phi == 0) preserves candidate state") {
+    import spark.implicits._
+    // 3 distinct values; oversample is high enough that round 1 samples
+    // EVERY id into the candidate set, so round 2 folds them, phi drops
+    // to exactly 0 and round 3 is dry. Before the ADVICE r8 guard the
+    // dry round folded an EMPTY book, the inner join wiped the persisted
+    // (dmin, near) state, every weight collapsed to 0 and the reduction
+    // degenerated to the first k candidates — (0,0) and (10,0). With
+    // state intact the weighted farthest-point sweep starts at the heavy
+    // (10.5, 0) leader (weight 50) and then picks the origin.
+    val rows = Seq((0L, Seq(0.0, 0.0))) ++
+      (1L to 10L).map(i => (i, Seq(10.0, 0.0))) ++
+      (11L to 60L).map(i => (i, Seq(10.5, 0.0)))
+    val vecs = rows.toDF("vec_id", "e")
+    val book = KMeansCodebook.initKMeansParallel(vecs, "e", "vec_id", k = 2,
+      rounds = 3, oversample = 50.0)
+      .collect().map(_.getSeq[Double](1)).toSet
+    assert(book == Set(Seq(0.0, 0.0), Seq(10.5, 0.0)),
+      s"expected the heavy-blob leader + origin, got $book")
+  }
+
+  test("initKMeansParallel: an over-cap draw refuses loudly instead of flooding the driver") {
+    // oversample=100 makes the round-1 thresholds >= 1 for the two far
+    // blobs (~80 points), far over the cap of 5 — the bounded-collect
+    // contract must throw, not OOM the driver
+    val e = intercept[IllegalArgumentException] {
+      KMeansCodebook.initKMeansParallel(corpus(), "e", "vec_id", k = 3,
+        rounds = 2, oversample = 100.0, maxSampledPerRound = 5)
+    }
+    assert(e.getMessage.contains("candidates"), e.getMessage)
+  }
 }
