@@ -72,12 +72,18 @@ object PqIndex {
   /** Per-subspace codebooks trained on the corpus itself: subspace `s`'s
     * book = [[KMeansCodebook.train]] over the s-th slices, seeded with
     * the k lowest-id subvectors. Output `(sub, cid, ce)`, each book's
-    * cids dense 0…k−1.
+    * cids GUARANTEED dense 0…count−1: [[KMeansCodebook.lloydStep]] DROPS
+    * cells that lose every vector (duplicate seeds make this real), and
+    * [[adcScore]] indexes the per-sub table POSITIONALLY via
+    * `element_at(t, code + 1)` — a sparse cid would yield null (or
+    * wrong-entry) ADC scores that sort NULLS FIRST into the shortlist
+    * (ADVICE r8). The final re-key is order-preserving per subspace and
+    * costs one window over the m·k book rows.
     */
   def trainBooks(vectors: DataFrame, dims: Int, m: Int, k: Int,
                  embCol: String, idCol: String, iters: Int = 1): DataFrame = {
     val w = dims / m
-    (0 until m).map { s =>
+    val raw = (0 until m).map { s =>
       val sl = vectors.select(col(idCol),
         slice(col(embCol), s * w + 1, w).as("sube"))
       KMeansCodebook.train(sl,
@@ -85,6 +91,10 @@ object PqIndex {
         "sube", idCol, iters)
         .select(lit(s.toLong).as("sub"), col("cid"), col("ce"))
     }.reduce(_.union(_))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sub")).orderBy(col("cid"))
+    raw.select(col("sub"),
+      (row_number().over(win) - 1).cast("long").as("cid"), col("ce"))
   }
 
   /** Per-query ADC lookup tables: one row per (query, sub, cid) with the

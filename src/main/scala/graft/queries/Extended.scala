@@ -983,7 +983,12 @@ object Extended {
         .select($"query_id", $"vec_id".as("neighbor_id"),
           PqIndex.adcScore($"table", $"codes").as("adc"))
       val rw = org.apache.spark.sql.expressions.Window
-        .partitionBy($"query_id").orderBy($"adc", $"neighbor_id")
+        // asc_nulls_last: a null ADC score (possible only if a book
+        // violates the dense-cid contract — element_at past the table
+        // end) must never SORT INTO the shortlist ahead of real scores
+        // (ADVICE r8); trainBooks re-keys densely, this is defense in
+        // depth for caller-supplied books
+        .partitionBy($"query_id").orderBy($"adc".asc_nulls_last, $"neighbor_id")
       scored.withColumn("rnk", row_number().over(rw))
         .filter($"rnk" <= 3)
         .select($"query_id", $"rnk", $"neighbor_id", $"adc")
@@ -1078,7 +1083,12 @@ object Extended {
         .agg(transform(array_sort(collect_list(struct($"sub", $"t"))),
           x => x.getField("t")).as("table"))
       val wAdc = org.apache.spark.sql.expressions.Window
-        .partitionBy($"query_id").orderBy($"adc", $"neighbor_id")
+        // asc_nulls_last: a null ADC score (possible only if a book
+        // violates the dense-cid contract — element_at past the table
+        // end) must never SORT INTO the shortlist ahead of real scores
+        // (ADVICE r8); trainBooks re-keys densely, this is defense in
+        // depth for caller-supplied books
+        .partitionBy($"query_id").orderBy($"adc".asc_nulls_last, $"neighbor_id")
       val shortlist = corpus.join(probes, Seq("cell"))
         .filter($"vec_id" =!= $"query_id")
         .join(broadcast(tables), Seq("query_id"))
@@ -1296,7 +1306,12 @@ object Extended {
         .agg(transform(array_sort(collect_list(struct($"sub", $"t"))),
           x => x.getField("t")).as("table"))
       val wAdc = org.apache.spark.sql.expressions.Window
-        .partitionBy($"query_id").orderBy($"adc", $"neighbor_id")
+        // asc_nulls_last: a null ADC score (possible only if a book
+        // violates the dense-cid contract — element_at past the table
+        // end) must never SORT INTO the shortlist ahead of real scores
+        // (ADVICE r8); trainBooks re-keys densely, this is defense in
+        // depth for caller-supplied books
+        .partitionBy($"query_id").orderBy($"adc".asc_nulls_last, $"neighbor_id")
       val shortlist = corpus.join(probes.select($"query_id", $"cell"), Seq("cell"))
         .filter($"vec_id" =!= $"query_id")
         .withColumn("qk", $"query_id" * 4 + $"cell")

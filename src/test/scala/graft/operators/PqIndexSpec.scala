@@ -151,4 +151,27 @@ class PqIndexSpec extends AnyFunSuite with SparkSupport {
       "Lloyd-trained subspace books must not reconstruct worse than raw seeds")
     spark.catalog.clearCache()
   }
+
+  test("trainBooks re-keys dropped cells to dense cids per subspace") {
+    import spark.implicits._
+    // vec 1 duplicates vec 0, so every subspace seeds two IDENTICAL
+    // centroids (cid 0 and 1); all assignment ties break to the lowest
+    // cid, cell 1 loses every vector and DROPS in the Lloyd step
+    // (ADVICE r8). adcScore indexes books positionally, so the output
+    // must still be dense 0…count−1 per subspace.
+    val v = spark.range(40).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(Dims - 1)), d =>
+        pmod(xxhash64(when($"id" === 1, lit(0L)).otherwise($"id"), d), lit(1000))
+          .cast("double") / 1000.0).as("e"))
+    val books = PqIndex.trainBooks(v, Dims, M, k = 4, "e", "vec_id", iters = 1)
+    val shape = books.groupBy($"sub")
+      .agg(count(lit(1)).as("n"), min($"cid").as("lo"), max($"cid").as("hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(shape.length == M)
+    shape.foreach { case (sub, n, lo, hi) =>
+      assert(n < 4, s"sub $sub: fixture must actually drop a cell (got $n of 4)")
+      assert(lo == 0 && hi == n - 1, s"sub $sub cids not dense: n=$n lo=$lo hi=$hi")
+    }
+    spark.catalog.clearCache()
+  }
 }
