@@ -100,7 +100,17 @@ object IvfIndex {
 
   private def planFingerprint(plan: LogicalPlan): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val digest = md.digest(plan.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // digest a LOSSLESS serialization: toString omits LocalRelation rows
+    // and truncates wide field lists at spark.sql.debug.maxToStringFields,
+    // which left only the 32-bit semanticHash to separate such codebook
+    // plans — and the cached meta carries fineC, which is CORRECTNESS-
+    // critical for the flat hierarchical cell id (ADVICE r8). toJSON
+    // serializes every field incl. LocalRelation data; the rare node that
+    // refuses JSON falls back to the verbose tree string.
+    val repr =
+      try plan.toJSON
+      catch { case _: Throwable => plan.treeString(verbose = true) }
+    val digest = md.digest(repr.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     f"${plan.semanticHash()}%08x:${digest.map(b => f"$b%02x").mkString}"
   }
 

@@ -21,19 +21,45 @@ class DirRegistry {
   /** Recursively delete every registered scratch dir. Callers must have
     * consumed (collected/written) any DataFrame that still reads from
     * one — after the sweep those plans fail on re-execution.
+    *
+    * Returns the number of entries that could NOT be deleted (e.g. a
+    * still-open RocksDB handle on a checkpoint dir) — silently ignored
+    * failures left partial trees accreting in /tmp (VERDICT r8 nit 4).
+    * A root whose tree did not fully delete is RE-REGISTERED, so a later
+    * sweep (or the shutdown hook) retries after the handle closes.
     */
-  def sweep(): Unit = {
+  def sweep(): Long = {
+    var failed = 0L
+    // failed roots re-register AFTER the drain — adding mid-poll would
+    // feed the loop its own failures forever
+    val retry = scala.collection.mutable.ArrayBuffer[Path]()
     var p = dirs.poll()
     while (p != null) {
-      delete(p.toFile)
+      val n = delete(p.toFile)
+      if (n > 0) retry += p
+      failed += n
       p = dirs.poll()
     }
+    retry.foreach(dirs.add)
+    if (failed > 0)
+      System.err.println(s"[graft] sweep: $failed entries not deleted (handles still open?); roots kept for retry")
+    failed
   }
 
-  private def delete(f: java.io.File): Unit = {
+  /** Single filesystem delete — overridable so tests can simulate an
+    * undeletable entry deterministically (on Linux even an OPEN file
+    * unlinks, and a root process bypasses permission checks, so a real
+    * EPERM cannot be provoked reliably in this sandbox).
+    */
+  protected def remove(f: java.io.File): Boolean = f.delete()
+
+  private def delete(f: java.io.File): Long = {
     val children = f.listFiles()
-    if (children != null) children.foreach(delete)
-    f.delete()
+    var failed = 0L
+    if (children != null) children.foreach(c => failed += delete(c))
+    // a failed child delete makes the parent rmdir fail too — count each
+    // surviving entry; the exists() re-check skips races already gone
+    if (!remove(f) && f.exists()) failed + 1 else failed
   }
 }
 
@@ -48,5 +74,5 @@ class DirRegistry {
   * (VERDICT r7 item 5).
   */
 object TempDirs extends DirRegistry {
-  Runtime.getRuntime.addShutdownHook(new Thread(() => sweep()))
+  Runtime.getRuntime.addShutdownHook(new Thread(() => { sweep(); () }))
 }

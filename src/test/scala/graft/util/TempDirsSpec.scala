@@ -33,4 +33,27 @@ class TempDirsSpec extends AnyFunSuite {
     reg.sweep()
     assert(!Files.exists(Paths.get(d2)))
   }
+
+  test("sweep counts undeletable entries and retries the root on a later sweep (VERDICT r8 nit 4)") {
+    // a held entry is simulated via the remove() seam: on Linux even an
+    // open file unlinks and root bypasses permissions, so a real EPERM
+    // can't be provoked deterministically here
+    var hold = true
+    val reg = new DirRegistry {
+      override protected def remove(f: java.io.File): Boolean =
+        if (hold && f.getName.endsWith(".held")) false else f.delete()
+    }
+    val d = reg.scratch("tempdirs-held")
+    Files.writeString(Paths.get(d, "a.txt"), "x")
+    Files.writeString(Paths.get(d, "b.held"), "x")
+    // the held file survives, so its parent dir can't rmdir either: 2
+    assert(reg.sweep() == 2L)
+    assert(Files.exists(Paths.get(d, "b.held")), "partial tree should remain")
+    assert(!Files.exists(Paths.get(d, "a.txt")), "deletable siblings still go")
+    // the failed root stayed registered — once the hold clears, the next
+    // sweep finishes the job
+    hold = false
+    assert(reg.sweep() == 0L)
+    assert(!Files.exists(Paths.get(d)), "retry sweep must remove the rest")
+  }
 }
