@@ -69,7 +69,9 @@ object ScalarQuant {
   }
 
   /** Reconstruct the vector midpoint from codes: `lo + (code + 0.5) ·
-    * step` — per-dimension error ≤ step/2 by construction.
+    * step` — per-dimension error ≤ step/2 by construction. Oracle-gated
+    * end to end by q75 (SQ8 at rest → decoded-cosine shortlist → exact
+    * re-rank).
     */
   def decodeExpr(codes: Column, lo: Seq[Double], step: Seq[Double]): Column = {
     val loA = typedlit(lo)

@@ -953,6 +953,9 @@ object Extended {
     * probing, q67 — the gate scores the full corpus only because it is
     * gate-sized). The ADC sum is an ORDERED fold over subspaces in both
     * engines, so scores are bit-identical and the oracle hashes them.
+    * This gate deliberately uses SEED books to pin the encode/ADC
+    * kernels in isolation; q74 runs the same pipeline with TRAINED
+    * books ([[graft.operators.PqIndex.trainBooks]]) — the trained path.
     */
   val q70 = QueryDef(
     "q70_pq_adc_topk",
@@ -1416,7 +1419,215 @@ object Extended {
       )
       SELECT query_id, rnk, neighbor_id, cosine FROM ranked WHERE rnk <= 3"""))
 
+  /** TRAINED-book PQ, end to end (VERDICT r8 missing #2 — the q69 move
+    * applied to PQ): books come from [[graft.operators.PqIndex.trainBooks]]
+    * (per-subspace k-means — 4 lowest-id subvector seeds + one
+    * fixed-point Lloyd iteration over the corpus, q68's exact-mean
+    * arithmetic), the corpus is encoded against them, and every corpus
+    * vector is ADC-scored per query to a top-3 — retiring q70's
+    * seed-book caveat the way q69 retired q65's. Books are
+    * localCheckpoint'ed before indexing (a book plan that is itself a
+    * training pipeline must not re-execute per guard/broadcast). The
+    * oracle unrolls the per-subspace training as CTEs; because the means
+    * are fixed point and every fold is ordered, DuckDB reproduces codes
+    * and ADC scores digit-for-digit.
+    */
+  val q74 = QueryDef(
+    "q74_pq_trained_adc",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.{VectorFunctions => V}
+      import graft.operators.PqIndex
+      val m = 4; val dims = 64
+      val v = Tables.load(s, dir, "embeddings")
+        .select($"vec_id", V.asDouble($"embedding").as("e"))
+      val books = PqIndex.trainBooks(v, dims, m, k = 4, "e", "vec_id", iters = 1)
+        .localCheckpoint(true)
+      val codes = PqIndex.encode(v, books, dims, m, embCol = "e", idCol = "vec_id")
+      val tables = PqIndex.adcTables(
+        v.filter($"vec_id" < 30).select($"vec_id".as("query_id"), $"e"),
+        books, dims, m, embCol = "e", idCol = "query_id")
+        .groupBy($"query_id", $"sub")
+        .agg(transform(array_sort(collect_list(struct($"cid", $"d"))),
+          x => x.getField("d")).as("t"))
+        .groupBy($"query_id")
+        .agg(transform(array_sort(collect_list(struct($"sub", $"t"))),
+          x => x.getField("t")).as("table"))
+      val scored = codes.withColumn("__k", pmod(xxhash64($"vec_id"), lit(1L)))
+        .join(broadcast(tables.withColumn("__k", pmod(xxhash64($"query_id"), lit(1L)))), "__k")
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("neighbor_id"),
+          PqIndex.adcScore($"table", $"codes").as("adc"))
+      val rw = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"adc".asc_nulls_last, $"neighbor_id")
+      scored.withColumn("rnk", row_number().over(rw))
+        .filter($"rnk" <= 3)
+        .select($"query_id", $"rnk", $"neighbor_id", $"adc")
+    },
+    Some("""
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+      ), subs AS (
+        SELECT unnest(generate_series(0, 3)) AS sub
+      ), sv AS (
+        SELECT v.vec_id, s.sub,
+          list_transform(generate_series(1,16), i -> v.e[s.sub*16+i]) AS se
+        FROM v CROSS JOIN subs s
+      ), seeds AS (
+        SELECT sub, rn - 1 AS cid, se AS ce FROM (
+          SELECT sub, se, row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
+          FROM sv) WHERE rn <= 4
+      ), d0 AS (
+        SELECT sv.vec_id, sv.sub, s.cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,16), i -> (sv.se[i]-s.ce[i])*(sv.se[i]-s.ce[i]))),
+            (a,b) -> a+b) AS d
+        FROM sv JOIN seeds s USING (sub)
+      ), a0 AS (
+        SELECT vec_id, sub, cid AS cell FROM (
+          SELECT vec_id, sub, cid,
+            row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn
+          FROM d0) WHERE rn = 1
+      ), px AS (
+        SELECT a0.sub, a0.cell, i.i AS pos,
+          CAST(floor(sv.se[i.i] * 1073741824.0) AS HUGEINT) AS q
+        FROM a0 JOIN sv USING (vec_id, sub)
+        CROSS JOIN (SELECT unnest(generate_series(1,16)) AS i) i
+      ), c1 AS (
+        SELECT sub, cell, pos, (CAST(SUM(q) AS DOUBLE) / 1073741824.0) / COUNT(*) AS val
+        FROM px GROUP BY 1, 2, 3
+      ), books AS (
+        SELECT sub, cell AS cid, list(val ORDER BY pos) AS ce FROM c1 GROUP BY sub, cell
+      ), d1 AS (
+        SELECT sv.vec_id, sv.sub, b.cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,16), i -> (sv.se[i]-b.ce[i])*(sv.se[i]-b.ce[i]))),
+            (a,b) -> a+b) AS d
+        FROM sv JOIN books b USING (sub)
+      ), codes AS (
+        SELECT vec_id, sub, cid AS code FROM (
+          SELECT vec_id, sub, cid,
+            row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn
+          FROM d1) WHERE rn = 1
+      ), qd AS (
+        SELECT c.vec_id AS neighbor_id, q.vec_id AS query_id, c.sub, d1.d
+        FROM codes c
+        CROSS JOIN (SELECT vec_id FROM v WHERE vec_id < 30) q
+        JOIN d1 ON d1.vec_id = q.vec_id AND d1.sub = c.sub AND d1.cid = c.code
+        WHERE c.vec_id <> q.vec_id
+      ), adc AS (
+        SELECT query_id, neighbor_id,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d ORDER BY sub)),
+            (a,b) -> a+b) AS adc
+        FROM qd GROUP BY 1, 2
+      ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rnk
+        FROM adc
+      )
+      SELECT query_id, rnk, neighbor_id, adc FROM ranked WHERE rnk <= 3"""))
+
+  /** SQ8-at-rest search, end to end (VERDICT r8 stretch #7): the corpus
+    * is stored as int8 codes ([[graft.operators.ScalarQuant.encodeExpr]]
+    * — 4× smaller at rest), the scan DECODES midpoints back
+    * ([[graft.operators.ScalarQuant.decodeExpr]], spec-only until this
+    * gate), the decoded vectors drive an approximate-cosine shortlist of
+    * 8, and only those 8 get the exact-cosine re-rank to top-3 over raw
+    * vectors — the storage-hierarchy read path (SQ8 at rest below the
+    * PQ index, q70/q74) where raw floats are fetched for the final
+    * handful only. Encode/decode are exact IEEE affine maps against two
+    * dims-length literal arrays (q72's arithmetic), both cosines ordered
+    * folds, so DuckDB reproduces the two-stage cut bit-for-bit. At
+    * 100 TB the brute shortlist stage would sit behind IVF probing
+    * (q67); the gate scores the full corpus only because it is
+    * gate-sized.
+    */
+  val q75 = QueryDef(
+    "q75_sq8_decoded_search",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.{VectorFunctions => V}
+      import graft.operators.ScalarQuant
+      val v = Tables.load(s, dir, "embeddings")
+        .select($"vec_id", V.asDouble($"embedding").as("e"))
+      val (lo, step) = ScalarQuant.ranges(v, "e")
+      // at-rest form: codes only; the scan decodes midpoints back
+      val dec = v.select($"vec_id", $"e",
+        ScalarQuant.decodeExpr(
+          ScalarQuant.encodeExpr($"e", lo, step), lo, step).as("de"))
+        .withColumn("nrm", V.norm($"e"))
+        .withColumn("dn", V.norm($"de"))
+      val queries = v.filter($"vec_id" < 30)
+        .select($"vec_id".as("query_id"), $"e".as("qe"))
+        .withColumn("qn", V.norm($"qe"))
+      val scored = dec.withColumn("__k", pmod(xxhash64($"vec_id"), lit(1L)))
+        .join(broadcast(queries.withColumn("__k", pmod(xxhash64($"query_id"), lit(1L)))), "__k")
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("neighbor_id"), $"e", $"nrm", $"qe", $"qn",
+          V.cosine($"qe", $"de", $"qn", $"dn").as("acos"))
+      val w8 = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"acos".desc, $"neighbor_id")
+      val w3 = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+      scored.withColumn("__r", row_number().over(w8)).filter($"__r" <= 8)
+        .select($"query_id", $"neighbor_id",
+          V.cosine($"qe", $"e", $"qn", $"nrm").as("cosine"))
+        .withColumn("rnk", row_number().over(w3))
+        .filter($"rnk" <= 3)
+        .select($"query_id", $"rnk", $"neighbor_id", $"cosine")
+    },
+    Some("""
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+      ), px AS (
+        SELECT i.i AS pos, v.e[i.i] AS x
+        FROM v CROSS JOIN (SELECT unnest(generate_series(1,64)) AS i) i
+      ), st AS (
+        SELECT pos, min(x) AS lo, (max(x) - min(x)) / 256.0 AS step
+        FROM px GROUP BY pos
+      ), arrs AS (
+        SELECT list(lo ORDER BY pos) AS lo, list(step ORDER BY pos) AS step FROM st
+      ), dec AS (
+        SELECT v.vec_id, v.e,
+          list_transform(generate_series(1,64), i ->
+            a.lo[i] + (CAST(
+              CASE WHEN a.step[i] = 0 THEN 0
+                   ELSE LEAST(255, CAST(floor((v.e[i] - a.lo[i]) / a.step[i]) AS BIGINT))
+              END AS DOUBLE) + 0.5) * a.step[i]) AS de
+        FROM v CROSS JOIN arrs a
+      ), n AS (
+        SELECT vec_id, e, de,
+          sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(e, x -> x*x)), (a,b) -> a+b)) AS nrm,
+          sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(de, x -> x*x)), (a,b) -> a+b)) AS dn
+        FROM dec
+      ), scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> q.e[i]*c.de[i])), (a,b) -> a+b)
+            / (q.nrm * c.dn) AS acos
+        FROM n q JOIN n c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 30
+      ), shortlist AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id ORDER BY acos DESC, neighbor_id) AS rn
+          FROM scored) WHERE rn <= 8
+      ), exact AS (
+        SELECT s.query_id, s.neighbor_id,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> q.e[i]*c.e[i])), (a,b) -> a+b)
+            / (q.nrm * c.nrm) AS cosine
+        FROM shortlist s
+        JOIN n q ON q.vec_id = s.query_id
+        JOIN n c ON c.vec_id = s.neighbor_id
+      ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM exact
+      )
+      SELECT query_id, rnk, neighbor_id, cosine FROM ranked WHERE rnk <= 3"""))
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q40, q45, q47, q50, q51, q52, q62, q63, q64, q65, q67, q68, q69,
-      q70, q71, q72, q73)
+      q70, q71, q72, q73, q74, q75)
 }
