@@ -100,7 +100,7 @@ object Bench {
           "\"" + k + "\":[" + r.map(fmt).mkString(",") + "]"
         }.mkString(""""query_runs":{""", ",", "},")
       s"""{"metric":"queries","queries":$qs,""" + runsField +
-        s""""reps":$reps,"sf":"$sfDir"}"""
+        s""""reps":$reps,$machineContext,"sf":"$sfDir"}"""
     }
     // Per-query seconds go on their OWN line — at 66 queries the combined
     // line outgrew the driver's 2000-char tail capture and the official
@@ -128,6 +128,21 @@ object Bench {
     * carries "streaming" in its name (q48/q49/q54/q55/q66 today). */
   def isStreaming(name: String): Boolean = name.contains("streaming")
 
+  /** Machine-context marker embedded in every bench JSON line: the 1-min
+    * system load average at measurement time plus the JVM's CPU count.
+    * r8 committed a sidecar measured under heavy contention (per-rep
+    * swings of 10× on untouched queries) with nothing in the record to
+    * show it — a future reader must be able to tell a regression from a
+    * busy machine WITHOUT re-running (VERDICT r8 item 3). -1 when the
+    * platform exposes no load average.
+    */
+  def machineContext: String = {
+    val load =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
+    s""""load_avg":${math.rint(load * 100) / 100},"cpus":${Runtime.getRuntime.availableProcessors}"""
+  }
+
   /** The driver-parseable record: the last stdout line. Totals only — its
     * length is independent of how many queries the registry holds, so it
     * can never again outgrow the driver's 2000-char tail capture the way
@@ -140,6 +155,6 @@ object Bench {
       s""""n_queries":$nQueries,"total_count_action":${f(totalOld)},""" +
       s""""total_full_plan":${f(total)},"total_run1":${f(totalFirst)},""" +
       s""""total_streaming_lifecycle":${f(totalStreaming)},""" +
-      s""""total_batch":${f(totalBatch)},"sf":"$sfDir"}"""
+      s""""total_batch":${f(totalBatch)},$machineContext,"sf":"$sfDir"}"""
   }
 }

@@ -28,7 +28,10 @@ class BenchLineSpec extends AnyFunSuite {
     for (field <- Seq("\"metric\":\"total\"", "\"value\":", "\"unit\":\"sec\"",
         "\"total_full_plan\":", "\"total_batch\":",
         "\"total_streaming_lifecycle\":", "\"total_run1\":",
-        "\"total_count_action\":", "\"n_queries\":68", "\"sf\":"))
+        "\"total_count_action\":", "\"n_queries\":68", "\"sf\":",
+        // machine-context marker (VERDICT r8 item 3): a contended
+        // measurement must be self-evident from the record alone
+        "\"load_avg\":", "\"cpus\":"))
       assert(line.contains(field), s"missing $field in $line")
     // Minimal structural parse: balanced braces, no stray newline, values
     // rendered at ms precision (no 15-digit double tails).

@@ -10,5 +10,21 @@ CPUS=${2:-16}
 sbt -batch compile 1>&2
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
-SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$CPUS" \
-  java $OPENS -Xmx16g -Dspark.ui.enabled=false -cp "$CP" graft.Bench
+OUT="${SPARK_GRAFT_BENCH_OUT:-bench_out.json}"
+run_once() {
+  SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$CPUS" SPARK_GRAFT_BENCH_OUT="$OUT" \
+    java $OPENS -Xmx16g -Dspark.ui.enabled=false -cp "$CP" graft.Bench
+}
+run_once
+# Sidecar sanity guard (VERDICT r8 item 3): if the shared-query total is
+# >1.5x off the previous round's committed sidecar in either direction,
+# re-run once and keep the cleaner (smaller) reading — local[32]
+# contention only ever inflates; the kept file records that the guard
+# fired. Every line also carries load_avg/cpus from graft.Bench itself.
+if ! python3 tools/bench_guard.py check "$OUT"; then
+  echo "[bench-guard] re-running once to separate contention from regression" 1>&2
+  mv "$OUT" "$OUT.first"
+  run_once
+  python3 tools/bench_guard.py pick "$OUT" "$OUT" "$OUT.first"
+  rm -f "$OUT.first"
+fi
