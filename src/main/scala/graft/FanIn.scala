@@ -360,6 +360,31 @@ object FanIn {
         f"$raw B raw → $m B codes (${raw / m}× compression)")
     }
 
+    // ---- SQ8 at 100× (r9): the at-rest rung below PQ (q72/q75) —
+    // stats is one dims-bounded partial agg, encode and decode are pure
+    // map scans (no join, no shuffle — PlanAuditSpec-pinned), so cost is
+    // one corpus pass each regardless of cluster size. ----
+    {
+      import graft.operators.ScalarQuant
+      val v = spark.read.parquet(s"$outDir/embeddings.parquet")
+        .withColumn("e", V.asDouble($"embedding")).select($"vec_id", $"e")
+      val t0 = System.nanoTime()
+      val (lo, step) = ScalarQuant.ranges(v, "e")
+      val statsS = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val nEnc = v.select($"vec_id", ScalarQuant.encodeExpr($"e", lo, step).as("codes"))
+        .queryExecution.toRdd.count()
+      val encS = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val nDec = v.select($"vec_id",
+        ScalarQuant.decodeExpr(ScalarQuant.encodeExpr($"e", lo, step), lo, step).as("de"))
+        .queryExecution.toRdd.count()
+      val decS = (System.nanoTime() - t2) / 1e9
+      println(f"SQ8 (dim=$Dim, $nDec%,d vectors): stats $statsS%.1f s, " +
+        f"encode $encS%.1f s (${nEnc / math.max(encS, 1e-9) / 1000}%.0f k vec/s), " +
+        f"encode+decode scan $decS%.1f s; ${Dim * 4} B raw → $Dim B codes (4× at rest)")
+    }
+
     // ---- end-to-end runs on the 100x corpus (FANIN_E2E=0 skips) ----
     if (sys.env.get("FANIN_E2E").contains("0")) { spark.stop(); return }
     def time(name: String)(f: => Long): Unit = {

