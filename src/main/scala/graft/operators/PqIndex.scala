@@ -70,30 +70,75 @@ object PqIndex {
   }
 
   /** Per-subspace codebooks trained on the corpus itself: subspace `s`'s
-    * book = [[KMeansCodebook.train]] over the s-th slices, seeded with
-    * the k lowest-id subvectors. Output `(sub, cid, ce)`, each book's
-    * cids GUARANTEED dense 0…count−1: [[KMeansCodebook.lloydStep]] DROPS
-    * cells that lose every vector (duplicate seeds make this real), and
-    * [[adcScore]] indexes the per-sub table POSITIONALLY via
-    * `element_at(t, code + 1)` — a sparse cid would yield null (or
-    * wrong-entry) ADC scores that sort NULLS FIRST into the shortlist
-    * (ADVICE r8). The final re-key is order-preserving per subspace and
-    * costs one window over the m·k book rows.
+    * book = the k lowest-id subvector seeds refined by `iters` Lloyd
+    * iterations with [[KMeansCodebook]]'s exact fixed-point means.
+    * Output `(sub, cid, ce)`, each book's cids GUARANTEED dense
+    * 0…count−1: a Lloyd step DROPS cells that lose every vector
+    * (duplicate seeds make this real), and [[adcScore]] indexes the
+    * per-sub table POSITIONALLY via `element_at(t, code + 1)` — a
+    * sparse cid would yield null (or wrong-entry) ADC scores that sort
+    * NULLS FIRST into the shortlist (ADVICE r8). The final re-key is
+    * order-preserving per subspace and costs one window over the m·k
+    * book rows.
+    *
+    * All m subspaces train in ONE fused pipeline (r9 — the round-9
+    * sidecar showed the per-subspace form as the slowest batch gate):
+    * the corpus is exploded to (vector, sub) rows ONCE, every iteration
+    * is a single broadcast join against all m books on the real `(sub)`
+    * key + one argmin + one fixed-point mean keyed by (sub, cell, pos)
+    * — `iters` corpus passes TOTAL instead of `m · iters` sequential
+    * per-subspace pipelines. Arithmetic is identical per subspace
+    * (same seeds, same strict-fold distances, same lowest-cid
+    * tie-break, same exact DECIMAL(38,0) means), so the books are
+    * bit-identical to the per-subspace form — q74's oracle pins that.
+    * The subvector payload rides the argmin as a `first` aggregate
+    * (constant within its (id, sub) group): one shuffle carries both
+    * code and payload, instead of a narrow argmin plus a second
+    * corpus-wide join (the FANIN group-narrow rule applies to group
+    * KEYS; a map-side-combined payload is one row per group either
+    * way).
     */
   def trainBooks(vectors: DataFrame, dims: Int, m: Int, k: Int,
                  embCol: String, idCol: String, iters: Int = 1): DataFrame = {
     val w = dims / m
-    val raw = (0 until m).map { s =>
-      val sl = vectors.select(col(idCol),
-        slice(col(embCol), s * w + 1, w).as("sube"))
-      KMeansCodebook.train(sl,
-        KMeansCodebook.initLowestIds(sl, "sube", idCol, k),
-        "sube", idCol, iters)
-        .select(lit(s.toLong).as("sub"), col("cid"), col("ce"))
-    }.reduce(_.union(_))
+    require(IvfIndex.codebookBytes(m.toLong * k, w) <= IvfIndex.DefaultMaxCodebookBytes,
+      s"combined PQ books (m=$m, k=$k, dims/m=$w) exceed the broadcast bound")
+    val sv = vectors.select(col(idCol), posexplode(subvectors(col(embCol), dims, m)))
+      .select(col(idCol), col("col.sub").as("sub"), col("col.sube").as("sube"))
+    // seeds: the k lowest-id subvectors per subspace, dense cids — one
+    // window instead of m orderBy().limit(k) scans
+    val seedWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sub")).orderBy(col(idCol))
+    var books = sv.withColumn("__rn", row_number().over(seedWin))
+      .filter(col("__rn") <= k)
+      .select(col("sub"), (col("__rn") - 1).cast("long").as("cid"),
+        col("sube").as("ce"))
+    for (i <- 1 to iters) {
+      // bound lineage across iterations: iteration i's book plan embeds
+      // i−1's; checkpointing keeps each iteration exactly one corpus
+      // pass (the seed window itself executes once inside iteration 1's
+      // broadcast, so it needs no checkpoint)
+      val cp = if (i == 1) books else books.localCheckpoint(true)
+      books = sv.join(broadcast(cp), "sub")
+        .withColumn("__d", IvfIndex.sqDist(col("sube"), col("ce")))
+        .filter(col("__d").isNotNull)
+        .select(col(idCol), col("sub"), col("__d"), col("cid"), col("sube"))
+        .groupBy(col(idCol), col("sub"))
+        .agg(min_by(col("cid"), struct(col("__d"), col("cid"))).as("cell"),
+          first(col("sube")).as("sube"))
+        .select(col("sub"), col("cell"), posexplode(col("sube")).as(Seq("pos", "x")))
+        .select(col("sub"), col("cell"), col("pos"),
+          floor(col("x") * KMeansCodebook.Scale).cast("decimal(38,0)").as("q"))
+        .groupBy(col("sub"), col("cell"), col("pos"))
+        .agg(((sum(col("q")).cast("double") / KMeansCodebook.Scale) / count(lit(1))).as("v"))
+        .groupBy(col("sub"), col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          s => s.getField("v")).as("ce"))
+        .select(col("sub"), col("cell").as("cid"), col("ce"))
+    }
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("sub")).orderBy(col("cid"))
-    raw.select(col("sub"),
+    books.select(col("sub"),
       (row_number().over(win) - 1).cast("long").as("cid"), col("ce"))
   }
 
