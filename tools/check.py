@@ -52,9 +52,21 @@ def main(sf_dir, out_dir):
             continue
         try:
             got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            got_names, got_rows = canon(got.fetchall(), got.columns)
+            got_raw = got.fetchall()
+            got_names, got_rows = canon(got_raw, got.columns)
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
+            n_fail += 1
+            continue
+        # The DRIVER's comparator sorts rows via pandas and crashes on
+        # list/array cells (r8: q68/q72 shipped `err`). This replica used
+        # to stringify them — a local PASS the driver could never grade.
+        # Mirror the driver: non-scalar cells are a hard FAIL here too.
+        if got_raw and any(isinstance(v, (list, tuple, dict)) for v in got_raw[0]):
+            bad = [got.columns[i] for i, v in enumerate(got_raw[0])
+                   if isinstance(v, (list, tuple, dict))]
+            print(f"FAIL {name}: non-scalar output columns {bad} — the "
+                  "driver's comparator cannot sort these; explode or project to scalars")
             n_fail += 1
             continue
         if [n.lower() for n in exp_names] != [n.lower() for n in got_names]:
