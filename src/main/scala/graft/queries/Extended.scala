@@ -1627,7 +1627,219 @@ object Extended {
       )
       SELECT query_id, rnk, neighbor_id, cosine FROM ranked WHERE rnk <= 3"""))
 
+  /** The FULLY-TRAINED residual IVF-PQ build — the round-9 capstone
+    * composition: q73's canonical FAISS-style search with every trained
+    * component substituted in. Coarse quantizer = one Lloyd iteration of
+    * k-means over the corpus (q69's book, fixed-point means); PQ books =
+    * [[graft.operators.PqIndex.trainBooks]] over the RESIDUALS
+    * `v − centroid(cell)` (q74's move applied where the FAISS design
+    * wants it — the PQ book models what the coarse quantizer leaves
+    * behind); search = probe 2 trained cells, per-(query, cell) residual
+    * ADC tables, top-8 pre-rank from codes alone, exact-cosine re-rank
+    * to top-3. Seed-book gates (q70/q71/q73) pin the kernels in
+    * isolation; this gate pins the production BUILD: train coarse →
+    * residuals → train PQ on residuals → encode → probe → ADC → re-rank,
+    * all bit-reproduced by DuckDB because every mean is fixed-point and
+    * every fold ordered. Both books are localCheckpoint'ed; the residual
+    * frame is persisted (the q67 managed-persist convention — it feeds
+    * training, encode, and the candidate join).
+    */
+  val q76 = QueryDef(
+    "q76_ivfpq_trained_full",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.{VectorFunctions => V}
+      import graft.operators.{IvfIndex, KMeansCodebook, PqIndex}
+      val m = 4; val dims = 64
+      val v = Tables.load(s, dir, "embeddings")
+        .withColumn("e", V.asDouble($"embedding"))
+        .withColumn("nrm", V.norm($"e"))
+        .select($"vec_id", $"e", $"nrm")
+      val coarse = KMeansCodebook.train(v.select($"vec_id", $"e"),
+        KMeansCodebook.initLowestIds(v, "e", "vec_id", k = 4),
+        "e", "vec_id", iters = 1).localCheckpoint(true)
+      val res = IvfIndex.assign(v, coarse, embCol = "e", idCol = "vec_id")
+        .join(broadcast(coarse), $"cell" === $"cid")
+        .select($"vec_id", $"cell", $"e", $"nrm",
+          zip_with($"e", $"ce", (x, y) => x - y).as("r"))
+        .persist()
+      val pqBooks = PqIndex.trainBooks(res.select($"vec_id", $"r"),
+        dims, m, k = 4, "r", "vec_id", iters = 1).localCheckpoint(true)
+      val corpus = res
+        .join(PqIndex.encode(res.select($"vec_id", $"r"), pqBooks, dims, m, "r", "vec_id"),
+          Seq("vec_id"))
+        .select($"vec_id", $"cell", $"e", $"nrm", $"codes")
+      val q2 = v.filter($"vec_id" < 30)
+        .select($"vec_id".as("query_id"), $"e".as("qe"), $"nrm".as("qn"))
+      val probes = IvfIndex.probeCells(q2, coarse, embCol = "qe", idCol = "query_id",
+        nprobe = 2)
+        .join(broadcast(coarse), $"cell" === $"cid")
+        .select($"query_id", $"cell",
+          zip_with($"qe", $"ce", (x, y) => x - y).as("qr"))
+      val tables = PqIndex.adcTables(
+        probes.select(($"query_id" * 4 + $"cell").as("qk"), $"qr".as("e")),
+        pqBooks, dims, m, embCol = "e", idCol = "qk")
+        .groupBy($"qk", $"sub")
+        .agg(transform(array_sort(collect_list(struct($"cid", $"d"))),
+          x => x.getField("d")).as("t"))
+        .groupBy($"qk")
+        .agg(transform(array_sort(collect_list(struct($"sub", $"t"))),
+          x => x.getField("t")).as("table"))
+      val wAdc = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"adc".asc_nulls_last, $"neighbor_id")
+      val shortlist = corpus.join(probes.select($"query_id", $"cell"), Seq("cell"))
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("qk", $"query_id" * 4 + $"cell")
+        .join(broadcast(tables), Seq("qk"))
+        .select($"query_id", $"vec_id".as("neighbor_id"), $"e", $"nrm",
+          PqIndex.adcScore($"table", $"codes").as("adc"))
+        .withColumn("__r", row_number().over(wAdc))
+        .filter($"__r" <= 8)
+      val wCos = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+      shortlist
+        .join(q2, Seq("query_id"))
+        .select($"query_id", $"neighbor_id",
+          V.cosine($"qe", $"e", $"qn", $"nrm").as("cosine"))
+        .withColumn("rnk", row_number().over(wCos))
+        .filter($"rnk" <= 3)
+        .select($"query_id", $"rnk", $"neighbor_id", $"cosine")
+    },
+    Some("""
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+      ), n AS (
+        SELECT vec_id, e, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(e, x -> x*x)), (a,b) -> a+b)) AS nrm FROM v
+      ), seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
+        FROM v ORDER BY vec_id LIMIT 4
+      ), d1 AS (
+        SELECT v.vec_id, s.cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> (v.e[i]-s.ce[i])*(v.e[i]-s.ce[i]))),
+            (a,b) -> a+b) AS d
+        FROM v CROSS JOIN seeds s
+      ), a1 AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM d1) WHERE rn = 1
+      ), px1 AS (
+        SELECT a1.cell, i.i AS pos,
+          CAST(floor(v.e[i.i] * 1073741824.0) AS HUGEINT) AS q
+        FROM a1 JOIN v USING (vec_id)
+        CROSS JOIN (SELECT unnest(generate_series(1,64)) AS i) i
+      ), c1 AS (
+        SELECT cell, pos, (CAST(SUM(q) AS DOUBLE) / 1073741824.0) / COUNT(*) AS val
+        FROM px1 GROUP BY 1, 2
+      ), coarse AS (
+        SELECT cell AS cid, list(val ORDER BY pos) AS ce FROM c1 GROUP BY cell
+      ), dc AS (
+        SELECT v.vec_id, c.cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> (v.e[i]-c.ce[i])*(v.e[i]-c.ce[i]))),
+            (a,b) -> a+b) AS d
+        FROM v CROSS JOIN coarse c
+      ), ac AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM dc) WHERE rn = 1
+      ), res AS (
+        SELECT v.vec_id, ac.cell,
+          list_transform(generate_series(1,64), i -> v.e[i] - c.ce[i]) AS r
+        FROM v JOIN ac USING (vec_id) JOIN coarse c ON c.cid = ac.cell
+      ), subs AS (
+        SELECT unnest(generate_series(0, 3)) AS sub
+      ), sv AS (
+        SELECT res.vec_id, s.sub,
+          list_transform(generate_series(1,16), i -> res.r[s.sub*16+i]) AS se
+        FROM res CROSS JOIN subs s
+      ), pseeds AS (
+        SELECT sub, rn - 1 AS cid, se AS ce FROM (
+          SELECT sub, se, row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
+          FROM sv) WHERE rn <= 4
+      ), pd0 AS (
+        SELECT sv.vec_id, sv.sub, p.cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,16), i -> (sv.se[i]-p.ce[i])*(sv.se[i]-p.ce[i]))),
+            (a,b) -> a+b) AS d
+        FROM sv JOIN pseeds p USING (sub)
+      ), pa0 AS (
+        SELECT vec_id, sub, cid AS cell FROM (
+          SELECT vec_id, sub, cid,
+            row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn
+          FROM pd0) WHERE rn = 1
+      ), ppx AS (
+        SELECT pa0.sub, pa0.cell, i.i AS pos,
+          CAST(floor(sv.se[i.i] * 1073741824.0) AS HUGEINT) AS q
+        FROM pa0 JOIN sv USING (vec_id, sub)
+        CROSS JOIN (SELECT unnest(generate_series(1,16)) AS i) i
+      ), pc1 AS (
+        SELECT sub, cell, pos, (CAST(SUM(q) AS DOUBLE) / 1073741824.0) / COUNT(*) AS val
+        FROM ppx GROUP BY 1, 2, 3
+      ), pbooks AS (
+        SELECT sub, cell AS cid, list(val ORDER BY pos) AS ce FROM pc1 GROUP BY sub, cell
+      ), pd1 AS (
+        SELECT sv.vec_id, sv.sub, b.cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,16), i -> (sv.se[i]-b.ce[i])*(sv.se[i]-b.ce[i]))),
+            (a,b) -> a+b) AS d
+        FROM sv JOIN pbooks b USING (sub)
+      ), codes AS (
+        SELECT vec_id, sub, cid AS code FROM (
+          SELECT vec_id, sub, cid,
+            row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn
+          FROM pd1) WHERE rn = 1
+      ), p1 AS (
+        SELECT vec_id AS query_id, cid AS cell FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM dc WHERE vec_id < 30) WHERE rn <= 2
+      ), qres AS (
+        SELECT p1.query_id, p1.cell,
+          list_transform(generate_series(1,64), i -> v.e[i] - c.ce[i]) AS qr
+        FROM p1 JOIN v ON v.vec_id = p1.query_id JOIN coarse c ON c.cid = p1.cell
+      ), qsv AS (
+        SELECT q.query_id, q.cell, s.sub,
+          list_transform(generate_series(1,16), i -> q.qr[s.sub*16+i]) AS se
+        FROM qres q CROSS JOIN subs s
+      ), qtab AS (
+        SELECT q.query_id, q.cell, b.sub, b.cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,16), i -> (q.se[i]-b.ce[i])*(q.se[i]-b.ce[i]))),
+            (a,b) -> a+b) AS d
+        FROM qsv q JOIN pbooks b USING (sub)
+      ), cand AS (
+        SELECT p.query_id, p.cell, r.vec_id AS neighbor_id
+        FROM p1 p JOIN res r ON r.cell = p.cell AND r.vec_id <> p.query_id
+      ), adc AS (
+        SELECT ca.query_id, ca.neighbor_id,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE), list(qt.d ORDER BY cd.sub)),
+            (a,b) -> a+b) AS adc
+        FROM cand ca
+        JOIN codes cd ON cd.vec_id = ca.neighbor_id
+        JOIN qtab qt ON qt.query_id = ca.query_id AND qt.cell = ca.cell
+                    AND qt.sub = cd.sub AND qt.cid = cd.code
+        GROUP BY 1, 2
+      ), shortlist AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn
+          FROM adc) WHERE rn <= 8
+      ), exact AS (
+        SELECT s.query_id, s.neighbor_id,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> q.e[i]*c.e[i])), (a,b) -> a+b)
+            / (q.nrm * c.nrm) AS cosine
+        FROM shortlist s
+        JOIN n q ON q.vec_id = s.query_id
+        JOIN n c ON c.vec_id = s.neighbor_id
+      ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM exact
+      )
+      SELECT query_id, rnk, neighbor_id, cosine FROM ranked WHERE rnk <= 3"""))
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q40, q45, q47, q50, q51, q52, q62, q63, q64, q65, q67, q68, q69,
-      q70, q71, q72, q73, q74, q75)
+      q70, q71, q72, q73, q74, q75, q76)
 }
