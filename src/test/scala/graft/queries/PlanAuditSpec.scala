@@ -146,6 +146,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkSupport
       s"q52 must not pin a join strategy; found: ${hints.map(_.hints).mkString(", ")}")
   }
 
+  test("trained index gates (q74/q76) keep books on broadcast hash joins") {
+    // the generic sweep above forbids cartesians/nested loops; these are
+    // the POSITIVE pins — the trained-book pipelines must keep planning
+    // their book and ADC-table joins as BroadcastHashJoins (a silent
+    // fallback to shuffled sort-merge on the tiny book side would still
+    // pass the sweep but waste a shuffle per iteration at scale)
+    for (name <- Seq("q74_pq_trained_adc", "q76_ivfpq_trained_full")) {
+      val plan = physicalPlan(name)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name must broadcast its books/tables:\n$plan")
+    }
+  }
+
   test("whole-stage codegen covers the scan->project pipelines") {
     // the "*(n)" operator prefix is the whole-stage-codegen marker in
     // physical plan strings
