@@ -94,4 +94,30 @@ class RecallSpec extends AnyFunSuite with SparkSupport
     info(f"recall vs brute force: hierarchical 2x2-probe $r%.2f over ${shared.size} queries")
     assert(r > 0.4, f"hierarchical 2x2-probe recall $r%.2f below the documented floor (0.4)")
   }
+
+  test("residual IVF-PQ recall vs brute force: trained books do not lose to seed books") {
+    // q73 (seed books) and q76 (trained coarse + residual-trained PQ
+    // books) run the same probe-2 → ADC@8 → exact top-3 pipeline, so
+    // their recall gap isolates what TRAINING buys on this fixture. The
+    // approximation stack is probe loss + ADC shortlist loss; the exact
+    // re-rank cannot add loss. Floor = the measured sf0.001 recall minus
+    // fixture-drift slack (the q67 convention).
+    val truth = neighbors("q16_ann_topk", "query_id", "neighbor_id")
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val shared = truth.keySet.intersect(approx.keySet)
+      assert(shared.nonEmpty, "no shared query ids with the brute-force baseline")
+      shared.toSeq.map { q =>
+        approx.getOrElse(q, Set.empty).count(truth(q).contains).toDouble / truth(q).size
+      }.sum / shared.size
+    }
+    val seed = recall(neighbors("q73_ivfpq_residual", "query_id", "neighbor_id"))
+    val trained = recall(neighbors("q76_ivfpq_trained_full", "query_id", "neighbor_id"))
+    // measured at r9: seed 0.12, trained 0.22 — one Lloyd iteration on
+    // both books nearly doubles recall at identical probe/shortlist cost
+    info(f"recall vs brute force: seed-book IVF-PQ $seed%.2f, fully-trained $trained%.2f")
+    assert(trained >= seed - 0.05,
+      f"trained books lost recall vs seed books ($trained%.2f vs $seed%.2f) — training regression?")
+    assert(trained > 0.15,
+      f"trained IVF-PQ recall $trained%.2f below the documented floor (0.15)")
+  }
 }
