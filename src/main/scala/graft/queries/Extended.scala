@@ -638,7 +638,9 @@ object Extended {
     * top-3. Cost shape at 100 TB: probing is query-side only, the corpus
     * keeps its single-cell assignment, and the candidate join is an
     * equi-join on `cell` — never all-pairs. RecallSpec grades this plan
-    * against the q16 brute-force ground truth.
+    * against the q16 brute-force ground truth. This gate deliberately
+    * uses SEED books to pin the search kernels in isolation; q77 runs
+    * the same search through q69's TRAINED books — the trained path.
     */
   val q67 = QueryDef(
     "q67_ann_ivf_hier_search",
@@ -1839,7 +1841,173 @@ object Extended {
       )
       SELECT query_id, rnk, neighbor_id, cosine FROM ranked WHERE rnk <= 3"""))
 
+  /** End-to-end ANN search through the TRAINED two-level index — q67's
+    * search with q69's books substituted in (the q74/q76 move applied to
+    * the residual-IVF path, closing the last seed-book search gate):
+    * coarse = one Lloyd iteration over the corpus, fine = one Lloyd
+    * iteration over the residuals against the trained coarse book, the
+    * corpus two-level-assigned, each query probing 2×2 trained cells,
+    * candidates meeting the corpus on the flat cell id, exact-cosine
+    * re-rank to top-3. Both books localCheckpoint'ed (training pipelines
+    * must not re-execute per guard/broadcast); the assigned corpus is
+    * persisted (q67's managed-persist convention). Fixed-point means +
+    * ordered folds → DuckDB reproduces build AND search bit-for-bit.
+    */
+  val q77 = QueryDef(
+    "q77_ann_trained_hier_search",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.{VectorFunctions => V}
+      import graft.operators.{IvfIndex, KMeansCodebook}
+      val v = Tables.load(s, dir, "embeddings")
+        .withColumn("e", V.asDouble($"embedding"))
+        .withColumn("nrm", V.norm($"e"))
+        .select($"vec_id", $"e", $"nrm")
+      val coarse = KMeansCodebook.train(v.select($"vec_id", $"e"),
+        KMeansCodebook.initLowestIds(v, "e", "vec_id", k = 4),
+        "e", "vec_id", iters = 1).localCheckpoint(true)
+      val resid = IvfIndex.assign(v.select($"vec_id", $"e"), coarse,
+          embCol = "e", idCol = "vec_id")
+        .join(broadcast(coarse), $"cell" === $"cid")
+        .select($"vec_id", zip_with($"e", $"ce", (x, y) => x - y).as("r"))
+      val fine = KMeansCodebook.train(resid,
+        KMeansCodebook.initLowestIds(resid, "r", "vec_id", k = 4),
+        "r", "vec_id", iters = 1).localCheckpoint(true)
+      val assigned = IvfIndex
+        .assignHierarchical(v, coarse, fine, embCol = "e", idCol = "vec_id")
+        .select($"vec_id", $"cell", $"e", $"nrm")
+        .persist()
+      val probes = IvfIndex.probeCellsHierarchical(
+        v.filter($"vec_id" < 30)
+          .select($"vec_id".as("query_id"), $"e".as("qe"), $"nrm".as("qn")),
+        coarse, fine, embCol = "qe", idCol = "query_id",
+        nprobeCoarse = 2, nprobeFine = 2)
+        .select($"query_id", $"cell", $"qe", $"qn")
+      val scored = assigned.join(probes, Seq("cell"))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("neighbor_id"),
+          V.cosine($"qe", $"e", $"qn", $"nrm").as("cosine"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+      scored.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 3)
+        .select($"query_id", $"rnk", $"neighbor_id", $"cosine")
+    },
+    Some("""
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+      ), n AS (
+        SELECT vec_id, e, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(e, x -> x*x)), (a,b) -> a+b)) AS nrm FROM v
+      ), seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
+        FROM v ORDER BY vec_id LIMIT 4
+      ), d1 AS (
+        SELECT v.vec_id, s.cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> (v.e[i]-s.ce[i])*(v.e[i]-s.ce[i]))),
+            (a,b) -> a+b) AS d
+        FROM v CROSS JOIN seeds s
+      ), a1 AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM d1) WHERE rn = 1
+      ), px1 AS (
+        SELECT a1.cell, i.i AS pos,
+          CAST(floor(v.e[i.i] * 1073741824.0) AS HUGEINT) AS q
+        FROM a1 JOIN v USING (vec_id)
+        CROSS JOIN (SELECT unnest(generate_series(1,64)) AS i) i
+      ), c1 AS (
+        SELECT cell, pos, (CAST(SUM(q) AS DOUBLE) / 1073741824.0) / COUNT(*) AS val
+        FROM px1 GROUP BY 1, 2
+      ), coarse AS (
+        SELECT cell AS cid, list(val ORDER BY pos) AS ce FROM c1 GROUP BY cell
+      ), dc AS (
+        SELECT v.vec_id, c.cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> (v.e[i]-c.ce[i])*(v.e[i]-c.ce[i]))),
+            (a,b) -> a+b) AS d
+        FROM v CROSS JOIN coarse c
+      ), ac AS (
+        SELECT vec_id, cid AS cell1 FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM dc) WHERE rn = 1
+      ), res AS (
+        SELECT v.vec_id, ac.cell1,
+          list_transform(generate_series(1,64), i -> v.e[i] - c.ce[i]) AS r
+        FROM v JOIN ac USING (vec_id) JOIN coarse c ON c.cid = ac.cell1
+      ), fseeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, r AS ce
+        FROM res ORDER BY vec_id LIMIT 4
+      ), fd1 AS (
+        SELECT res.vec_id, f.cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> (res.r[i]-f.ce[i])*(res.r[i]-f.ce[i]))),
+            (a,b) -> a+b) AS d
+        FROM res CROSS JOIN fseeds f
+      ), fa1 AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM fd1) WHERE rn = 1
+      ), fpx AS (
+        SELECT fa1.cell, i.i AS pos,
+          CAST(floor(res.r[i.i] * 1073741824.0) AS HUGEINT) AS q
+        FROM fa1 JOIN res USING (vec_id)
+        CROSS JOIN (SELECT unnest(generate_series(1,64)) AS i) i
+      ), fc1 AS (
+        SELECT cell, pos, (CAST(SUM(q) AS DOUBLE) / 1073741824.0) / COUNT(*) AS val
+        FROM fpx GROUP BY 1, 2
+      ), fine AS (
+        SELECT cell AS cid, list(val ORDER BY pos) AS ce FROM fc1 GROUP BY cell
+      ), fd2 AS (
+        SELECT res.vec_id, res.cell1, f.cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> (res.r[i]-f.ce[i])*(res.r[i]-f.ce[i]))),
+            (a,b) -> a+b) AS d
+        FROM res CROSS JOIN fine f
+      ), fa2 AS (
+        SELECT vec_id, cell1, cid AS cell2 FROM (
+          SELECT vec_id, cell1, cid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM fd2) WHERE rn = 1
+      ), corpus AS (
+        SELECT fa2.vec_id, fa2.cell1 * 4 + fa2.cell2 AS cell, n.e, n.nrm
+        FROM fa2 JOIN n USING (vec_id)
+      ), p1 AS (
+        SELECT vec_id AS query_id, cid AS cell1 FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM dc WHERE vec_id < 30) WHERE rn <= 2
+      ), qres AS (
+        SELECT p1.query_id, p1.cell1,
+          list_transform(generate_series(1,64), i -> v.e[i] - c.ce[i]) AS r
+        FROM p1 JOIN v ON v.vec_id = p1.query_id JOIN coarse c ON c.cid = p1.cell1
+      ), qd2 AS (
+        SELECT qres.query_id, qres.cell1, f.cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> (qres.r[i]-f.ce[i])*(qres.r[i]-f.ce[i]))),
+            (a,b) -> a+b) AS d
+        FROM qres CROSS JOIN fine f
+      ), p2 AS (
+        SELECT query_id, cell1 * 4 + cell2 AS cell FROM (
+          SELECT query_id, cell1, cid AS cell2,
+            row_number() OVER (PARTITION BY query_id, cell1 ORDER BY d, cid) AS rn
+          FROM qd2) WHERE rn <= 2
+      ), qv AS (
+        SELECT p.query_id, p.cell, n.e, n.nrm
+        FROM p2 p JOIN n ON n.vec_id = p.query_id
+      ), scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> q.e[i]*c.e[i])), (a,b) -> a+b)
+            / (q.nrm * c.nrm) AS cosine
+        FROM qv q JOIN corpus c ON c.cell = q.cell AND c.vec_id <> q.query_id
+      ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM scored
+      )
+      SELECT query_id, rnk, neighbor_id, cosine FROM ranked WHERE rnk <= 3"""))
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q40, q45, q47, q50, q51, q52, q62, q63, q64, q65, q67, q68, q69,
-      q70, q71, q72, q73, q74, q75, q76)
+      q70, q71, q72, q73, q74, q75, q76, q77)
 }

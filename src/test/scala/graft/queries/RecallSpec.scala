@@ -93,6 +93,19 @@ class RecallSpec extends AnyFunSuite with SparkSupport
     }.sum / shared.size
     info(f"recall vs brute force: hierarchical 2x2-probe $r%.2f over ${shared.size} queries")
     assert(r > 0.4, f"hierarchical 2x2-probe recall $r%.2f below the documented floor (0.4)")
+    // the trained-book twin (q77 = this search through q69's books) must
+    // not lose recall to the seed books at identical probe cost
+    val trained = neighbors("q77_ann_trained_hier_search", "query_id", "neighbor_id")
+    val sharedT = truth.keySet.intersect(trained.keySet)
+    val rT = sharedT.toSeq.map { q =>
+      trained.getOrElse(q, Set.empty).count(truth(q).contains).toDouble / truth(q).size
+    }.sum / sharedT.size
+    // measured at r9: seed 0.56, trained 0.52 — on a 500-vector fixture
+    // one Lloyd iteration legitimately redistributes Voronoi cells a
+    // little either way; the assertion catches collapse, not jitter
+    info(f"recall vs brute force: TRAINED hierarchical 2x2-probe $rT%.2f")
+    assert(rT >= r - 0.1,
+      f"trained hierarchical books lost recall vs seed books ($rT%.2f vs $r%.2f)")
   }
 
   test("residual IVF-PQ recall vs brute force: trained books do not lose to seed books") {
