@@ -152,7 +152,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSupport
     // their book and ADC-table joins as BroadcastHashJoins (a silent
     // fallback to shuffled sort-merge on the tiny book side would still
     // pass the sweep but waste a shuffle per iteration at scale)
-    for (name <- Seq("q74_pq_trained_adc", "q76_ivfpq_trained_full")) {
+    for (name <- Seq("q74_pq_trained_adc", "q76_ivfpq_trained_full",
+        "q77_ann_trained_hier_search")) {
       val plan = physicalPlan(name)
       assert(plan.contains("BroadcastHashJoin"),
         s"$name must broadcast its books/tables:\n$plan")
