@@ -98,20 +98,32 @@ object IvfIndex {
     new java.util.concurrent.ConcurrentHashMap[String, CodebookMeta]
   private val MetaCacheBound = 64
 
-  private def planFingerprint(plan: LogicalPlan): String = {
+  private[operators] def planFingerprint(plan: LogicalPlan): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    // digest a LOSSLESS serialization: toString omits LocalRelation rows
-    // and truncates wide field lists at spark.sql.debug.maxToStringFields,
-    // which left only the 32-bit semanticHash to separate such codebook
-    // plans — and the cached meta carries fineC, which is CORRECTNESS-
-    // critical for the flat hierarchical cell id (ADVICE r8). toJSON
-    // serializes every field incl. LocalRelation data; the rare node that
-    // refuses JSON falls back to the verbose tree string.
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    // digest a LOSSLESS serialization. toString omits LocalRelation rows
+    // and truncates wide field lists at spark.sql.debug.maxToStringFields;
+    // toJSON serializes the rest of the tree but on Spark 4.x renders
+    // LocalRelation rows as `"data":null` (ADVICE r9), which would leave
+    // same-schema in-memory codebooks with DIFFERENT centroids separated
+    // only by the 32-bit semanticHash — and the cached meta carries fineC,
+    // which is CORRECTNESS-critical for the flat hierarchical cell id
+    // (ADVICE r8). So LocalRelation rows are digested explicitly through
+    // the Catalyst-to-Scala converter (deterministic value rendering,
+    // nested arrays included); everything else rides the JSON tree. The
+    // rare node that refuses JSON falls back to the verbose tree string.
+    plan.foreach {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToScalaConverter(lr.schema)
+        lr.data.foreach(r => md.update(conv(r).toString.getBytes(utf8)))
+      case _ => ()
+    }
     val repr =
       try plan.toJSON
-      catch { case _: Throwable => plan.treeString(verbose = true) }
-    val digest = md.digest(repr.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    f"${plan.semanticHash()}%08x:${digest.map(b => f"$b%02x").mkString}"
+      catch { case scala.util.control.NonFatal(_) => plan.treeString(verbose = true) }
+    md.update(repr.getBytes(utf8))
+    f"${plan.semanticHash()}%08x:${md.digest().map(b => f"$b%02x").mkString}"
   }
 
   /** The codebook's (rows, dims, cid range), ONE metadata job per

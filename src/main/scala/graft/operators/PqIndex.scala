@@ -101,6 +101,10 @@ object PqIndex {
   def trainBooks(vectors: DataFrame, dims: Int, m: Int, k: Int,
                  embCol: String, idCol: String, iters: Int = 1): DataFrame = {
     val w = dims / m
+    require(iters >= 1,
+      s"trainBooks needs at least one Lloyd iteration (got $iters): iters=0 would " +
+        "return the re-keyed raw seed subvectors, which callers would mistake for " +
+        "a trained book (ADVICE r9; KMeansCodebook.train enforces the same)")
     require(IvfIndex.codebookBytes(m.toLong * k, w) <= IvfIndex.DefaultMaxCodebookBytes,
       s"combined PQ books (m=$m, k=$k, dims/m=$w) exceed the broadcast bound")
     val sv = vectors.select(col(idCol), posexplode(subvectors(col(embCol), dims, m)))

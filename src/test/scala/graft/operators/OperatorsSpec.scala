@@ -512,6 +512,25 @@ class OperatorsSpec extends AnyFunSuite with SparkSupport {
     IvfIndex.clearCodebookMetaCache()
   }
 
+  test("codebookMeta fingerprint digests LocalRelation rows (ADVICE r9): same-shape literal codebooks with different centroids separate beyond the 32-bit semanticHash") {
+    import spark.implicits._
+    // Spark 4.x LogicalPlan.toJSON renders LocalRelation rows as "data":null,
+    // so before the explicit row digest two same-schema in-memory codebooks
+    // with different centroids shared the MD5 and were separated only by the
+    // 32-bit semanticHash — a collision there would serve stale CodebookMeta
+    // (fineC), silently corrupting the hierarchical flat cell id.
+    def fp(df: org.apache.spark.sql.DataFrame): String =
+      IvfIndex.planFingerprint(df.queryExecution.analyzed.canonicalized)
+    val f1 = fp(Seq((0L, Seq(0.0, 0.0)), (1L, Seq(1.0, 1.0))).toDF("cid", "ce"))
+    val f2 = fp(Seq((0L, Seq(0.0, 0.0)), (1L, Seq(2.0, 1.0))).toDF("cid", "ce"))
+    assert(f1 != f2)
+    assert(f1.split(":")(1) != f2.split(":")(1),
+      "the MD5 part itself must separate different centroid data, not just the semanticHash")
+    // deterministic: an independently-built identical literal book fingerprints the same
+    val f1b = fp(Seq((0L, Seq(0.0, 0.0)), (1L, Seq(1.0, 1.0))).toDF("cid", "ce"))
+    assert(f1b == f1)
+  }
+
   test("hierarchical IVF refuses a sparse-cid fine codebook (flat cell id not injective, ADVICE r7)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
