@@ -35,12 +35,19 @@ object Bench {
     //  - new methodology (r3 anchor onward): execute the FULL physical plan
     //    via queryExecution.toRdd.count() — unprunable, every projected
     //    column is actually computed.
-    // "value"/"queries" report the new numbers; the old total is kept as
-    // "total_count_action" for cross-round continuity. The two totals are
-    // NOT independent samples: the full-plan run follows the count() run
-    // of the same query in the same JVM, so it inherits its JIT and page
+    // "value"/"queries" report the new numbers. The old count() pass is
+    // OPT-IN since r10 (SPARK_GRAFT_BENCH_COUNT_ACTION=1): its anchor
+    // rounds (r1/r2) are long obsolete and at 77 queries it cost ~88 s of
+    // driver bench wall — pure contention-window growth for a continuity
+    // total nobody compares anymore (VERDICT r9 item 3). When disabled,
+    // "total_count_action" is emitted as -1 so the driver's tail parser
+    // sees an unchanged field set. When enabled, the two totals are NOT
+    // independent samples: the full-plan run follows the count() run of
+    // the same query in the same JVM, so it inherits its JIT and page
     // cache (ADVICE r3) — compare either total across rounds, not the
     // two against each other.
+    val countAction = sys.env.get("SPARK_GRAFT_BENCH_COUNT_ACTION")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
@@ -58,7 +65,7 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
-        val old = time(fn(spark, sfDir).count())
+        val old = if (countAction) time(fn(spark, sfDir).count()) else -1.0
         spark.catalog.clearCache()
         val runs = (1 to reps).map { _ =>
           val t = time(fn(spark, sfDir).queryExecution.toRdd.count())
@@ -73,8 +80,17 @@ object Bench {
           (name, -1.0, -1.0, Seq.empty[Double])
       }
     }
-    val totalOld = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    val totalOld =
+      if (countAction) results.collect { case (_, v, _, _) if v >= 0 => v }.sum else -1.0
     val total = results.collect { case (_, _, v, _) if v >= 0 => v }.sum
+    // Sum of per-query MINIMUM across reps (VERDICT r9 item 1): under
+    // driver-machine contention the min-of-3 is the least-contended
+    // sample per query, while the median inflates whenever 2 of 3 reps
+    // are hit — r8 and r9 both produced official records unreadable at
+    // load_avg 7+. The median stays the headline "value" for cross-round
+    // continuity; total_min_plan makes the record interpretable without
+    // a re-run.
+    val totalMin = results.collect { case (_, _, m, r) if m >= 0 => r.min }.sum
     // Streaming gates execute a full StreamingQuery lifecycle (checkpoint
     // dir, AvailableNow drain, parquet sink commit protocol, readback) —
     // ~2-3 s each of fixed overhead that measures Structured Streaming's
@@ -96,9 +112,18 @@ object Bench {
         .mkString("{", ",", "}")
       val runsField =
         if (!detail) ""
-        else results.map { case (k, _, _, r) =>
-          "\"" + k + "\":[" + r.map(fmt).mkString(",") + "]"
-        }.mkString(""""query_runs":{""", ",", "},")
+        else {
+          // per-query min-of-reps as a first-class field (VERDICT r9
+          // item 1) — derivable from query_runs, but explicit so forensic
+          // tooling (bench_guard, the judge's per-query diff) need not
+          // re-derive it.
+          val mins = results.map { case (k, _, m, r) =>
+            "\"" + k + "\":" + fmt(if (m >= 0) r.min else -1.0)
+          }.mkString(""""query_min":{""", ",", "},")
+          results.map { case (k, _, _, r) =>
+            "\"" + k + "\":[" + r.map(fmt).mkString(",") + "]"
+          }.mkString(""""query_runs":{""", ",", "},") + mins
+        }
       s"""{"metric":"queries","queries":$qs,""" + runsField +
         s""""reps":$reps,$machineContext,"sf":"$sfDir"}"""
     }
@@ -118,7 +143,7 @@ object Bench {
       line(_.toString, detail = true) + "\n")
     catch { case _: Throwable => () }
     println(totalsLine(total, totalOld, totalFirst, totalStreaming, totalBatch,
-      reps, results.size, sfDir))
+      totalMin, reps, results.size, sfDir))
     graft.util.TempDirs.sweep()
     spark.stop()
   }
@@ -148,12 +173,13 @@ object Bench {
     * can never again outgrow the driver's 2000-char tail capture the way
     * the per-query line did in r4 and r7. */
   def totalsLine(total: Double, totalOld: Double, totalFirst: Double,
-      totalStreaming: Double, totalBatch: Double, reps: Int, nQueries: Int,
-      sfDir: String): String = {
+      totalStreaming: Double, totalBatch: Double, totalMin: Double,
+      reps: Int, nQueries: Int, sfDir: String): String = {
     def f(v: Double): String = (math.rint(v * 1000) / 1000).toString
     s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,""" +
       s""""n_queries":$nQueries,"total_count_action":${f(totalOld)},""" +
       s""""total_full_plan":${f(total)},"total_run1":${f(totalFirst)},""" +
+      s""""total_min_plan":${f(totalMin)},""" +
       s""""total_streaming_lifecycle":${f(totalStreaming)},""" +
       s""""total_batch":${f(totalBatch)},$machineContext,"sf":"$sfDir"}"""
   }

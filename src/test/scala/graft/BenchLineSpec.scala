@@ -15,19 +15,23 @@ class BenchLineSpec extends AnyFunSuite {
     // registry size to prove growth is O(digits), not O(queries).
     val line = Bench.totalsLine(
       total = 12345.678, totalOld = 9999.999, totalFirst = 23456.789,
-      totalStreaming = 1111.111, totalBatch = 11234.567,
+      totalStreaming = 1111.111, totalBatch = 11234.567, totalMin = 10987.654,
       reps = 3, nQueries = 1000, sfDir = "/root/testdata/sf0.1")
     assert(!line.contains("\n"))
     assert(line.length < 400, s"totals line is ${line.length} chars: $line")
   }
 
   test("totals line is one complete JSON object with the driver-gate fields") {
-    val line = Bench.totalsLine(33.303, 20.0, 35.0, 9.733, 23.57, 3, 68,
+    val line = Bench.totalsLine(33.303, 20.0, 35.0, 9.733, 23.57, 31.5, 3, 68,
       "/root/testdata/sf0.1")
     assert(line.startsWith("{") && line.endsWith("}"))
     for (field <- Seq("\"metric\":\"total\"", "\"value\":", "\"unit\":\"sec\"",
         "\"total_full_plan\":", "\"total_batch\":",
         "\"total_streaming_lifecycle\":", "\"total_run1\":",
+        // min-of-reps headline (VERDICT r9 item 1): under contention the
+        // minimum is the least-contended sample; the record stays
+        // readable even when the driver machine runs at load 7+
+        "\"total_min_plan\":31.5",
         "\"total_count_action\":", "\"n_queries\":68", "\"sf\":",
         // machine-context marker (VERDICT r8 item 3): a contended
         // measurement must be self-evident from the record alone
