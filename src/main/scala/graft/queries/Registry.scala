@@ -6,7 +6,7 @@ package graft.queries
   */
 object Registry {
   def all: Seq[QueryDef] =
-    Relational.all ++ Pipeline.all ++ EndToEnd.all ++ Extended.all
+    Relational.all ++ Pipeline.all ++ EndToEnd.all ++ Extended.all ++ IndexQueries.all
 
   lazy val byName: Map[String, QueryDef] = {
     val qs = all
