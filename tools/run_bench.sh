@@ -17,10 +17,11 @@ run_once() {
 }
 run_once
 # Sidecar sanity guard (VERDICT r8 item 3): if the shared-query total is
-# >1.5x off the previous round's committed sidecar in either direction,
+# >1.5x off the cleanest of the last 3 committed sidecars in either direction,
 # re-run once and keep the cleaner (smaller) reading — local[32]
 # contention only ever inflates; the kept file records that the guard
 # fired. Every line also carries load_avg/cpus from graft.Bench itself.
+python3 tools/bench_guard.py selftest
 if ! python3 tools/bench_guard.py check "$OUT"; then
   echo "[bench-guard] re-running once to separate contention from regression" 1>&2
   mv "$OUT" "$OUT.first"
