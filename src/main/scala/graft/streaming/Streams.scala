@@ -56,8 +56,10 @@ object Streams {
       outDir: String,
       checkpointDir: String,
       archiveDir: String,
-      datenproduzent: String = "graft"): org.apache.spark.sql.streaming.StreamingQuery =
-    spark.readStream
+      datenproduzent: String = "graft",
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = spark.readStream
       .schema(schema)
       .option("header", "true")
       .option("cleanSource", "archive")
@@ -71,7 +73,11 @@ object Streams {
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
-      .start()
+    // default = always-on micro-batches (the production drop-folder
+    // daemon); AvailableNow turns the same pipeline into a bounded
+    // drain for one-shot catch-up runs and the q78 oracle gate
+    trigger.fold(writer)(writer.trigger).start()
+  }
 
   /** Streaming `.xlsx` drop-folder ingest — the Excel twin of
     * [[fileIngest]]: workbooks appearing in `inDir` stream through the

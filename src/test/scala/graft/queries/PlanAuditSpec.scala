@@ -88,9 +88,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkSupport
     // is a gate the driver constitutionally cannot grade (VERDICT r8:
     // q68/q72 shipped `err`, not `fail`, and the engine looked broken for
     // a round). Project arrays to scalars (q14's getItem) or explode to
-    // rows (q68's (cid, pos, val)) before returning from a gate. Schema
-    // only — no collect — so the sweep stays cheap; e2e gates (q20/q21)
-    // are included, their slice run is memoized per session.
+    // rows (q68's (cid, pos, val)) before returning from a gate. The
+    // audited DataFrame is never collect()ed, but this sweep is NOT
+    // schema-cheap (ADVICE r9): the trained-index gates (q74/q76/q77,
+    // and q69's book training) run their training pipelines EAGERLY at
+    // plan-construction time — localCheckpoint'ed books, ScalarQuant
+    // range stats, k-means init jobs — because the gate bodies the
+    // oracle grades build literal codebooks before declaring the search
+    // plan. Deferring that for audit-only runs would fork the gate code
+    // path away from what Verify/Bench execute, so the sweep accepts the
+    // training cost; e2e gates (q20/q21) are included, their slice run
+    // is memoized per session.
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     Registry.all.foreach { q =>
       val bad = q.run(spark, sf).schema.fields.filter(_.dataType match {
