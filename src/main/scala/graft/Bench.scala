@@ -63,7 +63,17 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Forensic subset runs (VERDICT r9 item 2: reproduce one query's
+    // JVM-to-JVM swing without paying the full 78-query wall): a
+    // comma-separated name list restricts the measured set. Totals over a
+    // subset are NOT comparable across rounds — the sidecar still records
+    // the filter via n_queries and the per-query keys, so a partial record
+    // cannot masquerade as a full one.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       try {
         val old = if (countAction) time(fn(spark, sfDir).count()) else -1.0
         spark.catalog.clearCache()
