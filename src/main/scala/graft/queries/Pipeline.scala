@@ -1223,7 +1223,146 @@ object Pipeline {
              'graft' AS datenproduzent
       FROM nation"""))
 
+  /** Benchmark decontamination — the n-gram-overlap removal every LLM
+    * training corpus runs against its eval sets (the GPT-3 appendix's
+    * 13-gram procedure): a corpus document is contaminated if it shares
+    * any word n-gram with any benchmark document. Fixture: eval set =
+    * `doc_id % 10 = 7` (a held-out tenth of `documents`), n = 4 — the
+    * synthetic ~30-word vocabulary makes 13-grams never collide and
+    * 3-grams collide 96% of the time; 4 puts the fixture's contamination
+    * rate at a meaningful 18% with shared-gram counts up to 90. The
+    * operator is n-agnostic.
+    *
+    * Scale shape: distinct grams are hashed ([[TextFunctions.hash32]])
+    * and the EVAL side — benchmarks are tiny next to a 100 TB corpus —
+    * is deduped and broadcast, so the corpus side is one map-only scan
+    * plus a broadcast semi-join-shaped probe and a per-doc count; no
+    * shuffle touches the corpus grams, and nothing is ever all-pairs.
+    * Output keeps every corpus doc with its shared-gram count (0 =
+    * clean) so the drop policy stays a downstream filter.
+    */
+  val q79 = QueryDef(
+    "q79_decontaminate",
+    (s, dir) => {
+      import s.implicits._
+      val toks = docs(s, dir).select($"doc_id", T.tokens($"text").as("t"))
+      val grams = toks
+        .select($"doc_id", explode(T.shingles("t", 4)).as("gram"))
+        .select($"doc_id", T.hash32($"gram").as("gh"))
+      val evalGrams = grams.filter($"doc_id" % 10 === 7).select($"gh").distinct()
+      val hits = grams.filter($"doc_id" % 10 =!= 7)
+        .join(broadcast(evalGrams), "gh")
+        .groupBy($"doc_id")
+        .agg(countDistinct($"gh").as("shared_grams"))
+      toks.filter($"doc_id" % 10 =!= 7).select($"doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"shared_grams", lit(0L)).as("shared_grams"),
+          (coalesce($"shared_grams", lit(0L)) > 0).cast("int").as("contaminated"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      ), g AS (
+        SELECT doc_id, unnest(CASE WHEN len(t) >= 4 THEN
+            list_distinct(list_transform(generate_series(1, len(t)-3),
+              i -> list_aggregate(t[i:i+3], 'string_agg', ' ')))
+          ELSE [] END) AS gram
+        FROM toks
+      ), h AS (
+        SELECT doc_id, CAST('0x' || substr(md5(gram),1,8) AS BIGINT) AS gh FROM g
+      ), ev AS (
+        SELECT DISTINCT gh FROM h WHERE doc_id % 10 = 7
+      ), hits AS (
+        SELECT doc_id, CAST(count(DISTINCT gh) AS BIGINT) AS shared_grams
+        FROM h JOIN ev USING (gh) WHERE doc_id % 10 != 7 GROUP BY doc_id
+      )
+      SELECT t.doc_id, COALESCE(hits.shared_grams, 0) AS shared_grams,
+        CAST(CASE WHEN COALESCE(hits.shared_grams, 0) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
+      FROM toks t LEFT JOIN hits USING (doc_id) WHERE t.doc_id % 10 != 7"""))
+
+  /** Repetition-based quality filter — the Gopher-rules stage of corpus
+    * curation: documents dominated by repeated tokens or one repeated
+    * bigram are boilerplate/spam and get dropped before training.
+    * Per doc: `dup_token_frac` = 1 − distinct/total tokens,
+    * `top_bigram` = the most frequent word bigram (ties → lexicographic
+    * smallest, so both engines agree bit-for-bit), `top_bigram_frac` =
+    * its share of all bigram slots, and the keep verdict at
+    * dup ≤ 0.65 ∧ top ≤ 0.08 (fixture thresholds that split the
+    * synthetic corpus ~85/15; production tunes per source). Pure map —
+    * one corpus scan, zero shuffle, same scale shape as q18; the
+    * per-doc bigram count is O(distinct·total) inside codegen'd
+    * higher-order builtins, bounded by document length, not corpus
+    * size.
+    */
+  val q80 = QueryDef(
+    "q80_repetition_filter",
+    (s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .select($"doc_id", T.tokens($"text").as("t"))
+        .withColumn("n_tokens", size($"t").cast("long"))
+        .withColumn("dup_token_frac",
+          when($"n_tokens" > 0,
+            lit(1.0) - size(array_distinct($"t")).cast("double") / $"n_tokens".cast("double"))
+            .otherwise(lit(0.0)))
+        .withColumn("bg", expr(
+          "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t)-2), " +
+            "i -> concat(t[i], ' ', t[i+1])) ELSE array() END"))
+        .withColumn("top", expr(
+          """aggregate(
+               transform(array_distinct(bg),
+                 g -> named_struct('c', CAST(size(filter(bg, x -> x = g)) AS BIGINT), 'g', g)),
+               named_struct('c', CAST(-1 AS BIGINT), 'g', ''),
+               (acc, x) -> CASE WHEN x.c > acc.c OR (x.c = acc.c AND x.g < acc.g)
+                           THEN x ELSE acc END)"""))
+        .select($"doc_id", $"n_tokens", $"dup_token_frac",
+          when(size($"bg") > 0, $"top.g").otherwise(lit("")).as("top_bigram"),
+          when(size($"bg") > 0, $"top.c".cast("double") / size($"bg").cast("double"))
+            .otherwise(lit(0.0)).as("top_bigram_frac"),
+          (($"dup_token_frac" <= 0.65) &&
+            when(size($"bg") > 0, $"top.c".cast("double") / size($"bg").cast("double"))
+              .otherwise(lit(0.0)) <= 0.08).cast("int").as("keep_doc"))
+    },
+    Some("""
+      -- The fold is expressed RELATIONALLY (unnest -> group -> window)
+      -- rather than as nested list lambdas: DuckDB 1.0.0 mis-evaluates a
+      -- list_filter that captures the variable of an enclosing
+      -- list_transform when the query runs over many rows (verified:
+      -- same fold, WHERE doc_id=100 -> correct, full table -> a gram's
+      -- count counted against the wrong row's list). The relational
+      -- shape has no cross-lambda capture to get wrong.
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      ), base AS (
+        SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens,
+          CASE WHEN len(t) >= 2 THEN
+            list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])
+          ELSE [] END AS bg
+        FROM toks
+      ), stats AS (
+        SELECT doc_id, n_tokens, CAST(len(bg) AS BIGINT) AS n_bg,
+          CASE WHEN n_tokens > 0
+            THEN 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / n_tokens ELSE 0.0 END AS dup_token_frac
+        FROM base
+      ), cnts AS (
+        SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest(bg) AS g FROM base) GROUP BY doc_id, g
+      ), top AS (
+        SELECT doc_id, g, c FROM (
+          SELECT doc_id, g, c,
+            row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+          FROM cnts) WHERE rn = 1
+      )
+      SELECT s.doc_id, s.n_tokens, s.dup_token_frac,
+        COALESCE(top.g, '') AS top_bigram,
+        CASE WHEN s.n_bg > 0 THEN CAST(top.c AS DOUBLE) / s.n_bg ELSE 0.0 END AS top_bigram_frac,
+        CAST(CASE WHEN s.dup_token_frac <= 0.65
+                   AND (CASE WHEN s.n_bg > 0 THEN CAST(top.c AS DOUBLE) / s.n_bg ELSE 0.0 END) <= 0.08
+             THEN 1 ELSE 0 END AS INT) AS keep_doc
+      FROM stats s LEFT JOIN top USING (doc_id)"""))
+
   val all: Seq[QueryDef] =
     Seq(q13, q14, q15, q16, q17, q18, q19, q29, q39, q41, q43, q44, q46,
-      q48, q49, q54, q55, q57, q58, q59, q60, q61, q66, q78)
+      q48, q49, q54, q55, q57, q58, q59, q60, q61, q66, q78, q79, q80)
 }
