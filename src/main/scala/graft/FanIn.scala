@@ -410,6 +410,16 @@ object FanIn {
     time("q17_ann_lsh") {
       graft.queries.Pipeline.q17.run(spark, outDir).queryExecution.toRdd.count()
     }
+    // curation additions (r10): q79 must stay eval-broadcast-shaped at
+    // 100× (the eval tenth of THIS corpus is ~50k docs — far bigger than
+    // a real benchmark suite, so this is the operator's hard case);
+    // q80 is the pure-map ceiling — one scan, per-doc O(distinct·len)
+    time("q79_decontaminate") {
+      graft.queries.Pipeline.q79.run(spark, outDir).queryExecution.toRdd.count()
+    }
+    time("q80_repetition_filter") {
+      graft.queries.Pipeline.q80.run(spark, outDir).queryExecution.toRdd.count()
+    }
     time("q40_ann_ivf") {
       graft.queries.Extended.q40.run(spark, outDir).queryExecution.toRdd.count()
     }

