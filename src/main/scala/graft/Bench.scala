@@ -171,12 +171,22 @@ object Bench {
     * busy machine WITHOUT re-running (VERDICT r8 item 3). -1 when the
     * platform exposes no load average.
     */
-  def machineContext: String = {
-    val load =
-      try java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-      catch { case _: Throwable => -1.0 }
-    s""""load_avg":${math.rint(load * 100) / 100},"cpus":${Runtime.getRuntime.availableProcessors}"""
-  }
+  private def loadNow: Double =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    catch { case _: Throwable => -1.0 }
+
+  /** 1-min load at JVM start (object init = first reference from main):
+    * `load_avg` at line-emission time is dominated by the bench's OWN
+    * work, so PRE-EXISTING contention — the r10 finding that a 17×
+    * q65 reading came from tooling sharing the box — is only readable
+    * from the load before the bench added its own. Both are recorded.
+    */
+  private val startLoad: Double = loadNow
+
+  def machineContext: String =
+    s""""load_avg":${math.rint(loadNow * 100) / 100},""" +
+      s""""load_avg_start":${math.rint(startLoad * 100) / 100},""" +
+      s""""cpus":${Runtime.getRuntime.availableProcessors}"""
 
   /** The driver-parseable record: the last stdout line. Totals only — its
     * length is independent of how many queries the registry holds, so it

@@ -11,6 +11,17 @@ sbt -batch compile 1>&2
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
 OUT="${SPARK_GRAFT_BENCH_OUT:-bench_out.json}"
+# Pre-flight contention check (r10 forensics: a test suite or verify pass
+# sharing the box read q65 at 17x with every neighbor within 1.4x and the
+# whole-registry guard under its trigger — per-query damage the guard
+# cannot see). Warn loudly; the start load is also recorded in the line
+# itself as load_avg_start.
+LOAD1=$(cut -d' ' -f1 /proc/loadavg 2>/dev/null || echo -1)
+if python3 -c "import sys; sys.exit(0 if float('$LOAD1') > 2.0 else 1)" 2>/dev/null; then
+  echo "[bench-guard] WARNING: 1-min load $LOAD1 BEFORE the bench starts —" \
+       "many-tiny-jobs queries (q65 signature) amplify concurrent work ~10x;" \
+       "prefer a quiet box or expect a tainted record" 1>&2
+fi
 run_once() {
   SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$CPUS" SPARK_GRAFT_BENCH_OUT="$OUT" \
     java $OPENS -Xmx16g -Dspark.ui.enabled=false -cp "$CP" graft.Bench
