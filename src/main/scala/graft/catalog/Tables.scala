@@ -18,15 +18,37 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark does not model
-    * natively; we read nanos as long (see session conf in Sessions) and
-    * rebuild a microsecond timestamp. All other tables load as-is.
+  /** `events.ts` has shipped in two physical generations: parquet
+    * TIMESTAMP(NANOS), which Spark does not model natively (read as raw
+    * long via the nanosAsLong conf in Sessions, rebuilt to microseconds
+    * here), and — since the r10 testdata regeneration — plain
+    * timestamp[us] without the UTC flag, which Spark reads as
+    * TIMESTAMP_NTZ. Both normalize to the session-zone TimestampType the
+    * operators (and the typed streaming Datasets — `Streams.Event` binds
+    * `java.sql.Timestamp`) are written against; the session is UTC, so
+    * the NTZ cast is value-identity. Dispatch is on the OBSERVED type,
+    * not the generation, so either vintage of the files works. Used by
+    * every events reader, batch and streaming — a reader that applies the
+    * nanos rebuild unconditionally breaks at analysis on the new files
+    * (this bit the three streaming gates when the r10 data landed).
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
+
+  /** All tables load as the parquet footer declares, except the events
+    * timestamp normalization above.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeEventsTs(df) else df
   }
 
   /** Register every table as a temp view so `spark.sql` text (SQL_TARGET /

@@ -791,11 +791,11 @@ object Pipeline {
       import s.implicits._
       val base = graft.util.TempDirs.scratch("q54stream")
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        // events.ts is parquet TIMESTAMP(NANOS) read as long (see
-        // Tables.load) — rebuild the timestamp for the watermark
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = graft.catalog.Tables.normalizeEventsTs(
+        // normalize ts for the watermark — type-dispatched, both testdata
+        // generations (nanos-as-long and TIMESTAMP_NTZ) supported
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
       val q = graft.streaming.Streams.windowedCounts(stream)
         .writeStream.format("parquet")
         .option("path", s"$base/out")
@@ -843,9 +843,9 @@ object Pipeline {
       import s.implicits._
       val base = graft.util.TempDirs.scratch("q55stream")
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = graft.catalog.Tables.normalizeEventsTs(
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
         .select($"user_id", $"ts", $"event_type", $"value")
         .as[graft.streaming.Streams.Event]
       val q = graft.streaming.Streams.sessionize(stream)
@@ -919,9 +919,9 @@ object Pipeline {
       import s2.implicits._
       val base = graft.util.TempDirs.scratch("q66stream")
       val schema = s2.read.parquet(s"$dir/events.parquet").schema
-      val stream = s2.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = graft.catalog.Tables.normalizeEventsTs(
+        s2.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
         .select($"user_id", $"ts", $"event_type", $"value")
         .as[graft.streaming.Streams.Event]
       val q = graft.streaming.Streams.sessionizeAuto(stream)
