@@ -77,9 +77,15 @@ object Bench {
       try {
         val old = if (countAction) time(fn(spark, sfDir).count()) else -1.0
         spark.catalog.clearCache()
+        // BookCache too: a measured rep must run its query's full
+        // train+build+search pipeline, or per-query times stop being
+        // comparable across rounds (the cache is a Verify/production
+        // optimization, not a bench one)
+        graft.operators.BookCache.clear()
         val runs = (1 to reps).map { _ =>
           val t = time(fn(spark, sfDir).queryExecution.toRdd.count())
           spark.catalog.clearCache()
+          graft.operators.BookCache.clear()
           t
         }
         (name, old, median(runs), runs)
@@ -87,6 +93,7 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           spark.catalog.clearCache()
+          graft.operators.BookCache.clear()
           (name, -1.0, -1.0, Seq.empty[Double])
       }
     }

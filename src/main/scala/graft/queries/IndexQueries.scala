@@ -309,18 +309,26 @@ object IndexQueries {
     (s, dir) => {
       import s.implicits._
       import graft.functions.{VectorFunctions => V}
-      import graft.operators.{IvfIndex, KMeansCodebook}
+      import graft.operators.{BookCache, IvfIndex, KMeansCodebook}
       val v = Tables.load(s, dir, "embeddings")
         .select($"vec_id", V.asDouble($"embedding").as("e"))
-      val coarse = KMeansCodebook.train(v,
-        KMeansCodebook.initLowestIds(v, "e", "vec_id", k = 4),
-        "e", "vec_id", iters = 1).localCheckpoint(true)
-      val resid = IvfIndex.assign(v, coarse, embCol = "e", idCol = "vec_id")
-        .join(broadcast(coarse), $"cell" === $"cid")
-        .select($"vec_id", zip_with($"e", $"ce", (x, y) => x - y).as("r"))
-      val fine = KMeansCodebook.train(resid,
-        KMeansCodebook.initLowestIds(resid, "r", "vec_id", k = 4),
-        "r", "vec_id", iters = 1).localCheckpoint(true)
+      // BookCache: q76/q77 train these exact books too — one training per
+      // (dir, params) per session; training is bit-deterministic, so a hit
+      // is value-identical to a rebuild (BookCacheSpec pins it)
+      val coarse = BookCache(v, s"$dir#coarse:init=lowestIds,k=4,iters=1") {
+        KMeansCodebook.train(v,
+          KMeansCodebook.initLowestIds(v, "e", "vec_id", k = 4),
+          "e", "vec_id", iters = 1).localCheckpoint(true)
+      }
+      val fine = BookCache(v,
+        s"$dir#fineResidual(coarse=lowestIds,k=4,iters=1):init=lowestIds,k=4,iters=1") {
+        val resid = IvfIndex.assign(v, coarse, embCol = "e", idCol = "vec_id")
+          .join(broadcast(coarse), $"cell" === $"cid")
+          .select($"vec_id", zip_with($"e", $"ce", (x, y) => x - y).as("r"))
+        KMeansCodebook.train(resid,
+          KMeansCodebook.initLowestIds(resid, "r", "vec_id", k = 4),
+          "r", "vec_id", iters = 1).localCheckpoint(true)
+      }
       IvfIndex.assignHierarchical(v, coarse, fine, embCol = "e", idCol = "vec_id")
         .select($"vec_id", $"cell1", $"cell2", $"cell")
     },
@@ -898,12 +906,14 @@ object IndexQueries {
     (s, dir) => {
       import s.implicits._
       import graft.functions.{VectorFunctions => V}
-      import graft.operators.PqIndex
+      import graft.operators.{BookCache, PqIndex}
       val m = 4; val dims = 64
       val v = Tables.load(s, dir, "embeddings")
         .select($"vec_id", V.asDouble($"embedding").as("e"))
-      val books = PqIndex.trainBooks(v, dims, m, k = 4, "e", "vec_id", iters = 1)
-        .localCheckpoint(true)
+      val books = BookCache(v, s"$dir#pqRaw:dims=64,m=4,k=4,iters=1") {
+        PqIndex.trainBooks(v, dims, m, k = 4, "e", "vec_id", iters = 1)
+          .localCheckpoint(true)
+      }
       val codes = PqIndex.encode(v, books, dims, m, embCol = "e", idCol = "vec_id")
       val tables = PqIndex.adcTables(
         v.filter($"vec_id" < 30).select($"vec_id".as("query_id"), $"e"),
@@ -1110,22 +1120,29 @@ object IndexQueries {
     (s, dir) => {
       import s.implicits._
       import graft.functions.{VectorFunctions => V}
-      import graft.operators.{IvfIndex, KMeansCodebook, PqIndex}
+      import graft.operators.{BookCache, IvfIndex, KMeansCodebook, PqIndex}
       val m = 4; val dims = 64
       val v = Tables.load(s, dir, "embeddings")
         .withColumn("e", V.asDouble($"embedding"))
         .withColumn("nrm", V.norm($"e"))
         .select($"vec_id", $"e", $"nrm")
-      val coarse = KMeansCodebook.train(v.select($"vec_id", $"e"),
-        KMeansCodebook.initLowestIds(v, "e", "vec_id", k = 4),
-        "e", "vec_id", iters = 1).localCheckpoint(true)
+      // same coarse book (and key) as q69/q77 — the extra nrm column does
+      // not enter training, so the trained values are identical
+      val coarse = BookCache(v, s"$dir#coarse:init=lowestIds,k=4,iters=1") {
+        KMeansCodebook.train(v.select($"vec_id", $"e"),
+          KMeansCodebook.initLowestIds(v, "e", "vec_id", k = 4),
+          "e", "vec_id", iters = 1).localCheckpoint(true)
+      }
       val res = IvfIndex.assign(v, coarse, embCol = "e", idCol = "vec_id")
         .join(broadcast(coarse), $"cell" === $"cid")
         .select($"vec_id", $"cell", $"e", $"nrm",
           zip_with($"e", $"ce", (x, y) => x - y).as("r"))
         .persist()
-      val pqBooks = PqIndex.trainBooks(res.select($"vec_id", $"r"),
-        dims, m, k = 4, "r", "vec_id", iters = 1).localCheckpoint(true)
+      val pqBooks = BookCache(v,
+        s"$dir#pqResidual(coarse=lowestIds,k=4,iters=1):dims=64,m=4,k=4,iters=1") {
+        PqIndex.trainBooks(res.select($"vec_id", $"r"),
+          dims, m, k = 4, "r", "vec_id", iters = 1).localCheckpoint(true)
+      }
       val corpus = res
         .join(PqIndex.encode(res.select($"vec_id", $"r"), pqBooks, dims, m, "r", "vec_id"),
           Seq("vec_id"))
@@ -1317,21 +1334,27 @@ object IndexQueries {
     (s, dir) => {
       import s.implicits._
       import graft.functions.{VectorFunctions => V}
-      import graft.operators.{IvfIndex, KMeansCodebook}
+      import graft.operators.{BookCache, IvfIndex, KMeansCodebook}
       val v = Tables.load(s, dir, "embeddings")
         .withColumn("e", V.asDouble($"embedding"))
         .withColumn("nrm", V.norm($"e"))
         .select($"vec_id", $"e", $"nrm")
-      val coarse = KMeansCodebook.train(v.select($"vec_id", $"e"),
-        KMeansCodebook.initLowestIds(v, "e", "vec_id", k = 4),
-        "e", "vec_id", iters = 1).localCheckpoint(true)
-      val resid = IvfIndex.assign(v.select($"vec_id", $"e"), coarse,
-          embCol = "e", idCol = "vec_id")
-        .join(broadcast(coarse), $"cell" === $"cid")
-        .select($"vec_id", zip_with($"e", $"ce", (x, y) => x - y).as("r"))
-      val fine = KMeansCodebook.train(resid,
-        KMeansCodebook.initLowestIds(resid, "r", "vec_id", k = 4),
-        "r", "vec_id", iters = 1).localCheckpoint(true)
+      // identical training to q69's two books — shared via BookCache
+      val coarse = BookCache(v, s"$dir#coarse:init=lowestIds,k=4,iters=1") {
+        KMeansCodebook.train(v.select($"vec_id", $"e"),
+          KMeansCodebook.initLowestIds(v, "e", "vec_id", k = 4),
+          "e", "vec_id", iters = 1).localCheckpoint(true)
+      }
+      val fine = BookCache(v,
+        s"$dir#fineResidual(coarse=lowestIds,k=4,iters=1):init=lowestIds,k=4,iters=1") {
+        val resid = IvfIndex.assign(v.select($"vec_id", $"e"), coarse,
+            embCol = "e", idCol = "vec_id")
+          .join(broadcast(coarse), $"cell" === $"cid")
+          .select($"vec_id", zip_with($"e", $"ce", (x, y) => x - y).as("r"))
+        KMeansCodebook.train(resid,
+          KMeansCodebook.initLowestIds(resid, "r", "vec_id", k = 4),
+          "r", "vec_id", iters = 1).localCheckpoint(true)
+      }
       val assigned = IvfIndex
         .assignHierarchical(v, coarse, fine, embCol = "e", idCol = "vec_id")
         .select($"vec_id", $"cell", $"e", $"nrm")

@@ -97,8 +97,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSupport
     // oracle grades build literal codebooks before declaring the search
     // plan. Deferring that for audit-only runs would fork the gate code
     // path away from what Verify/Bench execute, so the sweep accepts the
-    // training cost; e2e gates (q20/q21) are included, their slice run
-    // is memoized per session.
+    // training cost — paid ONCE per distinct book since r10: BookCache
+    // shares the trained coarse/fine/PQ books across q69/q74/q76/q77
+    // within the session, exactly as Verify does. e2e gates (q20/q21)
+    // are included, their slice run is memoized per session.
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     Registry.all.foreach { q =>
       val bad = q.run(spark, sf).schema.fields.filter(_.dataType match {
