@@ -1375,7 +1375,126 @@ object Pipeline {
              THEN 1 ELSE 0 END AS INT) AS keep_doc
       FROM stats s LEFT JOIN top USING (doc_id)"""))
 
+  /** Temperature-scaled language-mixture weights with per-doc repeat
+    * counts — the data-mixing step of a multilingual training run
+    * (public recipe: sample language l proportional to count^α, α=0.5,
+    * so low-resource languages are upsampled relative to their share;
+    * the per-doc expected-repeat rate r_l = N·w_l/c_l is realized
+    * deterministically as floor(r_l) repeats plus one more when
+    * hash(doc_id) mod 1000 falls under the fractional part). All
+    * arithmetic after the IEEE sqrt is EXACT integers: sqrt(c) is
+    * scaled by 2^20 (a power of two — the multiply is exact, so the
+    * floor is cross-engine identical), the mixture mass is a BIGINT
+    * sum (order-free), and the rate lives as the rational num/den
+    * (floor = integer div, fractional comparison cross-multiplied) —
+    * no float summation whose order could differ between engines. Plan
+    * shape: per-lang counts (a dims-bounded groupBy), the 1-row mass
+    * broadcast-joined on a constant key (never a nested loop), rates
+    * broadcast to the fact side — one shuffle total, the lang groupBy.
+    */
+  val q81 = QueryDef(
+    "q81_mixture_weights",
+    (s, dir) => {
+      import s.implicits._
+      val epochDocs = 1000L // target docs per epoch across the mixture
+      val d = docs(s, dir).select($"doc_id", $"lang")
+      val counts = d.groupBy($"lang").agg(count(lit(1)).as("c"))
+      // q^ = floor(sqrt(c) · 2^20): fixed-point temperature weight
+      val q = counts.withColumn("qv",
+        floor(sqrt($"c".cast("double")) * lit(1048576.0)).cast("long"))
+      val mass = q.agg(sum($"qv").as("mass"))
+      // single-valued non-foldable key (IvfIndex.constKey pattern): a
+      // literal key would constant-fold the equi-condition away and the
+      // join would degrade to a nested loop
+      val rates = q.withColumn("__k", pmod(xxhash64($"qv"), lit(1L)))
+        .join(broadcast(mass.withColumn("__k", pmod(xxhash64($"mass"), lit(1L)))), "__k")
+        .select($"lang",
+          ($"qv" * epochDocs).as("num"),
+          ($"mass" * $"c").as("den"))
+      d.join(broadcast(rates), "lang")
+        .select($"doc_id", $"lang",
+          (expr("num div den") +
+            when(pmod(T.hash32($"doc_id".cast("string")), lit(1000L)) <
+              expr("((num % den) * 1000) div den"), 1L).otherwise(0L))
+            .cast("long").as("n_repeats"))
+    },
+    Some("""
+      WITH counts AS (
+        SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang
+      ), q AS (
+        SELECT lang, c,
+          CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1048576.0) AS BIGINT) AS qv
+        FROM counts
+      ), m AS (
+        SELECT CAST(SUM(qv) AS BIGINT) AS mass FROM q
+      ), rates AS (
+        SELECT lang, qv * 1000 AS num, mass * c AS den FROM q, m
+      )
+      SELECT d.doc_id, d.lang,
+        CAST(num // den +
+          CASE WHEN CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000
+                 < ((num % den) * 1000) // den
+               THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+      FROM documents d JOIN rates USING (lang)"""))
+
+  /** Token-budget-constrained take: per source, admit docs in descending
+    * quality order (ties on doc_id) until the source's token budget is
+    * spent — the budgeted variant of q60's keep-best-N (rank cut vs
+    * budget cut; a real mixture is specified in tokens, not docs). The
+    * running sum is a per-source ROWS window — stratum-parallel, exact
+    * BIGINT accumulation — and the filter keeps every doc whose
+    * cumulative count stays within budget (the first overflowing doc is
+    * dropped, docs after it can NOT re-enter: budget take is prefix
+    * semantics, pinned by the oracle). At 100 TB the window shuffles
+    * once on `source`, the same stratum key the curation filters
+    * already use.
+    */
+  val q82 = QueryDef(
+    "q82_token_budget_take",
+    (s, dir) => {
+      import s.implicits._
+      val budget = 800L // tokens per source
+      val scored = docs(s, dir).select(
+        $"doc_id", $"source",
+        T.tokenCount($"text").as("toks"),
+        T.qualityScore($"text").as("q"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"q".desc, $"doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      scored.withColumn("cum_tokens", sum($"toks").over(w))
+        .filter($"cum_tokens" <= budget)
+        .select($"doc_id", $"source", $"toks", $"cum_tokens")
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, source,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS t,
+          CAST(length(text) AS BIGINT) AS n_chars_c,
+          CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
+        FROM documents
+      ), sig AS (
+        SELECT doc_id, source,
+          CAST(len(t) AS BIGINT) AS toks,
+          n_chars_c, n_punct,
+          CAST(len(list_filter(t, x -> list_contains(['the','and','of','to','a','in','is','der','die','und','das','ist','ein','el','la','de','que','y','es'], x))) AS BIGINT) AS stop_hits
+        FROM base
+      ), scored AS (
+        SELECT doc_id, source, toks,
+          least(CAST(toks AS DOUBLE) / 100.0, 1.0) * 0.5
+            + least(CAST(stop_hits AS DOUBLE) / toks * 4.0, 1.0) * 0.5
+            - least(CAST(n_punct AS DOUBLE) / n_chars_c * 5.0, 1.0) * 0.25 AS q
+        FROM sig
+      ), c AS (
+        SELECT doc_id, source, toks,
+          SUM(toks) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM scored
+      )
+      SELECT doc_id, source, toks, CAST(cum_tokens AS BIGINT) AS cum_tokens
+      FROM c WHERE cum_tokens <= 800"""))
+
   val all: Seq[QueryDef] =
     Seq(q13, q14, q15, q16, q17, q18, q19, q29, q39, q41, q43, q44, q46,
-      q48, q49, q54, q55, q57, q58, q59, q60, q61, q66, q78, q79, q80)
+      q48, q49, q54, q55, q57, q58, q59, q60, q61, q66, q78, q79, q80,
+      q81, q82)
 }
