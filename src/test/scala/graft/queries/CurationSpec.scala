@@ -67,4 +67,62 @@ class CurationSpec extends AnyFunSuite with SparkSupport {
       s"distinct doc's top bigram is the lexicographically smallest of the count-1 tie, got $top2")
     assert(rows(3L) == ((1L, 0.0, "", 0.0, 1)), "no bigrams -> empty top, frac 0, kept")
   }
+
+  /** Like docsDir but with caller-controlled lang/source per row. */
+  private def docsDirTyped(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val dir = tmpDir("curation")
+    rows.toDF("doc_id", "text", "lang", "source")
+      .select($"doc_id", $"text", $"lang", $"source",
+        length($"text").cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q81: temperature mixing upsamples the rare language; repeat counts hit the exact fixed-point rates") {
+    // en: 9 docs, de: 1 doc; alpha=0.5 at epochDocs=1000:
+    //   qv_en = floor(3*2^20) = 3145728, qv_de = 2^20 = 1048576,
+    //   mass  = 4194304
+    //   de: num = 1048576000, den = 4194304  -> rate EXACTLY 250 (frac 0)
+    //   en: num = 3145728000, den = 37748736 -> base 83, frac 1/3
+    val dir = docsDirTyped(
+      (1L to 9L).map(i => (i, s"english doc $i", "en", "s")) :+
+        ((100L, "german doc", "de", "s")))
+    val got = Registry.byName("q81_mixture_weights").run(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got.size == 10)
+    assert(got(100L) == (("de", 250L)),
+      s"integral rate must yield exactly floor repeats for every doc, got ${got(100L)}")
+    val en = got.collect { case (_, ("en", n)) => n }
+    assert(en.forall(n => n == 83L || n == 84L),
+      s"en docs must get floor or floor+1 repeats, got ${en.toSet}")
+    val total = got.values.map(_._2).sum
+    assert(total >= 247L + 250L && total <= 250L + 9L * 84L,
+      s"per-lang mass must stay within the floor/ceil envelope, got $total")
+    // upsampling direction: the rare language's per-doc rate exceeds the
+    // common language's (250 vs 83-84)
+    assert(got(100L)._2 > en.max)
+  }
+
+  test("q82: budget take is a prefix — a later doc that would fit cannot re-enter past an overflow") {
+    // one source, quality strictly ordered A > B > C > D via stopword
+    // ratio and length (no punctuation anywhere):
+    //   A: 500 tokens, 125 'the' -> score 1.0,  cum 500  (keep)
+    //   B: 250 tokens,  32 'the' -> 0.756,      cum 750  (keep)
+    //   C: 200 tokens,  12 'the' -> 0.62,       cum 950  (drop: > 800)
+    //   D:  50 tokens,   0 'the' -> 0.25,       cum 1000 (drop: prefix
+    //      semantics — D alone would fit the remaining 50, but budget
+    //      take admits a prefix of the quality order, not a knapsack)
+    def doc(n: Int, stop: Int): String =
+      (List.fill(stop)("the") ++ (1 to (n - stop)).map(i => s"w$i")).mkString(" ")
+    val dir = docsDirTyped(Seq(
+      (1L, doc(500, 125), "en", "src"),
+      (2L, doc(250, 32), "en", "src"),
+      (3L, doc(200, 12), "en", "src"),
+      (4L, doc(50, 0), "en", "src")))
+    val got = Registry.byName("q82_token_budget_take").run(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 500L, 2L -> 750L),
+      s"expected exactly the quality-prefix within budget, got $got")
+  }
 }
