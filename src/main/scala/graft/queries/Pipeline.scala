@@ -1493,8 +1493,57 @@ object Pipeline {
       SELECT doc_id, source, toks, CAST(cum_tokens AS BIGINT) AS cum_tokens
       FROM c WHERE cum_tokens <= 800"""))
 
+  /** Corpus-global repeated-span profile — the exact-substring-dedup
+    * signal (public recipe: Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better" — repeated long spans across
+    * documents mark templated/boilerplate/duplicated text that
+    * single-doc stats miss): every distinct 8-token span per doc, span
+    * document-frequency over the whole corpus, per doc the distinct-span
+    * count, how many of its spans recur in other docs, and the hottest
+    * span's df. Distinct from q79 (overlap vs a held-out EVAL set) and
+    * q80 (WITHIN-doc repetition): this is cross-doc, corpus-global.
+    * Shape: one explode, one groupBy(g) for df, one equi-join back on
+    * the span, one groupBy(doc) — the standard ExactSubstr profile. At
+    * 100 TB the span string is replaced by a 128-bit hash as the
+    * shuffle/join key (collision-free in practice, 16 B wide); the gate
+    * keys on the string so the oracle is exact by construction. Docs
+    * shorter than the span length have no spans and are absent — the
+    * downstream filter treats absence as "nothing to dedup".
+    */
+  val q83 = QueryDef(
+    "q83_repeated_spans",
+    (s, dir) => {
+      import s.implicits._
+      val spans = docs(s, dir)
+        .select($"doc_id", T.tokens($"text").as("t"))
+        .select($"doc_id", explode(T.shingles("t", n = 8)).as("g"))
+      val df = spans.groupBy($"g").agg(count(lit(1)).as("df"))
+      spans.join(df, "g")
+        .groupBy($"doc_id")
+        .agg(
+          count(lit(1)).as("n_spans"),
+          sum(when($"df" >= 2, 1L).otherwise(0L)).as("n_shared_spans"),
+          max($"df").as("max_span_df"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      ), sp AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t)-7),
+          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+               t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]))) AS g
+        FROM toks WHERE len(t) >= 8
+      ), df AS (
+        SELECT g, COUNT(*) AS df FROM sp GROUP BY g
+      )
+      SELECT sp.doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_spans,
+        CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_spans,
+        CAST(MAX(df.df) AS BIGINT) AS max_span_df
+      FROM sp JOIN df USING (g) GROUP BY sp.doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q13, q14, q15, q16, q17, q18, q19, q29, q39, q41, q43, q44, q46,
       q48, q49, q54, q55, q57, q58, q59, q60, q61, q66, q78, q79, q80,
-      q81, q82)
+      q81, q82, q83)
 }

@@ -125,4 +125,22 @@ class CurationSpec extends AnyFunSuite with SparkSupport {
     assert(got == Map(1L -> 500L, 2L -> 750L),
       s"expected exactly the quality-prefix within budget, got $got")
   }
+
+  test("q83: only the exactly-shared 8-token span counts; short docs are absent") {
+    val dir = docsDir(Seq(
+      // docs 1+2 share exactly the 8-token run "a b c d e f g h"; their
+      // other spans differ in the tail token
+      1L -> "a b c d e f g h x y",
+      2L -> "a b c d e f g h z w",
+      // disjoint 11-token doc: 4 spans, none shared
+      3L -> "p q r s t u v w x y z",
+      // 2 tokens -> no 8-gram, absent from the profile
+      4L -> "short doc"))
+    val got = Registry.byName("q83_repeated_spans").run(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), "short doc must be absent")
+    assert(got(1L) == ((3L, 1L, 2L)), s"doc 1: 3 spans, 1 shared, hottest df 2 — got ${got(1L)}")
+    assert(got(2L) == ((3L, 1L, 2L)))
+    assert(got(3L) == ((4L, 0L, 1L)), "disjoint doc shares nothing")
+  }
 }
