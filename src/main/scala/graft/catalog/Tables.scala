@@ -51,6 +51,21 @@ object Tables {
     if (name == "events") normalizeEventsTs(df) else df
   }
 
+  /** The events table as a STREAM, ts-normalized: batch-sniffed schema
+    * (readStream needs one declared), the single-file glob, and
+    * [[normalizeEventsTs]] in one place — the routing the streaming
+    * gates must not each re-implement (the r10 testdata regeneration
+    * broke exactly the three hand-rolled copies of this block, and a
+    * future gate copying a pre-r10 version from history would regress
+    * it again).
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    normalizeEventsTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+  }
+
   /** Register every table as a temp view so `spark.sql` text (SQL_TARGET /
     * SQL_SOURCE steps, report views) resolves the same names the DuckDB
     * oracle sees.

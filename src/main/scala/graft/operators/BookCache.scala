@@ -69,20 +69,27 @@ object BookCache {
   /** The book for `key`, building (and caching) it on first use.
     * `corpusLike` only identifies the owning session — pass any
     * DataFrame of the same session, typically the training corpus.
-    * Concurrent first calls may build twice (training is deterministic,
-    * so both results are identical and either may win the publish); no
-    * lock is held around Spark jobs.
+    * Entries are slotted per session (session identity is part of the
+    * map key, so two live sessions sharing a logical key each keep
+    * their own entry instead of thrashing one global slot), and a hit
+    * is additionally verified by reference against the caller's session
+    * — an identity-hash collision degrades to a rebuild, never to
+    * serving another session's plan. Concurrent first calls may build
+    * twice (training is deterministic, so both results are identical
+    * and either may win the publish); no lock is held around Spark
+    * jobs.
     */
   def apply(corpusLike: DataFrame, key: String)(build: => DataFrame): DataFrame = {
     val session = corpusLike.sparkSession
-    val hit = cache.get(key)
+    val slot = s"${System.identityHashCode(session).toHexString}:$key"
+    val hit = cache.get(slot)
     if (hit != null && (hit.sparkSession eq session) &&
         !hit.sparkSession.sparkContext.isStopped) {
       hit
     } else {
       val built = build
       if (cache.size >= BoundConst) cache.clear()
-      cache.put(key, built)
+      cache.put(slot, built)
       built
     }
   }

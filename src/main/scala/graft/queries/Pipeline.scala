@@ -790,12 +790,7 @@ object Pipeline {
     (s, dir) => {
       import s.implicits._
       val base = graft.util.TempDirs.scratch("q54stream")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = graft.catalog.Tables.normalizeEventsTs(
-        // normalize ts for the watermark — type-dispatched, both testdata
-        // generations (nanos-as-long and TIMESTAMP_NTZ) supported
-        s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir))
+      val stream = Tables.eventsStream(s, dir)
       val q = graft.streaming.Streams.windowedCounts(stream)
         .writeStream.format("parquet")
         .option("path", s"$base/out")
@@ -842,10 +837,7 @@ object Pipeline {
     (s, dir) => {
       import s.implicits._
       val base = graft.util.TempDirs.scratch("q55stream")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = graft.catalog.Tables.normalizeEventsTs(
-        s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir))
+      val stream = Tables.eventsStream(s, dir)
         .select($"user_id", $"ts", $"event_type", $"value")
         .as[graft.streaming.Streams.Event]
       val q = graft.streaming.Streams.sessionize(stream)
@@ -918,10 +910,7 @@ object Pipeline {
         "state-v2 gate needs Spark 4+ with the RocksDB state store provider")
       import s2.implicits._
       val base = graft.util.TempDirs.scratch("q66stream")
-      val schema = s2.read.parquet(s"$dir/events.parquet").schema
-      val stream = graft.catalog.Tables.normalizeEventsTs(
-        s2.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir))
+      val stream = Tables.eventsStream(s2, dir)
         .select($"user_id", $"ts", $"event_type", $"value")
         .as[graft.streaming.Streams.Event]
       val q = graft.streaming.Streams.sessionizeAuto(stream)
@@ -1382,40 +1371,51 @@ object Pipeline {
     * the per-doc expected-repeat rate r_l = N·w_l/c_l is realized
     * deterministically as floor(r_l) repeats plus one more when
     * hash(doc_id) mod 1000 falls under the fractional part). All
-    * arithmetic after the IEEE sqrt is EXACT integers: sqrt(c) is
-    * scaled by 2^20 (a power of two — the multiply is exact, so the
-    * floor is cross-engine identical), the mixture mass is a BIGINT
-    * sum (order-free), and the rate lives as the rational num/den
-    * (floor = integer div, fractional comparison cross-multiplied) —
-    * no float summation whose order could differ between engines. Plan
-    * shape: per-lang counts (a dims-bounded groupBy), the 1-row mass
-    * broadcast-joined on a constant key (never a nested loop), rates
-    * broadcast to the fact side — one shuffle total, the lang groupBy.
+    * arithmetic after the IEEE sqrt is EXACT: sqrt(c) is scaled by 2^20
+    * (a power of two — the multiply is exact, so the floor is
+    * cross-engine identical), and the per-lang base/threshold are
+    * computed in arbitrary-precision BigInt on the collected lang
+    * stats — a COLLECT bounded by the language cardinality (the same
+    * dims-bounded class as ScalarQuant's range stats, hard-capped with
+    * a loud require), NOT a data-path collect. Review finding (r10):
+    * the first cut kept the rational num/den = (qv·N)/(mass·c) as
+    * in-plan Longs, whose fraction cross-multiply overflows at
+    * ~1e8 docs/lang — wrapping silently in non-ANSI Spark while DuckDB
+    * errors, the exact divergence the gate exists to exclude. BigInt
+    * on the driver cannot overflow at any corpus size; the oracle
+    * mirrors in HUGEINT. Per-doc work is a broadcast lookup join on
+    * lang plus one hash compare — one shuffle total (the lang groupBy).
     */
   val q81 = QueryDef(
     "q81_mixture_weights",
     (s, dir) => {
       import s.implicits._
       val epochDocs = 1000L // target docs per epoch across the mixture
+      val maxLangs = 65536
       val d = docs(s, dir).select($"doc_id", $"lang")
-      val counts = d.groupBy($"lang").agg(count(lit(1)).as("c"))
-      // q^ = floor(sqrt(c) · 2^20): fixed-point temperature weight
-      val q = counts.withColumn("qv",
-        floor(sqrt($"c".cast("double")) * lit(1048576.0)).cast("long"))
-      val mass = q.agg(sum($"qv").as("mass"))
-      // single-valued non-foldable key (IvfIndex.constKey pattern): a
-      // literal key would constant-fold the equi-condition away and the
-      // join would degrade to a nested loop
-      val rates = q.withColumn("__k", pmod(xxhash64($"qv"), lit(1L)))
-        .join(broadcast(mass.withColumn("__k", pmod(xxhash64($"mass"), lit(1L)))), "__k")
-        .select($"lang",
-          ($"qv" * epochDocs).as("num"),
-          ($"mass" * $"c").as("den"))
+      val langStats = d.groupBy($"lang").agg(count(lit(1)).as("c"))
+        .limit(maxLangs + 1).collect()
+      require(langStats.length <= maxLangs,
+        s"q81: language cardinality exceeds $maxLangs — not a lang column?")
+      val qv = langStats.map { r =>
+        val c = r.getLong(1)
+        // floor(sqrt(c)·2^20): IEEE sqrt then an exact power-of-two scale
+        (r.getString(0), c, BigInt(math.floor(math.sqrt(c.toDouble) * 1048576.0).toLong))
+      }
+      val massB = qv.map(_._3).sum
+      val rateRows = qv.toSeq.map { case (lang, c, q) =>
+        val num = q * epochDocs
+        val den = massB * c
+        val base = (num / den).toLong
+        val thresh = ((num % den) * 1000 / den).toLong // 0..999, exact
+        (lang, base, thresh)
+      }
+      val rates = rateRows.toDF("lang", "base", "thresh")
       d.join(broadcast(rates), "lang")
         .select($"doc_id", $"lang",
-          (expr("num div den") +
-            when(pmod(T.hash32($"doc_id".cast("string")), lit(1000L)) <
-              expr("((num % den) * 1000) div den"), 1L).otherwise(0L))
+          ($"base" +
+            when(pmod(T.hash32($"doc_id".cast("string")), lit(1000L)) < $"thresh",
+              1L).otherwise(0L))
             .cast("long").as("n_repeats"))
     },
     Some("""
@@ -1426,16 +1426,24 @@ object Pipeline {
           CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1048576.0) AS BIGINT) AS qv
         FROM counts
       ), m AS (
-        SELECT CAST(SUM(qv) AS BIGINT) AS mass FROM q
+        SELECT CAST(SUM(qv) AS HUGEINT) AS mass FROM q
       ), rates AS (
-        SELECT lang, qv * 1000 AS num, mass * c AS den FROM q, m
+        SELECT lang,
+          CAST(qv AS HUGEINT) * 1000 AS num,
+          mass * CAST(c AS HUGEINT) AS den
+        FROM q, m
+      ), rt AS (
+        SELECT lang,
+          CAST(num // den AS BIGINT) AS base,
+          CAST(((num % den) * 1000) // den AS BIGINT) AS thresh
+        FROM rates
       )
       SELECT d.doc_id, d.lang,
-        CAST(num // den +
+        CAST(base +
           CASE WHEN CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000
-                 < ((num % den) * 1000) // den
+                 < thresh
                THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
-      FROM documents d JOIN rates USING (lang)"""))
+      FROM documents d JOIN rt USING (lang)"""))
 
   /** Token-budget-constrained take: per source, admit docs in descending
     * quality order (ties on doc_id) until the source's token budget is
@@ -1503,7 +1511,13 @@ object Pipeline {
     * span's df. Distinct from q79 (overlap vs a held-out EVAL set) and
     * q80 (WITHIN-doc repetition): this is cross-doc, corpus-global.
     * Shape: one explode, one groupBy(g) for df, one equi-join back on
-    * the span, one groupBy(doc) — the standard ExactSubstr profile. At
+    * the span, one groupBy(doc) — the standard ExactSubstr profile. The
+    * span stage is persisted (hashedShingles' staging rule): the df
+    * aggregate and the join probe both consume it, and the aggregate
+    * side's exchange embeds a partial agg, so ReuseExchange cannot
+    * unify the two scans — unpersisted, the tokenize+shingle+explode
+    * pipeline would run twice. At cluster scale this stage is a
+    * checkpointed table. At
     * 100 TB the span string is replaced by a 128-bit hash as the
     * shuffle/join key (collision-free in practice, 16 B wide); the gate
     * keys on the string so the oracle is exact by construction. Docs
@@ -1517,6 +1531,7 @@ object Pipeline {
       val spans = docs(s, dir)
         .select($"doc_id", T.tokens($"text").as("t"))
         .select($"doc_id", explode(T.shingles("t", n = 8)).as("g"))
+        .persist()
       val df = spans.groupBy($"g").agg(count(lit(1)).as("df"))
       spans.join(df, "g")
         .groupBy($"doc_id")

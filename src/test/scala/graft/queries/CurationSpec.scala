@@ -97,7 +97,7 @@ class CurationSpec extends AnyFunSuite with SparkSupport {
     assert(en.forall(n => n == 83L || n == 84L),
       s"en docs must get floor or floor+1 repeats, got ${en.toSet}")
     val total = got.values.map(_._2).sum
-    assert(total >= 247L + 250L && total <= 250L + 9L * 84L,
+    assert(total >= 9L * 83L + 250L && total <= 250L + 9L * 84L,
       s"per-lang mass must stay within the floor/ceil envelope, got $total")
     // upsampling direction: the rare language's per-doc rate exceeds the
     // common language's (250 vs 83-84)
