@@ -41,7 +41,13 @@ object Bench {
     // driver bench wall — pure contention-window growth for a continuity
     // total nobody compares anymore (VERDICT r9 item 3). When disabled,
     // "total_count_action" is emitted as -1 so the driver's tail parser
-    // sees an unchanged field set. When enabled, the two totals are NOT
+    // sees an unchanged field set. Methodology note (r10 review): the
+    // count() pass doubled as a same-query warm-up before rep 1, so with
+    // it off, "total_run1" includes each query's true first-touch
+    // JIT/page-cache cost that r3-r9 records absorbed into the count()
+    // pass — total_run1 is only comparable within a methodology era
+    // (total_count_action == -1 is the era marker); the median "value"
+    // is insulated by reps 2-3. When enabled, the two totals are NOT
     // independent samples: the full-plan run follows the count() run of
     // the same query in the same JVM, so it inherits its JIT and page
     // cache (ADVICE r3) — compare either total across rounds, not the

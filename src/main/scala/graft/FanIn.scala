@@ -324,12 +324,14 @@ object FanIn {
     // (k × dims)-bounded shuffle. ----
     Seq(256, 1024).foreach { k =>
       import graft.operators.KMeansCodebook
-      val cap = KMeansCodebook.DefaultSampleCapFactor * 2 * k
+      val oversample = 2.0
+      // derived from the enforcing formula, not re-hardcoded (r10 review)
+      val cap = KMeansCodebook.defaultSampleCap(k, oversample)
       val v = spark.read.parquet(s"$outDir/embeddings.parquet")
         .withColumn("e", V.asDouble($"embedding")).select($"vec_id", $"e")
       val t0 = System.nanoTime()
       val init = KMeansCodebook.initKMeansParallel(v, "e", "vec_id", k = k,
-        rounds = 3, oversample = 2.0)
+        rounds = 3, oversample = oversample)
       val initN = init.count()
       val initS = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()

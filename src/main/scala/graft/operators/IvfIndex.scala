@@ -121,9 +121,44 @@ object IvfIndex {
     }
     val repr =
       try plan.toJSON
-      catch { case scala.util.control.NonFatal(_) => plan.treeString(verbose = true) }
+      catch {
+        // NonFatal keeps OOM/interrupts propagating (ADVICE r9), but a
+        // StackOverflowError from toJSON's recursion over a deep plan is
+        // exactly the "node that refuses JSON" case the fallback exists
+        // for (r10 review) — treeString iterates and survives it
+        case e if scala.util.control.NonFatal(e) || e.isInstanceOf[StackOverflowError] =>
+          plan.treeString(verbose = true)
+      }
     md.update(repr.getBytes(utf8))
     f"${plan.semanticHash()}%08x:${md.digest().map(b => f"$b%02x").mkString}"
+  }
+
+  /** [[planFingerprint]] memoized by PLAN IDENTITY: the content digest
+    * walks every LocalRelation row (O(rows·dims) for a literal
+    * codebook), and [[codebookMeta]] must compute the content key BEFORE
+    * it can consult the content-keyed cache — so without this memo every
+    * assign/probe over the same book instance re-pays the digest (r10
+    * review). Weak plan refs: the memo must not retain plan trees (they
+    * pin relation and session references — ADVICE r7); a collected or
+    * evicted entry just re-digests. `analyzed.canonicalized` are lazy
+    * vals, so repeated calls on one DataFrame present one identity.
+    */
+  private val fpMemo = new java.util.concurrent.ConcurrentHashMap[
+    Integer, List[(java.lang.ref.WeakReference[LogicalPlan], String)]]
+  private val FpMemoBound = 256
+
+  private def fingerprintMemoized(plan: LogicalPlan): String = {
+    val id = Integer.valueOf(System.identityHashCode(plan))
+    val bucket = fpMemo.get(id)
+    if (bucket != null) {
+      val hit = bucket.collectFirst { case (ref, fp) if ref.get eq plan => fp }
+      if (hit.isDefined) return hit.get
+    }
+    val fp = planFingerprint(plan)
+    if (fpMemo.size >= FpMemoBound) fpMemo.clear()
+    val live = (if (bucket == null) Nil else bucket.filter(_._1.get != null))
+    fpMemo.put(id, (new java.lang.ref.WeakReference(plan), fp) :: live)
+    fp
   }
 
   /** The codebook's (rows, dims, cid range), ONE metadata job per
@@ -134,7 +169,7 @@ object IvfIndex {
     * plan then plans with zero extra jobs.
     */
   def codebookMeta(centroids: DataFrame): CodebookMeta = {
-    val key = planFingerprint(centroids.queryExecution.analyzed.canonicalized)
+    val key = fingerprintMemoized(centroids.queryExecution.analyzed.canonicalized)
     val cached = metaCache.get(key)
     if (cached != null) cached
     else {

@@ -49,6 +49,15 @@ object KMeansCodebook {
     */
   val DefaultSampleCapFactor: Int = 16
 
+  /** The default per-round bounded-collect cap [[initKMeansParallel]]
+    * enforces: [[DefaultSampleCapFactor]] · oversample · k, floor 64.
+    * Public so callers that REPORT the cap (FanIn's training rows)
+    * derive it from the same formula instead of re-hardcoding the
+    * factors and drifting when one changes.
+    */
+  def defaultSampleCap(k: Int, oversample: Double): Int =
+    math.max(64, math.ceil(DefaultSampleCapFactor * oversample * k).toInt)
+
   /** Deterministic seed book: the k lowest-id vectors, re-keyed to the
     * dense cids 0…k−1 the hierarchical paths require.
     */
@@ -148,7 +157,7 @@ object KMeansCodebook {
     // 64, overridable for tests/tuning) turns an overshoot into a loud
     // refusal instead of a driver OOM
     val cap = if (maxSampledPerRound > 0) maxSampledPerRound
-      else math.max(64, math.ceil(DefaultSampleCapFactor * oversample * k).toInt)
+      else defaultSampleCap(k, oversample)
     val spark = vectors.sparkSession
     val v = vectors.select(col(idCol).cast("long").as("id"),
       col(embCol).cast(ArrayType(DoubleType)).as("e"))

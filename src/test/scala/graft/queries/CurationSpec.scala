@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterEach
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.testkit.SparkSupport
@@ -10,7 +11,15 @@ import graft.testkit.SparkSupport
   * pin the DECISIONS — who is contaminated / kept and why — on inputs
   * where the right answer is readable by hand).
   */
-class CurationSpec extends AnyFunSuite with SparkSupport {
+class CurationSpec extends AnyFunSuite with SparkSupport with BeforeAndAfterEach {
+
+  // registry gates run under the Verify/Bench contract (cleared per
+  // query): q83 persists its span stage, so mirror PlanAuditSpec's
+  // per-test clear or SparkSupport's afterAll cache gate aborts
+  override protected def afterEach(): Unit = {
+    spark.catalog.clearCache()
+    super.afterEach()
+  }
 
   /** Writes a minimal `documents` table (testdata schema) and returns
     * the dir the registry queries load from.

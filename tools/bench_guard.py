@@ -7,9 +7,13 @@ the record to show it. This guard makes that impossible to do silently:
 
 check <sidecar>
     Compares the shared-passing-query total against the bench_out.json of
-    the last 3 commits that touched it (not just HEAD's: a slow creep of
-    <1.5x/round could ratchet past a single-anchor check -- VERDICT r9
-    item 4). Each comparison is restricted to queries that PASSED in both
+    the last 3 distinct COMMIT DAYS that touched it (not just HEAD's: a
+    slow creep of <1.5x/round could ratchet past a single-anchor check --
+    VERDICT r9 item 4; and not the last 3 COMMITS: one round refreshes
+    the sidecar several times, which would collapse the window back to a
+    single round -- r10 review. Day granularity approximates rounds on
+    this one-round-per-machine-day driver without round markers in the
+    file). Each comparison is restricted to queries that PASSED in both
     readings so a -1 failure can't shrink a total. Exits 1 when the ratio
     against the cleanest (fastest) anchor falls outside [1/1.5, 1.5] --
     machine contention suspected in one of the readings; the caller
@@ -39,19 +43,39 @@ def load(path):
         return json.loads(f.read())
 
 
+def first_per_day(lines, depth):
+    """["sha day"] newest-first -> [(sha, day)]: the newest sha of each
+    distinct day, up to `depth` days (pure, selftested)."""
+    out, seen = [], set()
+    for line in lines:
+        parts = line.split()
+        if len(parts) != 2:
+            continue
+        sha, day = parts
+        if day in seen:
+            continue
+        seen.add(day)
+        out.append((sha, day))
+        if len(out) >= depth:
+            break
+    return out
+
+
 def load_history(depth=HISTORY_DEPTH):
-    """The last `depth` committed versions of bench_out.json, newest first."""
+    """The newest committed bench_out.json of each of the last `depth`
+    distinct commit days, newest first."""
     out = []
     try:
-        shas = subprocess.run(
-            ["git", "log", "-n", str(depth), "--format=%h", "--", "bench_out.json"],
-            capture_output=True, text=True, check=True).stdout.split()
-        for sha in shas:
+        log_lines = subprocess.run(
+            ["git", "log", "-n", "50", "--format=%h %ad", "--date=short",
+             "--", "bench_out.json"],
+            capture_output=True, text=True, check=True).stdout.splitlines()
+        for sha, day in first_per_day(log_lines, depth):
             try:
                 blob = subprocess.run(["git", "show", f"{sha}:bench_out.json"],
                                       capture_output=True, text=True,
                                       check=True).stdout
-                out.append((sha, json.loads(blob)))
+                out.append((f"{sha}@{day}", json.loads(blob)))
             except Exception:
                 pass
     except Exception:
@@ -144,6 +168,14 @@ def selftest():
     fast = side({"q1": 1.0, "q2": 2.0})
     chosen, note = pick(slow, fast)
     assert chosen is fast and note["kept_total"] == 3.0
+    # 5) the anchor window spans distinct DAYS, not commits: three
+    #    same-day refreshes must collapse to one anchor and still leave
+    #    room for the two prior rounds (r10 review)
+    days = first_per_day(["aaa 2026-08-13", "bbb 2026-08-13",
+                          "ccc 2026-08-13", "ddd 2026-08-12",
+                          "eee 2026-08-11", "fff 2026-08-10"], 3)
+    assert days == [("aaa", "2026-08-13"), ("ddd", "2026-08-12"),
+                    ("eee", "2026-08-11")], days
     print("[bench-guard] selftest OK", file=sys.stderr)
     return 0
 

@@ -20,8 +20,7 @@ cd "$(dirname "$0")/.."
 FMULT=${1:-10}
 RMULT=${2:-2}
 sbt -batch compile 1>&2
-CP="target/scala-2.13/classes:/opt/spark/jars/*"
-OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
+. tools/java_env.sh
 echo "== graft.FanIn x$FMULT (e2e off) =="
 FANIN_MULT="$FMULT" FANIN_E2E=0 SPARK_GRAFT_CPUS=16 \
   java $OPENS -Xmx8g -Dspark.ui.enabled=false -cp "$CP" graft.FanIn
