@@ -393,6 +393,32 @@ object FanIn {
         f"encode+decode scan $decS%.1f s; ${Dim * 4} B raw → $Dim B codes (4× at rest)")
     }
 
+    // ---- repeated-span profile (q83) fan-in (r10): the ExactSubstr
+    // signal's join key is the span, and the df side carries exactly ONE
+    // row per distinct span — so the probe pins the operator's two scale
+    // properties on the near-dup-heavy corpus: the join NEVER expands
+    // (output rows == input span rows, asserted), and the hot-cluster
+    // span df (the worst groupBy(g) key) stays at cluster size, a
+    // groupBy fan-in no wider than the corpus's true duplication. ----
+    {
+      import graft.functions.{TextFunctions => T}
+      val t0 = System.nanoTime()
+      val spans = spark.read.parquet(s"$outDir/documents.parquet")
+        .select($"doc_id", T.tokens($"text").as("t"))
+        .select($"doc_id", explode(T.shingles("t", n = 8)).as("g")).persist()
+      val nSpans = spans.count()
+      val dfTab = spans.groupBy($"g").agg(count(lit(1)).as("df")).persist()
+      val a = dfTab.agg(count(lit(1)).as("nd"), max($"df").as("mx")).collect()(0)
+      val joined = spans.join(dfTab, "g").count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      require(joined == nSpans,
+        s"q83 span join must not expand: $joined != $nSpans")
+      println(f"q83 repeated-span fan-in at x$mult: $nSpans%,d spans, " +
+        f"${a.getLong(0)}%,d distinct, hottest span df ${a.getLong(1)}%,d " +
+        f"(= near-dup cluster reach), join output == span rows (no expansion), ${secs}%.1f s")
+      spans.unpersist(); dfTab.unpersist()
+    }
+
     // ---- end-to-end runs on the 100x corpus (FANIN_E2E=0 skips) ----
     if (sys.env.get("FANIN_E2E").contains("0")) { spark.stop(); return }
     def time(name: String)(f: => Long): Unit = {
