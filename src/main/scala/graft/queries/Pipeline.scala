@@ -1397,20 +1397,11 @@ object Pipeline {
         .limit(maxLangs + 1).collect()
       require(langStats.length <= maxLangs,
         s"q81: language cardinality exceeds $maxLangs — not a lang column?")
-      val qv = langStats.map { r =>
-        val c = r.getLong(1)
-        // floor(sqrt(c)·2^20): IEEE sqrt then an exact power-of-two scale
-        (r.getString(0), c, BigInt(math.floor(math.sqrt(c.toDouble) * 1048576.0).toLong))
-      }
-      val massB = qv.map(_._3).sum
-      val rateRows = qv.toSeq.map { case (lang, c, q) =>
-        val num = q * epochDocs
-        val den = massB * c
-        val base = (num / den).toLong
-        val thresh = ((num % den) * 1000 / den).toLong // 0..999, exact
-        (lang, base, thresh)
-      }
-      val rates = rateRows.toDF("lang", "base", "thresh")
+      // exact fixed-point/BigInt rate algebra lives in operators.Mixture
+      // (property-tested off-cluster in MixtureSpec)
+      val rates = graft.operators.Mixture
+        .rates(langStats.toSeq.map(r => (r.getString(0), r.getLong(1))), epochDocs)
+        .toDF("lang", "base", "thresh")
       d.join(broadcast(rates), "lang")
         .select($"doc_id", $"lang",
           ($"base" +
