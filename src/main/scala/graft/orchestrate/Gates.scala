@@ -18,9 +18,16 @@ object Gates {
     * queued steps start in arrival order like the reference's FIFO
     * queues.
     */
-  final class ThreadCap(maxThreads: Int) {
+  class ThreadCap(maxThreads: Int) {
     private val sem = new Semaphore(maxThreads, true)
-    def acquire(): Unit = sem.acquire()
+    // scala.concurrent.blocking: the gates park threads that usually
+    // belong to an ExecutionContext pool; an unmanaged Semaphore.acquire
+    // gives the pool no chance to spawn compensation threads (unlike
+    // Await, which goes through BlockContext), so realizations whose
+    // submission loops hold every pool worker in acquire() would
+    // deadlock against the queued step futures that release the permits
+    // (r10 review). blocking() is a no-op on non-pool threads.
+    def acquire(): Unit = scala.concurrent.blocking(sem.acquire())
     def release(): Unit = sem.release()
     def withSlot[A](f: => A): A = { acquire(); try f finally release() }
     def available: Int = sem.availablePermits()
@@ -53,7 +60,7 @@ object Gates {
       * has the same one-claim-per-step shape: a step claims its full
       * source+target set once up front (`Step.cs:449-469`).
       */
-    def claim(tables: Set[String]): Unit = synchronized {
+    def claim(tables: Set[String]): Unit = scala.concurrent.blocking(synchronized {
       val me = Thread.currentThread()
       val held = holdings.getOrElse(me, Set.empty)
       if (held.nonEmpty)
@@ -77,7 +84,7 @@ object Gates {
         // behind this entry
         notifyAll()
       }
-    }
+    })
 
     def release(tables: Set[String]): Unit = synchronized {
       claimed --= tables
@@ -109,7 +116,7 @@ object Gates {
     def withModule[A](level: String, parallelsperre: Boolean)(f: => A): A = {
       val l = lockFor(level)
       val lock = if (parallelsperre) l.writeLock() else l.readLock()
-      lock.lock()
+      scala.concurrent.blocking(lock.lock())
       try f finally lock.unlock()
     }
   }
@@ -117,11 +124,6 @@ object Gates {
   /** Per-realization step cap — `Anzahl_Parallele_Schritte`
     * (`Realization.cs:108-203`).
     */
-  final class StepCap(maxParallelSteps: Int) {
-    private val sem = new Semaphore(math.max(1, maxParallelSteps), true)
-    def acquire(): Unit = sem.acquire()
-    def release(): Unit = sem.release()
-    def withSlot[A](f: => A): A = { sem.acquire(); try f finally sem.release() }
-    def available: Int = sem.availablePermits()
-  }
+  final class StepCap(maxParallelSteps: Int)
+      extends ThreadCap(math.max(1, maxParallelSteps))
 }

@@ -13,19 +13,21 @@ import scala.concurrent.{ExecutionContext, Future}
   * the identical observable behavior — one execution per package id,
   * failure propagated to every waiter — without the polling.
   */
-final class PackageDag(deps: Int => Seq[Int], run: Int => Unit)(implicit ec: ExecutionContext) {
+final class PackageDag(deps: Long => Seq[Long], run: Long => Unit)(implicit ec: ExecutionContext) {
 
-  private val memo = TrieMap.empty[Int, Future[Unit]]
+  private val memo = TrieMap.empty[Long, Future[Unit]]
 
   /** Execute `pkg` after its transitive predecessors. Cycles are a config
-    * error the reference would busy-hang on; we fail fast instead.
+    * error the reference would busy-hang on; we fail fast instead. Ids
+    * are the config plane's native Long (r10 review: an Int-keyed memo
+    * silently aliased ids 2^32 apart — the aliased package never ran).
     */
-  def execute(pkg: Int): Future[Unit] = {
+  def execute(pkg: Long): Future[Unit] = {
     detectCycle(pkg)
     executeChecked(pkg)
   }
 
-  private def executeChecked(pkg: Int): Future[Unit] =
+  private def executeChecked(pkg: Long): Future[Unit] =
     // Not getOrElseUpdate: its thunk runs outside the map lock in TrieMap,
     // so two racers could both build a future. putIfAbsent of a lazily
     // triggered promise keeps exactly one execution per package.
@@ -44,12 +46,21 @@ final class PackageDag(deps: Int => Seq[Int], run: Int => Unit)(implicit ec: Exe
         }
     }
 
-  private def detectCycle(root: Int): Unit = {
-    def dfs(n: Int, path: List[Int], seen: Set[Int]): Unit = {
-      if (path.contains(n))
+  private def detectCycle(root: Long): Unit = {
+    // `visited` is GLOBAL across branches (classic white/gray/black DFS):
+    // a node fully explored via one diamond arm is skipped when the other
+    // arm reaches it. The earlier form threaded the seen-set down the
+    // recursion only — it always equalled the path set, so a chain of n
+    // diamonds re-explored the tail 2^n times and the fail-fast check
+    // itself hung on exactly the shared-predecessor configs this DAG
+    // exists for (r10 review). Cycle membership still uses the on-path
+    // set: in a DFS every gray node IS on the current path.
+    val visited = scala.collection.mutable.Set.empty[Long]
+    def dfs(n: Long, path: List[Long], onPath: Set[Long]): Unit = {
+      if (onPath.contains(n))
         throw new EtlStateException(
           s"package dependency cycle: ${(n :: path.takeWhile(_ != n) ::: List(n)).reverse.mkString(" -> ")}")
-      if (!seen.contains(n)) deps(n).foreach(dfs(_, n :: path, seen + n))
+      if (visited.add(n)) deps(n).foreach(dfs(_, n :: path, onPath + n))
     }
     dfs(root, Nil, Set.empty)
   }
@@ -57,5 +68,5 @@ final class PackageDag(deps: Int => Seq[Int], run: Int => Unit)(implicit ec: Exe
   /** Ids that have started (or finished) executing — the reference's
     * executing-packages list.
     */
-  def started: Set[Int] = memo.keySet.toSet
+  def started: Set[Long] = memo.keySet.toSet
 }

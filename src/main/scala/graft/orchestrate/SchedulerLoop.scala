@@ -46,6 +46,12 @@ final class SchedulerLoop(
 
   def register(workflowId: Int, schedule: Schedule, zeitplanId: Int = 0): Unit =
     synchronized {
+      // re-registration supersedes: a pending materialized plan of the
+      // old entry is closed (Ausgefuehrt=1) instead of orphaned as a
+      // phantom open plan only restart recovery would neutralize (r10
+      // review)
+      entries.get(workflowId).foreach(old =>
+        old.planId.foreach(pid => ledger.foreach(_.markPlanExecuted(pid))))
       entries(workflowId) = Entry(workflowId, schedule, zeitplanId)
     }
 
@@ -85,7 +91,11 @@ final class SchedulerLoop(
             e.planId = ledger.map(_.planExecution(e.workflowId, e.zeitplanId, next))
           }
           e.plannedAt = Some(next)
-          e.strikes = 0
+          // strikes do NOT reset here: a successful plan COMPUTATION
+          // says nothing about whether the workflow can start (r10
+          // review — an executor that throws every time would have its
+          // strike wiped each tick and never hit the cutoff); they reset
+          // after a successful execute launch below
           if (next.isBefore(now.plusSeconds(tickSeconds.toLong))) Some(e) else None
         } catch {
           case _: ScheduleException =>
@@ -96,7 +106,7 @@ final class SchedulerLoop(
         }
       }.toSeq
     }
-    due.map { e =>
+    due.flatMap { e =>
       val zid = synchronized {
         val z = e.planId match {
           case Some(pid) =>
@@ -111,8 +121,27 @@ final class SchedulerLoop(
         e.planId = None
         z
       }
-      execute(e.workflowId, zid, now)
-      e.workflowId
+      // a throwing executor must not kill the host poll loop, and a
+      // workflow whose creation keeps failing must hit the 10-strike
+      // cutoff (`Processor.cs:168-214`) — previously the exception
+      // escaped tick(), terminated the service, and the strike counter
+      // never saw it (r10 review). The consumed plan stays consumed (the
+      // failed start is on the record); the next tick plans afresh.
+      scala.util.Try(execute(e.workflowId, zid, now)) match {
+        case scala.util.Success(_) =>
+          synchronized { e.strikes = 0 }
+          Some(e.workflowId)
+        case scala.util.Failure(err) =>
+          synchronized {
+            e.strikes += 1
+            if (e.strikes >= maxStrikes) e.active = false
+          }
+          ledger.foreach(_.error(graft.model.ErrorRow.TypWorkflow,
+            graft.model.ErrorRow.SeverityMajor,
+            s"workflow ${e.workflowId} failed to start: ${err.getMessage}",
+            stacktrace = Some(err.getStackTrace.mkString("\n"))))
+          None
+      }
     }
   }
 }

@@ -108,20 +108,30 @@ final class WorkflowRunner(
     manager.scheduledToInitializing(spec.id)
     ledger.markStarted(wfRunId)
 
-    val (von, bis) = Takeover.window(spec.takeover, clock(), requestedAt)
-    val macroCtx = Macros.Context(
-      workflowId = spec.id.toLong,
-      takeoverVon = von, takeoverBis = bis,
-      belegungszeit = Some(requestedAt),
-      prozesslaeufeId = Some(wfRunId),
-      zeitplanAusfuehrungenId = Some(zeitplanAusfuehrungenId),
-      etlProzesslaeufeId = Some(wfRunId))
-
-    manager.initializingToExecuting(spec.id)
-    ledger.markExecuting(wfRunId)
-
     val token = new RunToken
+    // everything after ledger.start is inside the Try — an
+    // initialization throw (Takeover.window on a config with neither
+    // uebernahmeVon nor uebernahmeTageRueckwirkend) used to escape
+    // BEFORE the Try, leaving the workflow ledger row open forever and
+    // the FSM stuck in Initializing (r10 review); now it takes the same
+    // failure path as an execution error. The macro context is stashed
+    // for the fallback, which is SKIPPED when initialization itself
+    // failed (no window to run compensation in).
+    var macroCtxOpt: Option[Macros.Context] = None
     val attempt = Try {
+      val (von, bis) = Takeover.window(spec.takeover, clock(), requestedAt)
+      val macroCtx = Macros.Context(
+        workflowId = spec.id.toLong,
+        takeoverVon = von, takeoverBis = bis,
+        belegungszeit = Some(requestedAt),
+        prozesslaeufeId = Some(wfRunId),
+        zeitplanAusfuehrungenId = Some(zeitplanAusfuehrungenId),
+        etlProzesslaeufeId = Some(wfRunId))
+      macroCtxOpt = Some(macroCtx)
+
+      manager.initializingToExecuting(spec.id)
+      ledger.markExecuting(wfRunId)
+
       parallelLocks.withModule("workflow", spec.parallelsperre) {
         runPackageTree(spec, spec.masterPackageId, wfRunId, macroCtx, stepContext, token)
       }
@@ -141,9 +151,10 @@ final class WorkflowRunner(
           stacktrace = Some(e.getStackTrace.mkString("\n")),
           workflowRunId = Some(wfRunId))
         // fallback package as compensation (`Workflow.cs:1465-1538`);
-        // its failure is logged major but not retried
-        val fallbackRan = spec.fallbackPackageId match {
-          case Some(fb) =>
+        // its failure is logged major but not retried. Runs only when
+        // initialization produced a macro context.
+        val fallbackRan = (spec.fallbackPackageId, macroCtxOpt) match {
+          case (Some(fb), Some(macroCtx)) =>
             // fallback runs under its own token (compensation must not
             // inherit the cancelled state)
             Try(runPackageTree(spec, fb, wfRunId, macroCtx, stepContext, new RunToken)) match {
@@ -154,7 +165,7 @@ final class WorkflowRunner(
               case Success(_) => ()
             }
             true
-          case None => false
+          case _ => false
         }
         ledger.markFinished(wfRunId, success = false)
         manager.setFailed(spec.id)
@@ -168,9 +179,9 @@ final class WorkflowRunner(
       stepContext: (Macros.Context, Option[Long], RealizationSpec) => StepContext,
       token: RunToken): Unit = {
     val dag = new PackageDag(
-      id => spec.packages.get(id.toLong).map(_.dependencies.map(_.toInt)).getOrElse(Seq.empty),
-      id => runPackage(spec, id.toLong, wfRunId, macroCtx, stepContext, token))
-    Await.result(dag.execute(rootPkg.toInt), Duration.Inf)
+      id => spec.packages.get(id).map(_.dependencies).getOrElse(Seq.empty),
+      id => runPackage(spec, id, wfRunId, macroCtx, stepContext, token))
+    Await.result(dag.execute(rootPkg), Duration.Inf)
   }
 
   private def runPackage(
@@ -225,7 +236,9 @@ final class WorkflowRunner(
             finally stepCap.release()
           }
         }
-        Await.result(Future.sequence(futures), Duration.Inf)
+        // waitAll, not sequence: the realization must not close (and let
+        // compensation start) while a sibling step is still executing
+        Await.result(Futures.waitAll(futures), Duration.Inf)
       }
     }
     ledger.markExecuted(realRunId)
@@ -263,6 +276,20 @@ final class WorkflowRunner(
     ledger.markExecuted(stepRunId)
     ledger.markFinished(stepRunId, success = result.isSuccess)
     result match {
+      case Failure(e: EtlStateException)
+          if token.isCancelled && e.getMessage == "workflow run cancelled" =>
+        // a queued step aborted by the cancellation cascade (this exact
+        // exception is thrown only by RunToken.checkpoint) is NOT a SQL
+        // failure — logging it as one buried the single root-cause error
+        // under one TypSql/Major row per queued sibling (r10 review); the
+        // reference's Abort path doesn't error-log aborted steps either.
+        // The guard is on the checkpoint message, not the token alone:
+        // the root-cause step's own failure also cancels the token
+        // before this match and must keep its error row
+        ledger.message(s"step ${step.id} aborted: ${e.getMessage}",
+          workflowRunId = Some(wfRunId), paketRunId = Some(pkgRunId),
+          umsetzungRunId = Some(realRunId), schrittRunId = Some(stepRunId))
+        throw e
       case Failure(e) =>
         ledger.error(ErrorRow.TypSql, ErrorRow.SeverityMajor,
           s"step ${step.id} failed: ${e.getMessage}",

@@ -18,10 +18,10 @@ class OrchestrationSpec extends AnyFunSuite {
   private implicit val ec: ExecutionContext = ExecutionContext.global
 
   test("PackageDag: every package runs exactly once, predecessors first") {
-    val order = new ConcurrentLinkedQueue[Int]()
+    val order = new ConcurrentLinkedQueue[Long]()
     val counts = new AtomicInteger(0)
     // diamond: 4 <- {2,3} <- 1 ; plus 5 <- {2} shares 2's execution
-    val deps = Map(1 -> Seq(2, 3), 2 -> Seq(4), 3 -> Seq(4), 5 -> Seq(2))
+    val deps = Map[Long, Seq[Long]](1L -> Seq(2, 3), 2L -> Seq(4), 3L -> Seq(4), 5L -> Seq(2))
       .withDefaultValue(Seq.empty)
     val dag = new PackageDag(deps, id => { order.add(id); counts.incrementAndGet(); () })
     Await.result(Future.sequence(Seq(dag.execute(1), dag.execute(5))), 30.seconds)
@@ -34,9 +34,9 @@ class OrchestrationSpec extends AnyFunSuite {
   }
 
   test("PackageDag: predecessor failure propagates to every waiter") {
-    val deps = Map(1 -> Seq(3), 2 -> Seq(3)).withDefaultValue(Seq.empty)
+    val deps = Map[Long, Seq[Long]](1L -> Seq(3), 2L -> Seq(3)).withDefaultValue(Seq.empty)
     val dag = new PackageDag(deps,
-      id => if (id == 3) throw new RuntimeException("boom") else ())
+      id => if (id == 3L) throw new RuntimeException("boom") else ())
     val f1 = dag.execute(1)
     val f2 = dag.execute(2)
     assertThrows[RuntimeException] { Await.result(f1, 30.seconds) }
@@ -44,9 +44,44 @@ class OrchestrationSpec extends AnyFunSuite {
   }
 
   test("PackageDag: cycles fail fast instead of hanging") {
-    val deps = Map(1 -> Seq(2), 2 -> Seq(3), 3 -> Seq(1)).withDefaultValue(Seq.empty)
+    val deps = Map[Long, Seq[Long]](1L -> Seq(2), 2L -> Seq(3), 3L -> Seq(1)).withDefaultValue(Seq.empty)
     val dag = new PackageDag(deps, _ => ())
     assertThrows[EtlStateException] { dag.execute(1) }
+  }
+
+  test("PackageDag: cycle detection is linear on diamond chains (r10 review: the path-only seen set was 2^n)") {
+    // 60 stacked diamonds: pkg 3k depends on 3k+1 and 3k+2, both on
+    // 3(k+1) — exponential traversal would hang for ~2^60 visits
+    val n = 60
+    val deps = (0 until n).flatMap { k =>
+      val (top, a, b, bottom) = (3L * k, 3L * k + 1, 3L * k + 2, 3L * (k + 1))
+      Seq(top -> Seq(a, b), a -> Seq(bottom), b -> Seq(bottom))
+    }.toMap.withDefaultValue(Seq.empty[Long])
+    val ran = new AtomicInteger(0)
+    val dag = new PackageDag(deps, _ => { ran.incrementAndGet(); () })
+    Await.result(dag.execute(0), 30.seconds) // completes ⇒ linear
+    assert(ran.get == 3 * n + 1)
+  }
+
+  test("PackageDag: Long ids 2^32 apart do not alias (r10 review: the Int-keyed memo silently skipped one)") {
+    val a = 5L
+    val b = 5L + (1L << 32)
+    val ran = new ConcurrentLinkedQueue[Long]()
+    val dag = new PackageDag(Map(a -> Seq(b)).withDefaultValue(Seq.empty),
+      id => { ran.add(id); () })
+    Await.result(dag.execute(a), 30.seconds)
+    assert(ran.asScala.toSeq == Seq(b, a), s"both ids must execute, got ${ran.asScala.toSeq}")
+  }
+
+  test("PriorityBarrier: a group is a TRUE barrier — a fast failure still awaits the slow sibling (r10 review)") {
+    val slowDone = new AtomicInteger(0)
+    val f = PriorityBarrier.run(Seq(1 -> "fail", 1 -> "slow")) {
+      case "fail" => Future.failed(new RuntimeException("boom"))
+      case _ => Future { Thread.sleep(300); slowDone.incrementAndGet(); () }
+    }
+    assertThrows[RuntimeException] { Await.result(f, 30.seconds) }
+    assert(slowDone.get == 1,
+      "the barrier future resolved before the in-flight sibling finished")
   }
 
   test("PriorityBarrier: same priority concurrent, different priority sequential") {

@@ -90,4 +90,33 @@ class SchedulerLoopSpec extends AnyFunSuite {
     assert(loop.tick(base) == Seq(7))   // fired immediately
     assert(loop.tick(base.plusMinutes(1)).isEmpty) // now follows the schedule
   }
+
+  test("a throwing executor does not kill the tick loop; it strikes out and deactivates (r10 review)") {
+    val good = mutable.ArrayBuffer.empty[Int]
+    val loop = new SchedulerLoop(new WorkflowManager,
+      (wf, _, _) => if (wf == 9) throw new RuntimeException("bad config") else good += wf,
+      tickSeconds = 10, maxStrikes = 3)
+    loop.register(9, minutely(base))
+    loop.register(1, minutely(base))
+    (1 to 3).foreach { i =>
+      // tick must survive workflow 9's throw, and workflow 1 keeps running
+      val ids = loop.tick(base.plusMinutes(i.toLong))
+      assert(ids == Seq(1), s"tick $i started $ids")
+    }
+    assert(!loop.isActive(9), "three failed launches must deactivate")
+    assert(loop.isActive(1))
+    assert(good.size == 3)
+  }
+
+  test("re-registration supersedes a pending materialized plan instead of orphaning it (r10 review)") {
+    val ledger = new graft.ledger.RunLedger(() => base)
+    val loop = new SchedulerLoop(new WorkflowManager, (_, _, _) => (),
+      tickSeconds = 10, ledger = Some(ledger))
+    loop.register(1, minutely(base.plusMinutes(5)))
+    loop.tick(base) // plans the 09:05 row, not yet due
+    assert(ledger.openPlans.size == 1)
+    loop.register(1, minutely(base.plusMinutes(30))) // schedule change
+    assert(ledger.openPlans.isEmpty,
+      "the superseded plan row must be closed, not left as a phantom open plan")
+  }
 }
