@@ -53,7 +53,15 @@ object Connections {
   final case class Resolved(source: Spec, target: Spec)
 
   /** Reader options for a JDBC query source — unit-testable without a
-    * live database.
+    * live database. NOTE an un-predicated query read is ONE partition by
+    * construction: Spark only parallelizes JDBC via
+    * partitionColumn+bounds or per-partition predicates, and
+    * `numPartitions` alone is a no-op for reads (r10 review — it used to
+    * be set here, implying a parallelism that never existed). The
+    * parallel path for COPY is the timeslice predicates
+    * ([[read]]'s `predicates`, fed by `MonthWindows.predicates`);
+    * `numPartitions` still applies to WRITES (it caps concurrent insert
+    * connections).
     */
   def jdbcOptions(c: Jdbc, query: String): Map[String, String] =
     Map(
@@ -62,8 +70,7 @@ object Connections {
       "password" -> c.password,
       // full-query pushdown: the source DBMS executes the step SQL
       "dbtable" -> s"($query) q",
-      "fetchsize" -> c.fetchSize.toString,
-      "numPartitions" -> c.numPartitions.toString) ++
+      "fetchsize" -> c.fetchSize.toString) ++
       c.driver.map("driver" -> _)
 
   /** Read a step's source query/table through a connection spec.
@@ -101,6 +108,9 @@ object Connections {
       "user" -> c.user,
       "password" -> c.password,
       "dbtable" -> table,
-      "batchsize" -> batchSize.toString) ++
+      "batchsize" -> batchSize.toString,
+      // writes DO honor numPartitions (Spark coalesces first): it caps
+      // concurrent insert connections against the target DBMS
+      "numPartitions" -> c.numPartitions.toString) ++
       c.driver.map("driver" -> _)
 }

@@ -200,16 +200,23 @@ object Xlsx {
       val out = Vector.newBuilder[String]
       var sb: StringBuilder = null
       var inT = false
+      // <rPh> runs are PHONETIC hints (furigana) riding alongside the
+      // text runs; flattening their <t> too would corrupt every string
+      // cell from workbooks saved with phonetic data ("東京" would ingest
+      // as "東京トウキョウ" — r10 review; real readers exclude rPh)
+      var inRPh = false
       while (r.hasNext) r.next() match {
         case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
           case "si" => sb = new StringBuilder
-          case "t" if sb != null => inT = true
+          case "rPh" => inRPh = true
+          case "t" if sb != null && !inRPh => inT = true
           case _ => ()
         }
         case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA if inT =>
           sb.append(r.getText)
         case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
           case "si" => out += sb.toString; sb = null
+          case "rPh" => inRPh = false
           case "t"  => inT = false
           case _    => ()
         }

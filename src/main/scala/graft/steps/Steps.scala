@@ -182,12 +182,20 @@ object Steps {
       (w.from, to)
     }
     def sliceQuery(from: LocalDateTime, to: LocalDateTime,
-                   literal: LocalDateTime => String): String =
+                   literal: LocalDateTime => String): String = {
+      // regex on the SAME grammar Macros accepts (interior whitespace:
+      // `## Uebernahme_von ##` is legal) — an exact-string replace
+      // missed those spellings, so Macros.expand would substitute the
+      // bare whole-range date into EVERY slice and the JDBC union read
+      // the full range N times (r10 review)
+      def sub(text: String, name: String, value: String): String =
+        ("##\\s*" + name + "\\s*##").r.replaceAllIn(
+          text, java.util.regex.Matcher.quoteReplacement(value))
       Macros.expand(
-        spec.befehl
-          .replace("##Uebernahme_von##", literal(from))
-          .replace("##Uebernahme_bis##", literal(to)),
+        sub(sub(spec.befehl, "Uebernahme_von", literal(from)),
+          "Uebernahme_bis", literal(to)),
         ctx.macroCtx)
+    }
     ctx.sourceSpec match {
       case Some(j: graft.sources.Connections.Jdbc) =>
         val slices = bounds.map { case (from, to) =>
@@ -213,14 +221,21 @@ object Steps {
   /** Destination-probe schema alignment + audit columns
     * (`CommandExecuter.cs:603-678`): add missing destination columns —
     * `Nutzer`, `Abfragezeitpunkt`, `Datenproduzent` get audit values,
-    * everything else NULL — then select in destination order. First
-    * write to a fresh table skips the probe (schema from source + audit
-    * columns), like the reference's initial load.
+    * everything else NULL — then select in destination order, with every
+    * PRESENT source column cast to the destination's type (r10 review:
+    * append-only parquet has no write-time validation, so one COPY from
+    * a source that types a shared column differently — a CSV view's
+    * all-string schema, say — would land mixed-type files and brick
+    * every later read of the table; the reference's SqlBulkCopy gets
+    * this coercion from the database engine). First write to a fresh
+    * table skips the probe (schema from source + audit columns), like
+    * the reference's initial load.
     */
   def alignToDestination(src: DataFrame, destSchema: StructType, ctx: StepContext): DataFrame = {
     val srcCols = src.columns.map(_.toLowerCase).toSet
     val withDefaults = destSchema.fields.foldLeft(src) { (df, f) =>
-      if (srcCols.contains(f.name.toLowerCase)) df
+      if (srcCols.contains(f.name.toLowerCase))
+        df.withColumn(f.name, col(f.name).cast(f.dataType))
       else f.name.toLowerCase match {
         case "nutzer" => df.withColumn(f.name, lit(ctx.dstUser))
         case "abfragezeitpunkt" =>
@@ -267,8 +282,13 @@ object Steps {
     val df0 = ctx.spark.sql(query)
     val df = spec.csv.zahlenformat match {
       case Some(fmtStr) =>
-        // interpret e.g. "0.00" as a scale: digits after the dot
-        val scale = fmtStr.reverse.takeWhile(_ == '0').length
+        // interpret e.g. "0.00" as a scale: digit PLACEHOLDERS after the
+        // dot (r10 review: counting the whole string's trailing zeros
+        // gave scale 1 for the integer formats "0" / "#,##0")
+        val scale = fmtStr.lastIndexOf('.') match {
+          case -1 => 0
+          case i  => fmtStr.drop(i + 1).takeWhile(c => c == '0' || c == '#').length
+        }
         df0.schema.fields.foldLeft(df0) { (d, f) =>
           f.dataType match {
             case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
@@ -323,7 +343,14 @@ object Steps {
     * filename deleted (idempotent retry, `1130-1157`), appended; on
     * success the file is deleted, on failure rows are rolled back and
     * the file moved back to `Insert`. Per-file loop like the reference —
-    * rollback granularity is the file.
+    * rollback granularity is the file. A file stranded in TMP by a hard
+    * crash is recovered to Insert on the next run (delete-by-filename
+    * makes the retry idempotent). Deployment constraint (r10 review):
+    * the drop folder is listed driver-side with java.nio but READ by
+    * executor tasks (csv/binaryFile scans), so in cluster mode `Befehl`
+    * must name storage visible to both — a shared mount or DFS path —
+    * exactly like the reference's UNC share; a driver-only local path
+    * works in local mode only.
     */
   def ingest(spec: StepSpec, ctx: StepContext,
       reader: FileReader = csvReader): Long = {
@@ -333,6 +360,27 @@ object Steps {
     Files.createDirectories(tmpDir)
     val target = targetTable(spec)
     val mapping = readMapping(ctx.spark, baseDir)
+
+    // crash recovery (r10 review): a file moved to TMP/ by a run that
+    // died mid-append would otherwise sit there forever, silently never
+    // ingested (the catch-based rollback only runs when the JVM
+    // survives). The delete-by-filename idempotency makes reprocessing
+    // safe, so stranded TMP files go back to Insert/ before listing.
+    if (Files.isDirectory(tmpDir)) {
+      val stranded = {
+        val s = Files.list(tmpDir)
+        try s.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+        finally s.close()
+      }
+      if (stranded.nonEmpty) Files.createDirectories(insertDir)
+      stranded.foreach { f =>
+        ctx.ledger.message(
+          s"recovering stranded TMP file ${f.getFileName} from a crashed run",
+          schrittRunId = ctx.schrittRunId)
+        Files.move(f, insertDir.resolve(f.getFileName.toString),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
 
     val files: Seq[Path] =
       if (Files.isDirectory(insertDir)) {
@@ -430,10 +478,35 @@ object Steps {
     * `ExecuteCommand` performs on its `DbConnection`
     * (`CommandExecuter.cs:997-1075` — not a distributed operation).
     */
+  /** SELECT-shaped after stripping leading comments — a CTE (`WITH`),
+    * a parenthesized select, or a line/block comment prefix is still a
+    * query the scalar contract must see (r10 review: a literal-prefix
+    * check let `WITH c AS (...) SELECT CASE WHEN bad THEN -1 ...` run
+    * as a discarded Statement.execute, silently PASSING a data-quality
+    * probe that signalled failure).
+    */
+  private[steps] def isQueryShaped(sql: String): Boolean = {
+    var s = sql
+    var changed = true
+    while (changed) {
+      val t = s.stripLeading()
+      val next =
+        if (t.startsWith("--")) t.dropWhile(_ != '\n')
+        else if (t.startsWith("/*")) {
+          val end = t.indexOf("*/")
+          if (end < 0) "" else t.substring(end + 2)
+        } else t
+      changed = next ne t
+      s = next
+    }
+    val u = s.toUpperCase
+    u.startsWith("SELECT") || u.startsWith("WITH") || u.startsWith("(")
+  }
+
   private def sqlExecJdbc(
       text: String, j: graft.sources.Connections.Jdbc,
       spec: StepSpec, ctx: StepContext): Unit =
-    if (text.trim.toUpperCase.startsWith("SELECT")) {
+    if (isQueryShaped(text)) {
       val df = graft.sources.Connections.read(ctx.spark, j, text)
       failIfSignalled(df.schema.length, df.limit(2).collect(), spec, ctx)
     } else {

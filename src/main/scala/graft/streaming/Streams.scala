@@ -65,7 +65,12 @@ object Streams {
       .option("cleanSource", "archive")
       .option("sourceArchiveDir", archiveDir)
       .csv(inDir)
-      .withColumn("dateiname", element_at(split(input_file_name(), "/"), -1))
+      // url_decode: input_file_name() returns a percent-encoded URI, so
+      // a file named "Umsätze 2026.csv" would audit as
+      // "Ums%C3%A4tze%202026.csv" and the idempotent delete keyed on the
+      // real dateiname would miss its rows (r10 review; batch ingest
+      // stores the real name)
+      .withColumn("dateiname", url_decode(element_at(split(input_file_name(), "/"), -1)))
       .withColumn("exportdatum", current_timestamp())
       .withColumn("datenproduzent", lit(datenproduzent))
       .writeStream
@@ -110,7 +115,9 @@ object Streams {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        val name = path.split("/").last
+        // binaryFile's path is a percent-encoded URI — decode so the
+        // audit dateiname matches the real filename (r10 review)
+        val name = java.net.URLDecoder.decode(path.split("/").last, "UTF-8")
         val t = graft.sources.Xlsx.parse(bytes)
         val idx = cols.map(c => t.header.indexOf(c))
         t.rows.map { r =>
@@ -137,7 +144,10 @@ object Streams {
     * arriving after the watermark passes is a new document — at 100 TB
     * the unbounded-state alternative would grow a fingerprint set
     * forever; cross-epoch dedup belongs to the batch pass over the
-    * accumulated table). Expects columns (doc_id, ts, text).
+    * accumulated table). Expects columns (doc_id, ts, text); the output
+    * ADDS the `fingerprint` column — deliberately: it is the dedup key,
+    * and downstream consumers (q48's signature table, idempotent
+    * re-ingest joins) key on it rather than re-hashing the text.
     */
   def dedupExact(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
     docs

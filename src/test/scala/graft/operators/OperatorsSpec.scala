@@ -267,10 +267,15 @@ class OperatorsSpec extends AnyFunSuite with SparkSupport {
     val opts = Connections.jdbcOptions(j, "SELECT * FROM t WHERE x > 0")
     assert(opts("dbtable") == "(SELECT * FROM t WHERE x > 0) q") // full-query pushdown
     assert(opts("fetchsize") == "5000")
-    assert(opts("numPartitions") == "16")
+    // numPartitions is NOT a read option: without partitionColumn/bounds
+    // or predicates Spark ignores it, and advertising it implied a
+    // parallel read that never existed (r10 review) — the parallel read
+    // path is `read(..., predicates)`; writes carry it (below)
+    assert(!opts.contains("numPartitions"))
     assert(opts("driver") == "org.postgresql.Driver")
     val w = Connections.jdbcWriteOptions(j, "dst", batchSize = 50000)
     assert(w("batchsize") == "50000")
+    assert(w("numPartitions") == "16")
     // parquet + csv paths resolve through the same interface
     val df = Connections.read(spark, Connections.ParquetDir("/root/testdata/sf0.001"), "region")
     assert(df.count() == 5)

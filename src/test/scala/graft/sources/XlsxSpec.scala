@@ -169,6 +169,26 @@ class XlsxSpec extends AnyFunSuite with SparkSupport {
     } finally zin.close()
   }
 
+  test("shared strings exclude phonetic rPh runs (furigana must not concatenate into the value)") {
+    val shared =
+      """<?xml version="1.0"?>
+        |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="1" uniqueCount="1">
+        |<si><t>東京</t><rPh sb="0" eb="2"><t>トウキョウ</t></rPh><phoneticPr fontId="1"/></si>
+        |</sst>""".stripMargin
+    val sheet =
+      """<?xml version="1.0"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c t="inlineStr"><is><t>city</t></is></c></row>
+        |<row r="2"><c t="s"><v>0</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val bytes = zipOf(Map(
+      "xl/worksheets/sheet1.xml" -> sheet,
+      "xl/sharedStrings.xml" -> shared))
+    val t = Xlsx.parse(bytes)
+    assert(t.rows == Vector(Vector(Some("東京"))),
+      "phonetic <rPh> text runs must be excluded from the cell value")
+  }
+
   private def zipOf(entries: Map[String, String]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val z = new java.util.zip.ZipOutputStream(bos)

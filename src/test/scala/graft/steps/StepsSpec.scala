@@ -406,4 +406,77 @@ class StepsSpec extends AnyFunSuite with SparkSupport {
     Steps.execute(StepSpec(9, CommandType.Test, TaskType.Sql, "0.05"), ctx)
     assert(ledger.allMessages.exists(_.meldungstext.contains("TEST step 9")))
   }
+
+  test("isQueryShaped: CTE, parenthesized, and comment-prefixed probes are queries; DDL/DML are not (r10 review)") {
+    assert(Steps.isQueryShaped("SELECT 1"))
+    assert(Steps.isQueryShaped("  with c as (select -1 n) select n from c"))
+    assert(Steps.isQueryShaped("(SELECT 1)"))
+    assert(Steps.isQueryShaped("-- probe\nSELECT 1"))
+    assert(Steps.isQueryShaped("/* hdr */ -- x\n WITH c AS (SELECT 1) SELECT * FROM c"))
+    assert(!Steps.isQueryShaped("DELETE FROM t"))
+    assert(!Steps.isQueryShaped("-- note\nUPDATE t SET x = 1"))
+    assert(!Steps.isQueryShaped("/* unclosed"))
+  }
+
+  test("Zahlenformat integer formats export without a decimal point (r10 review: '0' gave scale 1)") {
+    val (ctx, _, _) = freshCtx()
+    val out = tmpDir("csvint") + "/export"
+    val spec = StepSpec(41, CommandType.Transfer, TaskType.Csv,
+      "SELECT CAST(5.0 AS DOUBLE) AS num",
+      zieltabelle = Some(out),
+      csv = CsvParams(kopfzeile = false, zahlenformat = Some("#,##0")))
+    Steps.execute(spec, ctx).get
+    val content = new java.io.File(out).listFiles().filter(_.getName.endsWith(".csv"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq).toSeq
+    assert(content == Seq("5"), s"integer format must render 5, got $content")
+  }
+
+  test("alignToDestination casts a present source column to the destination type (r10 review: mixed-type appends brick the table)") {
+    val (ctx, _, wh) = freshCtx()
+    // destination: id BIGINT, betrag DOUBLE
+    wh.append(spark.sql("SELECT CAST(1 AS BIGINT) AS id, CAST(2.5 AS DOUBLE) AS betrag"), "typed_dst")
+    // source delivers betrag as STRING (the CSV-view shape)
+    val src = spark.sql("SELECT CAST(2 AS BIGINT) AS id, '7.25' AS betrag")
+    val aligned = Steps.alignToDestination(src, wh.read(spark, "typed_dst").schema, ctx)
+    assert(aligned.schema("betrag").dataType == org.apache.spark.sql.types.DoubleType,
+      "present source columns must be cast to the destination type")
+    wh.append(aligned, "typed_dst")
+    // the table stays readable and numeric after the append
+    assert(wh.read(spark, "typed_dst").agg(org.apache.spark.sql.functions.sum("betrag"))
+      .head.getDouble(0) == 9.75)
+  }
+
+  test("ingest recovers files stranded in TMP by a crashed run (r10 review: silent data loss)") {
+    val (ctx, ledger, wh) = freshCtx()
+    val base = Paths.get(tmpDir("ingest3"))
+    Files.createDirectories(base.resolve("Insert"))
+    Files.createDirectories(base.resolve("TMP"))
+    // simulate a hard crash: the file sits in TMP, not Insert
+    Files.writeString(base.resolve("TMP/crashed.csv"), "id\n1\n2\n")
+    val spec = StepSpec(42, CommandType.Transfer, TaskType.Sql,
+      base.toString, zieltabelle = Some("ingested3"))
+    val rows = Steps.execute(spec, ctx).get
+    assert(rows == 2, "the stranded file must be recovered and ingested")
+    assert(wh.read(spark, "ingested3").filter("dateiname = 'crashed.csv'").count() == 2)
+    assert(!Files.exists(base.resolve("TMP/crashed.csv")))
+    assert(ledger.allMessages.exists(_.meldungstext.contains("recovering stranded")))
+  }
+
+  test("timesliced COPY substitutes takeover macros spelled with interior whitespace (r10 review)") {
+    val (ctx0, _, wh) = freshCtx()
+    val ctx = ctx0.copy(macroCtx = ctx0.macroCtx.copy(
+      takeoverVon = LocalDateTime.of(1996, 1, 1, 0, 0),
+      takeoverBis = LocalDateTime.of(1996, 6, 30, 23, 59, 59)))
+    def run(befehl: String, dst: String): Long = {
+      val spec = StepSpec(43, CommandType.Copy, TaskType.Sql, befehl,
+        zieltabelle = Some(dst), zeitscheibe = true)
+      Steps.execute(spec, ctx).get
+    }
+    val tight = run("SELECT l_orderkey, l_shipdate FROM lineitem " +
+      "WHERE l_shipdate BETWEEN ##Uebernahme_von## AND ##Uebernahme_bis##", "ts_tight")
+    val spaced = run("SELECT l_orderkey, l_shipdate FROM lineitem " +
+      "WHERE l_shipdate BETWEEN ## Uebernahme_von ## AND ## Uebernahme_bis ##", "ts_spaced")
+    assert(tight > 0 && spaced == tight,
+      s"whitespace macro spelling must slice identically: $spaced vs $tight")
+  }
 }
