@@ -157,7 +157,15 @@ object Service {
     * zeitplan runs on its schedule.
     */
   def main(args: Array[String]): Unit = {
-    val Array(configDir, dataDir, warehouseDir, ledgerDir) = args
+    val (configDir, dataDir, warehouseDir, ledgerDir) = args match {
+      case Array(c, d, w, l) => (c, d, w, l)
+      case other =>
+        // a usage message, not a MatchError (r10 review)
+        System.err.println(
+          s"usage: graft.Service <configDir> <dataDir> <warehouseDir> <ledgerDir> " +
+            s"(got ${other.length} arguments)")
+        sys.exit(2)
+    }
     implicit val ec: ExecutionContext = ExecutionContext.global
     val spark = Sessions.local()
     val cfg = loadConfig(spark, configDir)
@@ -167,8 +175,18 @@ object Service {
       restoreDir = Some(ledgerDir))
     engine.start()
     val running = new java.util.concurrent.atomic.AtomicBoolean(true)
+    // the hook QUIESCES before closing (r10 review): shutdown used to
+    // run concurrently with an in-flight tick, so run rows the still-
+    // executing workflow opened after closeAllOpen could be persisted as
+    // open — the exact phantom rows safe exit exists to prevent (the
+    // reference's StopAsync waits for the processor loop the same way,
+    // `Helper.cs:2964-3140`). The poll thread signals idleness after
+    // every tick; the hook waits for it (bounded — a wedged workflow
+    // must not block process death indefinitely).
+    val idle = new java.util.concurrent.Semaphore(0)
     sys.addShutdownHook {
       running.set(false)
+      idle.tryAcquire(30, java.util.concurrent.TimeUnit.SECONDS)
       engine.shutdown(Some(ledgerDir))
       ()
     }
@@ -188,7 +206,15 @@ object Service {
         engine.ledger.persistPlans(spark, ledgerDir)
         lastHeartbeat = now
       }
-      Thread.sleep(10000)
+      // tick finished — if shutdown is waiting, hand over NOW (idle
+      // between ticks); otherwise sleep in 200 ms slices so a SIGTERM
+      // during the sleep is also picked up promptly
+      if (!running.get()) idle.release()
+      else {
+        var slept = 0
+        while (running.get() && slept < 10000) { Thread.sleep(200); slept += 200 }
+        if (!running.get()) idle.release()
+      }
     }
   }
 }

@@ -58,7 +58,8 @@ object ConfigAssembly {
 
   private def realizationsOf(workflowId: Int, paketId: Long, cfg: ConfigSet): Seq[RealizationSpec] =
     cfg.paketUmsetzungen
-      .filter(m => m.etlWorkflowId == workflowId && m.etlPaketeId == paketId)
+      .filter(m => m.etlWorkflowId == workflowId && m.etlPaketeId == paketId &&
+        m.istAktiv) // the MAPPING's Ist_aktiv (Package.cs:511), r10 review
       .flatMap { m =>
         cfg.umsetzungen
           .find(u => u.etlPaketUmsetzungenId == m.etlPaketUmsetzungenId && u.istAktiv)
@@ -70,7 +71,7 @@ object ConfigAssembly {
               konfigurationenId = u.etlKonfigurationenId,
               parallelsperre = u.parallelsperre,
               connections = resolveConnections(u.etlKonfigurationenId, m.mandantenId, cfg),
-              steps = stepsOf(u.etlPaketUmsetzungenId, cfg))
+              steps = stepsOf(workflowId, u.etlPaketUmsetzungenId, cfg))
           }
       }
 
@@ -121,9 +122,13 @@ object ConfigAssembly {
       case _ => default
     }
 
-  private def stepsOf(umsetzungId: Long, cfg: ConfigSet): Seq[StepSpec] =
+  private def stepsOf(workflowId: Int, umsetzungId: Long, cfg: ConfigSet): Seq[StepSpec] =
     cfg.umsetzungSchritte
-      .filter(_.etlPaketUmsetzungenId == umsetzungId)
+      .filter(m => m.etlPaketUmsetzungenId == umsetzungId &&
+        // the reference scopes step assignments per workflow AND filters
+        // the mapping's own flag (Realization.cs:646-647); None = an
+        // unscoped legacy mapping, applies everywhere (r10 review)
+        m.etlWorkflowId.forall(_ == workflowId) && m.istAktiv)
       .sortBy(_.schrittReihenfolge)
       .flatMap { m =>
         cfg.schritte

@@ -12,12 +12,46 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
 
   private def path(table: String): String = s"$dir/$table"
 
-  def exists(spark: SparkSession, table: String): Boolean =
+  /** Complete a swap torn by a crash between AtomicSwap's two renames
+    * (r10 review): in that window the table exists only as
+    * `table__rewrite` (the COMPLETE new copy — it is fully written
+    * before any rename) and/or `table__old` (the previous copy), both
+    * of which `read`/`exists` ignore — so the next upsert/append would
+    * silently rebuild the table from its incoming batch alone and
+    * strand all prior rows. Preference order matches
+    * `RunLedger.restorePlans`: the side dir (newest complete) over
+    * `__old`. No-op when the target exists.
+    */
+  private def recoverIfTorn(table: String): Unit = {
+    val target = new java.io.File(path(table))
+    if (!target.exists()) {
+      val rewrite = new java.io.File(path(table) + "__rewrite")
+      val old = new java.io.File(path(table) + "__old")
+      // _SUCCESS gates the side dir: only a write the committer finished
+      // may win over __old (a crash mid-write leaves no marker)
+      val source =
+        if (rewrite.isDirectory && new java.io.File(rewrite, "_SUCCESS").exists())
+          Some(rewrite)
+        else if (old.isDirectory) Some(old)
+        else None
+      source.foreach { s =>
+        if (!s.renameTo(target))
+          throw new IllegalStateException(
+            s"torn-swap recovery failed: could not rename $s -> $target")
+      }
+    }
+  }
+
+  def exists(spark: SparkSession, table: String): Boolean = {
+    recoverIfTorn(table)
     new java.io.File(s"${path(table)}/_SUCCESS").exists() ||
       new java.io.File(path(table)).exists()
+  }
 
-  def read(spark: SparkSession, table: String): DataFrame =
+  def read(spark: SparkSession, table: String): DataFrame = {
+    recoverIfTorn(table)
     spark.read.format(format).load(path(table))
+  }
 
   /** Bulk append — the reference's `WriteToServer` fast path. */
   def append(df: DataFrame, table: String): Unit =

@@ -50,7 +50,13 @@ final case class PaketUmsetzungRow(
     etlPaketeId: Long,
     etlPaketUmsetzungenId: Long,
     paketPriorisierung: Int,
-    mandantenId: Option[Int])
+    mandantenId: Option[Int],
+    /** The DDL's `Ist_aktiv` — the reference filters the MAPPING's flag
+      * (`Package.cs:511` `ab.Ist_Aktiv = 1`) in addition to the
+      * realization's own; a deactivated assignment must not execute
+      * even while the realization stays active elsewhere (r10 review).
+      */
+    istAktiv: Boolean = true)
 
 final case class SchrittRow(
     etlPaketschritteId: Long,
@@ -70,7 +76,14 @@ final case class SchrittRow(
 final case class UmsetzungSchrittRow(
     etlPaketUmsetzungenId: Long,
     etlPaketschritteId: Long,
-    schrittReihenfolge: Int)
+    schrittReihenfolge: Int,
+    /** `ETL_Workflow_ID` — the reference scopes step assignments per
+      * workflow (`Realization.cs:646`); None = unscoped (applies to
+      * every workflow, the pre-r10 snapshot shape).
+      */
+    etlWorkflowId: Option[Int] = None,
+    /** The mapping's own `Ist_aktiv` (`Realization.cs:647`). */
+    istAktiv: Boolean = true)
 
 /** `pc.ETL_Zeitplaene` — flattened weekday/month masks. */
 final case class ZeitplanRow(

@@ -103,13 +103,25 @@ object Reports {
         var t = now
         var first = true
         var exhausted = false
-        while (out.size < perWorkflow && !exhausted) {
+        var hops = 0
+        while (out.size < perWorkflow && !exhausted && hops < 500) {
+          hops += 1
           try {
             val n = graft.schedule.NextRun.nextRun(
               sched, t, wasExecutedOnce = if (first) wasExecutedOnce(wf.etlWorkflowId) else true)
-            out += PlannedRun(wf.etlWorkflowId, z.etlZeitplaeneId, n)
-            t = n.plusSeconds(1)
             first = false
+            if (out.nonEmpty && !n.isAfter(out.last.plannedStart)) {
+              // the monatsletzter quirk can return a non-advancing PAST
+              // instant (NextRun preserves it as reference spec) — a
+              // naive t = n+1s re-asks the same instant forever and the
+              // view filled every slot with one stale timestamp (r10
+              // review); jump to the next midnight so the listing shows
+              // distinct future slots
+              t = t.toLocalDate.plusDays(1).atStartOfDay
+            } else {
+              out += PlannedRun(wf.etlWorkflowId, z.etlZeitplaeneId, n)
+              t = n.plusSeconds(1)
+            }
           } catch {
             // Endedatum passed — no executions left for this schedule
             case _: graft.schedule.ScheduleException => exhausted = true

@@ -28,9 +28,20 @@ object NextRun {
     */
   def nextRun(s: Schedule, now: LocalDateTime, wasExecutedOnce: Boolean = false): LocalDateTime = {
     if (s.sofortAusfuehrung && !wasExecutedOnce) return now
-    s.interval match {
+    try s.interval match {
       case Interval.Manuell => nextManuell(s, now)
       case fixed            => stepFixed(fixed, s.anfangsdatum.toLocalDate.atTime(s.startzeit), now)
+    } catch {
+      // a config that assembles an invalid date (monate={April} with a
+      // day-31 seed builds LocalDate.of(y, APRIL, 31)) must surface as
+      // the calculus's OWN exception: every caller's robustness path —
+      // SchedulerLoop's 10-strike deactivation, Reports.plannedRuns's
+      // per-workflow catch — handles ScheduleException only, so a raw
+      // DateTimeException killed the whole poll loop for one workflow's
+      // bad calendar (r10 review; the reference wraps the identical
+      // failure in ETLException, Scheduler.cs:1456-1471)
+      case e: java.time.DateTimeException =>
+        throw new ScheduleException(s"invalid calendar configuration: ${e.getMessage}")
     }
   }
 
@@ -227,8 +238,14 @@ object NextRun {
     while (guard < 48) {
       guard += 1
       if (months.contains(month)) {
+        // the reference compares the BARE MIDNIGHT date against now and
+        // only then adds Anfangsdatum's time-of-day to the accepted
+        // candidate (`Scheduler.cs:1646` then `1653`) — comparing the
+        // time-augmented candidate accepted "today at 22:00" where the
+        // reference skips to the next allowed day, firing a day early
+        // whenever Anfangsdatum's time-of-day is after now's (r10 review)
         val candidate = weekDates(year, month, s.wocheDesMonats).collectFirst {
-          case d if !d.atTime(s.anfangsdatum.toLocalTime).isBefore(now) &&
+          case d if !d.atStartOfDay.isBefore(now) &&
             months.contains(d.getMonth) && weekdays.contains(d.getDayOfWeek) =>
             d.atTime(s.anfangsdatum.toLocalTime)
         }

@@ -58,7 +58,14 @@ class ConfigAssemblySpec extends AnyFunSuite with SparkSupport {
     umsetzungSchritte = Seq(
       UmsetzungSchrittRow(100L, 1000L, 1),
       UmsetzungSchrittRow(100L, 1001L, 2),
-      UmsetzungSchrittRow(100L, 1003L, 3), // inactive: must be dropped
+      UmsetzungSchrittRow(100L, 1003L, 3), // inactive STEP: must be dropped
+      // deactivated MAPPING of an active step (Realization.cs:647):
+      // the assignment itself is off, so step 1002 must not join
+      // realization 100 even though the step row stays active
+      UmsetzungSchrittRow(100L, 1002L, 4, istAktiv = false),
+      // a mapping scoped to ANOTHER workflow (Realization.cs:646):
+      // workflow 1's assembly must not see it
+      UmsetzungSchrittRow(100L, 1002L, 5, etlWorkflowId = Some(99)),
       UmsetzungSchrittRow(110L, 1002L, 1)),
     zeitplaene = Seq(ZeitplanRow(100, LocalDateTime.of(2026, 1, 1, 6, 0), None,
       "Täglich", "06:00:00", 0, 0, anJedemTag = true, inJedemMonat = true,
@@ -71,8 +78,21 @@ class ConfigAssemblySpec extends AnyFunSuite with SparkSupport {
     assert(spec.packages.keySet == Set(10L, 11L))
     assert(spec.packages(10L).dependencies == Seq(11L))
     val steps = spec.packages(10L).realizations.head.steps
-    assert(steps.map(_.id) == Seq(1000L, 1001L)) // ordered, inactive dropped
+    // ordered; inactive step, deactivated mapping, and foreign-workflow
+    // mapping all dropped (r10 review: the mapping-level Ist_aktiv and
+    // ETL_Workflow_ID filters of Package.cs:511 / Realization.cs:646-647)
+    assert(steps.map(_.id) == Seq(1000L, 1001L))
     assert(steps(1).quelltabelle.contains("cfg_li_src"))
+  }
+
+  test("a deactivated package-realization MAPPING does not execute while the realization stays active (Package.cs:511)") {
+    val cfg = slice.copy(paketUmsetzungen =
+      slice.paketUmsetzungen.map(m =>
+        if (m.etlPaketeId == 11L) m.copy(istAktiv = false) else m))
+    val spec = ConfigAssembly.workflowSpec(1, cfg)
+    assert(spec.packages(11L).realizations.isEmpty,
+      "the deactivated assignment must drop realization 110 from package 11")
+    assert(spec.packages(10L).realizations.nonEmpty, "other assignments unaffected")
   }
 
   test("assembled schedule maps interval names and masks") {

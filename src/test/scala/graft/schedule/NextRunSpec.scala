@@ -189,6 +189,28 @@ class NextRunSpec extends AnyFunSuite with PropSupport {
     assertThrows[ScheduleException] { NextRun.weekDates(2027, Month.FEBRUARY, 5) }
   }
 
+  test("an invalid assembled calendar date surfaces as ScheduleException, not a raw DateTimeException (r10 review)") {
+    // monate={April} consulted on May 31: the day seed keeps 31 and
+    // LocalDate.of(y, APRIL, 31) is invalid — the raw DateTimeException
+    // used to bypass every caller's ScheduleException handling and kill
+    // the service poll loop; it must arrive as the calculus's own type
+    // (the strike/deactivate path, like the reference's ETLException wrap)
+    val s = manuell.copy(inJedemMonat = false, monate = Set(Month.APRIL))
+    assertThrows[ScheduleException] {
+      NextRun.nextRun(s, LocalDateTime.of(2024, 5, 31, 12, 0))
+    }
+  }
+
+  test("week-of-month candidates compare the BARE DATE against now, then add Anfangsdatum's time (Scheduler.cs:1646,1653)") {
+    // Anfangsdatum time 22:00; now = Tue of week 2, 10:00. The reference
+    // rejects Tuesday (midnight < now) and returns Wednesday 22:00; the
+    // pre-r10 comparison accepted "today at 22:00" and fired a day early.
+    val s = Schedule(Interval.Manuell, LocalDateTime.of(2024, 1, 1, 22, 0),
+      LocalTime.of(9, 0, 0), wocheDesMonats = 2)
+    assert(NextRun.nextRun(s, LocalDateTime.of(2024, 3, 5, 10, 0)) ==
+      LocalDateTime.of(2024, 3, 6, 22, 0))
+  }
+
   test("reference quirk: December week-5 overflow into January is not detected") {
     // Dec 1 2024 is a Sunday → week 1 starts Mon Nov 25; week 5 starts
     // Dec 23 and runs into Dec 29 — within December, fine. A December

@@ -407,6 +407,24 @@ class StepsSpec extends AnyFunSuite with SparkSupport {
     assert(ledger.allMessages.exists(_.meldungstext.contains("TEST step 9")))
   }
 
+  test("Warehouse recovers a swap torn between renames; the next write must not strand the prior rows (r10 review)") {
+    val (_, _, wh) = freshCtx()
+    wh.append(spark.sql("SELECT 1L AS id"), "torn_a")
+    // crash window: target renamed aside, new copy not yet moved in
+    val p = Paths.get(s"${wh.dir}/torn_a")
+    Files.move(p, Paths.get(s"${wh.dir}/torn_a__old"))
+    assert(wh.exists(spark, "torn_a"), "exists() must complete the torn swap from __old")
+    assert(wh.read(spark, "torn_a").count() == 1)
+    // with a COMPLETE side dir present, the newer copy wins over __old
+    wh.append(spark.sql("SELECT 1L AS id"), "torn_b")
+    val pb = Paths.get(s"${wh.dir}/torn_b")
+    Files.move(pb, Paths.get(s"${wh.dir}/torn_b__old"))
+    wh.append(spark.sql("SELECT 2L AS id UNION ALL SELECT 3L"), "torn_b__rewrite_tmp")
+    Files.move(Paths.get(s"${wh.dir}/torn_b__rewrite_tmp"), Paths.get(s"${wh.dir}/torn_b__rewrite"))
+    assert(wh.read(spark, "torn_b").count() == 2,
+      "the complete (_SUCCESS-marked) side dir must win over __old")
+  }
+
   test("isQueryShaped: CTE, parenthesized, and comment-prefixed probes are queries; DDL/DML are not (r10 review)") {
     assert(Steps.isQueryShaped("SELECT 1"))
     assert(Steps.isQueryShaped("  with c as (select -1 n) select n from c"))
