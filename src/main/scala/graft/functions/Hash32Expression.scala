@@ -46,8 +46,16 @@ case class Hash32Expression(child: Expression)
   * forwarders visible to generated Java).
   */
 object GraftHashUtil {
+  // ThreadLocal digest (r10 review): this IS the hot path the native
+  // expression exists for, and MessageDigest.getInstance is a
+  // synchronized provider lookup + allocation that was paid PER ROW;
+  // digest() leaves the instance reset, so reuse is safe. The static
+  // call shape codegen needs is unchanged.
+  private val md = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
   def hash32(s: UTF8String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+    val d = md.get().digest(s.getBytes)
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 }
@@ -67,15 +75,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  // arity validated in the builder (r10 review): a wrong-arity SQL call
+  // used to surface children.head/children(1) internals
+  // (NoSuchElement/IndexOutOfBounds) instead of an analysis-time message
   private[functions] val hash32Descriptor = (
     FunctionIdentifier("graft_hash32"),
     new ExpressionInfo(classOf[Hash32Expression].getName, "graft_hash32"),
-    (children: Seq[Expression]) => Hash32Expression(children.head): Expression)
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        s"graft_hash32 requires exactly 1 argument, got ${children.length}")
+      Hash32Expression(children.head): Expression
+    })
 
   private[functions] val dotDescriptor = (
     FunctionIdentifier("graft_dot"),
     new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-    (children: Seq[Expression]) => DotProduct(children(0), children(1)): Expression)
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"graft_dot requires exactly 2 arguments, got ${children.length}")
+      DotProduct(children(0), children(1)): Expression
+    })
 
   /** Direct registration on an existing session (tests, driver-provided
     * sessions built without the extensions config). Also installs the

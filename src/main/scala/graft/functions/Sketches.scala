@@ -60,6 +60,11 @@ object Sketches {
     require(hi > lo && buckets > 0, "need hi > lo and positive bucket count")
     val width = (hi - lo) / buckets
     df.select(value.cast("double").as("v"))
+      // NULLs OUT before binning (r10 review): greatest() SKIPS nulls, so
+      // a null value's null bin index silently became bin 0 and inflated
+      // it with phantom counts that dragged every quantile toward lo —
+      // the same least/greatest-skips-nulls hazard ScalarQuant documents
+      .filter(col("v").isNotNull)
       .withColumn("bin",
         least(greatest(floor((col("v") - lit(lo)) / lit(width)), lit(0L)),
           lit(buckets.toLong - 1)))
@@ -96,20 +101,32 @@ object Sketches {
         acc => acc("hit"))
     }
     def pct(q: Double): Int = (q * 100).toInt
-    state.select(qs.map(q =>
-      (lit(lo) + (binFor(q) + 1) * lit(width)).as(s"p${pct(q)}")): _*)
+    // truncation collides 0.99/0.999 -> p99/p99: refuse loudly instead of
+    // emitting duplicate column names a later col("p99") cannot resolve
+    // (r10 review)
+    val names = qs.map(q => s"p${pct(q)}")
+    require(names.distinct.size == names.size,
+      s"quantile labels collide after integer-percent truncation: $names — space the qs")
+    state.select(qs.zip(names).map { case (q, n) =>
+      (lit(lo) + (binFor(q) + 1) * lit(width)).as(n) }: _*)
   }
 
   /** KMV estimate of distinct `key` values: with m = the k-th smallest
-    * 32-bit key hash, estimate = (k-1) · 2^32 / m.
+    * 32-bit key hash, estimate = (k-1) · 2^32 / m; when FEWER than k
+    * distinct hashes exist the sketch holds the whole distinct set and
+    * the answer is the EXACT count (r10 review: the estimator formula on
+    * a partial sketch read ~60x high — 5 distinct keys at k=256 gave
+    * ~307 — because the k-th-smallest premise doesn't hold).
     */
   def kmvDistinct(df: DataFrame, key: Column, k: Int): DataFrame =
     df.select(TextFunctions.hash32(key.cast("string")).as("h"))
       .distinct()
       .orderBy(col("h"))
       .limit(k)
-      .agg(max(col("h")).as("kth_hash"))
+      .agg(max(col("h")).as("kth_hash"), count(lit(1)).as("held"))
       .select(
         col("kth_hash"),
-        (lit((k - 1).toDouble) * lit(4294967296.0) / col("kth_hash")).as("estimate"))
+        when(col("held") < k, col("held").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) / col("kth_hash"))
+          .as("estimate"))
 }

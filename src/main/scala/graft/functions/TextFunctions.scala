@@ -105,9 +105,15 @@ object TextFunctions {
   }
 
   /** Quality-scoring signals (length, punctuation density, stopword ratio)
-    * and a composite score in [0,1] — the filter stage of a data-curation
-    * pipeline. All ratios are single IEEE divisions of exact ints so the
-    * oracle agrees bit-for-bit.
+    * and a composite score — nominally in [0,1], but degenerate
+    * all-punctuation text can dip to −0.25 (the punctuation penalty is
+    * subtractive and the other terms bottom at ~0); kept UNCLAMPED
+    * because the oracle-gated filters (q18/q60/q82) mirror this exact
+    * arithmetic, and a threshold/cut consumer is ordering-invariant to
+    * the clamp anyway. Normalizing consumers must clamp themselves
+    * (r10 review corrected the stale [0,1] claim). All ratios are
+    * single IEEE divisions of exact ints so the oracle agrees
+    * bit-for-bit.
     */
   def qualitySignals(text: Column): Seq[(String, Column)] = {
     val nChars = length(text).cast("long")

@@ -81,18 +81,35 @@ object KMeansCodebook {
     * k-row groupBy rebuilds the centroid arrays (bounded by dims).
     */
   def lloydStep(vectors: DataFrame, book: DataFrame, embCol: String, idCol: String,
-                maxCodebookBytes: Long = IvfIndex.DefaultMaxCodebookBytes): DataFrame = {
-    IvfIndex.assign(vectors.select(col(idCol), col(embCol)), book, embCol, idCol,
-        maxCodebookBytes)
-      .select(col("cell"), posexplode(col(embCol)).as(Seq("pos", "x")))
-      .select(col("cell"), col("pos"),
-        floor(col("x") * Scale).cast("decimal(38,0)").as("q"))
-      .groupBy(col("cell"), col("pos"))
+                maxCodebookBytes: Long = IvfIndex.DefaultMaxCodebookBytes): DataFrame =
+    fixedPointMeans(
+      IvfIndex.assign(vectors.select(col(idCol), col(embCol)), book, embCol, idCol,
+        maxCodebookBytes),
+      embCol, Seq("cell"))
+      .select(col("cell").as("cid"), col("ce"))
+
+  /** Fixed-point centroid means of assigned vectors, grouped by
+    * `grouping` (Lloyd: `cell`; fused PQ training: `sub, cell`): explode
+    * positions, `floor(x·2^30)` into DECIMAL(38,0) for an EXACT
+    * order-free sum, divide back, rebuild position-ordered arrays. ONE
+    * definition (r10 review: `PqIndex.trainBooks` carried a
+    * hand-synchronized copy of this arithmetic, and the q68/q74
+    * bit-parity contract between the two training paths survives only
+    * while every rounding-visible step — scale, cast, division order —
+    * stays identical).
+    */
+  private[operators] def fixedPointMeans(assigned: DataFrame, embCol: String,
+      grouping: Seq[String]): DataFrame = {
+    val g = grouping.map(col)
+    assigned
+      .select(g :+ posexplode(col(embCol)).as(Seq("pos", "x")): _*)
+      .select(g ++ Seq(col("pos"),
+        floor(col("x") * Scale).cast("decimal(38,0)").as("q")): _*)
+      .groupBy(g :+ col("pos"): _*)
       .agg(((sum(col("q")).cast("double") / Scale) / count(lit(1))).as("v"))
-      .groupBy(col("cell"))
+      .groupBy(g: _*)
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
         s => s.getField("v")).as("ce"))
-      .select(col("cell").as("cid"), col("ce"))
   }
 
   /** `iters` Lloyd updates from `init`. Each intermediate book is

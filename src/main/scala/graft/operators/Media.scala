@@ -82,7 +82,10 @@ object Media {
     else if (p.length >= 10 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F')
       Some(("gif", le16(p, 6), le16(p, 8)))
     else if (p.length >= 26 && p(0) == 'B' && p(1) == 'M')
-      Some(("bmp", le32(p, 18), le32(p, 22)))
+      // biHeight is SIGNED: negative means a valid top-down BMP (common
+      // from Windows capture tools) — normalize so downstream area math
+      // and height>0 filters don't quarantine valid images (r10 review)
+      Some(("bmp", le32(p, 18), math.abs(le32(p, 22))))
     else if (p.length >= 4 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8)
       jpegSof(p)
     else None
@@ -95,6 +98,11 @@ object Media {
     var i = 2
     while (i + 9 < p.length) {
       if ((p(i) & 0xff) != 0xff) return None
+      // ISO/IEC 10918-1 permits any number of 0xFF FILL bytes before a
+      // marker id; without skipping them, the length field was read from
+      // the real marker byte and the walk derailed into garbage,
+      // "unknown"-quarantining valid JPEGs (r10 review)
+      while (i + 9 < p.length && (p(i + 1) & 0xff) == 0xff) i += 1
       val m = p(i + 1) & 0xff
       if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) i += 2 // standalone markers
       else {

@@ -123,21 +123,17 @@ object PqIndex {
       // pass (the seed window itself executes once inside iteration 1's
       // broadcast, so it needs no checkpoint)
       val cp = if (i == 1) books else books.localCheckpoint(true)
-      books = sv.join(broadcast(cp), "sub")
-        .withColumn("__d", IvfIndex.sqDist(col("sube"), col("ce")))
-        .filter(col("__d").isNotNull)
-        .select(col(idCol), col("sub"), col("__d"), col("cid"), col("sube"))
-        .groupBy(col(idCol), col("sub"))
-        .agg(min_by(col("cid"), struct(col("__d"), col("cid"))).as("cell"),
-          first(col("sube")).as("sube"))
-        .select(col("sub"), col("cell"), posexplode(col("sube")).as(Seq("pos", "x")))
-        .select(col("sub"), col("cell"), col("pos"),
-          floor(col("x") * KMeansCodebook.Scale).cast("decimal(38,0)").as("q"))
-        .groupBy(col("sub"), col("cell"), col("pos"))
-        .agg(((sum(col("q")).cast("double") / KMeansCodebook.Scale) / count(lit(1))).as("v"))
-        .groupBy(col("sub"), col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
-          s => s.getField("v")).as("ce"))
+      // mean arithmetic SHARED with Lloyd (KMeansCodebook.fixedPointMeans)
+      // — the q68/q74 bit-parity contract rides on one definition
+      books = KMeansCodebook.fixedPointMeans(
+        sv.join(broadcast(cp), "sub")
+          .withColumn("__d", IvfIndex.sqDist(col("sube"), col("ce")))
+          .filter(col("__d").isNotNull)
+          .select(col(idCol), col("sub"), col("__d"), col("cid"), col("sube"))
+          .groupBy(col(idCol), col("sub"))
+          .agg(min_by(col("cid"), struct(col("__d"), col("cid"))).as("cell"),
+            first(col("sube")).as("sube")),
+        "sube", Seq("sub", "cell"))
         .select(col("sub"), col("cell").as("cid"), col("ce"))
     }
     val win = org.apache.spark.sql.expressions.Window

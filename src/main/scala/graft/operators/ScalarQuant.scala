@@ -53,10 +53,16 @@ object ScalarQuant {
   }
 
   /** Quantize `e` to codes 0…255 per dimension against (lo, step). Pure
-    * map — the literal arrays ride the plan, no join. `x == hi` lands
-    * on 256 and is clamped to 255; a null element yields a NULL code
-    * (checked first — `least` skips nulls, so without the guard a null
-    * would silently code 255).
+    * map — the literal arrays ride the plan, no join. Clamped at BOTH
+    * ends: `x == hi` lands on 256 and is clamped to 255, and a value
+    * below `lo` (a QUERY vector encoded against stats trained on a
+    * different corpus — stats-corpus values cannot underflow by
+    * construction) clamps to 0 instead of going negative (r10 review:
+    * an unclamped negative code broke the documented 0…255 contract,
+    * and element_at(table, code+1) on a negative silently indexes from
+    * the END of the lookup array). A null element yields a NULL code
+    * (checked first — `least`/`greatest` skip nulls, so without the
+    * guard a null would silently code 255).
     */
   def encodeExpr(e: Column, lo: Seq[Double], step: Seq[Double]): Column = {
     val loA = typedlit(lo)
@@ -64,8 +70,8 @@ object ScalarQuant {
     transform(e, (x, i) =>
       when(x.isNull, lit(null).cast("long"))
         .when(element_at(stA, i + 1) === 0.0, lit(0L))
-        .otherwise(least(lit(255L),
-          floor((x - element_at(loA, i + 1)) / element_at(stA, i + 1)))))
+        .otherwise(least(lit(255L), greatest(lit(0L),
+          floor((x - element_at(loA, i + 1)) / element_at(stA, i + 1))))))
   }
 
   /** Reconstruct the vector midpoint from codes: `lo + (code + 0.5) ·

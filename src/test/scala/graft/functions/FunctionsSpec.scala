@@ -139,6 +139,31 @@ class FunctionsSpec extends AnyFunSuite with SparkSupport {
     assert(math.abs(est - n) / n < 0.32, s"estimate $est too far from $n")
   }
 
+  test("histogram bins ignore NULL values; quantile labels refuse truncation collisions (r10 review)") {
+    import spark.implicits._
+    val withNulls = (Seq.fill(50)(Option.empty[Double]) ++
+      (1 to 100).map(i => Some(i * 100.0))).toDF("v")
+    val bins = Sketches.histogramBins(withNulls, $"v", 0.0, 10000.0, 100)
+    assert(bins.agg(org.apache.spark.sql.functions.sum($"c")).head.getLong(0) == 100,
+      "NULLs must not land in bin 0 as phantom counts")
+    // p50 over 1..100 hundreds: cumulative reaches 50 at bin 50, upper
+    // edge 5100 — and unaffected by the 50 nulls (pre-fix, the phantom
+    // bin-0 rows pushed the threshold row earlier and answered 2600)
+    val p50 = Sketches.histogramQuantiles(bins, 0.0, 10000.0, 100, Seq(0.5))
+      .head.getDouble(0)
+    assert(p50 == 5100.0, s"nulls dragged the median: $p50")
+    intercept[IllegalArgumentException] {
+      Sketches.histogramQuantiles(bins, 0.0, 10000.0, 100, Seq(0.99, 0.999))
+    }
+  }
+
+  test("KMV below k distinct values returns the exact count, not an inflated estimate (r10 review)") {
+    import spark.implicits._
+    val df = (1 to 5).toDF("k")
+    val est = Sketches.kmvDistinct(df, $"k", 256).head.getDouble(1)
+    assert(est == 5.0, s"partial sketch must answer exactly, got $est")
+  }
+
   test("sessionizeBucketed: session ids identical to the global per-user window, incl. boundary merges") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

@@ -54,6 +54,16 @@ class Hash32ExpressionSpec extends AnyFunSuite with SparkSupport with PropSuppor
     }
   }
 
+  test("wrong arity surfaces a clear message, not builder internals (r10 review)") {
+    GraftExtensions.register(spark)
+    val e1 = intercept[Exception] { spark.sql("SELECT graft_hash32()").collect() }
+    assert(e1.getMessage.contains("requires exactly 1 argument"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_dot(array(1.0d))").collect()
+    }
+    assert(e2.getMessage.contains("requires exactly 2 arguments"), e2.getMessage)
+  }
+
   test("type check rejects non-string input") {
     GraftExtensions.register(spark)
     import spark.implicits._

@@ -216,6 +216,18 @@ class OperatorsSpec extends AnyFunSuite with SparkSupport {
     assert(Media.imageMeta(jpeg) == Some(("jpeg", 1920, 1080)))
     // garbage → None; probeHeaders maps it to "unknown"
     assert(Media.imageMeta("not an image".getBytes).isEmpty)
+    // top-down BMP: negative biHeight is a VALID image; height normalized
+    // (r10 review)
+    val topDown = bmp.clone()
+    topDown(22) = 0xa8.toByte; topDown(23) = 0xfd.toByte
+    topDown(24) = 0xff.toByte; topDown(25) = 0xff.toByte // -600 LE
+    assert(Media.imageMeta(topDown) == Some(("bmp", 800, 600)))
+    // 0xFF fill bytes before a marker are spec-legal; the walk must skip
+    // them instead of derailing (r10 review)
+    val padded = Array[Int](0xff, 0xd8,
+      0xff, 0xff, 0xff, 0xe0, 0x00, 0x04, 0x00, 0x00, // fill, fill, APP0
+      0xff, 0xc0, 0x00, 0x0b, 0x08, 0x04, 0x38, 0x07, 0x80, 0x01, 0x00).map(_.toByte)
+    assert(Media.imageMeta(padded) == Some(("jpeg", 1920, 1080)))
     // WAV: RIFF/WAVE + fmt chunk (2ch, 44100 Hz), preceded by a JUNK chunk
     val wav = ("RIFF".getBytes("US-ASCII") :+ 0.toByte :+ 0.toByte :+ 0.toByte :+ 0.toByte) ++
       "WAVE".getBytes("US-ASCII") ++

@@ -61,4 +61,18 @@ class ScalarQuantSpec extends AnyFunSuite with SparkSupport {
       assert(c(Dims + 1) == null, "null element must code null, not 255")
     }
   }
+
+  test("out-of-range values clamp at BOTH ends of the 0..255 code range (r10 review)") {
+    import spark.implicits._
+    val v = corpus(20)
+    val (lo, step) = ScalarQuant.ranges(v, "e")
+    // a query vector far outside the stats corpus' range in both directions
+    val q = Seq((0L, Seq.fill(Dims)(-1e9) ++ Seq.empty)).toDF("vec_id", "e")
+      .unionByName(Seq((1L, Seq.fill(Dims)(1e9))).toDF("vec_id", "e"))
+    val codes = q.orderBy($"vec_id")
+      .select(ScalarQuant.encodeExpr($"e", lo, step).as("c"))
+      .collect().map(_.getSeq[Long](0))
+    assert(codes(0).forall(_ == 0L), s"below-range must clamp to 0, got ${codes(0).distinct}")
+    assert(codes(1).forall(_ == 255L), s"above-range must clamp to 255, got ${codes(1).distinct}")
+  }
 }
