@@ -121,13 +121,43 @@ object Service {
 
   /** Load the control-plane snapshot from a parquet config directory
     * (one file per table, named like the model rows).
+    *
+    * Snapshot-compat: Spark encoders do NOT apply case-class defaults,
+    * so a pre-r10 snapshot whose parquet lacks a column added later
+    * (e.g. `PaketUmsetzungRow.istAktiv`) would fail analysis under a
+    * bare `.as[T]` and brick service startup (ADVICE r10 medium).
+    * Missing columns are backfilled here before `.as[T]`: an explicit
+    * literal for non-nullable fields with model defaults, a typed NULL
+    * for `Option` fields. A missing non-nullable field without a
+    * registered default still fails — loudly, naming the column.
     */
   def loadConfig(spark: SparkSession, configDir: String): ConfigSet = {
     import spark.implicits._
-    def load[T: org.apache.spark.sql.Encoder](name: String): Seq[T] = {
+    import org.apache.spark.sql.{Column, Encoder}
+    import org.apache.spark.sql.functions.{col, lit}
+    // model defaults for columns added after the first snapshot shape
+    // (keep in sync with ConfigModel's `= …` field defaults)
+    val columnDefaults: Map[String, Map[String, Column]] = Map(
+      "umsetzungen" -> Map("umsetzungsname" -> lit("")),
+      "paket_umsetzungen" -> Map("istAktiv" -> lit(true)),
+      "umsetzung_schritte" -> Map("istAktiv" -> lit(true)))
+    def load[T](name: String)(implicit enc: Encoder[T]): Seq[T] = {
       val p = s"$configDir/$name"
-      if (new java.io.File(p).exists()) spark.read.parquet(p).as[T].collect().toSeq
-      else Seq.empty
+      if (!new java.io.File(p).exists()) Seq.empty
+      else {
+        val raw = spark.read.parquet(p)
+        val have = raw.columns.toSet
+        val defaults = columnDefaults.getOrElse(name, Map.empty)
+        val cols = enc.schema.fields.map { f =>
+          if (have(f.name)) col(f.name)
+          else if (defaults.contains(f.name)) defaults(f.name).cast(f.dataType).as(f.name)
+          else if (f.nullable) lit(null).cast(f.dataType).as(f.name)
+          else throw new IllegalStateException(
+            s"config snapshot $p lacks non-nullable column ${f.name} and no " +
+              "default is registered in Service.loadConfig")
+        }
+        raw.select(cols.toIndexedSeq: _*).as[T].collect().toSeq
+      }
     }
     ConfigSet(
       workflows = load[WorkflowRow]("workflows"),

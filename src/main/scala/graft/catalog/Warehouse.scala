@@ -12,6 +12,17 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
 
   private def path(table: String): String = s"$dir/$table"
 
+  /** Per-table monitor serializing [[recoverIfTorn]] against itself and
+    * against [[rewriteInPlace]]'s swap (ADVICE r10): without it, two
+    * concurrent reads could both see the target missing and race
+    * `renameTo` (the loser threw spuriously), or recovery could slide a
+    * dir under an in-flight swap's rename.
+    */
+  private val tableMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def monitor(table: String): Object =
+    tableMonitors.computeIfAbsent(table, _ => new Object)
+
   /** Complete a swap torn by a crash between AtomicSwap's two renames
     * (r10 review): in that window the table exists only as
     * `table__rewrite` (the COMPLETE new copy — it is fully written
@@ -22,7 +33,7 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
     * `RunLedger.restorePlans`: the side dir (newest complete) over
     * `__old`. No-op when the target exists.
     */
-  private def recoverIfTorn(table: String): Unit = {
+  private def recoverIfTorn(table: String): Unit = monitor(table).synchronized {
     val target = new java.io.File(path(table))
     if (!target.exists()) {
       val rewrite = new java.io.File(path(table) + "__rewrite")
@@ -35,7 +46,10 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
         else if (old.isDirectory) Some(old)
         else None
       source.foreach { s =>
-        if (!s.renameTo(target))
+        // an external process (or a pre-lock racer) may complete the same
+        // recovery between our exists() and renameTo — losing that race
+        // is success, not failure, as long as the target is now in place
+        if (!s.renameTo(target) && !target.exists())
           throw new IllegalStateException(
             s"torn-swap recovery failed: could not rename $s -> $target")
       }
@@ -141,7 +155,12 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
     * `read()` ignores).
     */
   private def rewriteInPlace(table: String, contents: org.apache.spark.sql.DataFrame): Unit =
-    graft.util.AtomicSwap.swapInto(path(table), "__rewrite") { tmp =>
-      contents.write.mode(SaveMode.Overwrite).format(format).save(tmp)
+    // under the table monitor so recoverIfTorn can never slide a dir
+    // beneath the swap's rename pair (ADVICE r10); same-table rewrites
+    // serialize, which they already required for correctness
+    monitor(table).synchronized {
+      graft.util.AtomicSwap.swapInto(path(table), "__rewrite") { tmp =>
+        contents.write.mode(SaveMode.Overwrite).format(format).save(tmp)
+      }
     }
 }

@@ -233,9 +233,29 @@ object Steps {
     */
   def alignToDestination(src: DataFrame, destSchema: StructType, ctx: StepContext): DataFrame = {
     val srcCols = src.columns.map(_.toLowerCase).toSet
+    val srcTypes = src.schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
     val withDefaults = destSchema.fields.foldLeft(src) { (df, f) =>
-      if (srcCols.contains(f.name.toLowerCase))
-        df.withColumn(f.name, col(f.name).cast(f.dataType))
+      if (srcCols.contains(f.name.toLowerCase)) {
+        // under non-ANSI Spark an unconvertible value ('abc' → INT) casts
+        // to NULL silently; the reference's SqlBulkCopy/DB coercion RAISES
+        // (ADVICE r10) — so guard the retype with try_cast + raise_error:
+        // a non-null source value the cast would null fails the step
+        // loudly, with the SAME step-attributable message whether the
+        // session runs ANSI or not. Same-type columns skip the guard
+        // (cast is identity there).
+        if (srcTypes.get(f.name.toLowerCase).contains(f.dataType))
+          df.withColumn(f.name, col(f.name).cast(f.dataType))
+        else {
+          val tried = col(f.name).try_cast(f.dataType)
+          df.withColumn(f.name,
+            when(col(f.name).isNotNull && tried.isNull,
+              raise_error(concat(
+                lit(s"COPY type coercion failed: column ${f.name} value '"),
+                col(f.name).cast("string"),
+                lit(s"' does not convert to ${f.dataType.simpleString}"))))
+              .otherwise(tried))
+        }
+      }
       else f.name.toLowerCase match {
         case "nutzer" => df.withColumn(f.name, lit(ctx.dstUser))
         case "abfragezeitpunkt" =>
@@ -500,7 +520,58 @@ object Steps {
       s = next
     }
     val u = s.toUpperCase
-    u.startsWith("SELECT") || u.startsWith("WITH") || u.startsWith("(")
+    // WITH alone is not enough: CTE-DML (`WITH x AS (...) INSERT/UPDATE/
+    // DELETE/MERGE`, valid T-SQL and Postgres) is a statement, not a
+    // query — wrapping it `(stmt) q` in the JDBC read path would fail
+    // (ADVICE r10). Skip past the CTE list to the terminal top-level
+    // statement keyword and classify on THAT.
+    u.startsWith("SELECT") || u.startsWith("(") ||
+      (u.startsWith("WITH") && !terminalStatementKeyword(s).exists(_ != "SELECT"))
+  }
+
+  /** First top-level (paren-depth-0) statement keyword in `s`, skipping
+    * comments, quoted strings ('' doubling), `"…"` and `[…]` quoted
+    * identifiers, and parenthesized CTE bodies. For `WITH a AS (...),
+    * b AS (...) INSERT ...` that is `INSERT`; for a plain CTE query,
+    * `SELECT`. None for text with no such keyword at depth 0.
+    */
+  private[steps] def terminalStatementKeyword(s: String): Option[String] = {
+    val n = s.length
+    var i = 0
+    var depth = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '-' && i + 1 < n && s.charAt(i + 1) == '-') {
+        while (i < n && s.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && s.charAt(i + 1) == '*') {
+        val end = s.indexOf("*/", i + 2)
+        i = if (end < 0) n else end + 2
+      } else if (c == '\'') {
+        i += 1
+        var closed = false
+        while (i < n && !closed) {
+          if (s.charAt(i) == '\'') {
+            if (i + 1 < n && s.charAt(i + 1) == '\'') i += 2
+            else { closed = true; i += 1 }
+          } else i += 1
+        }
+      } else if (c == '"') {
+        i += 1; while (i < n && s.charAt(i) != '"') i += 1; i += 1
+      } else if (c == '[') {
+        i += 1; while (i < n && s.charAt(i) != ']') i += 1; i += 1
+      } else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < n && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+        if (depth == 0) s.substring(start, i).toUpperCase match {
+          case k @ ("SELECT" | "INSERT" | "UPDATE" | "DELETE" | "MERGE") =>
+            return Some(k)
+          case _ => ()
+        }
+      } else i += 1
+    }
+    None
   }
 
   private def sqlExecJdbc(

@@ -69,8 +69,11 @@ object Streams {
       // a file named "Umsätze 2026.csv" would audit as
       // "Ums%C3%A4tze%202026.csv" and the idempotent delete keyed on the
       // real dateiname would miss its rows (r10 review; batch ingest
-      // stores the real name)
-      .withColumn("dateiname", url_decode(element_at(split(input_file_name(), "/"), -1)))
+      // stores the real name). Hadoop URIs keep literal '+' UNencoded,
+      // but url_decode is form-decoding ('+' → space) — escape it first
+      // so "a+b.csv" does not audit as "a b.csv" (ADVICE r10)
+      .withColumn("dateiname", url_decode(regexp_replace(
+        element_at(split(input_file_name(), "/"), -1), lit("\\+"), lit("%2B"))))
       .withColumn("exportdatum", current_timestamp())
       .withColumn("datenproduzent", lit(datenproduzent))
       .writeStream
@@ -116,8 +119,10 @@ object Streams {
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
         // binaryFile's path is a percent-encoded URI — decode so the
-        // audit dateiname matches the real filename (r10 review)
-        val name = java.net.URLDecoder.decode(path.split("/").last, "UTF-8")
+        // audit dateiname matches the real filename (r10 review). '+' is
+        // literal in file URIs, not a form-encoded space (ADVICE r10)
+        val name = java.net.URLDecoder.decode(
+          path.split("/").last.replace("+", "%2B"), "UTF-8")
         val t = graft.sources.Xlsx.parse(bytes)
         val idx = cols.map(c => t.header.indexOf(c))
         t.rows.map { r =>

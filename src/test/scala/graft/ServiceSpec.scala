@@ -92,6 +92,33 @@ class ServiceSpec extends AnyFunSuite with SparkSupport {
     assert(events.filter("level = 'workflow'").select("id").distinct().count() == 2)
   }
 
+  test("loadConfig backfills columns a pre-r10 snapshot lacks (ADVICE r10: encoders don't apply case-class defaults)") {
+    import spark.implicits._
+    val dir = tmpDir("svc-compat-cfg")
+    writeConfig(dir)
+    // rewrite three tables in the pre-r10 snapshot shape: the columns
+    // added later (istAktiv / etlWorkflowId / umsetzungsname) are absent
+    def dropCols(table: String, cols: String*): Unit = {
+      spark.read.parquet(s"$dir/$table").drop(cols: _*)
+        .write.mode("overwrite").parquet(s"$dir/${table}_slim")
+      val f = new java.io.File(s"$dir/$table")
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm); x.delete(); ()
+      }
+      rm(f)
+      assert(new java.io.File(s"$dir/${table}_slim").renameTo(f))
+    }
+    dropCols("paket_umsetzungen", "istAktiv")
+    dropCols("umsetzung_schritte", "etlWorkflowId", "istAktiv")
+    dropCols("umsetzungen", "umsetzungsname")
+    val cfg = Service.loadConfig(spark, dir)
+    assert(cfg.paketUmsetzungen.nonEmpty && cfg.paketUmsetzungen.forall(_.istAktiv),
+      "missing istAktiv must default true, not fail analysis")
+    assert(cfg.umsetzungSchritte.nonEmpty &&
+      cfg.umsetzungSchritte.forall(r => r.istAktiv && r.etlWorkflowId.isEmpty))
+    assert(cfg.umsetzungen.nonEmpty && cfg.umsetzungen.forall(_.umsetzungsname == ""))
+  }
+
   test("result mail delivers through the Mailer: failure reaches Nur_Fehler recipients, success does not") {
     val configDir = tmpDir("svc-mail-cfg")
     writeConfig(configDir)

@@ -425,6 +425,34 @@ class StepsSpec extends AnyFunSuite with SparkSupport {
       "the complete (_SUCCESS-marked) side dir must win over __old")
   }
 
+  test("concurrent reads racing torn-swap recovery all succeed (ADVICE r10: losing the renameTo race is not failure)") {
+    val (_, _, wh) = freshCtx()
+    // repeat the race a few times: each round re-tears the table, then
+    // 16 threads call exists() simultaneously — pre-fix, every loser of
+    // the renameTo race threw IllegalStateException
+    (1 to 5).foreach { round =>
+      wh.append(spark.sql(s"SELECT ${round}L AS id"), "torn_c")
+      Files.move(Paths.get(s"${wh.dir}/torn_c"), Paths.get(s"${wh.dir}/torn_c__old"))
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      val futures = (1 to 16).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = { start.await(); wh.exists(spark, "torn_c") }
+        })
+      }
+      start.countDown()
+      futures.foreach(f => assert(f.get(30, java.util.concurrent.TimeUnit.SECONDS),
+        s"round $round: every racer must see the recovered table"))
+      pool.shutdown()
+      val recovered = wh.read(spark, "torn_c")
+      assert(recovered.count() == 1 && recovered.head.getLong(0) == round.toLong)
+      // clean up for the next round's fresh tear
+      val d = new java.io.File(s"${wh.dir}/torn_c")
+      def rm(x: java.io.File): Unit = { if (x.isDirectory) x.listFiles().foreach(rm); x.delete(); () }
+      rm(d)
+    }
+  }
+
   test("isQueryShaped: CTE, parenthesized, and comment-prefixed probes are queries; DDL/DML are not (r10 review)") {
     assert(Steps.isQueryShaped("SELECT 1"))
     assert(Steps.isQueryShaped("  with c as (select -1 n) select n from c"))
@@ -434,6 +462,43 @@ class StepsSpec extends AnyFunSuite with SparkSupport {
     assert(!Steps.isQueryShaped("DELETE FROM t"))
     assert(!Steps.isQueryShaped("-- note\nUPDATE t SET x = 1"))
     assert(!Steps.isQueryShaped("/* unclosed"))
+  }
+
+  test("isQueryShaped: CTE-DML is a statement, not a query (ADVICE r10)") {
+    // valid T-SQL / Postgres: a CTE list whose terminal statement is DML
+    assert(!Steps.isQueryShaped("WITH x AS (SELECT 1 n) INSERT INTO t SELECT n FROM x"))
+    assert(!Steps.isQueryShaped(
+      "with a as (select 1), b as (select 2) delete from t where id in (select * from a)"))
+    assert(!Steps.isQueryShaped("WITH x AS (SELECT 1) UPDATE t SET v = 0"))
+    assert(!Steps.isQueryShaped("WITH s AS (SELECT 1 k) MERGE INTO t USING s ON t.k = s.k"))
+    // ...while CTE queries stay queries, even with DML keywords in
+    // strings, quoted identifiers, or nested subqueries
+    assert(Steps.isQueryShaped("WITH x AS (SELECT 'INSERT' AS s) SELECT * FROM x"))
+    assert(Steps.isQueryShaped("WITH \"delete\" AS (SELECT 1) SELECT * FROM \"delete\""))
+    assert(Steps.isQueryShaped("WITH [update] AS (SELECT 1 n) SELECT * FROM [update]"))
+    assert(Steps.isQueryShaped(
+      "WITH x (n) AS (SELECT o_orderkey FROM orders WHERE o_orderkey NOT IN " +
+        "(SELECT l_orderkey FROM lineitem)) SELECT count(*) FROM x"))
+    assert(Steps.isQueryShaped("WITH x AS (SELECT 'it''s an INSERT' v) SELECT v FROM x"))
+  }
+
+  test("alignToDestination raises on a value the cast would silently null (ADVICE r10)") {
+    val (ctx, _, wh) = freshCtx()
+    wh.append(spark.sql("SELECT CAST(1 AS BIGINT) AS id, CAST(2.5 AS DOUBLE) AS betrag"),
+      "typed_guard")
+    val bad = spark.sql("SELECT CAST(2 AS BIGINT) AS id, 'abc' AS betrag")
+    val aligned = Steps.alignToDestination(bad, wh.read(spark, "typed_guard").schema, ctx)
+    val e = intercept[Exception](aligned.collect())
+    val messages = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages.contains("COPY type coercion failed"),
+      s"unconvertible value must fail the step loudly, got: $messages")
+    // convertible values still align and append cleanly
+    val ok = spark.sql("SELECT CAST(3 AS BIGINT) AS id, '7.25' AS betrag")
+    wh.append(Steps.alignToDestination(ok, wh.read(spark, "typed_guard").schema, ctx),
+      "typed_guard")
+    assert(wh.read(spark, "typed_guard")
+      .agg(org.apache.spark.sql.functions.sum("betrag")).head.getDouble(0) == 9.75)
   }
 
   test("Zahlenformat integer formats export without a decimal point (r10 review: '0' gave scale 1)") {

@@ -81,6 +81,17 @@ class StreamsSpec extends AnyFunSuite with SparkSupport {
       Files.writeString(inDir.resolve("b.csv"), "id,wert\n3,z\n")
       query.processAllAvailable()
       assert(spark.read.parquet(outDir).count() == 3)
+      // '+' is literal in file URIs, not a form-encoded space — the audit
+      // name must keep it so the idempotent delete finds its rows
+      // (ADVICE r10); percent-escapes still decode
+      Files.writeString(inDir.resolve("c+d.csv"), "id,wert\n4,w\n")
+      Files.writeString(inDir.resolve("umsatz 26.csv"), "id,wert\n5,v\n")
+      query.processAllAvailable()
+      val all = spark.read.parquet(outDir)
+      assert(all.filter("dateiname = 'c+d.csv'").count() == 1,
+        "literal '+' must survive the URI decode")
+      assert(all.filter("dateiname = 'umsatz 26.csv'").count() == 1,
+        "percent-escaped spaces must still decode")
     } finally query.stop()
   }
 
