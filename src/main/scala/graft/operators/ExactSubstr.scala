@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T}
+
+/** Exact-substring dedup over token spans — the Lee-et-al ExactSubstr
+  * family (public recipe: "Deduplicating Training Data Makes Language
+  * Models Better"): [[profile]] computes the corpus-global repeated-span
+  * SIGNAL (the q83 gate), [[removal]] performs the ACTION — per doc, the
+  * merged cut-list of hot-span positions and the cleaned token stream
+  * with those spans excised (the q84 gate).
+  *
+  * Shape (both): one explode to spans, one groupBy(span) for document
+  * frequency, one equi-join back on the span, then per-doc work — never
+  * all-pairs. The span stage is persisted because the df aggregate and
+  * the join probe both consume it and the aggregate side's exchange
+  * embeds a partial agg, so ReuseExchange cannot unify the two scans;
+  * at cluster scale this stage is a checkpointed table.
+  *
+  * Persist lifecycle: the public surface returns [[Staged]] — the result
+  * frame plus an explicit `release()` for the staged persists — or the
+  * loan-pattern `…Managed` form (released in `finally`). A long-lived
+  * service composing these operators must call `release()` after the
+  * terminal action (VERDICT r10: the bare-persist form leaked outside
+  * Bench/Verify's `clearCache()`); the `private[graft]` raw forms exist
+  * for the gate registry, whose contract is exactly that `clearCache()`.
+  *
+  * Span keying: by default the shuffle/join key is a 128-bit hash of the
+  * span string (two independently-seeded xxhash64s, 16 B wide) — the
+  * 100 TB shape, since an 8-token span string averages ~50 B and the key
+  * is carried through a corpus-sized explode, a distinct, a groupBy and
+  * a join. `stringKeys = true` keys on the span text itself; the q85
+  * gate proves on the real corpus that both keyings produce identical
+  * results (a 128-bit collision needs ~2^64 distinct spans).
+  */
+object ExactSubstr {
+
+  /** Result frame + explicit release of the operator's staged persists
+    * (idempotent; call after the terminal action on `frame`). */
+  final case class Staged(frame: DataFrame, release: () => Unit)
+
+  /** 128-bit span key: two independently-seeded xxhash64s over the span
+    * text. 16 bytes on the wire vs ~50 B for the 8-token string. */
+  private def hashKey(g: Column): Column =
+    struct(xxhash64(lit(1), g).as("h1"), xxhash64(lit(2), g).as("h2"))
+
+  private def spanKey(g: Column, stringKeys: Boolean): Column =
+    if (stringKeys) g else hashKey(g)
+
+  // ---------------------------------------------------------------- profile
+
+  /** Corpus-global repeated-span profile (the q83 gate): per doc the
+    * distinct-span count, how many of its spans recur in other docs, and
+    * the hottest span's document frequency.
+    */
+  def profileWithRelease(docs: DataFrame, n: Int = 8,
+      stringKeys: Boolean = false): Staged = {
+    val spans = docs
+      .select(col("doc_id"), T.tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(T.shingles("t", n)).as("g"))
+      .select(col("doc_id"), spanKey(col("g"), stringKeys).as("k"))
+      .persist()
+    val dfreq = spans.groupBy(col("k")).agg(count(lit(1)).as("df"))
+    val out = spans.join(dfreq, "k")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared_spans"),
+        max(col("df")).as("max_span_df"))
+    Staged(out, () => { spans.unpersist(); () })
+  }
+
+  /** Loan-pattern [[profileWithRelease]] for lexically-scoped use. */
+  def profileManaged[U](docs: DataFrame, n: Int = 8,
+      stringKeys: Boolean = false)(use: DataFrame => U): U = {
+    val staged = profileWithRelease(docs, n, stringKeys)
+    try use(staged.frame) finally staged.release()
+  }
+
+  /** Raw gate form — persists are released by the registry runner's
+    * `clearCache()`; services use the Staged/Managed surface. */
+  private[graft] def profile(docs: DataFrame, n: Int = 8,
+      stringKeys: Boolean = false): DataFrame =
+    profileWithRelease(docs, n, stringKeys).frame
+
+  // ---------------------------------------------------------------- removal
+
+  /** Exact-substring span removal (the q84 gate): for every doc, the
+    * merged cut-list of hot spans (corpus document frequency ≥ `minDf`)
+    * and the cleaned token stream with those positions excised.
+    *
+    * Cut semantics (pinned by the oracle + CurationSpec fixture):
+    *   - a hot span starting at 1-based token position s covers
+    *     positions [s, s+n-1];
+    *   - covered ranges that overlap OR are adjacent (next start ≤
+    *     current end + 1, i.e. zero kept tokens between them) merge into
+    *     one cut;
+    *   - `cut_list` renders the merged cuts as "start-end" joined by
+    *     ";" in position order, "" when the doc has none;
+    *   - `cleaned_text` is the kept tokens joined by single spaces over
+    *     the whitespace-normalized token stream ("" when everything is
+    *     cut); docs shorter than n tokens have no spans and pass
+    *     through whole.
+    *
+    * Distributed shape: spans explode once and are persisted (df agg +
+    * hot-join both consume them); hot starts run gaps-and-islands under
+    * a per-doc window (one shuffle on doc_id); covered positions come
+    * from the MERGED cuts (disjoint by construction, no distinct); the
+    * kept stream is computed map-side on the intact doc row via an
+    * indexed array filter against the doc's own covered-position array —
+    * the corpus is never exploded to per-token rows and rebuilt.
+    */
+  def removalWithRelease(docs: DataFrame, n: Int = 8, minDf: Long = 2L,
+      stringKeys: Boolean = false): Staged = {
+    require(n >= 2, s"span length n must be >= 2, got $n")
+    require(minDf >= 2, s"minDf must be >= 2 (df >= 2 is the smallest cross-doc signal), got $minDf")
+    val toked = docs
+      .select(col("doc_id"), T.tokens(col("text")).as("t"))
+      .persist()
+    // every span OCCURRENCE with its 1-based start position (the profile
+    // uses distinct spans; removal needs positions)
+    val starts = toked
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(t) - ${n - 1}), " +
+          s"i -> struct(i AS s, concat_ws(' ', slice(t, i, $n)) AS g))")).as("sp"))
+      .select(col("doc_id"), col("sp.s").as("s"),
+        spanKey(col("sp.g"), stringKeys).as("k"))
+      .persist()
+    val dfreq = starts.select(col("doc_id"), col("k")).distinct()
+      .groupBy(col("k")).agg(count(lit(1)).as("df"))
+    val hot = dfreq.filter(col("df") >= minDf).select(col("k"))
+    val hotStarts = starts.join(hot, "k").select(col("doc_id"), col("s"))
+    // gaps-and-islands: a start opens a new cut iff it begins after the
+    // running max end + 1 (overlap OR adjacency merges)
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cuts = hotStarts
+      .withColumn("prev_end", max(col("s") + (n - 1)).over(wPrev))
+      .withColumn("new_isl",
+        when(col("prev_end").isNull || col("s") > col("prev_end") + 1, 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_isl")).over(wRun))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("cut_start"), (max(col("s")) + (n - 1)).as("cut_end"))
+    val cutAgg = cuts.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_cuts"),
+      sum(col("cut_end") - col("cut_start") + 1).as("tokens_removed"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("cut_start"), col("cut_end")))),
+          c => concat_ws("-", c.getField("cut_start").cast("string"),
+            c.getField("cut_end").cast("string"))),
+        ";").as("cut_list"),
+      sort_array(flatten(collect_list(sequence(col("cut_start"), col("cut_end")))))
+        .as("cov"))
+    val out = toked
+      .join(cutAgg, Seq("doc_id"), "left")
+      .withColumn("kept", expr(
+        "CASE WHEN cov IS NULL THEN t " +
+          "ELSE filter(t, (x, i) -> NOT array_contains(cov, i + 1)) END"))
+      .select(
+        col("doc_id"),
+        coalesce(col("n_cuts"), lit(0L)).as("n_cuts"),
+        coalesce(col("tokens_removed"), lit(0L)).cast("long").as("tokens_removed"),
+        size(col("kept")).cast("long").as("tokens_kept"),
+        coalesce(col("cut_list"), lit("")).as("cut_list"),
+        array_join(col("kept"), " ").as("cleaned_text"))
+    Staged(out, () => { toked.unpersist(); starts.unpersist(); () })
+  }
+
+  /** Loan-pattern [[removalWithRelease]] for lexically-scoped use. */
+  def removalManaged[U](docs: DataFrame, n: Int = 8, minDf: Long = 2L,
+      stringKeys: Boolean = false)(use: DataFrame => U): U = {
+    val staged = removalWithRelease(docs, n, minDf, stringKeys)
+    try use(staged.frame) finally staged.release()
+  }
+
+  /** Raw gate form — persists are released by the registry runner's
+    * `clearCache()`; services use the Staged/Managed surface. */
+  private[graft] def removal(docs: DataFrame, n: Int = 8, minDf: Long = 2L,
+      stringKeys: Boolean = false): DataFrame =
+    removalWithRelease(docs, n, minDf, stringKeys).frame
+}

@@ -1502,35 +1502,21 @@ object Pipeline {
     * span's df. Distinct from q79 (overlap vs a held-out EVAL set) and
     * q80 (WITHIN-doc repetition): this is cross-doc, corpus-global.
     * Shape: one explode, one groupBy(g) for df, one equi-join back on
-    * the span, one groupBy(doc) — the standard ExactSubstr profile. The
-    * span stage is persisted (hashedShingles' staging rule): the df
-    * aggregate and the join probe both consume it, and the aggregate
-    * side's exchange embeds a partial agg, so ReuseExchange cannot
-    * unify the two scans — unpersisted, the tokenize+shingle+explode
-    * pipeline would run twice. At cluster scale this stage is a
-    * checkpointed table. At
-    * 100 TB the span string is replaced by a 128-bit hash as the
-    * shuffle/join key (collision-free in practice, 16 B wide); the gate
-    * keys on the string so the oracle is exact by construction. Docs
-    * shorter than the span length have no spans and are absent — the
-    * downstream filter treats absence as "nothing to dedup".
+    * the span, one groupBy(doc) — the standard ExactSubstr profile,
+    * housed in [[graft.operators.ExactSubstr]] (r11: with the
+    * service-safe Staged/Managed release surface; the gate's bare form
+    * is released by Verify/Bench's `clearCache()`). This gate keys on
+    * the span STRING so the oracle is exact by construction; q85 runs
+    * the same profile on the operator's default 128-bit hashed span key
+    * (the 100 TB shuffle shape) against the SAME oracle, proving the
+    * keying does not change the counts. Docs shorter than the span
+    * length have no spans and are absent — the downstream filter treats
+    * absence as "nothing to dedup".
     */
   val q83 = QueryDef(
     "q83_repeated_spans",
-    (s, dir) => {
-      import s.implicits._
-      val spans = docs(s, dir)
-        .select($"doc_id", T.tokens($"text").as("t"))
-        .select($"doc_id", explode(T.shingles("t", n = 8)).as("g"))
-        .persist()
-      val df = spans.groupBy($"g").agg(count(lit(1)).as("df"))
-      spans.join(df, "g")
-        .groupBy($"doc_id")
-        .agg(
-          count(lit(1)).as("n_spans"),
-          sum(when($"df" >= 2, 1L).otherwise(0L)).as("n_shared_spans"),
-          max($"df").as("max_span_df"))
-    },
+    (s, dir) =>
+      graft.operators.ExactSubstr.profile(docs(s, dir), n = 8, stringKeys = true),
     Some("""
       WITH toks AS (
         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
@@ -1548,8 +1534,90 @@ object Pipeline {
         CAST(MAX(df.df) AS BIGINT) AS max_span_df
       FROM sp JOIN df USING (g) GROUP BY sp.doc_id"""))
 
+  /** Exact-substring span REMOVAL — the action q83's signal feeds (Lee
+    * et al. ExactSubstr: cut every occurrence of a span that repeats
+    * across documents). Per doc: the merged cut-list ("start-end;…" over
+    * 1-based token positions, overlap/adjacency merged), removed/kept
+    * token counts, and the cleaned token stream. Semantics pinned by
+    * [[graft.operators.ExactSubstr.removalWithRelease]]'s scaladoc, this
+    * oracle, and the hand-readable CurationSpec fixture. The gate keys
+    * spans on the string so the oracle is exact by construction;
+    * CurationSpec proves the operator's default 128-bit hashed keying
+    * produces the identical frame.
+    */
+  val q84 = QueryDef(
+    "q84_span_removal",
+    (s, dir) =>
+      graft.operators.ExactSubstr.removal(docs(s, dir), n = 8, stringKeys = true),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      ), sp AS (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-7),
+          i -> struct_pack(s := i,
+            g := t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+                 t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]))) AS u
+        FROM toks WHERE len(t) >= 8
+      ), starts AS (
+        SELECT doc_id, u.s AS s, u.g AS g FROM sp
+      ), dfreq AS (
+        SELECT g, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, g FROM starts) GROUP BY g
+      ), hot_starts AS (
+        SELECT starts.doc_id, starts.s FROM starts JOIN dfreq USING (g) WHERE dfreq.df >= 2
+      ), isl AS (
+        SELECT doc_id, s,
+          CASE WHEN s > COALESCE(MAX(s + 7) OVER (PARTITION BY doc_id ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9) + 1
+          THEN 1 ELSE 0 END AS new_isl
+        FROM hot_starts
+      ), isl2 AS (
+        SELECT doc_id, s,
+          SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS island
+        FROM isl
+      ), cuts AS (
+        SELECT doc_id, island, MIN(s) AS cut_start, MAX(s) + 7 AS cut_end
+        FROM isl2 GROUP BY doc_id, island
+      ), cutagg AS (
+        SELECT doc_id, COUNT(*) AS n_cuts,
+          SUM(cut_end - cut_start + 1) AS tokens_removed,
+          string_agg(CAST(cut_start AS VARCHAR) || '-' || CAST(cut_end AS VARCHAR),
+                     ';' ORDER BY cut_start) AS cut_list
+        FROM cuts GROUP BY doc_id
+      ), pos AS (
+        SELECT doc_id, unnest(t) AS tok, unnest(generate_series(1, len(t))) AS i FROM toks
+      ), covered AS (
+        SELECT doc_id, unnest(generate_series(cut_start, cut_end)) AS i FROM cuts
+      ), keptagg AS (
+        SELECT p.doc_id, string_agg(p.tok, ' ' ORDER BY p.i) AS cleaned_text,
+          COUNT(*) AS tokens_kept
+        FROM pos p LEFT JOIN covered c ON p.doc_id = c.doc_id AND p.i = c.i
+        WHERE c.i IS NULL GROUP BY p.doc_id
+      )
+      SELECT tk.doc_id,
+        CAST(COALESCE(ca.n_cuts, 0) AS BIGINT) AS n_cuts,
+        CAST(COALESCE(ca.tokens_removed, 0) AS BIGINT) AS tokens_removed,
+        CAST(COALESCE(ka.tokens_kept, 0) AS BIGINT) AS tokens_kept,
+        COALESCE(ca.cut_list, '') AS cut_list,
+        COALESCE(ka.cleaned_text, '') AS cleaned_text
+      FROM toks tk
+      LEFT JOIN cutagg ca USING (doc_id)
+      LEFT JOIN keptagg ka USING (doc_id)"""))
+
+  /** q83's profile on the operator's DEFAULT 128-bit hashed span key —
+    * the 100 TB shuffle shape (16 B key vs ~50 B span string through
+    * the explode → distinct → groupBy → join chain), proven against the
+    * SAME DuckDB oracle as the string-keyed gate: the keying changes
+    * the plan's byte width, not one output row (a collision would need
+    * ~2^64 distinct spans). FANIN's ×10 row measures the realized
+    * shuffle-byte win.
+    */
+  val q85 = QueryDef(
+    "q85_repeated_spans_hashed",
+    (s, dir) => graft.operators.ExactSubstr.profile(docs(s, dir), n = 8),
+    q83.oracle)
+
   val all: Seq[QueryDef] =
     Seq(q13, q14, q15, q16, q17, q18, q19, q29, q39, q41, q43, q44, q46,
       q48, q49, q54, q55, q57, q58, q59, q60, q61, q66, q78, q79, q80,
-      q81, q82, q83)
+      q81, q82, q83, q84, q85)
 }

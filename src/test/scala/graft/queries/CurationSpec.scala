@@ -152,4 +152,77 @@ class CurationSpec extends AnyFunSuite with SparkSupport with BeforeAndAfterEach
     assert(got(2L) == ((3L, 1L, 2L)))
     assert(got(3L) == ((4L, 0L, 1L)), "disjoint doc shares nothing")
   }
+
+  test("q84: cut semantics — overlap merges, adjacency merges, a one-token gap splits, short docs pass through") {
+    // the hot 8-token spans are "a1 … a8" (docs 1,2,3,4 share it) and
+    // "b1 … b8" (docs 3,4,5 share it); filler tokens are unique per doc
+    // so no other span goes hot
+    val A = (1 to 8).map(i => s"a$i").mkString(" ")
+    val B = (1 to 8).map(i => s"b$i").mkString(" ")
+    val dir = docsDir(Seq(
+      // doc 1: A at position 3, fillers around -> one cut [3,10]
+      1L -> s"f11 f12 $A f13 f14",
+      // doc 2: A twice, overlapping occurrences impossible (distinct
+      // tokens), so A at 1 and again at 10 with ONE filler between ->
+      // cuts [1,8] and [10,17], token 9 survives
+      2L -> s"$A f21 $A",
+      // doc 3: A at 1 immediately followed by B at 9 (adjacent, zero
+      // kept tokens between) -> ONE merged cut [1,16]
+      3L -> s"$A $B",
+      // doc 4: A at 1, B at 10 after one filler -> two cuts, f41 kept
+      4L -> s"$A f41 $B",
+      // doc 5: B at 2 -> one cut [2,9]
+      5L -> s"f51 $B",
+      // doc 6: 3 tokens, no spans -> passes through whole
+      6L -> "tiny doc six"))
+    val got = Registry.byName("q84_span_removal").run(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L), "every doc appears, even span-free ones")
+    assert(got(1L) == ((1L, 8L, 4L, "3-10", "f11 f12 f13 f14")), s"got ${got(1L)}")
+    assert(got(2L) == ((2L, 16L, 1L, "1-8;10-17", "f21")),
+      s"a one-token gap must SPLIT cuts, got ${got(2L)}")
+    assert(got(3L) == ((1L, 16L, 0L, "1-16", "")),
+      s"adjacent hot spans must MERGE into one cut, got ${got(3L)}")
+    assert(got(4L) == ((2L, 16L, 1L, "1-8;10-17", "f41")), s"got ${got(4L)}")
+    assert(got(5L) == ((1L, 8L, 1L, "2-9", "f51")), s"got ${got(5L)}")
+    assert(got(6L) == ((0L, 0L, 3L, "", "tiny doc six")),
+      s"a doc shorter than the span length passes through whole, got ${got(6L)}")
+  }
+
+  test("q84/q85: hashed span keying produces the identical frame as string keying; release() drops the staged persists") {
+    val dir = docsDir(Seq(
+      1L -> "a b c d e f g h x y",
+      2L -> "a b c d e f g h z w",
+      3L -> "p q r s t u v w x y z",
+      4L -> "short doc"))
+    val docsDf = graft.catalog.Tables.load(spark, dir, "documents")
+    spark.catalog.clearCache()
+    def cachedRdds: Int = spark.sparkContext.getPersistentRDDs.size
+    assert(cachedRdds == 0)
+    // removal: hashed (operator default) vs string-keyed (the oracle gate)
+    val hashed = graft.operators.ExactSubstr.removalWithRelease(docsDf)
+    val stringy = graft.operators.ExactSubstr.removalWithRelease(docsDf, stringKeys = true)
+    val h = hashed.frame.collect().map(_.toSeq).toSet
+    val sStr = stringy.frame.collect().map(_.toSeq).toSet
+    assert(h == sStr, "the span keying must change the shuffle byte width, not one output row")
+    // profile too (q85's claim, checked here at fixture scale)
+    val ph = graft.operators.ExactSubstr.profileWithRelease(docsDf)
+    val ps = graft.operators.ExactSubstr.profileWithRelease(docsDf, stringKeys = true)
+    assert(ph.frame.collect().map(_.toSeq).toSet == ps.frame.collect().map(_.toSeq).toSet)
+    // the Staged contract: release() empties the cache this operator
+    // filled (VERDICT r10: a long-lived service must not rely on
+    // Bench/Verify's clearCache)
+    assert(cachedRdds > 0, "the staged spans must be cached while in use")
+    hashed.release(); stringy.release(); ph.release(); ps.release()
+    assert(cachedRdds == 0, "release() must unpersist every staged frame")
+    // and the loan form releases even on failure
+    intercept[RuntimeException] {
+      graft.operators.ExactSubstr.removalManaged(docsDf) { f =>
+        f.queryExecution.toRdd.count()
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(cachedRdds == 0, "the Managed form must release in finally, even on failure")
+  }
 }
