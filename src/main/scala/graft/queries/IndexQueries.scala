@@ -1115,9 +1115,14 @@ object IndexQueries {
     * frame is persisted (the q67 managed-persist convention — it feeds
     * training, encode, and the candidate join).
     */
-  val q76 = QueryDef(
-    "q76_ivfpq_trained_full",
-    (s, dir) => {
+  /** The q76 pipeline with its cost/quality knobs exposed: `nprobe`
+    * trained coarse cells probed (capped at the book's 4 cells),
+    * ADC pre-rank shortlist of `shortlistK`, exact re-rank to `topK`.
+    * The gate pins (2, 8, 3); RecallSpec sweeps nprobe to pin the
+    * knob's recall-vs-cost curve the way FANIN pins candidate mass.
+    */
+  private[graft] def trainedIvfPq(s: org.apache.spark.sql.SparkSession, dir: String,
+      nprobe: Int, shortlistK: Int, topK: Int): org.apache.spark.sql.DataFrame = {
       import s.implicits._
       import graft.functions.{VectorFunctions => V}
       import graft.operators.{BookCache, IvfIndex, KMeansCodebook, PqIndex}
@@ -1150,7 +1155,7 @@ object IndexQueries {
       val q2 = v.filter($"vec_id" < 30)
         .select($"vec_id".as("query_id"), $"e".as("qe"), $"nrm".as("qn"))
       val probes = IvfIndex.probeCells(q2, coarse, embCol = "qe", idCol = "query_id",
-        nprobe = 2)
+        nprobe = nprobe)
         .join(broadcast(coarse), $"cell" === $"cid")
         .select($"query_id", $"cell",
           zip_with($"qe", $"ce", (x, y) => x - y).as("qr"))
@@ -1172,7 +1177,7 @@ object IndexQueries {
         .select($"query_id", $"vec_id".as("neighbor_id"), $"e", $"nrm",
           PqIndex.adcScore($"table", $"codes").as("adc"))
         .withColumn("__r", row_number().over(wAdc))
-        .filter($"__r" <= 8)
+        .filter($"__r" <= shortlistK)
       val wCos = org.apache.spark.sql.expressions.Window
         .partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
       shortlist
@@ -1180,9 +1185,13 @@ object IndexQueries {
         .select($"query_id", $"neighbor_id",
           V.cosine($"qe", $"e", $"qn", $"nrm").as("cosine"))
         .withColumn("rnk", row_number().over(wCos))
-        .filter($"rnk" <= 3)
+        .filter($"rnk" <= topK)
         .select($"query_id", $"rnk", $"neighbor_id", $"cosine")
-    },
+  }
+
+  val q76 = QueryDef(
+    "q76_ivfpq_trained_full",
+    (s, dir) => trainedIvfPq(s, dir, nprobe = 2, shortlistK = 8, topK = 3),
     Some("""
       WITH v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings

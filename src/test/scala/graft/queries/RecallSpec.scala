@@ -133,4 +133,55 @@ class RecallSpec extends AnyFunSuite with SparkSupport
     assert(trained > 0.15,
       f"trained IVF-PQ recall $trained%.2f below the documented floor (0.15)")
   }
+
+  test("trained IVF-PQ recall@10 vs nprobe sweep: recall is monotone in probes and capped at the book size (VERDICT r10 #4)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.{VectorFunctions => V}
+    // brute-force cosine top-10 ground truth over the q76 query set
+    // (30 queries × 500 vectors — the exhaustive scan production avoids)
+    val v = graft.catalog.Tables.load(spark, sf, "embeddings")
+      .withColumn("e", V.asDouble($"embedding"))
+      .withColumn("nrm", V.norm($"e"))
+      .select($"vec_id", $"e", $"nrm")
+    val q = v.filter($"vec_id" < 30)
+      .select($"vec_id".as("query_id"), $"e".as("qe"), $"nrm".as("qn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+    val truth = q.crossJoin(v).filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        V.cosine($"qe", $"e", $"qn", $"nrm").as("cosine"))
+      .withColumn("rnk", row_number().over(w)).filter($"rnk" <= 10)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // sweep the probe knob at recall@10 (ADC shortlist widened to 16 so
+    // the shortlist is not the binding constraint below topK)
+    val sweep = Seq(1, 2, 4, 8).map { np =>
+      val got = IndexQueries.trainedIvfPq(spark, sf, nprobe = np,
+        shortlistK = 16, topK = 10)
+        .select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val r = truth.keySet.toSeq.map { k =>
+        got.getOrElse(k, Set.empty).count(truth(k).contains).toDouble / truth(k).size
+      }.sum / truth.size
+      np -> r
+    }
+    info(sweep.map { case (np, r) => f"nprobe=$np recall@10=$r%.3f" }.mkString(", "))
+    sweep.sliding(2).foreach { case Seq((np1, r1), (np2, r2)) =>
+      assert(r2 >= r1,
+        f"recall must not DROP with more probes: nprobe=$np2 $r2%.3f < nprobe=$np1 $r1%.3f")
+    }
+    val byNp = sweep.toMap
+    assert(byNp(8) == byNp(4),
+      "nprobe beyond the 4-cell book must cap at probing every cell")
+    assert(byNp(4) > byNp(1),
+      f"probing all cells must beat one cell (${byNp(4)}%.3f vs ${byNp(1)}%.3f)")
+    // measured at r11: 0.180 / 0.187 / 0.190 / 0.190 — with every cell
+    // probed the residual loss is pure ADC pre-rank quality (m=4, k=4 is
+    // a 4^4-code toy book; production books are 256^8+). The floor
+    // catches collapse, not jitter (the suite's q67/q76 convention).
+    assert(byNp(4) > 0.12,
+      f"all-cells recall@10 ${byNp(4)}%.3f below the documented floor (0.12) — " +
+        "ADC shortlist or training collapsed?")
+  }
 }
