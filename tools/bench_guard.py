@@ -91,34 +91,62 @@ def fail_count(side):
     return sum(1 for v in side.get("queries", {}).values() if v < 0)
 
 
-def shared_totals(a, b):
-    """(total_a, total_b, n) over the queries that PASSED in both."""
+def is_streaming(name):
+    """Mirror of graft.Bench.isStreaming: the registry naming contract
+    (every StreamingQuery-lifecycle gate carries "streaming" in its
+    name), so membership here can never drift from the Scala side."""
+    return "streaming" in name
+
+
+def shared_totals(a, b, pred=None):
+    """(total_a, total_b, n) over the queries that PASSED in both,
+    optionally restricted to names matching `pred`."""
     pa, pb = passing(a), passing(b)
     shared = pa.keys() & pb.keys()
+    if pred is not None:
+        shared = {k for k in shared if pred(k)}
     return (sum(pa[k] for k in shared), sum(pb[k] for k in shared), len(shared))
 
 
 def check(cur, history, log=lambda *a: None):
-    """Return (ok, best_ratio). ok=False -> contention suspected, re-run."""
-    ratios = []
-    for tag, prev in history:
-        c, p, n = shared_totals(cur, prev)
-        if n == 0 or p <= 0:
-            continue
-        ratios.append(c / p)
-        log(f"[bench-guard] vs {tag}: shared-passing total {c:.1f}s / {p:.1f}s "
-            f"over {n} queries (ratio {c / p:.2f})")
-    if not ratios:
+    """Return (ok, {"batch": ratio, "streaming": ratio}). ok=False ->
+    contention suspected in one reading, re-run.
+
+    Batch and streaming subtotals are compared SEPARATELY (VERDICT r10
+    item 5): the streaming-lifecycle gates are the ones that swing 4-6x
+    on a loaded box, and in a combined total a contended streaming
+    reading could mask a batch regression -- or a clean streaming run
+    could dilute one -- in either direction.
+    """
+    def subset_ratios(label, pred):
+        ratios = []
+        for tag, prev in history:
+            c, p, n = shared_totals(cur, prev, pred)
+            if n == 0 or p <= 0:
+                continue
+            ratios.append(c / p)
+            log(f"[bench-guard] {label} vs {tag}: shared-passing total "
+                f"{c:.1f}s / {p:.1f}s over {n} queries (ratio {c / p:.2f})")
+        return ratios
+    subsets = [("batch", subset_ratios("batch", lambda k: not is_streaming(k))),
+               ("streaming", subset_ratios("streaming", is_streaming))]
+    if not any(r for _, r in subsets):
         log("[bench-guard] no comparable committed sidecar; skipping")
         return True, None
     # contention only ever INFLATES a committed anchor, so the cleanest
     # (fastest) anchor is the one yielding the LARGEST current/previous
     # ratio -- that is the honest comparison, and the one a slow creep
     # cannot hide from
-    best = max(ratios)
-    log(f"[bench-guard] cleanest-anchor ratio {best:.2f} over "
-        f"{len(ratios)} committed sidecars (load_avg now {cur.get('load_avg')})")
-    return 1 / 1.5 <= best <= 1.5, best
+    ok, best = True, {}
+    for label, ratios in subsets:
+        if not ratios:
+            continue
+        best[label] = max(ratios)
+        log(f"[bench-guard] cleanest-anchor {label} ratio {best[label]:.2f} "
+            f"over {len(ratios)} committed sidecars "
+            f"(load_avg now {cur.get('load_avg')})")
+        ok = ok and 1 / 1.5 <= best[label] <= 1.5
+    return ok, best
 
 
 def pick(a, b):
@@ -148,7 +176,7 @@ def selftest():
     ok_single, _ = check(cur, [("r3", rounds[2])])
     ok_multi, r = check(cur, [(f"r{i}", s) for i, s in enumerate(rounds)])
     assert ok_single, "one 1.4x step must pass a single-anchor check"
-    assert not ok_multi and abs(r - 2.744) < 1e-6, \
+    assert not ok_multi and abs(r["batch"] - 2.744) < 1e-6, \
         "the compounded creep must trip against the cleanest anchor"
     # 2) a clean current run vs clean history passes
     ok, _ = check(side({"q1": 1.05, "q2": 2.1}), [("h", rounds[0])])
@@ -161,7 +189,7 @@ def selftest():
     assert chosen is good and "fewer failed" in note["reason"]
     # and check() must compare over the intersection of PASSING queries
     ok, r = check(bad, [("h", good)])
-    assert ok and abs(r - 1.0 / 1.05) < 1e-9, \
+    assert ok and abs(r["batch"] - 1.0 / 1.05) < 1e-9, \
         "check must restrict to shared-passing queries, not let -1 shrink a total"
     # 4) tie on failures -> smaller shared total wins (contention inflates)
     slow = side({"q1": 2.0, "q2": 9.0})
@@ -176,6 +204,40 @@ def selftest():
                           "eee 2026-08-11", "fff 2026-08-10"], 3)
     assert days == [("aaa", "2026-08-13"), ("ddd", "2026-08-12"),
                     ("eee", "2026-08-11")], days
+    # 6) batch and streaming subtotals are guarded SEPARATELY (VERDICT
+    #    r10 item 5). History: 10s batch + 3s streaming.
+    hist = [("h", side({"q1": 8.0, "q2": 2.0, "q54_streaming_counts": 3.0}))]
+    #    a) 5x contended streaming, clean batch: combined total 10.2+15
+    #       vs 13 would read 1.94 either way, but the point is the
+    #       DIRECTION -- a batch regression must trip even when dwarfed:
+    ok, r = check(side({"q1": 8.1, "q2": 2.1, "q54_streaming_counts": 15.0}), hist)
+    assert not ok and abs(r["streaming"] - 5.0) < 1e-9 \
+        and 1 / 1.5 <= r["batch"] <= 1.5, \
+        "a contended streaming reading must trip on its own ratio"
+    #    b) 2x batch regression hidden inside a combined total by a
+    #       much FASTER streaming reading (20+0.1 vs 13 = 1.55 would
+    #       trip, but 20+2.9 vs 13 = 1.76... make it exact): batch 2x
+    #       (20s) + streaming at 0.5x (1.5s) -> combined 21.5/13 = 1.65
+    #       trips too, so pin the subset attribution instead: batch
+    #       ratio must be exactly 2.0 and streaming 0.5 -- BOTH out of
+    #       band, and neither masked by the other.
+    ok, r = check(side({"q1": 16.0, "q2": 4.0, "q54_streaming_counts": 1.5}), hist)
+    assert not ok and abs(r["batch"] - 2.0) < 1e-9 \
+        and abs(r["streaming"] - 0.5) < 1e-9, \
+        "subset ratios must attribute regressions to the right family"
+    #    c) the true masking case the combined total got wrong: 1.44x
+    #       batch creep (in-band alone: 14.4/10) washed out by a clean
+    #       streaming read would have passed combined ((14.4+3)/13 =
+    #       1.34) -- and DOES pass per-subset since 1.44 < 1.5; but at
+    #       1.6x batch with clean streaming the combined total reads
+    #       (16+3)/13 = 1.46 (PASSES -- masked!) while the split guard
+    #       trips on batch alone:
+    ok, r = check(side({"q1": 12.8, "q2": 3.2, "q54_streaming_counts": 3.0}), hist)
+    assert not ok and abs(r["batch"] - 1.6) < 1e-9, \
+        "a clean streaming reading must not mask a batch regression"
+    #    d) both subsets clean still passes, and both ratios are reported
+    ok, r = check(side({"q1": 8.4, "q2": 2.1, "q54_streaming_counts": 3.3}), hist)
+    assert ok and set(r) == {"batch", "streaming"}
     print("[bench-guard] selftest OK", file=sys.stderr)
     return 0
 
