@@ -419,6 +419,88 @@ object FanIn {
       spans.unpersist(); dfTab.unpersist()
     }
 
+    // ---- 128-bit hashed span keys vs string keys (r11 / q85): the
+    // ExactSubstr profile's shuffle carries the span key through
+    // explode → groupBy → join; an 8-token span string averages ~50 B
+    // where the hash key is 16 B. Same pipeline, both keyings, measuring
+    // TOTAL shuffle bytes written (task-metrics listener) and wall —
+    // the scaladoc's byte-width claim as a measured number. q85 proves
+    // result identity against the oracle; this row prices it. ----
+    {
+      val docsDf = spark.read.parquet(s"$outDir/documents.parquet")
+      def measure(label: String, stringKeys: Boolean): (Long, Double) = {
+        val bytes = new java.util.concurrent.atomic.AtomicLong()
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = te.taskMetrics
+            if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        val t0 = System.nanoTime()
+        graft.operators.ExactSubstr.profileManaged(docsDf, n = 8,
+          stringKeys = stringKeys)(_.queryExecution.toRdd.count())
+        val secs = (System.nanoTime() - t0) / 1e9
+        // the listener bus is async; give it a moment to drain before
+        // reading the accumulated task metrics (probe tolerance, not a
+        // correctness path)
+        Thread.sleep(2000)
+        spark.sparkContext.removeSparkListener(listener)
+        (bytes.get(), secs)
+      }
+      val (strBytes, strS) = measure("string", stringKeys = true)
+      val (hashBytes, hashS) = measure("hash128", stringKeys = false)
+      println(f"q85 span-key width at x$mult: string-keyed profile " +
+        f"${strBytes / 1048576.0}%,.0f MiB shuffled in $strS%.1f s, 128-bit-hash-keyed " +
+        f"${hashBytes / 1048576.0}%,.0f MiB in $hashS%.1f s " +
+        f"(${strBytes.toDouble / math.max(hashBytes, 1L)}%.2f× shuffle-byte win)")
+    }
+
+    // ---- BookCache at a C where training is EXPENSIVE (r11 / VERDICT
+    // r10 #6): C = 64 × 64 = 4096 effective hierarchical cells — train
+    // the coarse book, the residual frame, and the residual fine book
+    // ONCE, then serve two more q69/q76/q77-shaped builds of the same
+    // books from the session cache. The r10 measurement was gate-sized
+    // (~2.3 s); this is the production claim: one training pass is the
+    // artifact, every later consumer pays a map lookup. ----
+    {
+      import graft.operators.{BookCache, IvfIndex, KMeansCodebook}
+      val v = spark.read.parquet(s"$outDir/embeddings.parquet")
+        .withColumn("e", V.asDouble($"embedding")).select($"vec_id", $"e")
+      BookCache.clear()
+      def buildBooks(): Double = {
+        val t0 = System.nanoTime()
+        val coarse = BookCache(v, s"$outDir#fanin-coarse:init=lowestIds,k=64,iters=1") {
+          KMeansCodebook.train(v,
+            KMeansCodebook.initLowestIds(v, "e", "vec_id", k = 64),
+            "e", "vec_id", iters = 1).localCheckpoint(true)
+        }
+        val res = IvfIndex.assign(v, coarse, embCol = "e", idCol = "vec_id")
+          .join(broadcast(coarse), $"cell" === $"cid")
+          .select($"vec_id", zip_with($"e", $"ce", (x, y) => x - y).as("e"))
+        val fine = BookCache(v,
+          s"$outDir#fanin-fine(coarse=lowestIds,k=64,iters=1):k=64,iters=1") {
+          KMeansCodebook.train(res,
+            KMeansCodebook.initLowestIds(res, "e", "vec_id", k = 64),
+            "e", "vec_id", iters = 1).localCheckpoint(true)
+        }
+        // a consumer materializes both books (the q69/q76/q77 shape:
+        // assign + encode read them via broadcast)
+        val n = coarse.count() + fine.count()
+        require(n == 128L, s"expected 64 + 64 book rows, got $n")
+        (System.nanoTime() - t0) / 1e9
+      }
+      val miss = buildBooks()   // cold: trains both books
+      val hit1 = buildBooks()   // q69-shaped second consumer
+      val hit2 = buildBooks()   // q76/q77-shaped third consumer
+      println(f"BookCache at C=64x64=4096 effective (dim=$Dim, $nVecs%,d vectors): " +
+        f"train-miss $miss%.1f s, cache-hit builds $hit1%.2f s / $hit2%.2f s " +
+        f"(${miss / math.max(hit1, 1e-9)}%.0f× once-per-session win)")
+      BookCache.clear()
+      spark.catalog.clearCache()
+    }
+
     // ---- end-to-end runs on the 100x corpus (FANIN_E2E=0 skips) ----
     if (sys.env.get("FANIN_E2E").contains("0")) { spark.stop(); return }
     def time(name: String)(f: => Long): Unit = {

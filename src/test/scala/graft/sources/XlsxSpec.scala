@@ -127,6 +127,60 @@ class XlsxSpec extends AnyFunSuite with SparkSupport {
     assert(rows.toSeq == Seq(("1", "x"), ("2", "y"), ("3", null)))
   }
 
+  test("DSv2: spark.read.format(\"xlsx\") matches toDataFrame (r11, SURVEY §4.2)") {
+    val p = Files.createTempFile("xlsx-dsv2", ".xlsx")
+    Xlsx.write(p.toString, Seq("k", "v"), Seq(Seq(1, "x"), Seq(2, "y"), Seq(3, None)))
+    val df = spark.read.format("xlsx").load(p.toString)
+    assert(df.schema == Xlsx.toDataFrame(spark, p.toString).schema)
+    val rows = df.orderBy("k").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("1", "x"), ("2", "y"), ("3", null)))
+    // the start/end row window maps to the same parse bounds
+    val windowed = spark.read.format("xlsx")
+      .option("start", 1).option("end", 2).load(p.toString)
+    assert(windowed.collect().map(_.getString(0)).toSeq == Seq("2"))
+  }
+
+  test("DSv2: a directory is one task per workbook; columns match by header name per file") {
+    val dir = Files.createTempDirectory("xlsx-dsv2-dir")
+    Xlsx.write(dir.resolve("a.xlsx").toString, Seq("k", "v"), Seq(Seq(1, "x")))
+    // second workbook: reordered header + a column the first lacks
+    Xlsx.write(dir.resolve("b.xlsx").toString, Seq("v", "k", "extra"),
+      Seq(Seq("y", 2, "z")))
+    val df = spark.read.format("xlsx")
+      .schema(org.apache.spark.sql.types.StructType.fromDDL("k STRING, v STRING"))
+      .load(dir.toString)
+    assert(df.rdd.getNumPartitions == 2, "one InputPartition per workbook")
+    val rows = df.orderBy("k").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("1", "x"), ("2", "y")),
+      "columns must match by header name per file, not by position")
+    // a column missing from a file yields nulls, like the align contract
+    val withMissing = spark.read.format("xlsx")
+      .schema(org.apache.spark.sql.types.StructType.fromDDL("k STRING, extra STRING"))
+      .load(dir.toString)
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    assert(withMissing.toSeq == Seq(("1", null), ("2", "z")))
+    // inferred schema comes from the first file's header (sorted order)
+    assert(spark.read.format("xlsx").load(dir.toString).columns.toSeq == Seq("k", "v"))
+    // the all-string contract is loud, not a silent null-cast
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("xlsx")
+        .schema(org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+        .load(dir.toString)
+    }
+    assert(e.getMessage.contains("all-string"))
+  }
+
+  test("DSv2: workbooks are addressable from SQL via USING xlsx (step-SQL surface)") {
+    val p = Files.createTempFile("xlsx-sql", ".xlsx")
+    Xlsx.write(p.toString, Seq("id", "name"), Seq(Seq(1, "a"), Seq(2, "b")))
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW xlsx_v USING xlsx OPTIONS (path '${p.toString}')")
+    try {
+      val got = spark.sql("SELECT id, name FROM xlsx_v ORDER BY id")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      assert(got.toSeq == Seq(("1", "a"), ("2", "b")))
+    } finally spark.sql("DROP VIEW IF EXISTS xlsx_v")
+  }
+
   test("date1904 workbooks shift the serial epoch (Mac-legacy date system)") {
     val sheet =
       """<?xml version="1.0"?>
