@@ -1616,8 +1616,193 @@ object Pipeline {
     (s, dir) => graft.operators.ExactSubstr.profile(docs(s, dir), n = 8),
     q83.oracle)
 
+  /** The curation pipeline END TO END (r11 / VERDICT r10 stretch 8) —
+    * the stages q79–q84 pin in isolation, composed in the order a
+    * production corpus runs them, so the INTERACTION (stage order,
+    * survivor counts, what each later stage sees) is oracle-pinned too:
+    *
+    *   1. decontaminate (q79 verdict, eval tenth excluded),
+    *   2. Gopher repetition filter (q80 verdict) — both are per-doc
+    *      stats over the raw text, so their intersection is order-free;
+    *   3. exact-substring span removal (q84) over the SURVIVORS — here
+    *      order is load-bearing: span document frequency is computed on
+    *      the filtered corpus, and docs cut to nothing drop out;
+    *   4. temperature mixture weights (q81 algebra) over the CLEANED
+    *      corpus's language counts — not the raw corpus's;
+    *   5. token-budget take (q82) per source, quality scored on the
+    *      CLEANED text, budget charged in cleaned tokens.
+    *
+    * Output: the curated-corpus manifest (doc, lang, source, cleaned
+    * token count, mixture repeats, cumulative budget position). The
+    * cleaned frame is persisted: the driver-side mixture-rate collect
+    * and the final plan both consume it (the q81 staging rule), released
+    * by the registry runner's `clearCache()`.
+    */
+  val q86 = QueryDef(
+    "q86_curation_e2e",
+    (s, dir) => {
+      import s.implicits._
+      val epochDocs = 1000L
+      val budget = 800L
+      val maxLangs = 65536
+      val clean = q79.run(s, dir).filter($"contaminated" === 0).select($"doc_id")
+      val keep = q80.run(s, dir).filter($"keep_doc" === 1).select($"doc_id")
+      val survivors = docs(s, dir)
+        .join(clean, Seq("doc_id"), "left_semi")
+        .join(keep, Seq("doc_id"), "left_semi")
+      val cleaned = graft.operators.ExactSubstr
+        .removal(survivors, n = 8, stringKeys = true)
+        .filter($"tokens_kept" > 0)
+        .select($"doc_id", $"tokens_kept".as("toks_clean"), $"cleaned_text")
+        .join(survivors.select($"doc_id", $"lang", $"source"), "doc_id")
+        .persist()
+      val langStats = cleaned.groupBy($"lang").agg(count(lit(1)).as("c"))
+        .limit(maxLangs + 1).collect()
+      require(langStats.length <= maxLangs,
+        s"q86: language cardinality exceeds $maxLangs — not a lang column?")
+      val rates = graft.operators.Mixture
+        .rates(langStats.toSeq.map(r => (r.getString(0), r.getLong(1))), epochDocs)
+        .toDF("lang", "base", "thresh")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"q".desc, $"doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      cleaned.join(broadcast(rates), "lang")
+        .withColumn("q", T.qualityScore($"cleaned_text"))
+        .withColumn("cum_tokens", sum($"toks_clean").over(w))
+        .filter($"cum_tokens" <= budget)
+        .select($"doc_id", $"lang", $"source", $"toks_clean",
+          ($"base" +
+            when(pmod(T.hash32($"doc_id".cast("string")), lit(1000L)) < $"thresh",
+              1L).otherwise(0L))
+            .cast("long").as("n_repeats"),
+          $"cum_tokens")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang, source,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+      ), g AS (
+        SELECT doc_id, unnest(CASE WHEN len(t) >= 4 THEN
+            list_distinct(list_transform(generate_series(1, len(t)-3),
+              i -> list_aggregate(t[i:i+3], 'string_agg', ' ')))
+          ELSE [] END) AS gram
+        FROM toks
+      ), h AS (
+        SELECT doc_id, CAST('0x' || substr(md5(gram),1,8) AS BIGINT) AS gh FROM g
+      ), ev AS (
+        SELECT DISTINCT gh FROM h WHERE doc_id % 10 = 7
+      ), contaminated AS (
+        SELECT DISTINCT h.doc_id FROM h JOIN ev USING (gh) WHERE h.doc_id % 10 != 7
+      ), bgbase AS (
+        SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens,
+          CASE WHEN len(t) >= 2 THEN
+            list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])
+          ELSE [] END AS bg
+        FROM toks
+      ), bgstats AS (
+        SELECT doc_id, n_tokens, CAST(len(bg) AS BIGINT) AS n_bg,
+          CASE WHEN n_tokens > 0
+            THEN 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / n_tokens ELSE 0.0 END AS dup
+        FROM bgbase
+      ), cnts AS (
+        SELECT doc_id, g2, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest(bg) AS g2 FROM bgbase) GROUP BY doc_id, g2
+      ), topbg AS (
+        SELECT doc_id, c FROM (
+          SELECT doc_id, c, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g2) AS rn
+          FROM cnts) WHERE rn = 1
+      ), keepb AS (
+        SELECT s.doc_id FROM bgstats s LEFT JOIN topbg USING (doc_id)
+        WHERE s.dup <= 0.65
+          AND (CASE WHEN s.n_bg > 0 THEN CAST(topbg.c AS DOUBLE) / s.n_bg ELSE 0.0 END) <= 0.08
+      ), surv AS (
+        SELECT toks.* FROM toks
+        WHERE doc_id % 10 != 7
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+          AND doc_id IN (SELECT doc_id FROM keepb)
+      ), sp AS (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-7),
+          i -> struct_pack(s := i,
+            g := t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+                 t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]))) AS u
+        FROM surv WHERE len(t) >= 8
+      ), starts AS (
+        SELECT doc_id, u.s AS s, u.g AS gg FROM sp
+      ), dfreq AS (
+        SELECT gg, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, gg FROM starts) GROUP BY gg
+      ), hot_starts AS (
+        SELECT starts.doc_id, starts.s FROM starts JOIN dfreq USING (gg) WHERE dfreq.df >= 2
+      ), isl AS (
+        SELECT doc_id, s,
+          CASE WHEN s > COALESCE(MAX(s + 7) OVER (PARTITION BY doc_id ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9) + 1
+          THEN 1 ELSE 0 END AS new_isl
+        FROM hot_starts
+      ), isl2 AS (
+        SELECT doc_id, s,
+          SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS island
+        FROM isl
+      ), cuts AS (
+        SELECT doc_id, island, MIN(s) AS cut_start, MAX(s) + 7 AS cut_end
+        FROM isl2 GROUP BY doc_id, island
+      ), covered AS (
+        SELECT doc_id, unnest(generate_series(cut_start, cut_end)) AS i FROM cuts
+      ), pos AS (
+        SELECT doc_id, unnest(t) AS tok, unnest(generate_series(1, len(t))) AS i FROM surv
+      ), keptagg AS (
+        SELECT p.doc_id, string_agg(p.tok, ' ' ORDER BY p.i) AS cleaned,
+          CAST(COUNT(*) AS BIGINT) AS toks_clean
+        FROM pos p LEFT JOIN covered c ON p.doc_id = c.doc_id AND p.i = c.i
+        WHERE c.i IS NULL GROUP BY p.doc_id
+      ), cleaned AS (
+        SELECT s.doc_id, s.lang, s.source, k.toks_clean, k.cleaned
+        FROM surv s JOIN keptagg k USING (doc_id)
+        WHERE k.toks_clean > 0
+      ), counts AS (
+        SELECT lang, COUNT(*) AS c FROM cleaned GROUP BY lang
+      ), qs AS (
+        SELECT lang, c,
+          CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1048576.0) AS BIGINT) AS qv
+        FROM counts
+      ), ms AS (
+        SELECT CAST(SUM(qv) AS HUGEINT) AS mass FROM qs
+      ), rt AS (
+        SELECT lang,
+          CAST(num // den AS BIGINT) AS base,
+          CAST(((num % den) * 1000) // den AS BIGINT) AS thresh
+        FROM (SELECT lang, CAST(qv AS HUGEINT) * 1000 AS num,
+                mass * CAST(c AS HUGEINT) AS den FROM qs, ms)
+      ), csig AS (
+        SELECT doc_id, lang, source, toks_clean,
+          regexp_split_to_array(trim(lower(cleaned)), '\s+') AS ct,
+          CAST(length(cleaned) AS BIGINT) AS n_chars_c,
+          CAST(length(cleaned) - length(regexp_replace(cleaned, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
+        FROM cleaned
+      ), cscored AS (
+        SELECT doc_id, lang, source, toks_clean,
+          least(CAST(len(ct) AS DOUBLE) / 100.0, 1.0) * 0.5
+            + least(CAST(len(list_filter(ct, x -> list_contains(['the','and','of','to','a','in','is','der','die','und','das','ist','ein','el','la','de','que','y','es'], x))) AS DOUBLE) / len(ct) * 4.0, 1.0) * 0.5
+            - least(CAST(n_punct AS DOUBLE) / n_chars_c * 5.0, 1.0) * 0.25 AS q
+        FROM csig
+      ), ctake AS (
+        SELECT doc_id, lang, source, toks_clean,
+          SUM(toks_clean) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM cscored
+      )
+      SELECT t.doc_id, t.lang, t.source,
+        CAST(t.toks_clean AS BIGINT) AS toks_clean,
+        CAST(rt.base +
+          CASE WHEN CAST('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000
+                 < rt.thresh
+               THEN 1 ELSE 0 END AS BIGINT) AS n_repeats,
+        CAST(t.cum_tokens AS BIGINT) AS cum_tokens
+      FROM ctake t JOIN rt USING (lang)
+      WHERE t.cum_tokens <= 800"""))
+
   val all: Seq[QueryDef] =
     Seq(q13, q14, q15, q16, q17, q18, q19, q29, q39, q41, q43, q44, q46,
       q48, q49, q54, q55, q57, q58, q59, q60, q61, q66, q78, q79, q80,
-      q81, q82, q83, q84, q85)
+      q81, q82, q83, q84, q85, q86)
 }

@@ -190,6 +190,47 @@ class CurationSpec extends AnyFunSuite with SparkSupport with BeforeAndAfterEach
       s"a doc shorter than the span length passes through whole, got ${got(6L)}")
   }
 
+  test("q86: stage order is load-bearing — span df is computed over SURVIVORS, and dropped docs can't make a span hot") {
+    val A = (1 to 8).map(i => s"a$i").mkString(" ")
+    val B = (1 to 8).map(i => s"b$i").mkString(" ")
+    val dir = docsDir(Seq(
+      // eval tenth (doc_id % 10 == 7): donates the 4-gram "e1 e2 e3 e4"
+      7L -> "e1 e2 e3 e4",
+      // doc 1: CONTAMINATED (shares the eval 4-gram) and carries span A
+      1L -> s"e1 e2 e3 e4 $A",
+      // doc 2: clean, 14 distinct tokens (top-bigram frac 1/13 <= 0.08),
+      // carries span A — hot in the RAW corpus (with doc 1), NOT hot
+      // among survivors
+      2L -> s"x1 x2 x3 x4 x5 x6 $A",
+      // docs 3+4: clean survivors sharing span B — hot either way
+      3L -> s"f1 f2 f3 f4 f5 f6 $B",
+      4L -> s"g1 g2 g3 g4 g5 g6 $B"))
+    // standalone q84 sees the RAW corpus: doc 1 makes A hot, doc 2 is cut
+    val raw = Registry.byName("q84_span_removal").run(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(raw(2L) == 6L, s"raw-corpus removal must cut doc 2's span A, got ${raw(2L)}")
+    spark.catalog.clearCache()
+    // the composite drops doc 1 FIRST, so A's survivor-df is 1 and doc 2
+    // passes through whole; B (docs 3+4 both survive) is still cut
+    val got = Registry.byName("q86_curation_e2e").run(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet == Set(2L, 3L, 4L),
+      s"eval doc excluded, contaminated doc dropped — got ${got.keySet}")
+    assert(got(2L)._1 == 14L,
+      s"span A must NOT be hot among survivors (df=1), got toks_clean ${got(2L)._1}")
+    assert(got(3L)._1 == 6L && got(4L)._1 == 6L,
+      s"span B (both carriers survive) must still be cut, got ${got(3L)._1}/${got(4L)._1}")
+    // budget take orders by cleaned-text quality (doc 2's 14 tokens
+    // outscore the 6-token survivors; tie between 3 and 4 breaks on id)
+    assert(got(2L)._3 == 14L && got(3L)._3 == 20L && got(4L)._3 == 26L,
+      s"cum_tokens must walk the quality order 2,3,4 — got $got")
+    // single-lang mixture over the 3 cleaned docs: rate 1000/3 -> base
+    // 333, fractional thresh 333/1000
+    assert(got.values.forall(v => v._2 == 333L || v._2 == 334L),
+      s"single-lang repeats must be floor/ceil of 1000/3, got ${got.values.map(_._2)}")
+  }
+
   test("q84/q85: hashed span keying produces the identical frame as string keying; release() drops the staged persists") {
     val dir = docsDir(Seq(
       1L -> "a b c d e f g h x y",
