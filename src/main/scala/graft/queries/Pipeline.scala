@@ -1801,8 +1801,58 @@ object Pipeline {
       FROM ctake t JOIN rt USING (lang)
       WHERE t.cum_tokens <= 800"""))
 
+  /** Paragraph-level exact dedup with reconstruction (r11) — the
+    * MassiveText granularity between q13 (whole doc) and q84 (hot span):
+    * identical paragraphs keep exactly ONE copy corpus-wide (global
+    * first occurrence in (doc_id, idx) order — including within one
+    * doc), and documents are reassembled from their survivors. The
+    * synthetic corpus has no '\n\n', so paragraphs are fixed 20-token
+    * chunks (splitter swaps for split-on-blank-line on a real corpus
+    * without touching the dedup shape). Housed in
+    * [[graft.operators.ParagraphDedup]] (Staged/Managed release
+    * surface); the gate runs string keys so the oracle is exact by
+    * construction — the operator's default 128-bit hashed key is the
+    * 100 TB shuffle shape q85 already proves for the span family.
+    */
+  val q87 = QueryDef(
+    "q87_paragraph_dedup",
+    (s, dir) =>
+      graft.operators.ParagraphDedup.dedup(docs(s, dir), chunk = 20, stringKeys = true),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      ), ch AS (
+        SELECT doc_id, unnest(list_transform(generate_series(1, CAST(ceil(len(t) / 20.0) AS INT)),
+          j -> struct_pack(j := j,
+            g := list_aggregate(t[(j-1)*20+1 : least(j*20, len(t))], 'string_agg', ' '),
+            nt := least(j*20, len(t)) - (j-1)*20))) AS u
+        FROM toks
+      ), occ AS (
+        SELECT doc_id, u.j AS j, u.g AS g, u.nt AS nt FROM ch
+      ), win AS (
+        SELECT g, doc_id AS wd, j AS wj FROM (
+          SELECT g, doc_id, j, row_number() OVER (PARTITION BY g ORDER BY doc_id, j) AS rn
+          FROM occ) WHERE rn = 1
+      ), kept AS (
+        SELECT o.doc_id, o.j, o.g, o.nt FROM occ o JOIN win w
+          ON o.g = w.g AND o.doc_id = w.wd AND o.j = w.wj
+      ), tot AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks FROM occ GROUP BY 1
+      ), ka AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS chunks_kept,
+          CAST(SUM(nt) AS BIGINT) AS tokens_kept,
+          string_agg(g, ' ' ORDER BY j) AS cleaned_text
+        FROM kept GROUP BY 1
+      )
+      SELECT t.doc_id, t.n_chunks,
+        CAST(COALESCE(ka.chunks_kept, 0) AS BIGINT) AS chunks_kept,
+        CAST(t.n_chunks - COALESCE(ka.chunks_kept, 0) AS BIGINT) AS chunks_removed,
+        CAST(COALESCE(ka.tokens_kept, 0) AS BIGINT) AS tokens_kept,
+        COALESCE(ka.cleaned_text, '') AS cleaned_text
+      FROM tot t LEFT JOIN ka USING (doc_id)"""))
+
   val all: Seq[QueryDef] =
     Seq(q13, q14, q15, q16, q17, q18, q19, q29, q39, q41, q43, q44, q46,
       q48, q49, q54, q55, q57, q58, q59, q60, q61, q66, q78, q79, q80,
-      q81, q82, q83, q84, q85, q86)
+      q81, q82, q83, q84, q85, q86, q87)
 }
