@@ -1851,8 +1851,71 @@ object Pipeline {
         COALESCE(ka.cleaned_text, '') AS cleaned_text
       FROM tot t LEFT JOIN ka USING (doc_id)"""))
 
+  /** EXACT near-dup components (r11) — q43's min-label propagation run
+    * to CONVERGENCE instead of a fixed two rounds: cluster_id = the
+    * true minimum doc_id reachable through band-key collisions, however
+    * long the collision chain. q43 is exact for the clique-shaped
+    * graphs LSH bands produce inside a duplicate cluster; this gate
+    * covers the general graph (bridge docs chaining clusters together)
+    * and throws rather than returning a silently-partial clustering.
+    * Housed in [[graft.operators.ConnectedComponents]]: per round one
+    * groupBy(bucket) + one groupBy(doc) — doc–doc edges never
+    * materialize, so a hot bucket costs its membership, not its square;
+    * rounds = collision-graph diameter, labels localCheckpoint'ed per
+    * round. The oracle computes true min-reachability with a recursive
+    * CTE over the materialized edge list (fine at oracle scale; the
+    * engine never builds it).
+    */
+  val q88 = QueryDef(
+    "q88_neardup_components",
+    (s, dir) => {
+      import s.implicits._
+      val sig = hashedShingles(s, dir)
+        .filter(size($"shingles") > 0)
+        .withColumn("sig", T.minhashFromHashes($"hashes", K))
+        .select($"doc_id", $"sig")
+      val cc = graft.operators.ConnectedComponents
+        .viaBuckets(bandFrame(sig), "doc_id", Seq("b", "key"))
+      docs(s, dir).select($"doc_id")
+        .join(cc, Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"component", $"doc_id").as("cluster_id"))
+    },
+    Some("""
+      WITH RECURSIVE toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      ), sh AS (
+        SELECT doc_id,
+          CASE WHEN len(t) >= 3 THEN
+            list_distinct(list_transform(generate_series(1, len(t)-2),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+          ELSE [] END AS shingles
+        FROM toks
+      ), sig AS (
+        SELECT doc_id,
+          list_transform(generate_series(0, 11), k ->
+            list_min(list_transform(
+              list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)),
+              h -> ((2*k+1)*h + k*12582917) % 4294967311))) AS sig
+        FROM sh WHERE len(shingles) > 0
+      ), bands AS (
+        SELECT doc_id, b, md5(array_to_string(sig[(3*b+1):(3*b+3)], ',')) AS band_key
+        FROM sig, (SELECT unnest(generate_series(0,3)) AS b)
+      ), edges AS (
+        SELECT DISTINCT a.doc_id AS u, c.doc_id AS v
+        FROM bands a JOIN bands c ON a.b = c.b AND a.band_key = c.band_key
+          AND a.doc_id <> c.doc_id
+      ), reach AS (
+        SELECT doc_id AS u, doc_id AS lbl FROM sig
+        UNION
+        SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+      )
+      SELECT d.doc_id, COALESCE(mn.comp, d.doc_id) AS cluster_id
+      FROM documents d
+      LEFT JOIN (SELECT u AS doc_id, MIN(lbl) AS comp FROM reach GROUP BY 1) mn
+        USING (doc_id)"""))
+
   val all: Seq[QueryDef] =
     Seq(q13, q14, q15, q16, q17, q18, q19, q29, q39, q41, q43, q44, q46,
       q48, q49, q54, q55, q57, q58, q59, q60, q61, q66, q78, q79, q80,
-      q81, q82, q83, q84, q85, q86, q87)
+      q81, q82, q83, q84, q85, q86, q87, q88)
 }
