@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Bloom filter as a RELATION — the "seen before?" pre-filter
+  * an incremental corpus ingest runs against trillions of historic
+  * fingerprints (public recipe: Bloom 1970; the sharded-bitmap layout is
+  * the standard MapReduce adaptation). The filter is a sparse bitmap
+  * DataFrame of (w, bits) 64-bit words, built with one explode + one
+  * groupBy(bit_or) over the key set and probed with a broadcast equi-join
+  * — no driver-side bitmap, no UDF, both sides codegen'd.
+  *
+  * The probe is only ever a PRE-filter here: [[newKeys]] confirms every
+  * bloom hit with an exact join, so the composed result is exact
+  * regardless of the false-positive rate — the bloom's job is to shrink
+  * the expensive exact join's probe side from |incoming| to
+  * |true duplicates| + fp·|incoming|. No false negatives by
+  * construction (every set bit survives bit_or), so pruned keys are
+  * definitely new and skip the join entirely.
+  *
+  * Sizing: fp rate ≈ (1 - e^(-k·n/m))^k; m = 2^33 bits (1 GiB of words,
+  * 128 Mi rows… in sparse form only words actually hit) holds ~600 M
+  * keys at k=5 under 2% fp. The bitmap frame broadcasts while it fits
+  * (the guard below); past that the SAME frame joins shuffle-side on w,
+  * or shards by key range — the relational representation is the scale
+  * path, which is why the filter is not a driver-side array.
+  *
+  * Hashes are xxhash64 with k seeds — no oracle-parity constraint, since
+  * the bloom never decides the final answer, only the candidate set.
+  */
+object Bloom {
+
+  /** Hard cap on the bitmap words a broadcast probe will ship (the
+    * repo-wide 512 MiB broadcast guard): 2^26 words = 64 Mi rows ≈
+    * 0.5 GiB dense. Beyond this, probe with a plain (shuffle) join. */
+  private val MaxBroadcastWords = 1L << 26
+
+  /** k bit positions of a key: independently-seeded xxhash64 mod m. */
+  private def positions(key: Column, mBits: Long, k: Int): Column =
+    array((0 until k).map(i => pmod(xxhash64(lit(i), key), lit(mBits))): _*)
+
+  /** One (key, w, mask) probe row per hash of each distinct key. */
+  private def probeRows(keys: DataFrame, keyCol: String, mBits: Long,
+      k: Int): DataFrame =
+    keys.select(col(keyCol)).distinct()
+      .select(col(keyCol), explode(positions(col(keyCol), mBits, k)).as("__p"))
+      .select(col(keyCol), shiftright(col("__p"), 6).as("w"),
+        expr("shiftleft(1L, cast(pmod(__p, 64) as int))").as("mask"))
+
+  /** Build the sparse bitmap: (w: long, bits: long), one row per 64-bit
+    * word with at least one set bit. */
+  def build(keys: DataFrame, keyCol: String, mBits: Long, k: Int): DataFrame = {
+    require(mBits > 0 && mBits % 64 == 0, s"mBits must be a positive multiple of 64, got $mBits")
+    require(k >= 1, s"k must be >= 1, got $k")
+    probeRows(keys, keyCol, mBits, k)
+      .groupBy(col("w")).agg(expr("bit_or(mask)").as("bits"))
+  }
+
+  /** Distinct keys of `keys` whose k positions are ALL set in `bloom` —
+    * the maybe-seen candidates. Keys this does NOT return are
+    * definitely absent from the built key set. */
+  def maybeSeen(keys: DataFrame, keyCol: String, bloom: DataFrame,
+      mBits: Long, k: Int): DataFrame = {
+    require(mBits > 0 && mBits % 64 == 0, s"mBits must be a positive multiple of 64, got $mBits")
+    val b = if (mBits / 64 <= MaxBroadcastWords) broadcast(bloom) else bloom
+    probeRows(keys, keyCol, mBits, k)
+      .join(b, Seq("w"), "left")
+      .groupBy(col(keyCol))
+      .agg(sum(when(col("bits").isNotNull &&
+        (col("bits").bitwiseAND(col("mask")) === col("mask")), 1L)
+        .otherwise(0L)).as("__hits"))
+      .filter(col("__hits") === k)
+      .select(col(keyCol))
+  }
+
+  /** Incoming rows whose key does NOT appear in `seen` — EXACT: the
+    * bloom prunes definitely-new keys, the surviving candidates are
+    * confirmed against `seen` with an exact semi-join, and the final
+    * anti-join removes only confirmed duplicates. At scale the win is
+    * that the exact join's probe side is the candidate set, not the
+    * whole incoming batch (AQE broadcasts it when small).
+    */
+  def newKeys(incoming: DataFrame, seen: DataFrame, keyCol: String,
+      mBits: Long = 1L << 20, k: Int = 5): DataFrame = {
+    val seenKeys = seen.select(col(keyCol))
+    val bloom = build(seenKeys, keyCol, mBits, k)
+    val candidates = maybeSeen(incoming, keyCol, bloom, mBits, k)
+    val confirmed = candidates.join(seenKeys, Seq(keyCol), "left_semi")
+    incoming.join(confirmed, Seq(keyCol), "left_anti")
+  }
+}

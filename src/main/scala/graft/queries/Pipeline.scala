@@ -1914,8 +1914,44 @@ object Pipeline {
       LEFT JOIN (SELECT u AS doc_id, MIN(lbl) AS comp FROM reach GROUP BY 1) mn
         USING (doc_id)"""))
 
+  /** Bloom-pre-filtered INCREMENTAL dedup (r11) — the "is this doc
+    * already in the corpus?" check an ingest pipeline runs per batch
+    * against trillions of historic fingerprints. Historic = docs with
+    * doc_id % 4 != 0, incoming = the rest (the deterministic batch
+    * split); output = incoming docs whose fingerprint is genuinely new.
+    * The bloom ([[graft.operators.Bloom]], sparse (w, bits) bitmap
+    * frame, broadcast probe join) prunes definitely-new keys so the
+    * exact confirm join runs only on candidates — and because every
+    * bloom hit IS exactly confirmed, the gate's output is exact no
+    * matter the fp rate, which is why DuckDB can oracle it with a plain
+    * anti-join: the bloom changes the plan's probe mass, not one row.
+    * BloomSpec pins no-false-negatives and the exactness under a
+    * deliberately saturated 64-bit filter.
+    */
+  val q89 = QueryDef(
+    "q89_bloom_incremental",
+    (s, dir) => {
+      import s.implicits._
+      val fp = docs(s, dir)
+        .select($"doc_id", T.fingerprintMd5($"text").as("fingerprint"))
+      val seen = fp.filter(pmod($"doc_id", lit(4L)) =!= 0L).select($"fingerprint")
+      val incoming = fp.filter(pmod($"doc_id", lit(4L)) === 0L)
+      graft.operators.Bloom
+        .newKeys(incoming, seen, "fingerprint", mBits = 1L << 16, k = 5)
+        .select($"doc_id", $"fingerprint")
+    },
+    Some("""
+      WITH fp AS (
+        SELECT doc_id,
+          md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS fingerprint
+        FROM documents
+      )
+      SELECT i.doc_id, i.fingerprint FROM fp i
+      WHERE i.doc_id % 4 = 0
+        AND i.fingerprint NOT IN (SELECT fingerprint FROM fp WHERE doc_id % 4 <> 0)"""))
+
   val all: Seq[QueryDef] =
     Seq(q13, q14, q15, q16, q17, q18, q19, q29, q39, q41, q43, q44, q46,
       q48, q49, q54, q55, q57, q58, q59, q60, q61, q66, q78, q79, q80,
-      q81, q82, q83, q84, q85, q86, q87, q88)
+      q81, q82, q83, q84, q85, q86, q87, q88, q89)
 }

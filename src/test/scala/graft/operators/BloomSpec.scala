@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testkit.SparkSupport
+
+/** Bloom pre-filter semantics — the properties q89's oracle gate can't
+  * isolate: no false negatives, real candidate pruning, and exactness of
+  * the composed dedup even when the filter is deliberately saturated.
+  */
+class BloomSpec extends AnyFunSuite with SparkSupport {
+
+  private val M = 1L << 14
+  private val K = 4
+
+  test("no false negatives: every built key is maybe-seen") {
+    import spark.implicits._
+    val seen = (0 until 200).map(i => s"seen-$i").toDF("key")
+    val bloom = Bloom.build(seen, "key", M, K)
+    val hits = Bloom.maybeSeen(seen, "key", bloom, M, K)
+    assert(hits.count() == 200L, "a bloom filter must never miss a key it holds")
+  }
+
+  test("definitely-new keys are pruned; candidate set stays near the true-dup count") {
+    import spark.implicits._
+    val seen = (0 until 200).map(i => s"seen-$i").toDF("key")
+    val bloom = Bloom.build(seen, "key", M, K)
+    // 40 true dups + 160 fresh keys; with n=200, m=2^14, k=4 the fp
+    // rate is ~4e-5, and the xxhash positions are deterministic, so the
+    // candidate count is a fixed number — assert the bound, not luck
+    val incoming = ((0 until 40).map(i => s"seen-$i") ++
+      (0 until 160).map(i => s"fresh-$i")).toDF("key")
+    val candidates = Bloom.maybeSeen(incoming, "key", bloom, M, K).collect().map(_.getString(0)).toSet
+    assert((0 until 40).map(i => s"seen-$i").toSet.subsetOf(candidates),
+      "all true duplicates must survive the pre-filter")
+    assert(candidates.size <= 45,
+      s"the pre-filter must prune fresh keys (got ${candidates.size} candidates for 40 true dups)")
+  }
+
+  test("newKeys is exact even under a saturated 64-bit filter (every probe a false positive)") {
+    import spark.implicits._
+    val seen = (0 until 100).map(i => s"seen-$i").toDF("key")
+    val incoming = ((0 until 30).map(i => s"seen-$i") ++
+      (0 until 70).map(i => s"fresh-$i")).map(k => (k, k.length)).toDF("key", "len")
+    // mBits=64: one word, saturated by 100 keys -> the bloom passes
+    // everything, the exact confirm must still produce the right answer
+    val got = Bloom.newKeys(incoming, seen, "key", mBits = 64L, k = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(got == (0 until 70).map(i => s"fresh-$i").toSet,
+      "the composed dedup must be exact regardless of the fp rate")
+  }
+
+  test("payload columns of incoming rows pass through untouched") {
+    import spark.implicits._
+    val seen = Seq("a", "b").toDF("key")
+    val incoming = Seq(("a", 1L), ("c", 3L)).toDF("key", "payload")
+    val got = Bloom.newKeys(incoming, seen, "key", mBits = 1L << 10, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("c", 3L)))
+  }
+}
