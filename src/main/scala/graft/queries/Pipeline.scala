@@ -1950,8 +1950,53 @@ object Pipeline {
       WHERE i.doc_id % 4 = 0
         AND i.fingerprint NOT IN (SELECT fingerprint FROM fp WHERE doc_id % 4 <> 0)"""))
 
+  /** Unigram-LM surprisal (r11) — the exact-arithmetic skeleton of a
+    * CCNet-style perplexity filter: train the unigram LM on the corpus
+    * itself (token → count), score every doc by its summed inverse
+    * token frequency (rare tokens ⇒ high surprisal; boilerplate ⇒ low),
+    * in FIXED POINT (SCALE/c per occurrence, integer division) so both
+    * engines agree to the last digit — the same exactness discipline as
+    * Mixture's fixed-point sqrt; a production filter would swap the
+    * corpus-internal unigram LM for a held-out KenLM and bucket on the
+    * score. Shape: one explode, one groupBy(token) for the LM, one
+    * broadcast join back (vocabulary ≪ corpus by Heaps' law — and the
+    * token join key is exactly as skewed as the corpus's Zipf curve, so
+    * the broadcast is not an optimization but the skew fix; past the
+    * 512 MiB guard the fallback is Skew.capBuckets), one groupBy(doc).
+    */
+  val q90 = QueryDef(
+    "q90_unigram_surprisal",
+    (s, dir) => {
+      import s.implicits._
+      val occ = docs(s, dir)
+        .select($"doc_id", explode(T.tokens($"text")).as("tok"))
+      val lm = occ.groupBy($"tok").agg(count(lit(1)).as("c"))
+      occ.join(broadcast(lm), "tok")
+        .groupBy($"doc_id")
+        .agg(
+          count(lit(1)).as("n_toks"),
+          // 1e12 fixed-point, integer div: exact in both engines
+          sum(expr("1000000000000L div c")).as("surprisal"))
+        .select($"doc_id", $"n_toks", $"surprisal",
+          expr("surprisal div n_toks").as("mean_surprisal"))
+    },
+    Some("""
+      WITH occ AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+      ), lm AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM occ GROUP BY 1
+      ), scored AS (
+        SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+          CAST(SUM(1000000000000 // lm.c) AS BIGINT) AS surprisal
+        FROM occ o JOIN lm USING (tok) GROUP BY 1
+      )
+      SELECT doc_id, n_toks, surprisal,
+        CAST(surprisal // n_toks AS BIGINT) AS mean_surprisal
+      FROM scored"""))
+
   val all: Seq[QueryDef] =
     Seq(q13, q14, q15, q16, q17, q18, q19, q29, q39, q41, q43, q44, q46,
       q48, q49, q54, q55, q57, q58, q59, q60, q61, q66, q78, q79, q80,
-      q81, q82, q83, q84, q85, q86, q87, q88, q89)
+      q81, q82, q83, q84, q85, q86, q87, q88, q89, q90)
 }

@@ -298,4 +298,17 @@ class CurationSpec extends AnyFunSuite with SparkSupport with BeforeAndAfterEach
     assert(run(stringKeys = false) == got,
       "the paragraph keying must change the shuffle byte width, not one output row")
   }
+
+  test("q90: surprisal is exact fixed-point inverse corpus frequency; rare tokens dominate") {
+    val dir = docsDir(Seq(
+      1L -> "a a a",
+      2L -> "a b"))
+    // corpus LM: c(a) = 4, c(b) = 1; SCALE = 1e12
+    val got = Registry.byName("q90_unigram_surprisal").run(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((3L, 750000000000L, 250000000000L)),
+      s"doc 1: 3 * (1e12 div 4), got ${got(1L)}")
+    assert(got(2L) == ((2L, 1250000000000L, 625000000000L)),
+      s"doc 2: (1e12 div 4) + (1e12 div 1), got ${got(2L)}")
+  }
 }
