@@ -6,7 +6,8 @@ package graft.queries
   */
 object Registry {
   def all: Seq[QueryDef] =
-    Relational.all ++ Pipeline.all ++ EndToEnd.all ++ Extended.all ++ IndexQueries.all
+    Relational.all ++ Pipeline.all ++ EndToEnd.all ++ Extended.all ++
+      IndexQueries.all ++ Selection.all
 
   lazy val byName: Map[String, QueryDef] = {
     val qs = all

@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.catalog.Tables
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+
+/** Data-SELECTION gates (r11): the published corpus-selection recipes a
+  * 100 TB training pipeline layers on top of the dedup/filter surface —
+  * semantic dedup over the embedding space (SemDeDup, Abbas et al.
+  * 2023), importance-resampling weights against a target distribution
+  * (DSIR, Xie et al. 2023), and the multi-dimensional z-order layout
+  * key that makes the curated output PRUNABLE once it lands in the
+  * lake. Same discipline as Pipeline: every pairwise comparison is
+  * blocked (here by the cluster cell — the SemDeDup design point), LM
+  * tables are bounded by construction (hashed feature buckets), scoring
+  * is exact fixed-point integer arithmetic so the DuckDB oracle matches
+  * to the last digit, and nothing is all-pairs or driver-side.
+  */
+object Selection {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "documents")
+
+  /** SemDeDup — semantic deduplication in embedding space (public
+    * recipe: Abbas et al. 2023): cluster the embeddings, then drop
+    * within-cluster near-duplicates by exact cosine. The cluster is the
+    * blocking key — the quadratic lives inside a cell, never across the
+    * corpus, which is the paper's own scale argument (k grows with the
+    * corpus so cell size stays bounded; the trained-codebook variant
+    * swaps in q68's k-means centroids, the plan is identical — the
+    * deterministic first-8 seed codebook here is what lets DuckDB
+    * reproduce every assignment, the q40 convention). Keep rule, pinned
+    * by the oracle: a vector is dropped iff SOME lower-id vector in its
+    * cell has cosine ≥ τ with it (chain semantics: the witness may
+    * itself be dropped — the paper's "keep one representative per
+    * near-dup neighborhood" made deterministic by id order). τ=0.3
+    * matches this synthetic corpus's similarity scale (q24's note;
+    * real embedding corpora run ~0.95 with the identical plan) and
+    * keeps 311/500 at sf0.01. Cost: one broadcast-codebook assign, one
+    * cell-blocked self-join, one anti-join.
+    */
+  val q91 = QueryDef(
+    "q91_semdedup",
+    (s, dir) => {
+      import s.implicits._
+      val v = Tables.load(s, dir, "embeddings")
+        .withColumn("e", V.asDouble($"embedding"))
+        .withColumn("nrm", V.norm($"e"))
+        .select($"vec_id", $"e", $"nrm")
+      val cents = v.filter($"vec_id" < 8)
+        .select($"vec_id".cast("long").as("cid"), $"e".as("ce"))
+      val assigned = graft.operators.IvfIndex
+        .assign(v, cents, embCol = "e", idCol = "vec_id")
+        .persist()
+      val a = assigned.select($"cell", $"vec_id".as("id_a"), $"e".as("ea"), $"nrm".as("na"))
+      val b = assigned.select($"cell", $"vec_id".as("id_b"), $"e".as("eb"), $"nrm".as("nb"))
+      val dropped = a.join(b, Seq("cell"))
+        .filter($"id_a" < $"id_b")
+        .filter(V.cosine($"ea", $"eb", $"na", $"nb") >= 0.3)
+        .select($"id_b".as("vec_id"))
+        .distinct()
+      assigned.join(dropped, Seq("vec_id"), "left_anti")
+        .select($"vec_id", $"cell")
+    },
+    Some("""
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+      ), n AS (
+        SELECT vec_id, e, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(e, x -> x*x)), (a,b) -> a+b)) AS nrm FROM v
+      ), cents AS (
+        SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8
+      ), dists AS (
+        SELECT n.vec_id, c.cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> (n.e[i]-c.ce[i])*(n.e[i]-c.ce[i]))),
+            (a,b) -> a+b) AS d
+        FROM n CROSS JOIN cents c
+      ), assigned AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM dists) WHERE rn = 1
+      ), an AS (
+        SELECT n.*, a.cell FROM n JOIN assigned a USING (vec_id)
+      ), dup AS (
+        SELECT DISTINCT b.vec_id
+        FROM an a JOIN an b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> a.e[i]*b.e[i])), (x,y) -> x+y)
+            / (a.nrm * b.nrm) >= 0.3
+      )
+      SELECT vec_id, cell FROM an WHERE vec_id NOT IN (SELECT vec_id FROM dup)"""))
+
+  /** DSIR importance weights — data selection via importance resampling
+    * (public recipe: Xie et al. 2023): score every raw-pool doc by how
+    * much its HASHED n-gram features look like a target distribution
+    * (here the corpus's own `lang = 'en'` slice standing in for the
+    * paper's held-out target corpus). The load-bearing scale choice is
+    * the paper's own: features are word bigrams hashed into B=8192
+    * buckets, so the two count tables are ≤ B rows NO MATTER the corpus
+    * size — the LM join back is a bounded broadcast at 100 TB, where a
+    * raw-bigram vocabulary (Heaps-unbounded, Zipf-skewed) would be
+    * neither broadcastable nor skew-safe. Scoring is the Mixture/q90
+    * fixed-point discipline: the per-occurrence Laplace-smoothed
+    * likelihood ratio `(1e6·(ct+1)) div (cr+1)` summed per doc — the
+    * exact-integer skeleton of the paper's log-ratio (monotone per
+    * occurrence; production swaps in float log-space, the plan is
+    * identical). Shape: one explode, two bounded aggs, one broadcast
+    * join, one doc groupBy. Docs with <2 tokens have no features and
+    * drop out, in both engines.
+    */
+  val q92 = QueryDef(
+    "q92_dsir_weight",
+    (s, dir) => {
+      import s.implicits._
+      val occ = docs(s, dir)
+        .select($"doc_id", $"lang", T.tokens($"text").as("t"))
+        .select($"doc_id", $"lang",
+          explode(when(size($"t") >= 2,
+            expr("transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))"))
+            .otherwise(array().cast("array<string>"))).as("f"))
+        .withColumn("fb", pmod(T.hash32($"f"), lit(8192L)))
+      val ct = occ.filter($"lang" === "en")
+        .groupBy($"fb").agg(count(lit(1)).as("ct"))
+      val cr = occ.groupBy($"fb").agg(count(lit(1)).as("cr"))
+      val lm = cr.join(ct, Seq("fb"), "left").na.fill(0L, Seq("ct"))
+      occ.join(broadcast(lm), "fb")
+        .groupBy($"doc_id")
+        .agg(
+          count(lit(1)).as("n_feats"),
+          sum(expr("(1000000L * (ct + 1L)) div (cr + 1L)")).as("dsir_weight"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+      ), occ AS (
+        SELECT doc_id, lang,
+          CAST('0x' || substr(md5(f), 1, 8) AS BIGINT) % 8192 AS fb
+        FROM (
+          SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(t)-1),
+            i -> t[i] || ' ' || t[i+1])) AS f
+          FROM t WHERE len(t) >= 2)
+      ), ct AS (
+        SELECT fb, CAST(COUNT(*) AS BIGINT) AS ct FROM occ WHERE lang = 'en' GROUP BY 1
+      ), cr AS (
+        SELECT fb, CAST(COUNT(*) AS BIGINT) AS cr FROM occ GROUP BY 1
+      ), lm AS (
+        SELECT cr.fb, COALESCE(ct.ct, 0) AS ct, cr.cr FROM cr LEFT JOIN ct USING (fb)
+      )
+      SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+        CAST(SUM((1000000 * (lm.ct + 1)) // (lm.cr + 1)) AS BIGINT) AS dsir_weight
+      FROM occ o JOIN lm USING (fb)
+      GROUP BY 1"""))
+
+  /** Z-order layout audit — [[graft.operators.ZOrder]] applied to the
+    * lineitem fact: quantize (l_partkey, l_suppkey) into their 6-bit
+    * domain positions (linear min-max quantizer — order-preserving, so
+    * z-locality survives in the ORIGINAL key space; the domain stats
+    * are a 1-row broadcast on a constant key, never a global window;
+    * production swaps in percentile boundaries from a sketch for
+    * skewed columns, the plan is identical), interleave into a 12-bit
+    * z-key, bucket on its top 6 bits (the file-boundary stand-in: a
+    * z-ordered write is `repartitionByRange(zkey)` + sorted files, and
+    * a z-key prefix IS a file's key range), and report each bucket's
+    * min/max envelope on BOTH raw columns — exactly the parquet
+    * footer/manifest stats a scan planner prunes with. The output is
+    * the pruning evidence itself: every bucket's envelope is confined
+    * to ≤1/8 of BOTH domains from ONE layout (SelectionSpec pins the
+    * bound). Pure map + one agg shuffle; no row_number file assigner.
+    */
+  val q93 = QueryDef(
+    "q93_zorder_layout",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+        .select($"l_partkey".cast("long").as("x"), $"l_suppkey".cast("long").as("y"))
+      // non-foldable single-valued key (the IvfIndex.constKey trick): a
+      // lit(1) key constant-folds to a trivially-true condition and the
+      // join degrades to a BroadcastNestedLoopJoin
+      val one = pmod(xxhash64($"x"), lit(1L))
+      val dom = li.agg(max($"x").as("xmax"), max($"y").as("ymax"))
+        .withColumn("one", pmod(xxhash64($"xmax"), lit(1L)))
+      val z = li.withColumn("one", one)
+        .join(broadcast(dom), "one")
+        .withColumn("xq", expr("(x * 64L) div (xmax + 1L)"))
+        .withColumn("yq", expr("(y * 64L) div (ymax + 1L)"))
+        .withColumn("zkey", graft.operators.ZOrder.interleave(Seq($"xq", $"yq"), 6))
+      z.withColumn("bucket", shiftright($"zkey", 6))
+        .groupBy($"bucket")
+        .agg(
+          count(lit(1)).as("cnt"),
+          min($"x").as("min_x"), max($"x").as("max_x"),
+          min($"y").as("min_y"), max($"y").as("max_y"))
+    },
+    Some("""
+      WITH dom AS (
+        SELECT MAX(CAST(l_partkey AS BIGINT)) AS xmax,
+               MAX(CAST(l_suppkey AS BIGINT)) AS ymax
+        FROM lineitem
+      ), q AS (
+        SELECT CAST(l_partkey AS BIGINT) AS x, CAST(l_suppkey AS BIGINT) AS y,
+          (CAST(l_partkey AS BIGINT) * 64) // (d.xmax + 1) AS xq,
+          (CAST(l_suppkey AS BIGINT) * 64) // (d.ymax + 1) AS yq
+        FROM lineitem, dom d
+      ), z AS (
+        SELECT x, y,
+          list_reduce(list_transform(generate_series(0, 5),
+            i -> (((xq >> i) & 1) << (2*i)) | (((yq >> i) & 1) << (2*i+1))),
+            (a, b) -> a | b) AS zkey
+        FROM q
+      )
+      SELECT zkey >> 6 AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt,
+        MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y
+      FROM z GROUP BY 1"""))
+
+  val all: Seq[QueryDef] = Seq(q91, q92, q93)
+}

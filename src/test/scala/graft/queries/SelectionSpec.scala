@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterEach
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testkit.SparkSupport
+
+/** Decision semantics of the data-selection gates (Selection.scala) on
+  * hand-readable fixtures — who survives SemDeDup and why, the exact
+  * DSIR arithmetic, and the z-order layout invariants. The oracle gates
+  * pin the same operators against DuckDB on the synthetic corpus.
+  */
+class SelectionSpec extends AnyFunSuite with SparkSupport with BeforeAndAfterEach {
+
+  // q91 persists its assignment stage; run under the Verify/Bench
+  // clear-per-query contract (SparkSupport's afterAll gate enforces it)
+  override protected def afterEach(): Unit = {
+    spark.catalog.clearCache()
+    super.afterEach()
+  }
+
+  private def embDir(rows: Seq[(Long, Seq[Float])]): String = {
+    import spark.implicits._
+    val dir = tmpDir("selection")
+    rows.toDF("vec_id", "embedding")
+      .withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private def docsDir(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = tmpDir("selection")
+    rows.toDF("doc_id", "lang", "text")
+      .select($"doc_id", $"text", $"lang", lit("fix").as("source"),
+        length($"text").cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def basis(i: Int, dim: Int = 8): Seq[Float] =
+    Seq.tabulate(dim)(j => if (j == i) 1f else 0f)
+
+  test("q91: within-cell near-dups drop by id order, near-orthogonal cell-mates survive") {
+    // centroids = ids 0..7 (the gate's seed codebook) = the 8 basis
+    // vectors; members land in the cell of their dominant direction
+    val dir = embDir(
+      (0 until 8).map(i => i.toLong -> basis(i)) ++ Seq(
+        // cell 0: near-dup of centroid 0 -> dropped (witness id 0)
+        10L -> Seq(0.9f, 0.1f, 0f, 0f, 0f, 0f, 0f, 0f),
+        // cell 0: near-dup of both 0 and 10 -> dropped
+        11L -> Seq(0.95f, 0.05f, 0f, 0f, 0f, 0f, 0f, 0f),
+        // cell 1: near-dup of centroid 1 -> dropped
+        12L -> Seq(0f, 0.9f, 0.1f, 0f, 0f, 0f, 0f, 0f),
+        // cell 0 (nearest c0) but cosine < 0.3 against EVERY lower-id
+        // cell-mate (0: 0.297, 10: 0.19, 11: 0.247) -> kept
+        13L -> Seq(0.28f, -0.9f, 0f, 0f, 0f, 0f, 0f, 0f)))
+    val out = Registry.byName("q91_semdedup").run(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == (0L until 8L).toSet + 13L,
+      s"survivors should be the 8 centroids + the near-orthogonal 13, got ${out.keySet}")
+    assert(out(13L) == 0L, "13's dominant direction is centroid 0's cell")
+    assert((0 until 8).forall(i => out(i.toLong) == i.toLong),
+      "each seed centroid is its own cell's representative")
+  }
+
+  test("q92: exact Laplace-smoothed ratio arithmetic; featureless docs drop; target-aligned docs outrank") {
+    val dir = docsDir(Seq(
+      (1L, "en", "a b"),  // bigram "a b": ct=1 (this doc), cr=2
+      (2L, "de", "a b"),  // same bucket, not target
+      (3L, "de", "x y"),  // bigram "x y": ct=0, cr=1
+      (4L, "de", "solo")  // 1 token -> no features -> absent
+    ))
+    val out = Registry.byName("q92_dsir_weight").run(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), "the 1-token doc has no features")
+    // (1e6 * (ct+1)) div (cr+1): "a b" -> 2e6 div 3, "x y" -> 1e6 div 2
+    assert(out(1L) == ((1L, 666666L)))
+    assert(out(2L) == ((1L, 666666L)), "weight scores content, not the doc's own lang")
+    assert(out(3L) == ((1L, 500000L)))
+    assert(out(1L)._2 > out(3L)._2, "target-distribution-aligned content scores higher")
+  }
+
+  test("q93: buckets partition the fact table and every envelope prunes to <=1/8 of both domains") {
+    import org.apache.spark.sql.functions.max
+    val sf = "/root/testdata/sf0.001"
+    val rows = Registry.byName("q93_zorder_layout").run(spark, sf).collect()
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val liCount = li.count()
+    val Array(xmax, ymax) = li.agg(max("l_partkey"), max("l_suppkey"))
+      .collect()(0).toSeq.map(v => v.toString.toLong).toArray
+    assert(rows.map(_.getLong(1)).sum == liCount, "bucket counts must partition the table exactly")
+    assert(rows.length > 8, s"the layout should spread across buckets, got ${rows.length}")
+    rows.foreach { r =>
+      val (minX, maxX, minY, maxY) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(minX >= 0 && maxX <= xmax && minX <= maxX)
+      assert(minY >= 0 && maxY <= ymax && minY <= maxY)
+      // a 6-bit z-key prefix fixes the top THREE quantized bits of BOTH
+      // dimensions: each envelope is confined to a 1/8 slice of its raw
+      // domain, never the full range — the pruning payoff, on two
+      // independent columns from one layout
+      assert(maxX - minX <= (xmax + 1) / 8 + 1 && maxY - minY <= (ymax + 1) / 8 + 1,
+        s"bucket ${r.getLong(0)} envelope exceeds its z-prefix slice")
+    }
+  }
+}
