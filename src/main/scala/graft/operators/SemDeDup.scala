@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{VectorFunctions => V}
+
+/** Semantic deduplication in embedding space — the SemDeDup recipe
+  * (public: Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+  * web-scale through semantic deduplication"): cluster the corpus
+  * embeddings, then inside each cluster drop near-duplicates by exact
+  * cosine. The cluster cell is the blocking key: the quadratic lives
+  * inside a cell, never across the corpus — the paper's own scale
+  * argument (the cluster count grows with the corpus so cell size
+  * stays bounded; q68's trained k-means codebook drops into the same
+  * `centroids` slot).
+  *
+  * Keep rule (pinned by the q91 oracle and SelectionSpec): a vector is
+  * dropped iff SOME lower-id vector in its cell has cosine ≥ τ with it
+  * — chain semantics (the witness may itself be dropped), which is the
+  * paper's "keep one representative per near-dup neighborhood" made
+  * deterministic by id order.
+  *
+  * Persist lifecycle: the assignment stage feeds both sides of the
+  * cell-blocked self-join AND the final anti-join, so it is persisted;
+  * the public surface is [[Staged]] / the loan-pattern managed form
+  * (the ExactSubstr contract — a long-lived service must not rely on
+  * Bench/Verify's `clearCache()`).
+  */
+object SemDeDup {
+
+  /** Result frame + explicit release of the operator's staged persists
+    * (idempotent; call after the terminal action on `frame`). */
+  final case class Staged(frame: DataFrame, release: () => Unit)
+
+  /** Survivors (`idCol`, `cell`) of within-cell cosine dedup.
+    *
+    * @param vectors   (`idCol`, `embCol`: array&lt;double&gt;, `normCol`)
+    * @param centroids (cid, ce) codebook — seed or trained (q68); ships
+    *                  broadcast via [[IvfIndex.assign]]'s guard
+    * @param threshold drop a vector when some lower-id cell-mate's
+    *                  cosine reaches it
+    */
+  def survivorsWithRelease(vectors: DataFrame, centroids: DataFrame, idCol: String,
+      embCol: String, normCol: String, threshold: Double): Staged = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val assigned = IvfIndex.assign(vectors, centroids, embCol, idCol).persist()
+    val a = assigned.select(col("cell"), col(idCol).as("id_a"),
+      col(embCol).as("ea"), col(normCol).as("na"))
+    val b = assigned.select(col("cell"), col(idCol).as("id_b"),
+      col(embCol).as("eb"), col(normCol).as("nb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(V.cosine(col("ea"), col("eb"), col("na"), col("nb")) >= threshold)
+      .select(col("id_b").as(idCol))
+      .distinct()
+    val out = assigned.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cell"))
+    Staged(out, () => { assigned.unpersist(); () })
+  }
+
+  /** Loan-pattern [[survivorsWithRelease]] for lexically-scoped use. */
+  def survivorsManaged[U](vectors: DataFrame, centroids: DataFrame, idCol: String,
+      embCol: String, normCol: String, threshold: Double)(use: DataFrame => U): U = {
+    val staged = survivorsWithRelease(vectors, centroids, idCol, embCol, normCol, threshold)
+    try use(staged.frame) finally staged.release()
+  }
+
+  /** Raw gate form — persists are released by the registry runner's
+    * `clearCache()`; services use the Staged/Managed surface. */
+  private[graft] def survivors(vectors: DataFrame, centroids: DataFrame, idCol: String,
+      embCol: String, normCol: String, threshold: Double): DataFrame =
+    survivorsWithRelease(vectors, centroids, idCol, embCol, normCol, threshold).frame
+}

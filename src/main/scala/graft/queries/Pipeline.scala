@@ -1645,11 +1645,21 @@ object Pipeline {
       val epochDocs = 1000L
       val budget = 800L
       val maxLangs = 65536
-      val clean = q79.run(s, dir).filter($"contaminated" === 0).select($"doc_id")
-      val keep = q80.run(s, dir).filter($"keep_doc" === 1).select($"doc_id")
+      // The stage outputs are persisted as CSE BARRIERS, not for reuse
+      // alone: filtering directly on q80's computed keep_doc collapses
+      // its higher-order-lambda expression tree into the filter
+      // predicate, where shared subtrees (token/bigram arrays) re-eval
+      // per reference — measured 10.8 s vs 0.75 s for the materialized
+      // form at sf0.1 (the hashedShingles projection-collapse class).
+      // Persists are registry-contract scoped (clearCache per gate).
+      val cleanStats = q79.run(s, dir).persist()
+      val keepStats = q80.run(s, dir).persist()
+      val clean = cleanStats.filter($"contaminated" === 0).select($"doc_id")
+      val keep = keepStats.filter($"keep_doc" === 1).select($"doc_id")
       val survivors = docs(s, dir)
         .join(clean, Seq("doc_id"), "left_semi")
         .join(keep, Seq("doc_id"), "left_semi")
+        .persist()
       val cleaned = graft.operators.ExactSubstr
         .removal(survivors, n = 8, stringKeys = true)
         .filter($"tokens_kept" > 0)

@@ -21,8 +21,9 @@ object Selection {
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.load(s, dir, "documents")
 
-  /** SemDeDup — semantic deduplication in embedding space (public
-    * recipe: Abbas et al. 2023): cluster the embeddings, then drop
+  /** SemDeDup — semantic deduplication in embedding space via
+    * [[graft.operators.SemDeDup]] (public recipe: Abbas et al. 2023,
+    * Staged/Managed release surface): cluster the embeddings, then drop
     * within-cluster near-duplicates by exact cosine. The cluster is the
     * blocking key — the quadratic lives inside a cell, never across the
     * corpus, which is the paper's own scale argument (k grows with the
@@ -49,18 +50,8 @@ object Selection {
         .select($"vec_id", $"e", $"nrm")
       val cents = v.filter($"vec_id" < 8)
         .select($"vec_id".cast("long").as("cid"), $"e".as("ce"))
-      val assigned = graft.operators.IvfIndex
-        .assign(v, cents, embCol = "e", idCol = "vec_id")
-        .persist()
-      val a = assigned.select($"cell", $"vec_id".as("id_a"), $"e".as("ea"), $"nrm".as("na"))
-      val b = assigned.select($"cell", $"vec_id".as("id_b"), $"e".as("eb"), $"nrm".as("nb"))
-      val dropped = a.join(b, Seq("cell"))
-        .filter($"id_a" < $"id_b")
-        .filter(V.cosine($"ea", $"eb", $"na", $"nb") >= 0.3)
-        .select($"id_b".as("vec_id"))
-        .distinct()
-      assigned.join(dropped, Seq("vec_id"), "left_anti")
-        .select($"vec_id", $"cell")
+      graft.operators.SemDeDup.survivors(v, cents,
+        idCol = "vec_id", embCol = "e", normCol = "nrm", threshold = 0.3)
     },
     Some("""
       WITH v AS (

@@ -65,6 +65,33 @@ class SelectionSpec extends AnyFunSuite with SparkSupport with BeforeAndAfterEac
       "each seed centroid is its own cell's representative")
   }
 
+  test("SemDeDup Staged contract: release() drops the assignment persist; Managed releases on failure") {
+    import spark.implicits._
+    import graft.functions.{VectorFunctions => V}
+    val dir = embDir((0 until 8).map(i => i.toLong -> basis(i)))
+    val v = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("e", V.asDouble($"embedding"))
+      .withColumn("nrm", V.norm($"e"))
+      .select($"vec_id", $"e", $"nrm")
+    val cents = v.filter($"vec_id" < 8).select($"vec_id".as("cid"), $"e".as("ce"))
+    // delta-based, not global-zero: full-suite order must not fail this
+    val baseline: Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    def newRdds: Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet -- baseline
+    val staged = graft.operators.SemDeDup
+      .survivorsWithRelease(v, cents, "vec_id", "e", "nrm", 0.3)
+    assert(staged.frame.count() == 8L)
+    assert(newRdds.nonEmpty, "the assignment stage must be cached while in use")
+    staged.release()
+    assert(newRdds.isEmpty, "release() must unpersist the staged assignment")
+    intercept[RuntimeException] {
+      graft.operators.SemDeDup.survivorsManaged(v, cents, "vec_id", "e", "nrm", 0.3) { f =>
+        f.count(); throw new RuntimeException("boom")
+      }
+    }
+    assert(newRdds.isEmpty, "the Managed form must release in finally, even on failure")
+  }
+
   test("q92: exact Laplace-smoothed ratio arithmetic; featureless docs drop; target-aligned docs outrank") {
     val dir = docsDir(Seq(
       (1L, "en", "a b"),  // bigram "a b": ct=1 (this doc), cr=2
