@@ -1,10 +1,12 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
 import java.util
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -42,9 +44,10 @@ class XlsxSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val files = XlsxSource.resolveFiles(options)
+    val conf = XlsxSource.activeHadoopConf()
+    val files = XlsxSource.resolveFiles(options, conf)
     require(files.nonEmpty, "xlsx source: no .xlsx files under the given path")
-    val header = Xlsx.parseHeader(Files.readAllBytes(Paths.get(files.head)))
+    val header = Xlsx.parseHeader(XlsxSource.readFully(files.head, conf))
     require(header.nonEmpty, s"xlsx ${files.head} has no used rows (no header)")
     StructType(header.map(StructField(_, StringType, nullable = true)))
   }
@@ -60,17 +63,43 @@ class XlsxSource extends TableProvider with DataSourceRegister {
 
 object XlsxSource {
 
+  /** All file access goes through the Hadoop FileSystem API (r11 review
+    * fix: the first cut used `java.nio.file`, which only works when
+    * every executor shares the driver's local disk — on cluster storage
+    * (HDFS / object stores) the scan must resolve paths and stream
+    * bytes through the configured FS, exactly like the `binaryFile`
+    * ingest path does).
+    */
+  private[sources] def activeHadoopConf(): Configuration =
+    SparkSession.active.sessionState.newHadoopConf()
+
+  private[sources] def readFully(path: String, conf: Configuration): Array[Byte] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+
   /** `path` option → concrete .xlsx file list (single file, or a
     * directory scanned non-recursively, sorted for determinism). */
-  private[sources] def resolveFiles(options: CaseInsensitiveStringMap): Seq[String] = {
+  private[sources] def resolveFiles(options: CaseInsensitiveStringMap,
+      conf: Configuration): Seq[String] = {
     val raw = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("xlsx source needs a path (spark.read.format(\"xlsx\").load(p))"))
-    val p = raw.stripPrefix("file:")
-    val f = new java.io.File(p)
-    if (f.isDirectory)
-      f.listFiles().filter(_.getName.toLowerCase.endsWith(".xlsx"))
-        .map(_.getPath).sorted.toSeq
-    else Seq(p)
+    val p = new Path(raw)
+    val fs = p.getFileSystem(conf)
+    val status = fs.getFileStatus(p)
+    if (status.isDirectory)
+      fs.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.toLowerCase.endsWith(".xlsx"))
+        .map(_.getPath.toString).sorted
+    else Seq(status.getPath.toString)
   }
 
   private final class XlsxTable(schema: StructType, options: CaseInsensitiveStringMap)
@@ -94,28 +123,30 @@ object XlsxSource {
     override def description(): String = s"XlsxScan ${options.get("path")}"
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] =
-      resolveFiles(options).map(XlsxInputPartition).toArray[InputPartition]
+      resolveFiles(options, activeHadoopConf()).map(XlsxInputPartition).toArray[InputPartition]
     override def createReaderFactory(): PartitionReaderFactory =
       XlsxReaderFactory(schema,
         Option(options.get("start")).map(_.toInt).getOrElse(0),
-        Option(options.get("end")).map(_.toInt).getOrElse(Int.MaxValue))
+        Option(options.get("end")).map(_.toInt).getOrElse(Int.MaxValue),
+        new org.apache.spark.util.SerializableConfiguration(activeHadoopConf()))
   }
 
   private final case class XlsxInputPartition(path: String) extends InputPartition
 
-  private final case class XlsxReaderFactory(schema: StructType, start: Int, end: Int)
+  private final case class XlsxReaderFactory(schema: StructType, start: Int, end: Int,
+      conf: org.apache.spark.util.SerializableConfiguration)
       extends PartitionReaderFactory {
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
       new XlsxPartitionReader(
-        partition.asInstanceOf[XlsxInputPartition].path, schema, start, end)
+        partition.asInstanceOf[XlsxInputPartition].path, schema, start, end, conf.value)
   }
 
   /** Executor-side decode of one workbook: the whole file is the task's
     * input (unsplittable zip), rows stream out as InternalRows with the
     * requested columns matched by header name. */
   private final class XlsxPartitionReader(path: String, schema: StructType,
-      start: Int, end: Int) extends PartitionReader[InternalRow] {
-    private val table = Xlsx.parse(Files.readAllBytes(Paths.get(path)), start, end)
+      start: Int, end: Int, conf: Configuration) extends PartitionReader[InternalRow] {
+    private val table = Xlsx.parse(readFully(path, conf), start, end)
     private val idx = schema.fieldNames.map(table.header.indexOf(_))
     private val rows = table.rows.iterator
     private var current: InternalRow = _
