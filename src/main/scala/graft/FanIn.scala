@@ -501,6 +501,76 @@ object FanIn {
       spark.catalog.clearCache()
     }
 
+    // ---- SemDeDup candidate mass + e2e (r11 / q91): the operator's
+    // quadratic is Σ m_c² over cell sizes, so its scale knob is C — the
+    // paper's own argument. The IVF-cell table above prices the cells;
+    // this row prices the OPERATOR: pair mass under the production
+    // C=1024 codebook (asserted under the repo's 50M candidate bound,
+    // the q24 discipline) and the measured wall + survivor fraction of
+    // the full within-cell cosine pass on the hot-center-skewed corpus. ----
+    {
+      import graft.operators.SemDeDup
+      val v = spark.read.parquet(s"$outDir/embeddings.parquet")
+        .withColumn("e", V.asDouble($"embedding"))
+        .withColumn("nrm", V.norm($"e"))
+        .select($"vec_id", $"e", $"nrm")
+      val cents = v.filter($"vec_id" < 1024)
+        .select($"vec_id".as("cid"), $"e".as("ce"))
+      val t0 = System.nanoTime()
+      val cellSizes = graft.operators.IvfIndex
+        .assign(v, cents, embCol = "e", idCol = "vec_id")
+        .groupBy($"cell").agg(count(lit(1)).as("m"))
+      val pairMass = cellSizes.agg(sum(expr("m * (m - 1) / 2")).as("p"))
+        .head().getDouble(0).toLong
+      assert(pairMass < 50000000L,
+        s"q91 C=1024 cell blocking yields $pairMass candidate pairs at x$mult — over the 50M bound")
+      val assignS = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val survivors = SemDeDup.survivorsManaged(v, cents,
+        "vec_id", "e", "nrm", threshold = 0.9)(_.queryExecution.toRdd.count())
+      val dedupS = (System.nanoTime() - t1) / 1e9
+      println(f"q91 SemDeDup at x$mult (C=1024, τ=0.9): $pairMass%,d within-cell pairs " +
+        f"(bounded <50M), cell stats $assignS%.1f s, full dedup pass $dedupS%.1f s, " +
+        f"$survivors%,d / $nVecs%,d survive (hot-center corpus: near-dup mass is real)")
+      spark.catalog.clearCache()
+    }
+
+    // ---- DSIR hashed-feature boundedness (r11 / q92): the raw bigram
+    // vocabulary grows with the corpus (Heaps) and is Zipf-skewed — the
+    // 8192-bucket feature hash makes BOTH count tables bounded and
+    // broadcastable at ANY corpus size. This row measures the claim:
+    // raw distinct bigrams vs occupied buckets (≤8192, asserted), and
+    // the wall of the bounded-broadcast scoring join. ----
+    {
+      import graft.functions.{TextFunctions => T}
+      val t0 = System.nanoTime()
+      val occ = spark.read.parquet(s"$outDir/documents.parquet")
+        .select($"doc_id", T.tokens($"text").as("t"))
+        .select($"doc_id", explode(expr(
+          "transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))")).as("f"))
+        .withColumn("fb", pmod(T.hash32($"f"), lit(8192L)))
+        .persist()
+      val rawDistinct = occ.select($"f").distinct().count()
+      val ct = occ.filter(pmod($"doc_id", lit(10L)) === 0L)
+        .groupBy($"fb").agg(count(lit(1)).as("ct"))
+      val cr = occ.groupBy($"fb").agg(count(lit(1)).as("cr"))
+      val lm = cr.join(ct, Seq("fb"), "left").na.fill(0L, Seq("ct")).persist()
+      val buckets = lm.count()
+      assert(buckets <= 8192L,
+        s"q92 LM table must stay within the 8192 hash buckets, got $buckets")
+      val statsS = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val scored = occ.join(broadcast(lm), "fb")
+        .groupBy($"doc_id")
+        .agg(sum(expr("(1000000L * (ct + 1L)) div (cr + 1L)")).as("w"))
+        .queryExecution.toRdd.count()
+      val scoreS = (System.nanoTime() - t1) / 1e9
+      println(f"q92 DSIR at x$mult: $rawDistinct%,d raw distinct bigrams hashed into " +
+        f"$buckets%,d / 8,192 buckets (LM stats $statsS%.1f s) — the broadcast side is " +
+        f"corpus-size-INDEPENDENT; bounded-broadcast scoring of $scored%,d docs $scoreS%.1f s")
+      occ.unpersist(); lm.unpersist()
+    }
+
     // ---- end-to-end runs on the 100x corpus (FANIN_E2E=0 skips) ----
     if (sys.env.get("FANIN_E2E").contains("0")) { spark.stop(); return }
     def time(name: String)(f: => Long): Unit = {
