@@ -2005,8 +2005,80 @@ object Pipeline {
         CAST(surprisal // n_toks AS BIGINT) AS mean_surprisal
       FROM scored"""))
 
+  /** Near-dup PRUNE (r11) — the ACTION on q88's component signal, the
+    * same signal→action step q84 is to q83: per connected component
+    * keep the canonical representative (the min-doc_id member, which is
+    * exactly the component label q88 converges to) and report what the
+    * prune bought — member count and the character mass dropped with
+    * the non-representatives. Singletons pass through as their own
+    * one-member cluster with zero dropped mass, so the output IS the
+    * deduplicated corpus manifest: one row per surviving document.
+    * Costs one groupBy(cluster) over q88's labeling — no new join
+    * class, and the label is already the keeper's id so no argmin
+    * re-derivation is needed.
+    */
+  val q95 = QueryDef(
+    "q95_neardup_prune",
+    (s, dir) => {
+      import s.implicits._
+      val sig = hashedShingles(s, dir)
+        .filter(size($"shingles") > 0)
+        .withColumn("sig", T.minhashFromHashes($"hashes", K))
+        .select($"doc_id", $"sig")
+      val cc = graft.operators.ConnectedComponents
+        .viaBuckets(bandFrame(sig), "doc_id", Seq("b", "key"))
+      docs(s, dir).select($"doc_id", $"n_chars")
+        .join(cc, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_chars",
+          coalesce($"component", $"doc_id").as("cluster_id"))
+        .groupBy($"cluster_id")
+        .agg(
+          count(lit(1)).as("n_members"),
+          sum(when($"doc_id" === $"cluster_id", lit(0L))
+            .otherwise($"n_chars")).as("chars_dropped"))
+        .select($"cluster_id".as("doc_id"), $"n_members", $"chars_dropped")
+    },
+    Some("""
+      WITH RECURSIVE toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      ), sh AS (
+        SELECT doc_id,
+          CASE WHEN len(t) >= 3 THEN
+            list_distinct(list_transform(generate_series(1, len(t)-2),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+          ELSE [] END AS shingles
+        FROM toks
+      ), sig AS (
+        SELECT doc_id,
+          list_transform(generate_series(0, 11), k ->
+            list_min(list_transform(
+              list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)),
+              h -> ((2*k+1)*h + k*12582917) % 4294967311))) AS sig
+        FROM sh WHERE len(shingles) > 0
+      ), bands AS (
+        SELECT doc_id, b, md5(array_to_string(sig[(3*b+1):(3*b+3)], ',')) AS band_key
+        FROM sig, (SELECT unnest(generate_series(0,3)) AS b)
+      ), edges AS (
+        SELECT DISTINCT a.doc_id AS u, c.doc_id AS v
+        FROM bands a JOIN bands c ON a.b = c.b AND a.band_key = c.band_key
+          AND a.doc_id <> c.doc_id
+      ), reach AS (
+        SELECT doc_id AS u, doc_id AS lbl FROM sig
+        UNION
+        SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+      ), labeled AS (
+        SELECT d.doc_id, d.n_chars, COALESCE(mn.comp, d.doc_id) AS cluster_id
+        FROM documents d
+        LEFT JOIN (SELECT u AS doc_id, MIN(lbl) AS comp FROM reach GROUP BY 1) mn
+          USING (doc_id)
+      )
+      SELECT cluster_id AS doc_id, COUNT(*) AS n_members,
+        CAST(SUM(CASE WHEN doc_id = cluster_id THEN 0 ELSE n_chars END) AS BIGINT)
+          AS chars_dropped
+      FROM labeled GROUP BY 1"""))
+
   val all: Seq[QueryDef] =
     Seq(q13, q14, q15, q16, q17, q18, q19, q29, q39, q41, q43, q44, q46,
       q48, q49, q54, q55, q57, q58, q59, q60, q61, q66, q78, q79, q80,
-      q81, q82, q83, q84, q85, q86, q87, q88, q89, q90)
+      q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q95)
 }
