@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{VectorFunctions => V}
@@ -72,4 +72,26 @@ object SemDeDup {
   private[graft] def survivors(vectors: DataFrame, centroids: DataFrame, idCol: String,
       embCol: String, normCol: String, threshold: Double): DataFrame =
     survivorsWithRelease(vectors, centroids, idCol, embCol, normCol, threshold).frame
+
+  /** Map-side cell assignment against a DRIVER-LITERAL codebook — the
+    * streaming-friendly twin of [[IvfIndex.assign]]: no join, no
+    * shuffle, no per-vector expansion, just one expression per
+    * centroid. Arithmetic is bit-identical to the join path (the same
+    * strict-left-fold `sqDist`; ties resolve to the LOWER cid via
+    * strict `<` over centroids iterated in ascending cid order — the
+    * `ORDER BY d, cid` rule both oracles pin). Use when the codebook is
+    * small enough to inline in the plan (the streaming gates' seed
+    * books); the join path stays the production route for trained
+    * books, where the broadcast guard and null-distance drop-out
+    * semantics matter.
+    */
+  def assignCellLit(emb: Column, cents: Seq[(Long, Array[Double])]): Column = {
+    require(cents.nonEmpty, "assignCellLit needs at least one centroid")
+    val ordered = cents.sortBy(_._1)
+    val scored = ordered.map { case (cid, ce) =>
+      struct(IvfIndex.sqDist(emb, lit(ce)).as("d"), lit(cid).as("cid"))
+    }
+    scored.reduceLeft((acc, x) =>
+      when(x.getField("d") < acc.getField("d"), x).otherwise(acc)).getField("cid")
+  }
 }

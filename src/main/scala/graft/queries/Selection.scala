@@ -284,6 +284,83 @@ object Selection {
       )
       SELECT vec_id, cell FROM an WHERE vec_id NOT IN (SELECT vec_id FROM dup)"""))
 
-  val all: Seq[QueryDef] = Seq(q91, q92, q93, q94)
+  /** STREAMING SemDeDup — q91's admission decision run continuously
+    * (the q49/q66 pattern: a streaming twin whose oracle is the batch
+    * gate's, verbatim). Cells are assigned MAP-SIDE against the
+    * driver-literal seed codebook ([[graft.operators.SemDeDup
+    * .assignCellLit]] — no join, no shuffle, bit-identical `sqDist`
+    * folds), then `transformWithState` keeps every seen vector per
+    * cell (chain semantics: a rejected vector can still witness) and
+    * admits a vector iff no earlier cell-mate reached τ. Admission
+    * decisions are final on emit; the ordering contract (ids
+    * non-decreasing across micro-batches) is met here by draining the
+    * sorted corpus in one AvailableNow pass. State per cell = cell
+    * membership — bounded by the codebook exactly like the batch
+    * quadratic (FANIN.md prices the cells at C=1024/×100).
+    */
+  val q96 = QueryDef(
+    "q96_semdedup_stream",
+    (s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      require(graft.streaming.Streams.stateV2Ready(s2),
+        "streaming semdedup needs Spark 4+ with the RocksDB state store provider")
+      import s2.implicits._
+      val base = graft.util.TempDirs.scratch("q96stream")
+      val cents = s2.read.parquet(s"$dir/embeddings.parquet")
+        .filter($"vec_id" < 8)
+        .select($"vec_id".cast("long"), V.asDouble($"embedding"))
+        .as[(Long, Seq[Double])].collect()
+        .map { case (cid, ce) => (cid, ce.toArray) }.toSeq
+      val schema = s2.read.parquet(s"$dir/embeddings.parquet").schema
+      val stream = s2.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        .withColumn("e", V.asDouble($"embedding"))
+        .withColumn("nrm", V.norm($"e"))
+        .withColumn("cell", graft.operators.SemDeDup.assignCellLit($"e", cents))
+        .select($"vec_id".cast("long").as("vec_id"), $"cell", $"e", $"nrm")
+        .as[graft.streaming.Streams.VecRow]
+      val q = graft.streaming.Streams.semDedupStream(stream, threshold = 0.3)
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.schema("vec_id BIGINT, cell BIGINT").parquet(s"$base/out")
+    },
+    Some("""
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+      ), n AS (
+        SELECT vec_id, e, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(e, x -> x*x)), (a,b) -> a+b)) AS nrm FROM v
+      ), cents AS (
+        SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8
+      ), dists AS (
+        SELECT n.vec_id, c.cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> (n.e[i]-c.ce[i])*(n.e[i]-c.ce[i]))),
+            (a,b) -> a+b) AS d
+        FROM n CROSS JOIN cents c
+      ), assigned AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM dists) WHERE rn = 1
+      ), an AS (
+        SELECT n.*, a.cell FROM n JOIN assigned a USING (vec_id)
+      ), dup AS (
+        SELECT DISTINCT b.vec_id
+        FROM an a JOIN an b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> a.e[i]*b.e[i])), (x,y) -> x+y)
+            / (a.nrm * b.nrm) >= 0.3
+      )
+      SELECT vec_id, cell FROM an WHERE vec_id NOT IN (SELECT vec_id FROM dup)"""))
+
+  val all: Seq[QueryDef] = Seq(q91, q92, q93, q94, q96)
 }
 

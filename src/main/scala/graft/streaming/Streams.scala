@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured-Streaming operators over the `events` stream shape
   * (user_id, ts, event_type, value). The reference has no streaming at
@@ -364,4 +364,69 @@ object Streams {
       watermark: String = "30 minutes"): Dataset[SessionUpdate] =
     if (stateV2Ready(events.sparkSession)) sessionizeTws(events, gapSeconds, watermark)
     else sessionize(events, gapSeconds, watermark)
+
+  /** A cell-assigned embedding row entering streaming semantic dedup:
+    * id, blocking cell, embedding, and its precomputed norm (the same
+    * `V.norm` column the batch operator uses, so the cosine arithmetic
+    * is bit-identical across paths). */
+  final case class VecRow(vec_id: Long, cell: Long, e: Seq[Double], nrm: Double)
+
+  final case class Admitted(vec_id: Long, cell: Long)
+
+  /** Streaming semantic-dedup ADMISSION CONTROL — q91's SemDeDup chain
+    * rule run continuously: a vector is admitted iff NO earlier vector
+    * of its cell reached cosine τ with it, where "earlier" is id order
+    * (the batch keep rule). Chain semantics mean the witness may itself
+    * have been rejected, so per-cell state is EVERY vector seen, not
+    * just the admitted ones — state grows with cell membership, which
+    * the codebook bounds exactly like the batch quadratic (C scales
+    * with the corpus; FANIN.md prices the cell sizes). Ordering
+    * contract: admission decisions are final on emit, so the stream
+    * must deliver ids non-decreasingly ACROSS micro-batches (within a
+    * batch the processor sorts); the gate drains the sorted corpus in
+    * one AvailableNow pass, and a production feed keyed by an
+    * arrival-ordered id satisfies it by construction.
+    */
+  final class SemDeDupProcessor(threshold: Double)
+      extends StatefulProcessor[Long, VecRow, Admitted] {
+    @transient private var seen: ListState[VecRow] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getListState[VecRow]("seen",
+        org.apache.spark.sql.Encoders.product[VecRow], TTLConfig.NONE)
+
+    override def handleInputRows(cell: Long, rows: Iterator[VecRow],
+        timerValues: TimerValues): Iterator[Admitted] = {
+      val prior = scala.collection.mutable.ArrayBuffer.empty[VecRow]
+      seen.get().foreach(prior += _)
+      val out = List.newBuilder[Admitted]
+      rows.toSeq.sortBy(_.vec_id).foreach { v =>
+        // strict-left-fold dot, the V.dot association, so the boundary
+        // decision matches the batch column bit-for-bit
+        val dup = prior.exists { p =>
+          var dot = 0.0
+          var i = 0
+          while (i < p.e.length) { dot += p.e(i) * v.e(i); i += 1 }
+          dot / (p.nrm * v.nrm) >= threshold
+        }
+        if (!dup) out += Admitted(v.vec_id, v.cell)
+        prior += v
+        seen.appendValue(v)
+      }
+      out.result().iterator
+    }
+  }
+
+  /** [[SemDeDupProcessor]] over a cell-keyed vector stream (assign
+    * cells map-side first — [[graft.operators.SemDeDup.assignCellLit]]
+    * is the no-shuffle route). Requires the state-v2 backend
+    * ([[stateV2Ready]]). */
+  def semDedupStream(vectors: Dataset[VecRow], threshold: Double): Dataset[Admitted] = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    vectors
+      .groupByKey(_.cell)
+      .transformWithState(new SemDeDupProcessor(threshold),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

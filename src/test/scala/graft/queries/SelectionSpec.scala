@@ -92,6 +92,30 @@ class SelectionSpec extends AnyFunSuite with SparkSupport with BeforeAndAfterEac
     assert(newRdds.isEmpty, "the Managed form must release in finally, even on failure")
   }
 
+  test("assignCellLit: matches the IvfIndex.assign join path; ties break to the lower cid") {
+    import spark.implicits._
+    import graft.functions.{VectorFunctions => V}
+    val dir = embDir(
+      (0 until 8).map(i => i.toLong -> basis(i)) ++ Seq(
+        10L -> Seq(0.9f, 0.1f, 0f, 0f, 0f, 0f, 0f, 0f),
+        11L -> Seq(0f, 0f, 0.2f, 0.9f, 0f, 0f, 0f, 0f),
+        // exactly equidistant to centroids 4 and 5 -> lower cid (4) wins
+        12L -> Seq(0f, 0f, 0f, 0f, 0.5f, 0.5f, 0f, 0f)))
+    val v = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("e", V.asDouble($"embedding"))
+      .select($"vec_id", $"e")
+    val cents = v.filter($"vec_id" < 8).select($"vec_id".as("cid"), $"e".as("ce"))
+    val litBook = cents.select($"cid", $"ce").as[(Long, Seq[Double])]
+      .collect().map { case (c, e) => (c, e.toArray) }.toSeq
+    val viaJoin = graft.operators.IvfIndex.assign(v, cents, "e", "vec_id")
+      .select($"vec_id", $"cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLit = v.withColumn("cell",
+        graft.operators.SemDeDup.assignCellLit($"e", litBook))
+      .select($"vec_id", $"cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLit == viaJoin, "the literal-codebook path must reproduce the join path")
+    assert(viaLit(12L) == 4L, "equidistant vector must take the LOWER cid")
+  }
+
   test("q92: exact Laplace-smoothed ratio arithmetic; featureless docs drop; target-aligned docs outrank") {
     val dir = docsDir(Seq(
       (1L, "en", "a b"),  // bigram "a b": ct=1 (this doc), cr=2

@@ -235,4 +235,40 @@ class StreamsSpec extends AnyFunSuite with SparkSupport {
       assert(joined.count() == 0, "streamed signatures must equal the batch stage")
     } finally query.stop()
   }
+
+  test("semDedupStream: chain admission — rejected witness still witnesses, state crosses batches, cells isolate") {
+    // state-v2 needs the RocksDB provider on a cloned session
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    assert(Streams.stateV2Ready(s2))
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    def unit(deg: Double): Seq[Double] =
+      Seq(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    def row(id: Long, cell: Long, deg: Double): Streams.VecRow =
+      Streams.VecRow(id, cell, unit(deg), 1.0)
+    val input = MemoryStream[Streams.VecRow]
+    val query = Streams.semDedupStream(input.toDS(), threshold = 0.9)
+      .toDF()
+      .writeStream.format("memory").queryName("semdedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // cell 0, batch 1 (unsorted on purpose — the processor sorts):
+      //   v1@0° admitted; v2@20° rejected (cos 20° ≈ .94 vs v1);
+      //   v3@40° rejected by v2 (cos 20°) even though v2 was itself
+      //   rejected — chain semantics — while cos(v1,v3)=cos 40° ≈ .77 < τ.
+      // cell 1: same direction as v1, but its own state -> admitted.
+      input.addData(row(3, 0, 40.0), row(1, 0, 0.0), row(2, 0, 20.0), row(10, 1, 0.0))
+      query.processAllAvailable()
+      // batch 2: v4@60° rejected by batch 1's REJECTED v3 (cross-batch
+      // state includes non-survivors); v5@150° far from everything.
+      input.addData(row(4, 0, 60.0), row(5, 0, 150.0))
+      query.processAllAvailable()
+      val admitted = s2.sql("SELECT vec_id, cell FROM semdedup_out")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(admitted == Map(1L -> 0L, 10L -> 1L, 5L -> 0L),
+        s"expected {1, 10, 5} admitted, got $admitted")
+    } finally query.stop()
+  }
 }
