@@ -59,4 +59,19 @@ class MixtureSpec extends AnyFunSuite with PropSupport {
     assert(Mixture.rates(Seq(("a", 5L), ("b", 500L)), 0L)
       .forall { case (_, b, t) => b == 0L && t == 0L })
   }
+
+  test("fracScale: sub-per-mille rates round to zero at 1000 but resolve at a finer scale") {
+    // one tiny stratum against a huge one: its rate is ~1, the huge
+    // stratum's is far below 1/1000 — invisible per-mille, visible at 1e9
+    val counts = Seq(("rare", 1L), ("web", 1000000000L))
+    val epoch = 1000L // r_web ≈ 1e-6: invisible per-mille, ~1000/1e9 fine
+    val perMille = Mixture.rates(counts, epoch).map { case (k, b, t) => k -> (b, t) }.toMap
+    val fine = Mixture.rates(counts, epoch, fracScale = 1000000000L)
+      .map { case (k, b, t) => k -> (b, t) }.toMap
+    assert(perMille("web") == ((0L, 0L)), "per-mille cannot see the web stratum's rate")
+    assert(fine("web")._1 == 0L && fine("web")._2 > 0L,
+      s"a finer scale must resolve the sub-per-mille rate, got ${fine("web")}")
+    // the default is unchanged (q81's oracle contract)
+    assert(Mixture.rates(counts, epoch) == Mixture.rates(counts, epoch, 1000L))
+  }
 }
