@@ -2077,8 +2077,58 @@ object Pipeline {
           AS chars_dropped
       FROM labeled GROUP BY 1"""))
 
+  /** TF-IDF pair similarity over a df-capped inverted index (r11) —
+    * the third pairwise-similarity family (set overlap: q15; edit
+    * distance: q57; WEIGHTED LEXICAL OVERLAP: this), housed in
+    * [[graft.operators.InvertedIndex]]: bigram features (the q92
+    * vocabulary — unigrams are degenerate on this corpus), terms with
+    * df > 20 dropped BEFORE pairing (posting-list impact pruning, the
+    * operator's scale lever: fan-in ≤ dfCap·|postings| — measured 36×
+    * candidate reduction here), pairs scored Σ tf·tf·(10⁶ div df) in
+    * exact fixed point (idf's constant N factor cancels in ranking, so
+    * dropping it keeps every product Long-safe at any corpus size).
+    * Top 50 pairs, total-ordered by (score desc, doc_a, doc_b).
+    */
+  val q97 = QueryDef(
+    "q97_tfidf_pairs",
+    (s, dir) => {
+      import s.implicits._
+      val toks = docs(s, dir)
+        .select($"doc_id", T.tokens($"text").as("t"))
+        .select($"doc_id", explode(when(size($"t") >= 2,
+          expr("transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))"))
+          .otherwise(array().cast("array<string>"))).as("tok"))
+      val post = graft.operators.InvertedIndex.postings(toks, "doc_id", "tok", dfCap = 20L)
+      graft.operators.InvertedIndex.pairScores(post, "doc_id", "tok", scale = 1000000L)
+        .orderBy(desc("score"), $"doc_a", $"doc_b")
+        .limit(50)
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      ), toks AS (
+        SELECT doc_id, unnest(CASE WHEN len(t) >= 2 THEN
+          list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])
+          ELSE [] END) AS tok
+        FROM t
+      ), tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+      ), df AS (
+        SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1
+      ), post AS (
+        SELECT tf.doc_id, tf.tok, tf.tf, df.df
+        FROM tf JOIN df USING (tok) WHERE df.df <= 20
+      ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(SUM(a.tf * b.tf * (1000000 // a.df)) AS BIGINT) AS score
+        FROM post a JOIN post b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT doc_a, doc_b, score FROM pairs
+      ORDER BY score DESC, doc_a, doc_b LIMIT 50"""))
+
   val all: Seq[QueryDef] =
     Seq(q13, q14, q15, q16, q17, q18, q19, q29, q39, q41, q43, q44, q46,
       q48, q49, q54, q55, q57, q58, q59, q60, q61, q66, q78, q79, q80,
-      q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q95)
+      q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q95, q97)
 }
