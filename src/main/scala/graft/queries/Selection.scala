@@ -361,6 +361,71 @@ object Selection {
       )
       SELECT vec_id, cell FROM an WHERE vec_id NOT IN (SELECT vec_id FROM dup)"""))
 
-  val all: Seq[QueryDef] = Seq(q91, q92, q93, q94, q96)
+  /** STREAMING DSIR scoring — q92's weight as a continuous, STATELESS
+    * pipeline ([[graft.streaming.Streams.dsirScoreStream]]): the batch
+    * pass trains the bounded LM (q92's two count tables, ≤8192 rows at
+    * any corpus size), the per-bucket weights ship as a literal map in
+    * the streaming plan, and each arriving document scores itself
+    * map-side — its features never leave the row, so the stream needs
+    * no state, no watermark, no shuffle. The q96 twin carries per-cell
+    * state because admission is relational; scoring is pointwise, so
+    * its streaming form is free. Oracle = q92's, verbatim.
+    */
+  val q98 = QueryDef(
+    "q98_dsir_stream",
+    (s, dir) => {
+      import s.implicits._
+      val base = graft.util.TempDirs.scratch("q98stream")
+      // batch LM build — exactly q92's tables, collapsed to w per bucket
+      val occ = docs(s, dir)
+        .select($"doc_id", $"lang", T.tokens($"text").as("t"))
+        .select($"doc_id", $"lang",
+          explode(when(size($"t") >= 2,
+            expr("transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))"))
+            .otherwise(array().cast("array<string>"))).as("f"))
+        .withColumn("fb", pmod(T.hash32($"f"), lit(8192L)))
+      val ct = occ.filter($"lang" === "en").groupBy($"fb").agg(count(lit(1)).as("ct"))
+      val weights = occ.groupBy($"fb").agg(count(lit(1)).as("cr"))
+        .join(ct, Seq("fb"), "left").na.fill(0L, Seq("ct"))
+        .select($"fb", expr("(1000000L * (ct + 1L)) div (cr + 1L)").as("w"))
+        .as[(Long, Long)].collect().toMap
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val q = graft.streaming.Streams.dsirScoreStream(stream, weights)
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.schema("doc_id BIGINT, n_feats BIGINT, dsir_weight BIGINT")
+        .parquet(s"$base/out")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+      ), occ AS (
+        SELECT doc_id, lang,
+          CAST('0x' || substr(md5(f), 1, 8) AS BIGINT) % 8192 AS fb
+        FROM (
+          SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(t)-1),
+            i -> t[i] || ' ' || t[i+1])) AS f
+          FROM t WHERE len(t) >= 2)
+      ), ct AS (
+        SELECT fb, CAST(COUNT(*) AS BIGINT) AS ct FROM occ WHERE lang = 'en' GROUP BY 1
+      ), cr AS (
+        SELECT fb, CAST(COUNT(*) AS BIGINT) AS cr FROM occ GROUP BY 1
+      ), lm AS (
+        SELECT cr.fb, COALESCE(ct.ct, 0) AS ct, cr.cr FROM cr LEFT JOIN ct USING (fb)
+      )
+      SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+        CAST(SUM((1000000 * (lm.ct + 1)) // (lm.cr + 1)) AS BIGINT) AS dsir_weight
+      FROM occ o JOIN lm USING (fb)
+      GROUP BY 1"""))
+
+  val all: Seq[QueryDef] = Seq(q91, q92, q93, q94, q96, q98)
 }
 

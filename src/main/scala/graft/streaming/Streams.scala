@@ -429,4 +429,42 @@ object Streams {
       .transformWithState(new SemDeDupProcessor(threshold),
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** Continuous DSIR scoring — q92's importance weight applied to a
+    * document stream with ZERO state and ZERO shuffle: the
+    * hashed-feature LM is bounded by construction (≤ `buckets` rows,
+    * corpus-size-INDEPENDENT — the q92/FANIN.md argument), so the
+    * trained per-bucket weights ship as a LITERAL MAP in the plan and
+    * each arriving document scores itself map-side: its bigram features
+    * never leave the row (no explode — the per-doc aggregation happens
+    * inside the array fold). This is the cheapest possible streaming
+    * operator: stateless, watermark-free, append-only, and the model
+    * refresh is a plan swap, not a state migration. A feature hashed to
+    * a bucket the training corpus never saw scores the Laplace floor
+    * `(scale·1) div 1` — the exact smoothing q92 applies at ct=cr=0.
+    *
+    * @param docs    streaming (or batch — the expression is mode-blind)
+    *                frame with `doc_id` and `text`
+    * @param weights per-bucket fixed-point weight, from the batch LM
+    *                build: `(scale·(ct+1)) div (cr+1)`
+    */
+  def dsirScoreStream(docs: DataFrame, weights: Map[Long, Long],
+      buckets: Long = 8192L, scale: Long = 1000000L): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    require(weights.size <= buckets,
+      s"${weights.size} bucket weights exceed the $buckets-bucket model")
+    val lm = typedLit(weights)
+    docs
+      .withColumn("t", T.tokens(col("text")))
+      .filter(size(col("t")) >= 2)
+      .withColumn("feats", expr(
+        "transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))"))
+      .select(
+        col("doc_id"),
+        size(col("feats")).cast("long").as("n_feats"),
+        aggregate(
+          transform(col("feats"), f =>
+            coalesce(element_at(lm, pmod(T.hash32(f), lit(buckets))), lit(scale))),
+          lit(0L), (acc, w) => acc + w).as("dsir_weight"))
+  }
 }

@@ -271,4 +271,30 @@ class StreamsSpec extends AnyFunSuite with SparkSupport {
         s"expected {1, 10, 5} admitted, got $admitted")
     } finally query.stop()
   }
+
+  test("dsirScoreStream: stateless map-side scoring; unseen buckets take the Laplace floor") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.{TextFunctions => T}
+    // bucket of "a b" under the md5-derived hash32, model scale 1000
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val fb = Seq(("a b", 0L)).toDF("f", "z")
+      .select(pmod(T.hash32(col("f")), lit(8192L))).head().getLong(0)
+    val weights = Map(fb -> 7L) // every OTHER bucket is unseen -> floor 1000
+    val input = MemoryStream[Doc]
+    val query = Streams.dsirScoreStream(input.toDF(), weights, scale = 1000L)
+      .writeStream.format("memory").queryName("dsir_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Doc(1, ts("2026-01-01 09:00:00"), "a b"),        // 1 feat, trained bucket
+        Doc(2, ts("2026-01-01 09:00:00"), "x y z"),      // 2 feats, both unseen
+        Doc(3, ts("2026-01-01 09:00:00"), "solo"))       // <2 tokens -> dropped
+      query.processAllAvailable()
+      val out = spark.sql("SELECT doc_id, n_feats, dsir_weight FROM dsir_out")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(out == Map(1L -> ((1L, 7L)), 2L -> ((2L, 2000L))),
+        s"unexpected scores: $out")
+    } finally query.stop()
+  }
 }
