@@ -117,8 +117,12 @@ object ExactSubstr {
       stringKeys: Boolean = false): Staged = {
     require(n >= 2, s"span length n must be >= 2, got $n")
     require(minDf >= 2, s"minDf must be >= 2 (df >= 2 is the smallest cross-doc signal), got $minDf")
+    // NULL text coalesces to '' so the pass-through row carries an empty
+    // cleaned_text, not NULL (tokens(NULL) is NULL and array_join(NULL)
+    // propagates it — r11 review; span extraction itself was safe, the
+    // size(t) >= n filter rejects the NULL size)
     val toked = docs
-      .select(col("doc_id"), T.tokens(col("text")).as("t"))
+      .select(col("doc_id"), T.tokens(coalesce(col("text"), lit(""))).as("t"))
       .persist()
     // every span OCCURRENCE with its 1-based start position (the profile
     // uses distinct spans; removal needs positions)

@@ -64,9 +64,13 @@ object ParagraphDedup {
   def dedupWithRelease(docs: DataFrame, chunk: Int = 20,
       stringKeys: Boolean = false): Staged = {
     require(chunk >= 1, s"chunk must be >= 1, got $chunk")
-    // one row per paragraph OCCURRENCE: 1-based idx j, text g, token count nt
+    // one row per paragraph OCCURRENCE: 1-based idx j, text g, token count nt.
+    // NULL text coalesces to '' (= one empty token, one empty paragraph):
+    // without it size(t) is -1 and ceil(-1/chunk) = 0 makes sequence(1, 0)
+    // DESCEND — Spark's sequence infers step -1 — fabricating two phantom
+    // paragraphs for the null doc (r11 review)
     val occ = docs
-      .select(col("doc_id"), T.tokens(col("text")).as("t"))
+      .select(col("doc_id"), T.tokens(coalesce(col("text"), lit(""))).as("t"))
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, cast(ceil(size(t) / $chunk.0) as int)), " +
           s"j -> struct(j AS j, concat_ws(' ', slice(t, (j-1)*$chunk + 1, $chunk)) AS g, " +

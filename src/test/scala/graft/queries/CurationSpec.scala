@@ -190,6 +190,31 @@ class CurationSpec extends AnyFunSuite with SparkSupport with BeforeAndAfterEach
       s"a doc shorter than the span length passes through whole, got ${got(6L)}")
   }
 
+  test("NULL text: removal passes it through as empty (not NULL); paragraph dedup yields ONE empty chunk, no phantoms") {
+    import spark.implicits._
+    // tokens(NULL) is NULL: un-coalesced, removal's array_join(NULL)
+    // emitted a NULL cleaned_text and ParagraphDedup's ceil(-1/chunk)=0
+    // made sequence(1,0) DESCEND into two phantom paragraphs (r11 review)
+    val docs = Seq((1L, "alpha beta gamma"), (2L, null: String), (3L, null: String))
+      .toDF("doc_id", "text")
+    graft.operators.ExactSubstr.removalManaged(docs, n = 2, minDf = 2L) { f =>
+      val r = f.collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getString(4), x.getString(5)))).toMap
+      assert(r(2L) == ((0L, "", "")), s"null doc must pass through empty, got ${r(2L)}")
+      assert(r(1L)._3 == "alpha beta gamma")
+    }
+    graft.operators.ParagraphDedup.dedupManaged(docs, chunk = 2) { f =>
+      val r = f.collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(5)))).toMap
+      assert(r(2L)._1 == 1L && r(3L)._1 == 1L,
+        s"a null doc is ONE empty chunk, not phantom rows: ${r(2L)} ${r(3L)}")
+      // the empty paragraph is still deduped globally: first null doc wins
+      assert(r(2L)._2 == 1L && r(3L)._2 == 0L,
+        s"global first-occurrence must apply to the empty chunk too: ${r(2L)} ${r(3L)}")
+      assert(r(1L)._3 == "alpha beta gamma")
+    }
+  }
+
   test("q86: stage order is load-bearing — span df is computed over SURVIVORS, and dropped docs can't make a span hot") {
     val A = (1 to 8).map(i => s"a$i").mkString(" ")
     val B = (1 to 8).map(i => s"b$i").mkString(" ")
