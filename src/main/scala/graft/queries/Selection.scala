@@ -299,7 +299,7 @@ object Selection {
     * quadratic (FANIN.md prices the cells at C=1024/×100).
     */
   val q96 = QueryDef(
-    "q96_semdedup_stream",
+    "q96_semdedup_streaming",
     (s, dir) => {
       val s2 = s.newSession()
       s2.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -372,7 +372,7 @@ object Selection {
     * its streaming form is free. Oracle = q92's, verbatim.
     */
   val q98 = QueryDef(
-    "q98_dsir_stream",
+    "q98_dsir_streaming",
     (s, dir) => {
       import s.implicits._
       val base = graft.util.TempDirs.scratch("q98stream")
