@@ -571,6 +571,41 @@ object FanIn {
       occ.unpersist(); lm.unpersist()
     }
 
+    // ---- Inverted-index df-cap fan-in (r11 / q97): the pair join's
+    // candidate mass is Σ df² over surviving terms, so the Zipf head —
+    // here the near-dup clusters' shared bigrams, df = cluster size up
+    // to 1,000 — is exactly what the cap removes. This row measures
+    // uncapped vs capped candidate mass on the skewed corpus and the
+    // wall of the full capped pair scoring. ----
+    {
+      import graft.functions.{TextFunctions => T2}
+      import graft.operators.InvertedIndex
+      val toks = spark.read.parquet(s"$outDir/documents.parquet")
+        .select($"doc_id", T2.tokens($"text").as("t"))
+        .select($"doc_id", explode(expr(
+          "transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))")).as("tok"))
+      val t0 = System.nanoTime()
+      val dfd = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+        .groupBy($"tok").agg(count(lit(1)).as("df"))
+      val a = dfd.agg(
+        sum(expr("df * (df - 1) / 2")).as("allp"),
+        sum(expr("CASE WHEN df <= 20 THEN df * (df - 1) / 2 ELSE 0 END")).as("capped"),
+        max($"df").as("hot")).head()
+      val (allPairs, capped, hot) = (a.getDouble(0).toLong, a.getDouble(1).toLong, a.getLong(2))
+      assert(capped < 50000000L,
+        s"q97 df<=20 candidate mass $capped at x$mult — over the 50M bound")
+      val statsS = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val scored = InvertedIndex.pairScores(
+        InvertedIndex.postings(toks, "doc_id", "tok", dfCap = 20L),
+        "doc_id", "tok", scale = 1000000L).queryExecution.toRdd.count()
+      val scoreS = (System.nanoTime() - t1) / 1e9
+      println(f"q97 inverted-index fan-in at x$mult: hottest bigram df $hot%,d " +
+        f"(= near-dup cluster reach), candidate pairs $allPairs%,d uncapped vs " +
+        f"$capped%,d at df<=20 (bounded <50M, asserted); df stats $statsS%.1f s, " +
+        f"full capped pair scoring $scored%,d scored pairs in $scoreS%.1f s")
+    }
+
     // ---- end-to-end runs on the 100x corpus (FANIN_E2E=0 skips) ----
     if (sys.env.get("FANIN_E2E").contains("0")) { spark.stop(); return }
     def time(name: String)(f: => Long): Unit = {
