@@ -426,6 +426,128 @@ object Selection {
       FROM occ o JOIN lm USING (fb)
       GROUP BY 1"""))
 
-  val all: Seq[QueryDef] = Seq(q91, q92, q93, q94, q96, q98)
+
+  /** Selection pipeline END-TO-END v2 (r11) — the cross-MODAL composite
+    * q86 could not pin: text-side filtering (q79 decontaminate ∩ q80
+    * repetition keep) composed with EMBEDDING-side semantic dedup (q91
+    * survivors on the paired vector, vec_id = doc_id) and DSIR scoring
+    * (q92 weights over the raw pool — importance is measured against
+    * the whole distribution, not the survivors). One oracle pins the
+    * text×vector join interaction: a doc survives iff BOTH its token
+    * stream and its embedding survive, and carries its cell + weight
+    * out as the curated, scored corpus manifest. The q79/q80 stage
+    * outputs persist as CSE barriers (the q86 note — filtering on their
+    * computed columns inlines higher-order lambdas into the predicate);
+    * persists are registry-contract scoped (clearCache per gate).
+    */
+  val q99 = QueryDef(
+    "q99_selection_e2e",
+    (s, dir) => {
+      import s.implicits._
+      val cleanStats = Pipeline.q79.run(s, dir).persist()
+      val keepStats = Pipeline.q80.run(s, dir).persist()
+      val clean = cleanStats.filter($"contaminated" === 0).select($"doc_id")
+      val keep = keepStats.filter($"keep_doc" === 1).select($"doc_id")
+      val sem = q91.run(s, dir).withColumnRenamed("vec_id", "doc_id")
+      val wts = q92.run(s, dir).select($"doc_id", $"dsir_weight")
+      docs(s, dir).select($"doc_id", $"lang", $"source")
+        .join(clean, Seq("doc_id"), "left_semi")
+        .join(keep, Seq("doc_id"), "left_semi")
+        .join(sem, "doc_id")
+        .join(wts, "doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang, source,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+      ), g AS (
+        SELECT doc_id, unnest(CASE WHEN len(t) >= 4 THEN
+            list_distinct(list_transform(generate_series(1, len(t)-3),
+              i -> list_aggregate(t[i:i+3], 'string_agg', ' ')))
+          ELSE [] END) AS gram
+        FROM toks
+      ), h AS (
+        SELECT doc_id, CAST('0x' || substr(md5(gram),1,8) AS BIGINT) AS gh FROM g
+      ), ev AS (
+        SELECT DISTINCT gh FROM h WHERE doc_id % 10 = 7
+      ), contaminated AS (
+        SELECT DISTINCT h.doc_id FROM h JOIN ev USING (gh) WHERE h.doc_id % 10 != 7
+      ), bgbase AS (
+        SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens,
+          CASE WHEN len(t) >= 2 THEN
+            list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])
+          ELSE [] END AS bg
+        FROM toks
+      ), bgstats AS (
+        SELECT doc_id, n_tokens, CAST(len(bg) AS BIGINT) AS n_bg,
+          CASE WHEN n_tokens > 0
+            THEN 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / n_tokens ELSE 0.0 END AS dup
+        FROM bgbase
+      ), cnts AS (
+        SELECT doc_id, g2, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest(bg) AS g2 FROM bgbase) GROUP BY doc_id, g2
+      ), topbg AS (
+        SELECT doc_id, c FROM (
+          SELECT doc_id, c, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g2) AS rn
+          FROM cnts) WHERE rn = 1
+      ), keepb AS (
+        SELECT s.doc_id FROM bgstats s LEFT JOIN topbg USING (doc_id)
+        WHERE s.dup <= 0.65
+          AND (CASE WHEN s.n_bg > 0 THEN CAST(topbg.c AS DOUBLE) / s.n_bg ELSE 0.0 END) <= 0.08
+      ), surv AS (
+        SELECT toks.* FROM toks
+        WHERE doc_id % 10 != 7
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+          AND doc_id IN (SELECT doc_id FROM keepb)
+      )
+      , v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+      ), nn AS (
+        SELECT vec_id, e, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(e, x -> x*x)), (a,b) -> a+b)) AS nrm FROM v
+      ), cents AS (
+        SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8
+      ), dists AS (
+        SELECT nn.vec_id, c.cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> (nn.e[i]-c.ce[i])*(nn.e[i]-c.ce[i]))),
+            (a,b) -> a+b) AS d
+        FROM nn CROSS JOIN cents c
+      ), assigned AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM dists) WHERE rn = 1
+      ), an AS (
+        SELECT nn.*, a.cell FROM nn JOIN assigned a USING (vec_id)
+      ), dup AS (
+        SELECT DISTINCT b.vec_id
+        FROM an a JOIN an b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> a.e[i]*b.e[i])), (x,y) -> x+y)
+            / (a.nrm * b.nrm) >= 0.3
+      ), semsurv AS (
+        SELECT vec_id, cell FROM an WHERE vec_id NOT IN (SELECT vec_id FROM dup)
+      ), occ2 AS (
+        SELECT doc_id, lang,
+          CAST('0x' || substr(md5(f), 1, 8) AS BIGINT) % 8192 AS fb
+        FROM (
+          SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(t)-1),
+            i -> t[i] || ' ' || t[i+1])) AS f
+          FROM toks WHERE len(t) >= 2)
+      ), ctt AS (
+        SELECT fb, CAST(COUNT(*) AS BIGINT) AS ct FROM occ2 WHERE lang = 'en' GROUP BY 1
+      ), crt AS (
+        SELECT fb, CAST(COUNT(*) AS BIGINT) AS cr FROM occ2 GROUP BY 1
+      ), lm AS (
+        SELECT crt.fb, COALESCE(ctt.ct, 0) AS ct, crt.cr FROM crt LEFT JOIN ctt USING (fb)
+      ), wts AS (
+        SELECT o.doc_id, CAST(SUM((1000000 * (lm.ct + 1)) // (lm.cr + 1)) AS BIGINT) AS dsir_weight
+        FROM occ2 o JOIN lm USING (fb) GROUP BY 1
+      )
+      SELECT s.doc_id, s.lang, s.source, ss.cell, w.dsir_weight
+      FROM surv s JOIN semsurv ss ON s.doc_id = ss.vec_id JOIN wts w ON s.doc_id = w.doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q91, q92, q93, q94, q96, q98, q99)
 }
 
