@@ -92,6 +92,37 @@ class SelectionSpec extends AnyFunSuite with SparkSupport with BeforeAndAfterEac
     assert(newRdds.isEmpty, "the Managed form must release in finally, even on failure")
   }
 
+  test("q99: a doc survives iff BOTH its text and its embedding survive; cell + weight ride along") {
+    import spark.implicits._
+    val dir = tmpDir("selection")
+    // ≥14 unique tokens per doc keeps the repetition filter's top-bigram
+    // share (1/(n-1)) under 0.08; doc 1 shares a 4-gram with eval doc 7
+    def txt(d: Int) = (1 to 14).map(i => s"d${d}t$i").mkString(" ")
+    val shared = "e1 e2 e3 e4"
+    Seq(
+      0L -> txt(0), 1L -> s"${txt(1)} $shared", 2L -> txt(2), 3L -> txt(3),
+      4L -> txt(4), 5L -> txt(5), 6L -> txt(6),
+      7L -> s"$shared e5 e6 e7 e8 e9 e10 e11 e12 e13 e14", // the eval tenth
+      8L -> txt(8))
+      .toDF("doc_id", "text")
+      .select($"doc_id", $"text", lit("en").as("lang"), lit("fix").as("source"),
+        length($"text").cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // embeddings 0..7 are the seed centroids (the 8 basis directions);
+    // 8 lands in cell 2 and is a near-dup of vector 2 -> semantic drop
+    ((0 until 8).map(i => i.toLong -> basis(i)) :+
+      (8L -> Seq(0f, 0f, 0.9f, 0f, 0.44f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding").withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Registry.byName("q99_selection_e2e").run(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // 1 is text-contaminated, 7 is eval-side, 8 is semantically dropped
+    assert(out.keySet == Set(0L, 2L, 3L, 4L, 5L, 6L),
+      s"survivors must pass BOTH modalities, got ${out.keySet}")
+    assert(out.forall { case (d, cell) => cell == d },
+      s"each survivor sits in its own basis cell, got $out")
+  }
+
   test("assignCellLit: matches the IvfIndex.assign join path; ties break to the lower cid") {
     import spark.implicits._
     import graft.functions.{VectorFunctions => V}
