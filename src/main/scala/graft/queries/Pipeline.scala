@@ -2127,8 +2127,78 @@ object Pipeline {
       SELECT doc_a, doc_b, score FROM pairs
       ORDER BY score DESC, doc_a, doc_b LIMIT 50"""))
 
+  /** Epoch MATERIALIZATION (r11) — the action on q81's mixture rates,
+    * closing the signal→action arc for the mixing stage the way q84
+    * does for q83 and q95 for q88: each doc explodes into its
+    * `n_repeats` epoch copies (base + the per-doc fractional draw) with
+    * a 1-based repeat index, and every copy gets a deterministic
+    * SHUFFLE SHARD — `hash(doc_id:rep) mod 32`, the training-side
+    * global shuffle as a pure map (two copies of one doc land in
+    * different shards, re-runs land identically). The explode is
+    * map-side and output-proportional — the epoch IS this many rows;
+    * no shuffle until the training writer ranges by shard.
+    */
+  val q100 = QueryDef(
+    "q100_epoch_materialize",
+    (s, dir) => {
+      import s.implicits._
+      val epochDocs = 1000L
+      val maxLangs = 65536
+      val d = docs(s, dir).select($"doc_id", $"lang")
+      val langStats = d.groupBy($"lang").agg(count(lit(1)).as("c"))
+        .limit(maxLangs + 1).collect()
+      require(langStats.length <= maxLangs,
+        s"q100: language cardinality exceeds $maxLangs — not a lang column?")
+      val rates = graft.operators.Mixture
+        .rates(langStats.toSeq.map(r => (r.getString(0), r.getLong(1))), epochDocs)
+        .toDF("lang", "base", "thresh")
+      d.join(broadcast(rates), "lang")
+        .select($"doc_id", $"lang",
+          ($"base" +
+            when(pmod(T.hash32($"doc_id".cast("string")), lit(1000L)) < $"thresh",
+              1L).otherwise(0L))
+            .cast("long").as("n_repeats"))
+        .filter($"n_repeats" > 0)
+        .select($"doc_id", $"lang", explode(expr("sequence(1L, n_repeats)")).as("rep"))
+        .withColumn("shard",
+          pmod(T.hash32(concat($"doc_id".cast("string"), lit(":"), $"rep".cast("string"))),
+            lit(32L)))
+    },
+    Some("""
+      WITH counts AS (
+        SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang
+      ), q AS (
+        SELECT lang, c,
+          CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1048576.0) AS BIGINT) AS qv
+        FROM counts
+      ), m AS (
+        SELECT CAST(SUM(qv) AS HUGEINT) AS mass FROM q
+      ), rates AS (
+        SELECT lang,
+          CAST(qv AS HUGEINT) * 1000 AS num,
+          mass * CAST(c AS HUGEINT) AS den
+        FROM q, m
+      ), rt AS (
+        SELECT lang,
+          CAST(num // den AS BIGINT) AS base,
+          CAST(((num % den) * 1000) // den AS BIGINT) AS thresh
+        FROM rates
+      ), reps AS (
+        SELECT d.doc_id, d.lang,
+          CAST(base +
+            CASE WHEN CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000
+                   < thresh
+                 THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+        FROM documents d JOIN rt USING (lang)
+      )
+      SELECT doc_id, lang, unnest(generate_series(1, n_repeats)) AS rep,
+        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+          CAST(unnest(generate_series(1, n_repeats)) AS VARCHAR)), 1, 8) AS BIGINT) % 32
+          AS shard
+      FROM reps WHERE n_repeats > 0"""))
+
   val all: Seq[QueryDef] =
     Seq(q13, q14, q15, q16, q17, q18, q19, q29, q39, q41, q43, q44, q46,
       q48, q49, q54, q55, q57, q58, q59, q60, q61, q66, q78, q79, q80,
-      q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q95, q97)
+      q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q95, q97, q100)
 }

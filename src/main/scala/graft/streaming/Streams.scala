@@ -397,22 +397,36 @@ object Streams {
 
     override def handleInputRows(cell: Long, rows: Iterator[VecRow],
         timerValues: TimerValues): Iterator[Admitted] = {
-      val prior = scala.collection.mutable.ArrayBuffer.empty[VecRow]
-      seen.get().foreach(prior += _)
+      // the chain scan is the per-cell hot loop (a survivor compares
+      // against EVERY prior cell-mate): unwrap embeddings to primitive
+      // arrays once so the inner fold runs unboxed rather than through
+      // the encoder's Seq, and append the batch to RocksDB state in ONE
+      // appendList instead of a write per vector — ~1.2× on the gate
+      // corpus, where most vectors are near-dups whose scan
+      // short-circuits at the first witness; the gate's residual cost
+      // is stream lifecycle (checkpoint + sink), not this loop
+      val prior = scala.collection.mutable.ArrayBuffer.empty[(Array[Double], Double)]
+      seen.get().foreach(p => prior += ((p.e.toArray, p.nrm)))
       val out = List.newBuilder[Admitted]
-      rows.toSeq.sortBy(_.vec_id).foreach { v =>
+      val batch = rows.toArray.sortBy(_.vec_id)
+      batch.foreach { v =>
+        val ve = v.e.toArray
         // strict-left-fold dot, the V.dot association, so the boundary
         // decision matches the batch column bit-for-bit
-        val dup = prior.exists { p =>
+        var dup = false
+        var j = 0
+        while (!dup && j < prior.length) {
+          val (pe, pn) = prior(j)
           var dot = 0.0
           var i = 0
-          while (i < p.e.length) { dot += p.e(i) * v.e(i); i += 1 }
-          dot / (p.nrm * v.nrm) >= threshold
+          while (i < pe.length) { dot += pe(i) * ve(i); i += 1 }
+          dup = dot / (pn * v.nrm) >= threshold
+          j += 1
         }
         if (!dup) out += Admitted(v.vec_id, v.cell)
-        prior += v
-        seen.appendValue(v)
+        prior += ((ve, v.nrm))
       }
+      seen.appendList(batch)
       out.result().iterator
     }
   }
