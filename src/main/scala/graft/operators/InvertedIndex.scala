@@ -30,6 +30,11 @@ import org.apache.spark.sql.functions._
   */
 object InvertedIndex {
 
+  /** Result frame + explicit release of the operator's staged persists
+    * (idempotent; call after the terminal action on `frame`) — the
+    * ExactSubstr/SemDeDup contract. */
+  final case class Staged(frame: DataFrame, release: () => Unit)
+
   /** df-capped postings `(idCol, tokCol, tf, df)`: per-document term
     * frequencies joined with term document frequencies, terms with
     * df > dfCap dropped before any pairing.
@@ -61,4 +66,30 @@ object InvertedIndex {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(sum(col("tf_a") * col("tf_b") * expr(s"$scale div df")).as("score"))
   }
+
+  /** [[postings]] + [[pairScores]] composed with the postings stage
+    * PERSISTED: both sides of the self-join consume it and the df
+    * branch's exchange embeds a partial aggregate, so ReuseExchange
+    * cannot unify the two scans — without the persist the tf/df
+    * pipeline executes twice (the ExactSubstr span-stage argument).
+    * Returns [[Staged]]; release after the terminal action.
+    */
+  def pairsWithRelease(docTokens: DataFrame, idCol: String, tokCol: String,
+      dfCap: Long, scale: Long): Staged = {
+    val post = postings(docTokens, idCol, tokCol, dfCap).persist()
+    Staged(pairScores(post, idCol, tokCol, scale), () => { post.unpersist(); () })
+  }
+
+  /** Loan-pattern [[pairsWithRelease]] for lexically-scoped use. */
+  def pairsManaged[U](docTokens: DataFrame, idCol: String, tokCol: String,
+      dfCap: Long, scale: Long)(use: DataFrame => U): U = {
+    val staged = pairsWithRelease(docTokens, idCol, tokCol, dfCap, scale)
+    try use(staged.frame) finally staged.release()
+  }
+
+  /** Raw gate form — persists are released by the registry runner's
+    * `clearCache()`; services use the Staged/Managed surface. */
+  private[graft] def pairs(docTokens: DataFrame, idCol: String, tokCol: String,
+      dfCap: Long, scale: Long): DataFrame =
+    pairsWithRelease(docTokens, idCol, tokCol, dfCap, scale).frame
 }

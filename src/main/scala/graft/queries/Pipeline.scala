@@ -2098,8 +2098,8 @@ object Pipeline {
         .select($"doc_id", explode(when(size($"t") >= 2,
           expr("transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))"))
           .otherwise(array().cast("array<string>"))).as("tok"))
-      val post = graft.operators.InvertedIndex.postings(toks, "doc_id", "tok", dfCap = 20L)
-      graft.operators.InvertedIndex.pairScores(post, "doc_id", "tok", scale = 1000000L)
+      graft.operators.InvertedIndex
+        .pairs(toks, "doc_id", "tok", dfCap = 20L, scale = 1000000L)
         .orderBy(desc("score"), $"doc_a", $"doc_b")
         .limit(50)
     },

@@ -45,6 +45,23 @@ class InvertedIndexSpec extends AnyFunSuite with SparkSupport {
       s"unexpected scores: $scores")
   }
 
+  test("Staged contract: release() drops the postings persist; Managed releases on failure") {
+    val baseline: Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    def newRdds: Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet -- baseline
+    val staged = InvertedIndex.pairsWithRelease(occ, "doc_id", "tok", dfCap = 3L, scale = 1000L)
+    assert(staged.frame.count() == 4L)
+    assert(newRdds.nonEmpty, "the postings stage must be cached while in use")
+    staged.release()
+    assert(newRdds.isEmpty, "release() must unpersist the staged postings")
+    intercept[RuntimeException] {
+      InvertedIndex.pairsManaged(occ, "doc_id", "tok", dfCap = 3L, scale = 1000L) { f =>
+        f.count(); throw new RuntimeException("boom")
+      }
+    }
+    assert(newRdds.isEmpty, "the Managed form must release in finally, even on failure")
+  }
+
   test("candidate mass equals the posting-list bound: sum of df*(df-1)/2 over surviving terms") {
     val p = InvertedIndex.postings(occ, "doc_id", "tok", dfCap = 3L)
     val joined = {
