@@ -148,6 +148,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkSupport
       "literal-array argmin resurfaced — codebook must stay a table")
   }
 
+  test("q91/q92/q97: selection-gate shapes — broadcast codebook and LM, partial tf aggregate") {
+    // SemDeDup's cell assignment rides IvfIndex.assign's broadcast
+    // codebook join (the q40 discipline, via the operator)
+    val semPlan = physicalPlan("q91_semdedup")
+    assert(semPlan.contains("BroadcastHashJoin"),
+      s"q91 cell assignment must join a broadcast codebook:\n$semPlan")
+    // DSIR's bounded LM (≤8192 rows at any corpus size) must broadcast —
+    // the corpus-side occurrence stream never shuffles for the scoring join
+    val dsirPlan = physicalPlan("q92_dsir_weight")
+    assert(dsirPlan.contains("BroadcastHashJoin"),
+      s"q92 LM join must broadcast the bounded model:\n$dsirPlan")
+    // the inverted index computes tf with a map-side partial aggregate
+    // before its shuffle, and its pair join is an equi-join (the global
+    // cartesian sweep pins the absence of the nested-loop fallback)
+    val tfidfPlan = physicalPlan("q97_tfidf_pairs")
+    assert(tfidfPlan.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial")),
+      s"q97 tf aggregate must be partial before the shuffle:\n$tfidfPlan")
+  }
+
   test("q52: leader-join strategy is AQE's choice — no hard broadcast hint (leaders grow with n)") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val df = Registry.byName("q52_vector_leader_clusters").run(spark, sf)
