@@ -385,15 +385,22 @@ object Streams {
     * must deliver ids non-decreasingly ACROSS micro-batches (within a
     * batch the processor sorts); the gate drains the sorted corpus in
     * one AvailableNow pass, and a production feed keyed by an
-    * arrival-ordered id satisfies it by construction.
+    * arrival-ordered id satisfies it by construction. The contract is
+    * ENFORCED: a per-cell max-id watermark in state fails the query
+    * loudly when a late lower id would make an earlier emission
+    * retroactively wrong.
     */
   final class SemDeDupProcessor(threshold: Double)
       extends StatefulProcessor[Long, VecRow, Admitted] {
     @transient private var seen: ListState[VecRow] = _
+    @transient private var maxId: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       seen = getHandle.getListState[VecRow]("seen",
         org.apache.spark.sql.Encoders.product[VecRow], TTLConfig.NONE)
+      maxId = getHandle.getValueState[Long]("maxId",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     override def handleInputRows(cell: Long, rows: Iterator[VecRow],
         timerValues: TimerValues): Iterator[Admitted] = {
@@ -409,6 +416,17 @@ object Streams {
       seen.get().foreach(p => prior += ((p.e.toArray, p.nrm)))
       val out = List.newBuilder[Admitted]
       val batch = rows.toArray.sortBy(_.vec_id)
+      // the ordering contract ENFORCED, not just documented: admission
+      // decisions are final on emit, so a lower id arriving after a
+      // higher one was already decided would make the earlier emission
+      // retroactively wrong — fail the query loudly instead of
+      // admitting silently-wrong survivors
+      if (batch.nonEmpty && maxId.exists() && batch.head.vec_id <= maxId.get())
+        throw new IllegalStateException(
+          s"semDedupStream ordering contract violated in cell $cell: id " +
+            s"${batch.head.vec_id} arrived after ${maxId.get()} was decided — " +
+            "ids must be non-decreasing across micro-batches")
+      if (batch.nonEmpty) maxId.update(batch.last.vec_id)
       batch.foreach { v =>
         val ve = v.e.toArray
         // strict-left-fold dot, the V.dot association, so the boundary

@@ -272,6 +272,33 @@ class StreamsSpec extends AnyFunSuite with SparkSupport {
     } finally query.stop()
   }
 
+  test("semDedupStream: a late lower id fails the query loudly (ordering contract enforced)") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    val input = MemoryStream[Streams.VecRow]
+    val query = Streams.semDedupStream(input.toDS(), threshold = 0.9)
+      .toDF()
+      .writeStream.format("memory").queryName("semdedup_order_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Streams.VecRow(5, 0, Seq(1.0, 0.0), 1.0))
+      query.processAllAvailable()
+      input.addData(Streams.VecRow(3, 0, Seq(0.0, 1.0), 1.0)) // id 3 after 5: contract violation
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        query.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+      assert(chain(e).exists(_.getMessage != null) &&
+        chain(e).exists(c => c.getMessage != null &&
+          c.getMessage.contains("ordering contract violated")),
+        s"expected the contract violation to surface, got: $e")
+    } finally query.stop()
+  }
+
   test("dsirScoreStream: stateless map-side scoring; unseen buckets take the Laplace floor") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
