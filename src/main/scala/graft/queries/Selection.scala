@@ -213,10 +213,14 @@ object Selection {
     * session trains it once for all four gates. Training means are
     * fixed-point (q68) and distances strict left folds, so DuckDB
     * reproduces the trained book, every assignment, and every drop
-    * digit-for-digit. Trained k=4 cells are balanced (122/113/143/122
-    * at sf0.01 vs the seed codebook's skew), which is exactly the
-    * paper's reason to train: balanced cells bound the within-cell
-    * quadratic.
+    * digit-for-digit. On this near-uniform synthetic corpus both books
+    * happen to balance (seed 133/117/129/121 vs trained 122/113/143/122
+    * at sf0.01 — measured, r11 review: an earlier draft claimed seed
+    * skew that is not there); the reason to train is real-corpus
+    * geometry, where arbitrary seeds DO skew cells and centroids from
+    * k-means bound the within-cell quadratic — what this gate pins is
+    * that the trained book drops into the operator's slot with exact
+    * oracle parity, so that swap is free when it matters.
     */
   val q94 = QueryDef(
     "q94_semdedup_trained",
