@@ -532,6 +532,58 @@ object FanIn {
       println(f"q91 SemDeDup at x$mult (C=1024, τ=0.9): $pairMass%,d within-cell pairs " +
         f"(bounded <50M), cell stats $assignS%.1f s, full dedup pass $dedupS%.1f s, " +
         f"$survivors%,d / $nVecs%,d survive (hot-center corpus: near-dup mass is real)")
+
+      // ---- streaming admission twin at the SAME scale (r11 / q96):
+      // the production-C path — the codebook rides the task closure
+      // (assignCellFunc; the literal-expression form would be an
+      // O(C·dim) plan, the q40 anti-shape), cells key the per-cell
+      // RocksDB state, and the drained result must match the batch
+      // operator EXACTLY (same chain rule, same arithmetic, one
+      // sorted AvailableNow batch). ----
+      {
+        import graft.operators.SemDeDup
+        import graft.streaming.Streams
+        val batchSurv = SemDeDup.survivorsManaged(v, cents.select($"cid", $"ce"),
+          "vec_id", "e", "nrm", threshold = 0.9)(_.queryExecution.toRdd.count())
+        val book = cents.select($"cid".cast("long"), $"ce")
+          .as[(Long, Seq[Double])].collect()
+          .map { case (c, ce) => (c, ce.toArray) }.toSeq
+        val f = SemDeDup.assignCellFunc(book)
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        import s2.implicits._
+        val base = java.nio.file.Files.createTempDirectory("fanin-q96").toString
+        val schema = s2.read.parquet(s"$outDir/embeddings.parquet").schema
+        val t2 = System.nanoTime()
+        // (the gate's testdata ships embeddings.parquet as a single
+        // FILE and glob-filters; FanIn's generated table is a parquet
+        // DIRECTORY of part files — stream the directory itself)
+        val stream = s2.readStream.schema(schema)
+          .parquet(s"$outDir/embeddings.parquet")
+          .withColumn("e", V.asDouble($"embedding"))
+          .withColumn("nrm", V.norm($"e"))
+          .select($"vec_id".cast("long").as("vec_id"), $"e", $"nrm")
+          .as[(Long, Seq[Double], Double)]
+          .map { case (id, e, nrm) => Streams.VecRow(id, f(e), e, nrm) }
+        val q = Streams.semDedupStream(stream, threshold = 0.9)
+          .toDF()
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val streamSurv = s2.read.schema("vec_id BIGINT, cell BIGINT")
+          .parquet(s"$base/out").count()
+        val streamS = (System.nanoTime() - t2) / 1e9
+        assert(streamSurv == batchSurv,
+          s"q96 streaming admission must match the batch operator: $streamSurv vs $batchSurv")
+        println(f"q96 streaming SemDeDup at x$mult (C=1024, τ=0.9, closure codebook): " +
+          f"$streamSurv%,d admitted in $streamS%.1f s — EXACT survivor parity with the " +
+          f"batch operator ($batchSurv%,d), per-cell state = cell membership")
+      }
       spark.catalog.clearCache()
     }
 

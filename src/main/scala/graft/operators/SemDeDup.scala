@@ -94,4 +94,35 @@ object SemDeDup {
     scored.reduceLeft((acc, x) =>
       when(x.getField("d") < acc.getField("d"), x).otherwise(acc)).getField("cid")
   }
+
+  /** Map-side cell assignment for codebooks too LARGE to inline —
+    * [[assignCellLit]]'s plan is O(C·dim) expressions (the q40 audit
+    * forbids that shape past toy C), and the join path's argmin groupBy
+    * cannot precede a stateful streaming operator. This returns a plain
+    * Scala function for `Dataset.map`: the codebook rides the task
+    * closure (serialized once per executor, like a broadcast), the scan
+    * is a strict-left-fold over primitive arrays — the same IEEE
+    * association as `sqDist`, with strict `<` over ascending cids
+    * reproducing the `ORDER BY d, cid` tie rule — so all three
+    * assignment paths agree bit-for-bit (SelectionSpec pins it).
+    */
+  def assignCellFunc(cents: Seq[(Long, Array[Double])]): Seq[Double] => Long = {
+    require(cents.nonEmpty, "assignCellFunc needs at least one centroid")
+    val ordered = cents.sortBy(_._1).toArray
+    (e: Seq[Double]) => {
+      val v = e.toArray
+      var bestCid = ordered(0)._1
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < ordered.length) {
+        val ce = ordered(c)._2
+        var d = 0.0
+        var i = 0
+        while (i < ce.length) { val x = v(i) - ce(i); d += x * x; i += 1 }
+        if (d < bestD) { bestD = d; bestCid = ordered(c)._1 }
+        c += 1
+      }
+      bestCid
+    }
+  }
 }

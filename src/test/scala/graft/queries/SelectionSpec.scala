@@ -145,6 +145,11 @@ class SelectionSpec extends AnyFunSuite with SparkSupport with BeforeAndAfterEac
       .select($"vec_id", $"cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaLit == viaJoin, "the literal-codebook path must reproduce the join path")
     assert(viaLit(12L) == 4L, "equidistant vector must take the LOWER cid")
+    // third path: the closure-codebook function for big-C streaming maps
+    val f = graft.operators.SemDeDup.assignCellFunc(litBook)
+    val viaFunc = v.select($"vec_id", $"e").as[(Long, Seq[Double])]
+      .collect().map { case (id, e) => id -> f(e) }.toMap
+    assert(viaFunc == viaJoin, "the closure-codebook path must reproduce the join path")
   }
 
   test("q92: exact Laplace-smoothed ratio arithmetic; featureless docs drop; target-aligned docs outrank") {
