@@ -49,6 +49,38 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkSupport {
     assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
   }
 
+  test("random bipartite graphs match a union-find reference at three densities") {
+    import spark.implicits._
+    // the fixtures above pin specific shapes; this pins the operator's
+    // CLAIM — min reachable node id through shared buckets — on graphs
+    // with no designed structure. Reference = driver-side union-find
+    // over the same memberships (path-compressed, union by id so the
+    // root IS the min), seeded so the case is reproducible.
+    val rnd = new scala.util.Random(42)
+    for ((nNodes, nBuckets, nMemb) <- Seq((40, 60, 45), (40, 12, 80), (30, 5, 120))) {
+      val memb = Seq.fill(nMemb)((rnd.nextInt(nNodes).toLong, rnd.nextInt(nBuckets)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      def union(a: Long, b: Long): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      memb.groupBy(_._2).values.foreach { rows =>
+        val ns = rows.map(_._1)
+        ns.tail.foreach(union(ns.head, _))
+      }
+      val expected = memb.map(_._1).distinct.map(n => n -> find(n)).toMap
+      val got = ConnectedComponents.viaBuckets(
+        memb.toDF("n", "bucket"), "n", Seq("bucket"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected,
+        s"random graph (nodes=$nNodes buckets=$nBuckets memb=$nMemb) diverged from union-find")
+    }
+  }
+
   test("converged input costs exactly one verification round") {
     import spark.implicits._
     // singleton buckets: labels never move, the loop must stop after
