@@ -190,6 +190,55 @@ class CurationSpec extends AnyFunSuite with SparkSupport with BeforeAndAfterEach
       s"a doc shorter than the span length passes through whole, got ${got(6L)}")
   }
 
+  test("q84: removal matches a plain-Scala reference on random small-vocab corpora") {
+    import spark.implicits._
+    // the fixture above pins each rule once; this pins the COMPOSITION
+    // (df over distinct-per-doc spans, hot filter, overlap+adjacency
+    // merge, excision) on seeded random corpora whose tiny vocabulary
+    // forces dense, unplanned span collisions
+    val n = 3
+    val minDf = 2
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("pa", "qo", "ru", "se", "tu")
+    for (trial <- 1 to 3) {
+      val corpus: Map[Long, Array[String]] =
+        (1L to 12L).map { id =>
+          val len = 1 + rnd.nextInt(20)
+          id -> Array.fill(len)(vocab(rnd.nextInt(vocab.length)))
+        }.toMap
+      val spansPerDoc = corpus.map { case (id, t) =>
+        id -> (if (t.length >= n)
+          (0 to t.length - n).map(i => (i + 1, t.slice(i, i + n).mkString(" ")))
+        else Seq.empty[(Int, String)])
+      }
+      val df = spansPerDoc.toSeq
+        .flatMap { case (id, sp) => sp.map(_._2).distinct.map(g => (g, id)) }
+        .groupBy(_._1).map { case (g, xs) => g -> xs.size }
+      val hot = df.filter(_._2 >= minDf).keySet
+      val expected = corpus.map { case (id, t) =>
+        val starts = spansPerDoc(id).collect { case (s, g) if hot(g) => s }.sorted
+        val cuts = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        starts.foreach { s =>
+          val e = s + n - 1
+          if (cuts.nonEmpty && s <= cuts.last._2 + 1)
+            cuts(cuts.length - 1) = (cuts.last._1, math.max(cuts.last._2, e))
+          else cuts += ((s, e))
+        }
+        val covered = cuts.flatMap { case (a, b) => a to b }.toSet
+        val kept = t.zipWithIndex.collect { case (w, i) if !covered(i + 1) => w }
+        id -> ((cuts.length.toLong, covered.size.toLong, kept.length.toLong,
+          cuts.map { case (a, b) => s"$a-$b" }.mkString(";"), kept.mkString(" ")))
+      }
+      val docs = corpus.toSeq.map { case (id, t) => (id, t.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.ExactSubstr.removalManaged(docs, n = n, minDf = minDf.toLong) {
+        _.collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+      }
+      assert(got == expected, s"trial $trial diverged from the reference")
+    }
+  }
+
   test("NULL text: removal passes it through as empty (not NULL); paragraph dedup yields ONE empty chunk, no phantoms") {
     import spark.implicits._
     // tokens(NULL) is NULL: un-coalesced, removal's array_join(NULL)
