@@ -239,6 +239,46 @@ class CurationSpec extends AnyFunSuite with SparkSupport with BeforeAndAfterEach
     }
   }
 
+  test("q87: paragraph dedup matches a plain-Scala reference on random small-vocab corpora") {
+    import spark.implicits._
+    // same rationale as the q84 twin above: the fixture pins each rule
+    // once, this pins the composition (chunking with ragged tail, global
+    // (doc_id, idx) argmin winner, reassembly) under dense unplanned
+    // collisions, including within-doc duplicates
+    val chunk = 3
+    val rnd = new scala.util.Random(11)
+    val vocab = Array("ab", "cd", "ef")
+    for (trial <- 1 to 3) {
+      val corpus: Map[Long, Array[String]] =
+        (1L to 10L).map { id =>
+          id -> Array.fill(1 + rnd.nextInt(18))(vocab(rnd.nextInt(vocab.length)))
+        }.toMap
+      val occ = corpus.toSeq.flatMap { case (id, t) =>
+        val nChunks = math.ceil(t.length / chunk.toDouble).toInt
+        (1 to nChunks).map { j =>
+          val p = t.slice((j - 1) * chunk, math.min(j * chunk, t.length))
+          (id, j, p.mkString(" "), p.length.toLong)
+        }
+      }
+      val winners = occ.groupBy(_._3).map { case (g, xs) =>
+        g -> xs.map(x => (x._1, x._2)).min
+      }
+      val expected = corpus.keys.map { id =>
+        val mine = occ.filter(_._1 == id)
+        val kept = mine.filter(o => winners(o._3) == ((o._1, o._2))).sortBy(_._2)
+        id -> ((mine.size.toLong, kept.size.toLong, (mine.size - kept.size).toLong,
+          kept.map(_._4).sum, kept.map(_._3).mkString(" ")))
+      }.toMap
+      val docs = corpus.toSeq.map { case (id, t) => (id, t.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.ParagraphDedup.dedupManaged(docs, chunk = chunk) {
+        _.collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+      }
+      assert(got == expected, s"trial $trial diverged from the reference")
+    }
+  }
+
   test("NULL text: removal passes it through as empty (not NULL); paragraph dedup yields ONE empty chunk, no phantoms") {
     import spark.implicits._
     // tokens(NULL) is NULL: un-coalesced, removal's array_join(NULL)
