@@ -152,6 +152,49 @@ class SelectionSpec extends AnyFunSuite with SparkSupport with BeforeAndAfterEac
     assert(viaFunc == viaJoin, "the closure-codebook path must reproduce the join path")
   }
 
+  test("SemDeDup survivors match a plain-Scala reference on random embeddings") {
+    import spark.implicits._
+    import graft.functions.{VectorFunctions => V}
+    // the fixtures pin the keep rule on designed geometry; this pins it
+    // on random vectors: every lower-id cell-mate witnesses (dropped or
+    // not), cells assigned by strict-left-fold sqDist. The reference
+    // mirrors the plan's fold order exactly, so the comparison is
+    // bit-for-bit, not approximate.
+    val rnd = new scala.util.Random(13)
+    val dim = 4
+    val tau = 0.7
+    for (trial <- 1 to 3) {
+      val vecs: Seq[(Long, Seq[Float])] =
+        (0L until 25L).map(id => id -> Seq.fill(dim)(rnd.nextFloat() * 2f - 1f))
+      val e = vecs.map { case (id, f) => id -> f.map(_.toDouble).toArray }.toMap
+      def fold(xs: Array[Double]): Double = { var a = 0.0; var i = 0; while (i < xs.length) { a += xs(i); i += 1 }; a }
+      val nrm = e.map { case (id, v) => id -> math.sqrt(fold(v.map(x => x * x))) }
+      val cents = (0L until 3L).map(c => c -> e(c))
+      val cell = e.map { case (id, v) =>
+        var bc = -1L; var bd = Double.PositiveInfinity
+        cents.foreach { case (c, ce) =>
+          val d = fold(Array.tabulate(dim)(i => { val x = v(i) - ce(i); x * x }))
+          if (d < bd) { bd = d; bc = c }
+        }
+        id -> bc
+      }
+      val expected = vecs.map(_._1).filterNot { id =>
+        vecs.map(_._1).exists(u => u < id && cell(u) == cell(id) &&
+          fold(Array.tabulate(dim)(i => e(u)(i) * e(id)(i))) / (nrm(u) * nrm(id)) >= tau)
+      }.map(id => id -> cell(id)).toMap
+      val v = vecs.toDF("vec_id", "embedding")
+        .withColumn("e", V.asDouble($"embedding"))
+        .withColumn("nrm", V.norm($"e"))
+        .select($"vec_id", $"e", $"nrm")
+      val cdf = v.filter($"vec_id" < 3).select($"vec_id".as("cid"), $"e".as("ce"))
+      val got = graft.operators.SemDeDup
+        .survivorsManaged(v, cdf, "vec_id", "e", "nrm", tau) {
+          _.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        }
+      assert(got == expected, s"trial $trial diverged from the reference")
+    }
+  }
+
   test("q92: exact Laplace-smoothed ratio arithmetic; featureless docs drop; target-aligned docs outrank") {
     val dir = docsDir(Seq(
       (1L, "en", "a b"),  // bigram "a b": ct=1 (this doc), cr=2
