@@ -50,6 +50,26 @@ class BloomSpec extends AnyFunSuite with SparkSupport {
       "the composed dedup must be exact regardless of the fp rate")
   }
 
+  test("newKeys equals the plain anti-join on random keysets across filter sizes") {
+    import spark.implicits._
+    // the q89 oracle checks one corpus; this pins the exactness claim on
+    // seeded random key populations with controlled overlap, at a roomy
+    // filter (fp ~ 0) AND a cramped one (128 bits for ~120 keys — dense
+    // false positives), where only the exact confirm keeps the answer right
+    val rnd = new scala.util.Random(17)
+    for (mBits <- Seq(1L << 14, 128L); trial <- 1 to 2) {
+      val pool = (0 until 400).map(i => s"k${rnd.nextInt(180)}")
+      val (seenKeys, incomingKeys) = (pool.take(120).distinct, pool.drop(250))
+      val seen = seenKeys.toDF("key")
+      val incoming = incomingKeys.zipWithIndex.toDF("key", "ord")
+      val expected = incoming.join(seen, Seq("key"), "left_anti")
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+      val got = Bloom.newKeys(incoming, seen, "key", mBits = mBits, k = 3)
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+      assert(got == expected, s"mBits=$mBits trial $trial diverged from the anti-join")
+    }
+  }
+
   test("payload columns of incoming rows pass through untouched") {
     import spark.implicits._
     val seen = Seq("a", "b").toDF("key")
