@@ -28,6 +28,39 @@ class OperatorsSpec extends AnyFunSuite with SparkSupport {
       (2L, 3L, "e3", null)))   // nothing precedes
   }
 
+  test("AsOfJoin backward AND forward match a plain-Scala reference on random series") {
+    import spark.implicits._
+    // the fixtures pin each rule once; this pins both directions on
+    // seeded random series where equal-ts matches, no-match edges and
+    // dense key collisions occur unplanned. Right side is unique per
+    // (k, ts) — the operator's documented caller contract
+    val rnd = new scala.util.Random(19)
+    for (trial <- 1 to 3) {
+      val leftRows = Seq.fill(60)((rnd.nextInt(4).toLong, rnd.nextInt(30).toLong))
+        .zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toLong) }
+      val rightRows = Seq.fill(40)((rnd.nextInt(4).toLong, rnd.nextInt(30).toLong))
+        .distinct.map { case (k, ts) => (k, ts, k * 1000 + ts) }
+      val byKey = rightRows.groupBy(_._1)
+      def expect(forward: Boolean) = leftRows.map { case (k, ts, id) =>
+        val cands = byKey.getOrElse(k, Seq.empty)
+          .filter(r => if (forward) r._2 >= ts else r._2 <= ts)
+        val m = if (cands.isEmpty) None
+          else Some(if (forward) cands.minBy(_._2) else cands.maxBy(_._2))
+        (k, ts, id, m.map(_._3))
+      }.toSet
+      val left = leftRows.toDF("k", "ts", "id")
+      val right = rightRows.toDF("k", "ts", "v")
+      def got(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))
+      }.toSet
+      assert(got(AsOfJoin.backward(left, right, "ts", Seq("k"), Seq("v"))) ==
+        expect(forward = false), s"trial $trial: backward diverged")
+      assert(got(AsOfJoin.forward(left, right, "ts", Seq("k"), Seq("v"))) ==
+        expect(forward = true), s"trial $trial: forward diverged")
+    }
+  }
+
   test("AsOfJoin.backward: composite keys partition independently") {
     import spark.implicits._
     val left = Seq((1L, "x", 10L), (1L, "y", 10L)).toDF("k1", "k2", "ts")
