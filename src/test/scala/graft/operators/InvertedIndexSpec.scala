@@ -45,6 +45,34 @@ class InvertedIndexSpec extends AnyFunSuite with SparkSupport {
       s"unexpected scores: $scores")
   }
 
+  test("pairs match a plain-Scala reference on random small-vocab corpora") {
+    import spark.implicits._
+    // fixture pins each rule once; this pins the composition (tf, df,
+    // cap, integer-div weight, pair sum) under unplanned term sharing
+    val rnd = new scala.util.Random(23)
+    val vocab = Array("t0", "t1", "t2", "t3", "t4", "t5")
+    for ((dfCap, trial) <- Seq((3L, 1), (5L, 2), (8L, 3))) {
+      val occs = (1L to 10L).flatMap { id =>
+        Seq.fill(1 + rnd.nextInt(8))((id, vocab(rnd.nextInt(vocab.length))))
+      }
+      val tf = occs.groupBy(identity).map { case ((id, t), xs) => (id, t) -> xs.size.toLong }
+      val df = tf.keys.groupBy(_._2).map { case (t, xs) => t -> xs.size.toLong }
+        .filter(_._2 <= dfCap)
+      val scale = 1000L
+      val expected = (for {
+        (t, d) <- df.toSeq
+        docs = tf.keys.filter(_._2 == t).map(_._1).toSeq.sorted
+        a <- docs; b <- docs if a < b
+      } yield (a, b) -> tf((a, t)) * tf((b, t)) * (scale / d))
+        .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+      val got = InvertedIndex.pairsManaged(
+        occs.toDF("doc_id", "tok"), "doc_id", "tok", dfCap, scale) {
+        _.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      }
+      assert(got == expected, s"trial $trial (dfCap=$dfCap) diverged from the reference")
+    }
+  }
+
   test("Staged contract: release() drops the postings persist; Managed releases on failure") {
     val baseline: Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
     def newRdds: Set[Int] =
