@@ -190,6 +190,39 @@ class CurationSpec extends AnyFunSuite with SparkSupport with BeforeAndAfterEach
       s"a doc shorter than the span length passes through whole, got ${got(6L)}")
   }
 
+  test("q80: the sorted-runs top-bigram fold matches a naive reference on random corpora") {
+    // the fold tracks runs over sort_array(bg) in one pass (the gate's
+    // O(len log len) rewrite of the naive count-max); random tiny-vocab
+    // docs force dense repeats and lexicographic ties, where a run-reset
+    // or tie-direction bug would diverge from the naive groupBy count
+    val rnd = new scala.util.Random(29)
+    val vocab = Array("aa", "bb", "cc")
+    for (trial <- 1 to 3) {
+      val corpus = (1L to 15L).map { id =>
+        id -> Array.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length)))
+      }
+      val expected = corpus.map { case (id, t) =>
+        val n = t.length.toLong
+        val dup = if (n > 0) 1.0 - t.distinct.length.toDouble / n else 0.0
+        val bg = if (t.length >= 2) t.sliding(2).map(_.mkString(" ")).toSeq else Seq.empty
+        val (topG, topC) =
+          if (bg.isEmpty) ("", 0L)
+          else {
+            val counts = bg.groupBy(identity).map { case (g, xs) => g -> xs.size.toLong }
+            val best = counts.toSeq.minBy { case (g, c) => (-c, g) }
+            (best._1, best._2)
+          }
+        val frac = if (bg.nonEmpty) topC.toDouble / bg.size else 0.0
+        id -> ((n, dup, topG, frac, if (dup <= 0.65 && frac <= 0.08) 1 else 0))
+      }.toMap
+      val dir = docsDir(corpus.map { case (id, t) => id -> t.mkString(" ") })
+      val got = Registry.byName("q80_repetition_filter").run(spark, dir)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getString(3), r.getDouble(4), r.getInt(5)))).toMap
+      assert(got == expected, s"trial $trial diverged from the naive reference")
+    }
+  }
+
   test("q84: removal matches a plain-Scala reference on random small-vocab corpora") {
     import spark.implicits._
     // the fixture above pins each rule once; this pins the COMPOSITION
