@@ -159,6 +159,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkSupport
     val dsirPlan = physicalPlan("q92_dsir_weight")
     assert(dsirPlan.contains("BroadcastHashJoin"),
       s"q92 LM join must broadcast the bounded model:\n$dsirPlan")
+    // r12 (VERDICT wrong #1): the LM is ONE conditional aggregation over
+    // ONE staged occurrence explode — the staged occ shows as an
+    // in-memory scan on both consumers, and the old two-agg LEFT join
+    // between ct and cr branches must be gone from the plan entirely
+    assert(dsirPlan.contains("InMemoryTableScan"),
+      s"q92 occurrence stream must be staged (persisted) and re-read, not recomputed:\n$dsirPlan")
+    assert(!dsirPlan.contains("LeftOuter"),
+      s"q92 LM must be a single conditional aggregate, not a ct/cr left join:\n$dsirPlan")
     // the inverted index computes tf with a map-side partial aggregate
     // before its shuffle, and its pair join is an equi-join (the global
     // cartesian sweep pins the absence of the nested-loop fallback)
