@@ -80,13 +80,44 @@ object Bloom {
     * anti-join removes only confirmed duplicates. At scale the win is
     * that the exact join's probe side is the candidate set, not the
     * whole incoming batch (AQE broadcasts it when small).
+    *
+    * This one-shot form REBUILDS the bitmap from the full `seen` keyset
+    * — right for a single gate, wrong for the operator's own 100 TB
+    * story (build-once/probe-many over trillions of historic
+    * fingerprints): a service keeps the bitmap persisted, probes each
+    * batch via [[newKeysAgainst]], and folds each batch's genuinely-new
+    * keys in with [[merge]] — the q101 gate runs exactly that lifecycle.
     */
   def newKeys(incoming: DataFrame, seen: DataFrame, keyCol: String,
-      mBits: Long = 1L << 20, k: Int = 5): DataFrame = {
+      mBits: Long = 1L << 20, k: Int = 5): DataFrame =
+    newKeysAgainst(incoming, seen, keyCol,
+      build(seen.select(col(keyCol)), keyCol, mBits, k), mBits, k)
+
+  /** [[newKeys]] against a PREBUILT bitmap — the incremental-ingest
+    * probe: the historic bitmap is built once (and persisted by the
+    * caller), each arriving batch probes it, and the exact confirm
+    * still runs against `seen`, so the result is exact at any fp rate.
+    * `bloom` must cover every key of `seen` (a bitmap that misses keys
+    * breaks the no-false-negative contract and silently re-admits
+    * duplicates) — maintain it with [[merge]].
+    */
+  def newKeysAgainst(incoming: DataFrame, seen: DataFrame, keyCol: String,
+      bloom: DataFrame, mBits: Long = 1L << 20, k: Int = 5): DataFrame = {
     val seenKeys = seen.select(col(keyCol))
-    val bloom = build(seenKeys, keyCol, mBits, k)
     val candidates = maybeSeen(incoming, keyCol, bloom, mBits, k)
     val confirmed = candidates.join(seenKeys, Seq(keyCol), "left_semi")
     incoming.join(confirmed, Seq(keyCol), "left_anti")
   }
+
+  /** Bitwise union of two sparse bitmaps BUILT WITH THE SAME (mBits, k)
+    * — incremental maintenance: `merge(historicBloom, build(newKeys))`
+    * folds a batch's admitted keys into the filter without ever
+    * re-scanning the historic keyset. One groupBy over ≤ 2·(mBits/64)
+    * word rows (bitmap-sized, corpus-size-independent); `bit_or` makes
+    * the union exact, so the no-false-negative property is preserved by
+    * induction over batches.
+    */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("w"), col("bits")).unionByName(b.select(col("w"), col("bits")))
+      .groupBy(col("w")).agg(expr("bit_or(bits)").as("bits"))
 }

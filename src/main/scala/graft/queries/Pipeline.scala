@@ -1960,6 +1960,59 @@ object Pipeline {
       WHERE i.doc_id % 4 = 0
         AND i.fingerprint NOT IN (SELECT fingerprint FROM fp WHERE doc_id % 4 <> 0)"""))
 
+  /** Bloom INCREMENTAL-MAINTENANCE lifecycle (r12, VERDICT wrong #2
+    * executed): q89 proves the pre-filtered dedup is exact; this gate
+    * runs the shape a long-lived ingest service actually uses —
+    * the historic bitmap and keyset are built ONCE and persisted, two
+    * successive batches probe the SAME bitmap ([[graft.operators.Bloom
+    * .newKeysAgainst]]), and batch 1's admitted keys fold into the
+    * filter by [[graft.operators.Bloom.merge]] (a bit_or over word rows,
+    * bitmap-sized work) rather than a rebuild over the whole corpus —
+    * so batch 2's membership reference is historic ∪ batch-1-admissions
+    * with the historic keyset scanned once for the build. Exactness at
+    * any fp rate is inherited: every bloom hit is confirmed by the
+    * exact semi-join, so DuckDB oracles the whole lifecycle with two
+    * plain anti-joins. Batches: historic = doc_id % 4 ∈ {1,2}, batch 1
+    * = % 4 = 0, batch 2 = % 4 = 3.
+    */
+  val q101 = QueryDef(
+    "q101_bloom_batch_ingest",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Bloom
+      val mBits = 1L << 16
+      val k = 5
+      val fp = docs(s, dir)
+        .select($"doc_id", T.fingerprintMd5($"text").as("fingerprint"))
+      val historic = fp.filter(pmod($"doc_id", lit(4L)).isin(1L, 2L))
+        .select($"fingerprint").persist()
+      val bloom0 = Bloom.build(historic, "fingerprint", mBits, k).persist()
+      val batch1 = fp.filter(pmod($"doc_id", lit(4L)) === 0L)
+      val new1 = Bloom.newKeysAgainst(batch1, historic, "fingerprint",
+        bloom0, mBits, k).persist()
+      // fold batch 1's admissions in: bitmap-sized work, no corpus re-scan
+      val bloom1 = Bloom.merge(bloom0,
+        Bloom.build(new1.select($"fingerprint"), "fingerprint", mBits, k))
+      val seen1 = historic.unionByName(new1.select($"fingerprint"))
+      val batch2 = fp.filter(pmod($"doc_id", lit(4L)) === 3L)
+      val new2 = Bloom.newKeysAgainst(batch2, seen1, "fingerprint", bloom1, mBits, k)
+      new1.select(lit(1L).as("batch"), $"doc_id", $"fingerprint")
+        .unionByName(new2.select(lit(2L).as("batch"), $"doc_id", $"fingerprint"))
+    },
+    Some("""
+      WITH fp AS (
+        SELECT doc_id,
+          md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS fingerprint
+        FROM documents
+      )
+      SELECT CAST(1 AS BIGINT) AS batch, doc_id, fingerprint FROM fp
+      WHERE doc_id % 4 = 0
+        AND fingerprint NOT IN (SELECT fingerprint FROM fp WHERE doc_id % 4 IN (1, 2))
+      UNION ALL
+      SELECT CAST(2 AS BIGINT) AS batch, doc_id, fingerprint FROM fp
+      WHERE doc_id % 4 = 3
+        AND fingerprint NOT IN (SELECT fingerprint FROM fp WHERE doc_id % 4 IN (0, 1, 2))"""))
+
   /** Unigram-LM surprisal (r11) — the exact-arithmetic skeleton of a
     * CCNet-style perplexity filter: train the unigram LM on the corpus
     * itself (token → count), score every doc by its summed inverse
@@ -2200,5 +2253,5 @@ object Pipeline {
   val all: Seq[QueryDef] =
     Seq(q13, q14, q15, q16, q17, q18, q19, q29, q39, q41, q43, q44, q46,
       q48, q49, q54, q55, q57, q58, q59, q60, q61, q66, q78, q79, q80,
-      q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q95, q97, q100)
+      q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q95, q97, q100, q101)
 }

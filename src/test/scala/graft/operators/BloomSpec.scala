@@ -62,11 +62,52 @@ class BloomSpec extends AnyFunSuite with SparkSupport {
       val (seenKeys, incomingKeys) = (pool.take(120).distinct, pool.drop(250))
       val seen = seenKeys.toDF("key")
       val incoming = incomingKeys.zipWithIndex.toDF("key", "ord")
-      val expected = incoming.join(seen, Seq("key"), "left_anti")
-        .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+      // reference computed in plain Scala (ADVICE r11): an independent
+      // driver-side implementation, not Spark's own anti-join — the
+      // sweep must not certify one Spark plan with another
+      val seenSet = seenKeys.toSet
+      val expected = incomingKeys.zipWithIndex
+        .filterNot { case (k, _) => seenSet.contains(k) }.toSet
       val got = Bloom.newKeys(incoming, seen, "key", mBits = mBits, k = 3)
         .collect().map(r => (r.getString(0), r.getInt(1))).toSet
       assert(got == expected, s"mBits=$mBits trial $trial diverged from the anti-join")
+    }
+  }
+
+  test("merge(build(A), build(B)) is word-for-word identical to build(A ++ B)") {
+    import spark.implicits._
+    val a = (0 until 150).map(i => s"a-$i").toDF("key")
+    val b = (0 until 150).map(i => s"b-$i").toDF("key")
+    val merged = Bloom.merge(Bloom.build(a, "key", M, K), Bloom.build(b, "key", M, K))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Bloom.build(a.union(b), "key", M, K)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(merged == direct,
+      "incremental maintenance must produce the exact bitmap a full rebuild would")
+  }
+
+  test("incremental lifecycle: build-once + merge-per-batch equals the plain Scala reference across batches") {
+    import spark.implicits._
+    // the q101 shape on seeded random keys: a persisted historic bitmap,
+    // three successive batches probed via newKeysAgainst, each batch's
+    // admissions folded in with merge — checked against an independent
+    // driver-side running set, including the cross-batch case where
+    // batch N re-offers a key batch N-1 already admitted
+    val rnd = new scala.util.Random(29)
+    val historicKeys = (0 until 80).map(_ => s"k${rnd.nextInt(150)}").distinct
+    var seenSet = historicKeys.toSet
+    var seen = historicKeys.toDF("key")
+    var bloom = Bloom.build(seen, "key", M, K)
+    for (batchNo <- 1 to 3) {
+      val batchKeys = (0 until 60).map(_ => s"k${rnd.nextInt(150)}")
+      val expected = batchKeys.zipWithIndex.filterNot { case (k, _) => seenSet.contains(k) }.toSet
+      val batch = batchKeys.zipWithIndex.toDF("key", "ord")
+      val admitted = Bloom.newKeysAgainst(batch, seen, "key", bloom, M, K)
+      val got = admitted.collect().map(r => (r.getString(0), r.getInt(1))).toSet
+      assert(got == expected, s"batch $batchNo diverged from the running reference")
+      bloom = Bloom.merge(bloom, Bloom.build(admitted.select("key"), "key", M, K))
+      seen = seen.union(admitted.select("key"))
+      seenSet ++= got.map(_._1)
     }
   }
 
