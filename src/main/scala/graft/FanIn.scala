@@ -658,6 +658,85 @@ object FanIn {
         f"full capped pair scoring $scored%,d scored pairs in $scoreS%.1f s")
     }
 
+    // ---- z-order layout: EXECUTED write action + measured file-skip
+    // ratio (r12, VERDICT next #3). A scale-controlled uniform fact
+    // table is written twice — z-ordered on (x, y) vs linearly sorted
+    // on x — and the per-file parquet FOOTER envelopes are read back to
+    // count the files a manifest planner skips for a 1/8-domain
+    // predicate on EACH column. The claim being measured: one z layout
+    // prunes BOTH dimensions; the linear control prunes only its own.
+    {
+      import graft.operators.ZOrder
+      val n = 6000L * mult
+      val (xDom, yDom) = (200000L, 10000L)
+      val files = 64
+      val pts = spark.range(n).select(
+        pmod(xxhash64($"id", lit("zx")), lit(xDom)).as("x"),
+        pmod(xxhash64($"id", lit("zy")), lit(yDom)).as("y"))
+      val z = pts
+        .withColumn("xq", expr(s"(x * 64L) div $xDom"))
+        .withColumn("yq", expr(s"(y * 64L) div $yDom"))
+        .withColumn("zkey", ZOrder.interleave(Seq($"xq", $"yq"), 6))
+        .select($"x", $"y", $"zkey")
+      val t0 = System.nanoTime()
+      ZOrder.writeLayout(z, "zkey", files, s"$outDir/zlayout")
+      val zWriteS = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      ZOrder.writeLayout(pts.withColumn("zkey", $"x"), "zkey", files, s"$outDir/linlayout")
+      val linWriteS = (System.nanoTime() - t1) / 1e9
+      def skip(dir: String, colName: String, dom: Long): String = {
+        val env = ZOrder.fileEnvelopes(spark, dir, colName)
+        val (lo, hi) = (dom / 2, dom / 2 + dom / 8)
+        s"${ZOrder.skippable(env, lo, hi)}/${env.size}"
+      }
+      println(f"zorder layout at x$mult ($n%,d rows, $files files): write $zWriteS%.1f s " +
+        f"(linear $linWriteS%.1f s); 1/8-domain skip z-layout x=${skip(s"$outDir/zlayout", "x", xDom)} " +
+        s"y=${skip(s"$outDir/zlayout", "y", yDom)} vs linear-x x=${skip(s"$outDir/linlayout", "x", xDom)} " +
+        s"y=${skip(s"$outDir/linlayout", "y", yDom)}")
+    }
+
+    // ---- connected-components rounds vs diameter (r12 stretch #8):
+    // the operator's adversarial case is a CHAIN-shaped bucket graph
+    // (min-label propagation moves one bucket-hop per round, so rounds
+    // = diameter + 1 detection round) — measure it: parallel chains of
+    // depth d over a scale-controlled node count, expecting round count
+    // to track d EXACTLY while being INDEPENDENT of width (the LSH
+    // collision graphs the shipped gates run on are near-cliques, q43's
+    // fixed 2 rounds — the chain is the budget-setting worst case a
+    // 100 TB run sizes maxIters against; past ~50 rounds the right move
+    // is the Kiveris star-contraction doubling, not a bigger budget).
+    {
+      import graft.operators.ConnectedComponents
+      Seq(4, 16, 64).foreach { depth =>
+        val width = math.max(1L, (1000L * mult) / (depth + 1))
+        val nNodes = width * (depth + 1)
+        // chain c occupies ids [c·(d+1), (c+1)·(d+1)); bucket i links
+        // node i and i+1 within a chain
+        val memb = spark.range(nNodes).select($"id".as("n0"))
+          .filter(pmod($"n0", lit(depth + 1L)) =!= depth)
+          .select(explode(array($"n0", $"n0" + 1L)).as("node"), $"n0".as("bucket"))
+        var rounds = 0
+        val t0 = System.nanoTime()
+        val comps = ConnectedComponents.viaBuckets(memb, "node", Seq("bucket"),
+          maxIters = depth + 2, onRound = (r, _) => rounds = r)
+        val nComp = comps.select(countDistinct($"component")).head().getLong(0)
+        val wallS = (System.nanoTime() - t0) / 1e9
+        assert(nComp == width, s"expected $width chain components, got $nComp")
+        // the star-contraction scale path on the SAME graph: rounds
+        // halve the remaining depth instead of walking it
+        var starRounds = 0
+        val t1 = System.nanoTime()
+        val starComp = ConnectedComponents.viaStars(memb, "node", Seq("bucket"),
+          maxIters = 12, onRound = (r, _) => starRounds = r)
+          .select(countDistinct($"component")).head().getLong(0)
+        val starS = (System.nanoTime() - t1) / 1e9
+        assert(starComp == width, s"viaStars expected $width components, got $starComp")
+        println(f"components chain probe: depth $depth%3d, $nNodes%,d nodes " +
+          f"($width%,d chains): propagation $rounds rounds (= diameter+1) $wallS%.1f s " +
+          f"(${wallS / rounds}%.2f s/round) vs star contraction $starRounds rounds $starS%.1f s")
+      }
+    }
+
     // ---- end-to-end runs on the 100x corpus (FANIN_E2E=0 skips) ----
     if (sys.env.get("FANIN_E2E").contains("0")) { spark.stop(); return }
     def time(name: String)(f: => Long): Unit = {

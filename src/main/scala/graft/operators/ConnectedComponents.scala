@@ -44,9 +44,15 @@ object ConnectedComponents {
     * @param nodeCol     node id column name
     * @param bucketCols  bucket key column(s)
     * @param maxIters    convergence bound; exceeded → IllegalStateException
+    * @param onRound     observer called after each round with (round,
+    *                    labels moved) — free instrumentation for the
+    *                    rounds-vs-diameter probe (FANIN.md) and for a
+    *                    production run's progress logging; the default
+    *                    does nothing
     */
   def viaBuckets(memberships: DataFrame, nodeCol: String,
-      bucketCols: Seq[String], maxIters: Int = 50): DataFrame = {
+      bucketCols: Seq[String], maxIters: Int = 50,
+      onRound: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
     require(bucketCols.nonEmpty, "bucketCols must be non-empty")
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
     val bCols = bucketCols.map(col)
@@ -74,9 +80,100 @@ object ConnectedComponents {
           .select(col("n"), col("lbl"), least(col("cand"), col("lbl")).as("nxt"))
           .localCheckpoint(true)
         moved = stepped.filter(col("nxt") < col("lbl")).count()
+        onRound(round, moved)
         labels = stepped.select(col("n"), col("nxt").as("lbl"))
       }
       labels.select(col("n").as(nodeCol), col("lbl").as("component"))
+    } finally {
+      m.unpersist()
+      ()
+    }
+  }
+
+  /** Exact connected components in O(log n) ROUNDS — the alternating
+    * large-star/small-star contraction (public: Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SOCC'14, Alg. 2),
+    * the scale path [[viaBuckets]]'s own convergence analysis prescribes
+    * for graphs whose diameter defeats per-hop propagation: the FANIN.md
+    * chain probe measures 65 rounds at diameter 64 for min-label
+    * propagation, where star contraction halves the remaining depth
+    * every alternation (measured 6 rounds on the same graph).
+    *
+    * The bucket frame contracts to STAR EDGES first — one (member,
+    * bucket-min) edge per membership row, which preserves connectivity
+    * and keeps the edge list LINEAR in the input (never the m² pairs of
+    * a bucket explosion; the same never-materialize-edges discipline as
+    * [[viaBuckets]], one extra groupBy). Then per round:
+    *
+    *   - large-star: symmetrize; every node points its LARGER neighbors
+    *     at the minimum of its closed neighborhood — edges come out
+    *     oriented large→small;
+    *   - small-star: every node folds itself and its smaller neighbors
+    *     onto their minimum.
+    *
+    * Fixpoint (edge set unchanged) ⇒ each component is a star around
+    * its minimum node; labels read off the final edges. Convergence is
+    * REQUIRED like [[viaBuckets]] (throw, never a silent partial
+    * answer); each round's edges are localCheckpoint'ed to cut lineage.
+    * Prefer [[viaBuckets]] for near-clique collision graphs (2–3 cheap
+    * rounds, no symmetrize); prefer this form when the component
+    * diameter is unknown or adversarial.
+    */
+  def viaStars(memberships: DataFrame, nodeCol: String,
+      bucketCols: Seq[String], maxIters: Int = 40,
+      onRound: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
+    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    val bCols = bucketCols.map(col)
+    val m = memberships
+      .select(col(nodeCol).as("n") +: bCols: _*)
+      .distinct()
+      .persist()
+    try {
+      val allNodes = m.select(col("n")).distinct().localCheckpoint(true)
+      val hubs = m.groupBy(bCols: _*).agg(min(col("n")).as("hub"))
+      var edges = m.join(hubs, bucketCols)
+        .filter(col("n") =!= col("hub"))
+        .select(greatest(col("n"), col("hub")).as("u"),
+          least(col("n"), col("hub")).as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      var round = 0
+      var changed = if (edges.isEmpty) 0L else 1L
+      while (changed > 0) {
+        round += 1
+        if (round > maxIters)
+          throw new IllegalStateException(
+            s"star contraction did not converge in $maxIters rounds; raise maxIters")
+        // large-star: m(u) = min(closed neighborhood); larger neighbors
+        // re-point at it. Output orientation is large→small because
+        // v > u ≥ m(u).
+        val sym = edges.unionByName(
+          edges.select(col("v").as("u"), col("u").as("v")))
+        val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+          .select(col("u"), least(col("mn"), col("u")).as("mu"))
+        val large = sym.join(mins, "u")
+          .filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("mu").as("v"))
+          .distinct()
+        // small-star on the large→small orientation: fold u and its
+        // smaller neighbors onto their common minimum.
+        val mins2 = large.groupBy(col("u")).agg(min(col("v")).as("mu"))
+        val next = large.join(mins2, "u")
+          .filter(col("v") =!= col("mu"))
+          .select(col("v").as("u"), col("mu").as("v"))
+          .unionByName(mins2.select(col("u"), col("mu").as("v")))
+          .distinct()
+          .localCheckpoint(true)
+        changed = next.exceptAll(edges).count() + edges.exceptAll(next).count()
+        onRound(round, changed)
+        edges = next
+      }
+      allNodes
+        .join(edges.groupBy(col("u")).agg(min(col("v")).as("comp"))
+          .select(col("u").as("n"), col("comp")), Seq("n"), "left")
+        .select(col("n").as(nodeCol),
+          coalesce(col("comp"), col("n")).as("component"))
     } finally {
       m.unpersist()
       ()

@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Bit-interleaved (Morton / Z-order) sort keys for multi-dimensional
@@ -45,4 +47,69 @@ object ZOrder {
     */
   def deinterleave(z: Long, k: Int, bits: Int, j: Int): Long =
     (0 until bits).map(i => ((z >> (i * k + j)) & 1L) << i).reduce(_ | _)
+
+  /** The layout ACTION the z-key exists for (r12, VERDICT missing #2
+    * executed): range-partition on the key, sort within each partition,
+    * write parquet — one shuffle (sampled range boundaries), one local
+    * sort, no global window or single-task sink. Each output file then
+    * owns a contiguous z-key range, so its parquet footer stats carry a
+    * tight min/max envelope on EVERY interleaved column — the file-skip
+    * evidence [[fileEnvelopes]] reads back and ZOrderSpec / FANIN.md
+    * measure.
+    */
+  def writeLayout(df: DataFrame, zkeyCol: String, numFiles: Int, path: String): Unit = {
+    require(numFiles >= 1, s"numFiles must be positive, got $numFiles")
+    df.repartitionByRange(numFiles, col(zkeyCol))
+      .sortWithinPartitions(zkeyCol)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Per-file envelope of a long column, read from parquet FOOTER
+    * statistics (no data pages touched — footer-sized I/O per file).
+    */
+  final case class FileEnvelope(file: String, rows: Long, min: Long, max: Long)
+
+  /** Footer min/max of `column` for every non-empty parquet file under
+    * `dir` — exactly the stats a manifest-based scan planner (Delta /
+    * Iceberg file skipping; Spark's own row-group filter one level
+    * down) prunes with. Driver-side by design: this reads FOOTERS of a
+    * bounded file listing, not data.
+    */
+  def fileEnvelopes(spark: SparkSession, dir: String, column: String): Seq[FileEnvelope] = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    fs.listStatus(root).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .flatMap { f =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala.toSeq
+          val stats = blocks.flatMap(b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == column).map(_.getStatistics))
+          if (stats.isEmpty) None // zero-row file: trivially skippable
+          else {
+            require(stats.forall(s => s.hasNonNullValue),
+              s"$column carries no footer stats in ${f.getPath} — wrong column or type?")
+            def asLong(v: Any): Long = v match {
+              case l: java.lang.Long => l.longValue()
+              case i: java.lang.Integer => i.longValue()
+              case other => throw new IllegalArgumentException(
+                s"$column is not an integral parquet column: stat value $other")
+            }
+            Some(FileEnvelope(f.getPath.getName, blocks.map(_.getRowCount).sum,
+              stats.map(s => asLong(s.genericGetMin)).min,
+              stats.map(s => asLong(s.genericGetMax)).max))
+          }
+        } finally reader.close()
+      }
+  }
+
+  /** How many of `envelopes` a planner skips for `col BETWEEN lo AND hi`
+    * — the files whose envelope misses the range entirely. */
+  def skippable(envelopes: Seq[FileEnvelope], lo: Long, hi: Long): Int =
+    envelopes.count(e => e.max < lo || e.min > hi)
 }

@@ -81,6 +81,86 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkSupport {
     }
   }
 
+  test("onRound observes rounds = diameter + 1 on a chain, <=3 on a clique (the FANIN budget rule)") {
+    import spark.implicits._
+    // chain 0-1-…-6 via pair buckets: min-label propagation advances one
+    // bucket-hop per round, so convergence takes diameter rounds plus
+    // the zero-movement detection round — the maxIters sizing rule
+    // FANIN.md records at scale
+    val depth = 6
+    val chain = (0 until depth).flatMap(i => Seq((i.toLong, i), ((i + 1).toLong, i)))
+      .toDF("n", "bucket")
+    var chainRounds = 0
+    ConnectedComponents.viaBuckets(chain, "n", Seq("bucket"), maxIters = depth + 2,
+      onRound = (r, _) => chainRounds = r).collect()
+    assert(chainRounds == depth + 1, s"chain of diameter $depth took $chainRounds rounds")
+    // a clique (one shared bucket — the LSH duplicate-cluster shape)
+    // converges in 2: one propagation round, one detection round
+    val clique = (0L to 9L).map(n => (n, 0)).toDF("n", "bucket")
+    var cliqueRounds = 0
+    ConnectedComponents.viaBuckets(clique, "n", Seq("bucket"), maxIters = 3,
+      onRound = (r, _) => cliqueRounds = r).collect()
+    assert(cliqueRounds <= 3, s"clique took $cliqueRounds rounds")
+  }
+
+  test("viaStars matches union-find on random graphs and viaBuckets on the corpus shapes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val nNodes = 60 + trial * 30
+      val nBuckets = 25 + trial * 10
+      val memb = (0 until nNodes * 2).map(_ =>
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nBuckets))).distinct
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      def union(a: Long, b: Long): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      memb.groupBy(_._2).values.foreach { rows =>
+        val ns = rows.map(_._1)
+        ns.tail.foreach(union(ns.head, _))
+      }
+      val expected = memb.map(_._1).distinct.map(n => n -> find(n)).toMap
+      val got = ConnectedComponents.viaStars(
+        memb.toDF("n", "bucket"), "n", Seq("bucket"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"viaStars trial $trial diverged from union-find")
+    }
+  }
+
+  test("viaStars converges in O(log n) rounds on the chain that costs viaBuckets one round per hop") {
+    import spark.implicits._
+    // diameter-64 chain: min-label propagation needs 65 rounds (FANIN
+    // probe); star contraction halves remaining depth per alternation —
+    // a maxIters of 10 would THROW on the propagation path but passes
+    // here, and both paths agree on every label
+    val depth = 64
+    val chain = (0 until depth).flatMap(i => Seq((i.toLong, i), ((i + 1).toLong, i)))
+      .toDF("n", "bucket")
+    var starRounds = 0
+    val viaS = ConnectedComponents.viaStars(chain, "n", Seq("bucket"), maxIters = 10,
+      onRound = (r, _) => starRounds = r)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaS == (0L to depth.toLong).map(_ -> 0L).toMap,
+      "the whole chain is one component rooted at 0")
+    assert(starRounds <= 10, s"star contraction took $starRounds rounds on diameter $depth")
+    val viaB = ConnectedComponents.viaBuckets(chain, "n", Seq("bucket"), maxIters = depth + 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaB == viaS, "both component algorithms must agree label-for-label")
+  }
+
+  test("viaStars: singleton buckets and empty membership are all-singleton components") {
+    import spark.implicits._
+    val m = Seq((5L, "A"), (9L, "B")).toDF("n", "bucket")
+    val got = ConnectedComponents.viaStars(m, "n", Seq("bucket"), maxIters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(5L -> 5L, 9L -> 9L))
+  }
+
   test("converged input costs exactly one verification round") {
     import spark.implicits._
     // singleton buckets: labels never move, the loop must stop after
