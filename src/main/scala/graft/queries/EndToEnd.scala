@@ -278,5 +278,232 @@ object EndToEnd {
       SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price
       FROM initial WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)"""))
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q36, q42, q53)
+  /** The curation workflow fixture (r12, VERDICT next #1) — the q86
+    * pipeline expressed as CONFIG: a 3-package DAG (prepare → stats →
+    * select) whose steps execute the [[graft.operators.Curation]]
+    * stages through [[graft.steps.Transforms]] as PIPELINE steps, plus
+    * a fallback package. Placeholders do real work: the TAKEOVER WINDOW
+    * selects the ingest slice (its day-of-month range maps onto the
+    * doc_id ring — the synthetic corpus carries no date column, so the
+    * ring position stands in for the date partition a production corpus
+    * would prune by) and `##Workflow_ID##` feeds the decontamination
+    * holdout slice. Package 32 runs decontaminate ∥ repetition under a
+    * 2-slot step cap (disjoint table claims); package 33 chains span
+    * removal → mixture/budget sequentially with quelltabelle mutex
+    * claims on the stage tables. `induceFailure` points span removal at
+    * a missing verdict table — the induced stage failure whose
+    * cancellation cascade + fallback compensation
+    * CurationWorkflowSpec asserts ledger-row by ledger-row.
+    */
+  private[graft] def curationWorkflowSpec(view: String,
+      induceFailure: Boolean = false): WorkflowSpec = WorkflowSpec(
+    id = 7, // ##Workflow_ID## IS the decontamination holdout residue
+    masterPackageId = 33,
+    fallbackPackageId = Some(39L),
+    takeover = Takeover.Config(
+      uebernahmeVon = Some(LocalDateTime.of(1996, 3, 1, 0, 0)),
+      uebernahmeBis = Some(LocalDateTime.of(1996, 3, 28, 23, 59, 59))),
+    packages = Map(
+      31L -> PackageSpec(31, realizations = Seq(RealizationSpec(
+        310, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(3100, CommandType.SqlTarget, TaskType.Sql,
+          s"CREATE OR REPLACE TEMP VIEW $view AS " +
+            "SELECT doc_id, text, lang, source FROM documents " +
+            "WHERE pmod(doc_id, 100) BETWEEN ##Uebernahme_von## % 100 " +
+            "AND ##Uebernahme_bis## % 100"))))),
+      32L -> PackageSpec(32, dependencies = Seq(31L), realizations = Seq(RealizationSpec(
+        320, anzahlParalleleSchritte = 2,
+        steps = Seq(
+          StepSpec(3200, CommandType.Copy, TaskType.Pipeline,
+            s"decontaminate in=$view holdout=##Workflow_ID##",
+            zieltabelle = Some("cur_clean"), schrittReihenfolge = 1),
+          StepSpec(3201, CommandType.Copy, TaskType.Pipeline,
+            s"repetition in=$view",
+            zieltabelle = Some("cur_keep"), schrittReihenfolge = 2))))),
+      33L -> PackageSpec(33, dependencies = Seq(32L), realizations = Seq(RealizationSpec(
+        330, anzahlParalleleSchritte = 1,
+        steps = Seq(
+          StepSpec(3300, CommandType.Copy, TaskType.Pipeline,
+            s"span_removal docs=$view " +
+              s"clean=${if (induceFailure) "cur_missing" else "cur_clean"} " +
+              "keep=cur_keep n=8",
+            zieltabelle = Some("cur_cleaned"),
+            quelltabelle = Some("cur_clean,cur_keep"), schrittReihenfolge = 1),
+          StepSpec(3301, CommandType.Copy, TaskType.Pipeline,
+            "mixture_budget in=cur_cleaned epoch=1000 budget=800",
+            zieltabelle = Some("cur_manifest"),
+            quelltabelle = Some("cur_cleaned"), schrittReihenfolge = 2))))),
+      39L -> PackageSpec(39, realizations = Seq(RealizationSpec(
+        390, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(3900, CommandType.SqlTarget, TaskType.Sql,
+          s"CREATE OR REPLACE TEMP VIEW ${view}_compensation AS " +
+            "SELECT 'epoch aborted' AS status")))))))
+
+  /** Run the curation workflow fixture and read its manifest back. */
+  private[graft] def runCurationWorkflow(s: SparkSession, dir: String,
+      induceFailure: Boolean = false): (graft.orchestrate.WorkflowResult, RunLedger, Warehouse) = {
+    Tables.registerAll(s, dir)
+    val ledger = new RunLedger(() => FixedClock)
+    val wh = new Warehouse(graft.util.TempDirs.scratch("graft-cur-wf"))
+    val runner = new WorkflowRunner(
+      new WorkflowManager, ledger, new Gates.ThreadCap(8),
+      new Gates.TableLocks, new Gates.ParallelLocks, clock = () => FixedClock)
+    val view = s"cur_src_${System.nanoTime()}"
+    val result = runner.run(curationWorkflowSpec(view, induceFailure),
+      zeitplanAusfuehrungenId = 9,
+      (m: Macros.Context, stepRunId: Option[Long], real: RealizationSpec) =>
+        StepContext(s, wh, ledger, m, schrittRunId = stepRunId,
+          konfigurationenId = real.konfigurationenId))
+    (result, ledger, wh)
+  }
+
+  /** The curation pipeline run AS a workflow (r12, VERDICT next #1):
+    * the engine's two proven halves finally meet — q86's stage chain
+    * (decontaminate → repetition → span removal → mixture → budget)
+    * executed as PIPELINE steps under the full orchestrator (FSM, 3-
+    * package DAG, priority groups, step caps, table mutexes, ledger
+    * rows, macro expansion), with the takeover window slicing the
+    * corpus and `##Workflow_ID##` parameterizing the holdout. The
+    * final-manifest readback must hash-match DuckDB recomputing the
+    * whole five-stage pipeline from the source table + the fixture
+    * constants — if any step wrote wrong rows, read a stale stage
+    * table, or mis-expanded a placeholder, the gate breaks. Ledger
+    * semantics of the same fixture (and the induced-failure → fallback
+    * path) are pinned by CurationWorkflowSpec.
+    */
+  val q103 = QueryDef(
+    "q103_curation_workflow",
+    (s, dir) => {
+      val (result, _, wh) = runCurationWorkflow(s, dir)
+      result.error.foreach(throw _)
+      wh.read(s, "cur_manifest")
+        .select(col("doc_id"), col("lang"), col("source"), col("toks_clean"),
+          col("n_repeats"), col("cum_tokens"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang, source,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+        WHERE doc_id % 100 BETWEEN 1 AND 28
+      ), g AS (
+        SELECT doc_id, unnest(CASE WHEN len(t) >= 4 THEN
+            list_distinct(list_transform(generate_series(1, len(t)-3),
+              i -> list_aggregate(t[i:i+3], 'string_agg', ' ')))
+          ELSE [] END) AS gram
+        FROM toks
+      ), h AS (
+        SELECT doc_id, CAST('0x' || substr(md5(gram),1,8) AS BIGINT) AS gh FROM g
+      ), ev AS (
+        SELECT DISTINCT gh FROM h WHERE doc_id % 10 = 7
+      ), contaminated AS (
+        SELECT DISTINCT h.doc_id FROM h JOIN ev USING (gh) WHERE h.doc_id % 10 != 7
+      ), bgbase AS (
+        SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens,
+          CASE WHEN len(t) >= 2 THEN
+            list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])
+          ELSE [] END AS bg
+        FROM toks
+      ), bgstats AS (
+        SELECT doc_id, n_tokens, CAST(len(bg) AS BIGINT) AS n_bg,
+          CASE WHEN n_tokens > 0
+            THEN 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / n_tokens ELSE 0.0 END AS dup
+        FROM bgbase
+      ), cnts AS (
+        SELECT doc_id, g2, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest(bg) AS g2 FROM bgbase) GROUP BY doc_id, g2
+      ), topbg AS (
+        SELECT doc_id, c FROM (
+          SELECT doc_id, c, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g2) AS rn
+          FROM cnts) WHERE rn = 1
+      ), keepb AS (
+        SELECT s.doc_id FROM bgstats s LEFT JOIN topbg USING (doc_id)
+        WHERE s.dup <= 0.65
+          AND (CASE WHEN s.n_bg > 0 THEN CAST(topbg.c AS DOUBLE) / s.n_bg ELSE 0.0 END) <= 0.08
+      ), surv AS (
+        SELECT toks.* FROM toks
+        WHERE doc_id % 10 != 7
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+          AND doc_id IN (SELECT doc_id FROM keepb)
+      ), sp AS (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-7),
+          i -> struct_pack(s := i,
+            g := t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+                 t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]))) AS u
+        FROM surv WHERE len(t) >= 8
+      ), starts AS (
+        SELECT doc_id, u.s AS s, u.g AS gg FROM sp
+      ), dfreq AS (
+        SELECT gg, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, gg FROM starts) GROUP BY gg
+      ), hot_starts AS (
+        SELECT starts.doc_id, starts.s FROM starts JOIN dfreq USING (gg) WHERE dfreq.df >= 2
+      ), isl AS (
+        SELECT doc_id, s,
+          CASE WHEN s > COALESCE(MAX(s + 7) OVER (PARTITION BY doc_id ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9) + 1
+          THEN 1 ELSE 0 END AS new_isl
+        FROM hot_starts
+      ), isl2 AS (
+        SELECT doc_id, s,
+          SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS island
+        FROM isl
+      ), cuts AS (
+        SELECT doc_id, island, MIN(s) AS cut_start, MAX(s) + 7 AS cut_end
+        FROM isl2 GROUP BY doc_id, island
+      ), covered AS (
+        SELECT doc_id, unnest(generate_series(cut_start, cut_end)) AS i FROM cuts
+      ), pos AS (
+        SELECT doc_id, unnest(t) AS tok, unnest(generate_series(1, len(t))) AS i FROM surv
+      ), keptagg AS (
+        SELECT p.doc_id, string_agg(p.tok, ' ' ORDER BY p.i) AS cleaned,
+          CAST(COUNT(*) AS BIGINT) AS toks_clean
+        FROM pos p LEFT JOIN covered c ON p.doc_id = c.doc_id AND p.i = c.i
+        WHERE c.i IS NULL GROUP BY p.doc_id
+      ), cleaned AS (
+        SELECT s.doc_id, s.lang, s.source, k.toks_clean, k.cleaned
+        FROM surv s JOIN keptagg k USING (doc_id)
+        WHERE k.toks_clean > 0
+      ), counts AS (
+        SELECT lang, COUNT(*) AS c FROM cleaned GROUP BY lang
+      ), qs AS (
+        SELECT lang, c,
+          CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1048576.0) AS BIGINT) AS qv
+        FROM counts
+      ), ms AS (
+        SELECT CAST(SUM(qv) AS HUGEINT) AS mass FROM qs
+      ), rt AS (
+        SELECT lang,
+          CAST(num // den AS BIGINT) AS base,
+          CAST(((num % den) * 1000) // den AS BIGINT) AS thresh
+        FROM (SELECT lang, CAST(qv AS HUGEINT) * 1000 AS num,
+                mass * CAST(c AS HUGEINT) AS den FROM qs, ms)
+      ), csig AS (
+        SELECT doc_id, lang, source, toks_clean,
+          regexp_split_to_array(trim(lower(cleaned)), '\s+') AS ct,
+          CAST(length(cleaned) AS BIGINT) AS n_chars_c,
+          CAST(length(cleaned) - length(regexp_replace(cleaned, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
+        FROM cleaned
+      ), cscored AS (
+        SELECT doc_id, lang, source, toks_clean,
+          least(CAST(len(ct) AS DOUBLE) / 100.0, 1.0) * 0.5
+            + least(CAST(len(list_filter(ct, x -> list_contains(['the','and','of','to','a','in','is','der','die','und','das','ist','ein','el','la','de','que','y','es'], x))) AS DOUBLE) / len(ct) * 4.0, 1.0) * 0.5
+            - least(CAST(n_punct AS DOUBLE) / n_chars_c * 5.0, 1.0) * 0.25 AS q
+        FROM csig
+      ), ctake AS (
+        SELECT doc_id, lang, source, toks_clean,
+          SUM(toks_clean) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM cscored
+      )
+      SELECT t.doc_id, t.lang, t.source,
+        CAST(t.toks_clean AS BIGINT) AS toks_clean,
+        CAST(rt.base +
+          CASE WHEN CAST('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000
+                 < rt.thresh
+               THEN 1 ELSE 0 END AS BIGINT) AS n_repeats,
+        CAST(t.cum_tokens AS BIGINT) AS cum_tokens
+      FROM ctake t JOIN rt USING (lang)
+      WHERE t.cum_tokens <= 800"""))
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q36, q42, q53, q103)
 }

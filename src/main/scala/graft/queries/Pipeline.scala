@@ -1232,23 +1232,9 @@ object Pipeline {
     */
   val q79 = QueryDef(
     "q79_decontaminate",
-    (s, dir) => {
-      import s.implicits._
-      val toks = docs(s, dir).select($"doc_id", T.tokens($"text").as("t"))
-      val grams = toks
-        .select($"doc_id", explode(T.shingles("t", 4)).as("gram"))
-        .select($"doc_id", T.hash32($"gram").as("gh"))
-      val evalGrams = grams.filter($"doc_id" % 10 === 7).select($"gh").distinct()
-      val hits = grams.filter($"doc_id" % 10 =!= 7)
-        .join(broadcast(evalGrams), "gh")
-        .groupBy($"doc_id")
-        .agg(countDistinct($"gh").as("shared_grams"))
-      toks.filter($"doc_id" % 10 =!= 7).select($"doc_id")
-        .join(hits, Seq("doc_id"), "left")
-        .select($"doc_id",
-          coalesce($"shared_grams", lit(0L)).as("shared_grams"),
-          (coalesce($"shared_grams", lit(0L)) > 0).cast("int").as("contaminated"))
-    },
+    // stage body lives in operators.Curation (r12) — the q103 workflow
+    // steps execute the SAME implementation through graft.steps.Transforms
+    (s, dir) => graft.operators.Curation.decontaminate(docs(s, dir), holdoutSlice = 7),
     Some("""
       WITH toks AS (
         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
@@ -1286,46 +1272,13 @@ object Pipeline {
     */
   val q80 = QueryDef(
     "q80_repetition_filter",
-    (s, dir) => {
-      import s.implicits._
-      docs(s, dir)
-        .select($"doc_id", T.tokens($"text").as("t"))
-        .withColumn("n_tokens", size($"t").cast("long"))
-        .withColumn("dup_token_frac",
-          when($"n_tokens" > 0,
-            lit(1.0) - size(array_distinct($"t")).cast("double") / $"n_tokens".cast("double"))
-            .otherwise(lit(0.0)))
-        .withColumn("bg", expr(
-          "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t)-2), " +
-            "i -> concat(t[i], ' ', t[i+1])) ELSE array() END"))
-        // top bigram via sorted-runs fold, O(len·log len) per doc (the
-        // distinct×filter form is O(len²) — measured 3.2 s vs 1.1 s for
-        // this gate at sf0.1): equal bigrams are adjacent after
-        // sort_array, so one pass tracks the current run and the best
-        // (count, gram); strict `>` on the update keeps the FIRST —
-        // lexicographically smallest — gram on ties, the same verdict
-        // the relational oracle's (count DESC, gram) window produces
-        .withColumn("top", expr(
-          """aggregate(
-               sort_array(bg),
-               named_struct('prev', '', 'run', CAST(0 AS BIGINT),
-                            'c', CAST(0 AS BIGINT), 'g', ''),
-               (s, x) -> named_struct(
-                 'prev', x,
-                 'run', CASE WHEN x = s.prev THEN s.run + 1 ELSE CAST(1 AS BIGINT) END,
-                 'c', CASE WHEN (CASE WHEN x = s.prev THEN s.run + 1 ELSE CAST(1 AS BIGINT) END) > s.c
-                      THEN (CASE WHEN x = s.prev THEN s.run + 1 ELSE CAST(1 AS BIGINT) END)
-                      ELSE s.c END,
-                 'g', CASE WHEN (CASE WHEN x = s.prev THEN s.run + 1 ELSE CAST(1 AS BIGINT) END) > s.c
-                      THEN x ELSE s.g END))"""))
-        .select($"doc_id", $"n_tokens", $"dup_token_frac",
-          when(size($"bg") > 0, $"top.g").otherwise(lit("")).as("top_bigram"),
-          when(size($"bg") > 0, $"top.c".cast("double") / size($"bg").cast("double"))
-            .otherwise(lit(0.0)).as("top_bigram_frac"),
-          (($"dup_token_frac" <= 0.65) &&
-            when(size($"bg") > 0, $"top.c".cast("double") / size($"bg").cast("double"))
-              .otherwise(lit(0.0)) <= 0.08).cast("int").as("keep_doc"))
-    },
+    // stage body lives in operators.Curation (r12): top bigram via the
+    // sorted-runs fold, O(len·log len) per doc (the distinct×filter form
+    // is O(len²) — measured 3.2 s vs 1.1 s for this gate at sf0.1);
+    // strict `>` keeps the lexicographically-smallest gram on ties, the
+    // same verdict the relational oracle's (count DESC, gram) window
+    // produces. The q103 workflow steps execute the SAME implementation.
+    (s, dir) => graft.operators.Curation.repetitionStats(docs(s, dir)),
     Some("""
       -- The fold is expressed RELATIONALLY (unnest -> group -> window)
       -- rather than as nested list lambdas: DuckDB 1.0.0 mis-evaluates a
@@ -1656,36 +1609,15 @@ object Pipeline {
       val keepStats = q80.run(s, dir).persist()
       val clean = cleanStats.filter($"contaminated" === 0).select($"doc_id")
       val keep = keepStats.filter($"keep_doc" === 1).select($"doc_id")
-      val survivors = docs(s, dir)
-        .join(clean, Seq("doc_id"), "left_semi")
-        .join(keep, Seq("doc_id"), "left_semi")
-        .persist()
-      val cleaned = graft.operators.ExactSubstr
-        .removal(survivors, n = 8, stringKeys = true)
-        .filter($"tokens_kept" > 0)
-        .select($"doc_id", $"tokens_kept".as("toks_clean"), $"cleaned_text")
-        .join(survivors.select($"doc_id", $"lang", $"source"), "doc_id")
-        .persist()
-      val langStats = cleaned.groupBy($"lang").agg(count(lit(1)).as("c"))
-        .limit(maxLangs + 1).collect()
-      require(langStats.length <= maxLangs,
-        s"q86: language cardinality exceeds $maxLangs — not a lang column?")
-      val rates = graft.operators.Mixture
-        .rates(langStats.toSeq.map(r => (r.getString(0), r.getLong(1))), epochDocs)
-        .toDF("lang", "base", "thresh")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"source").orderBy($"q".desc, $"doc_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      cleaned.join(broadcast(rates), "lang")
-        .withColumn("q", T.qualityScore($"cleaned_text"))
-        .withColumn("cum_tokens", sum($"toks_clean").over(w))
-        .filter($"cum_tokens" <= budget)
-        .select($"doc_id", $"lang", $"source", $"toks_clean",
-          ($"base" +
-            when(pmod(T.hash32($"doc_id".cast("string")), lit(1000L)) < $"thresh",
-              1L).otherwise(0L))
-            .cast("long").as("n_repeats"),
-          $"cum_tokens")
+      // stage bodies live in operators.Curation (r12): survivors and the
+      // cleaned frame are staged inside the WithRelease forms (released
+      // here by the registry contract's clearCache, like every persist
+      // above); the q103 workflow executes the SAME implementations as
+      // PIPELINE steps with ledger rows
+      import graft.operators.Curation
+      val surv = Curation.survivors(docs(s, dir), clean, keep)
+      val cleaned = Curation.spanCleanedWithRelease(surv, n = 8, stringKeys = true).frame
+      Curation.mixtureBudgetWithRelease(cleaned, epochDocs, budget, maxLangs).frame
     },
     Some("""
       WITH toks AS (
@@ -1886,6 +1818,65 @@ object Pipeline {
         .select($"doc_id", $"sig")
       val cc = graft.operators.ConnectedComponents
         .viaBuckets(bandFrame(sig), "doc_id", Seq("b", "key"))
+      docs(s, dir).select($"doc_id")
+        .join(cc, Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"component", $"doc_id").as("cluster_id"))
+    },
+    Some("""
+      WITH RECURSIVE toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      ), sh AS (
+        SELECT doc_id,
+          CASE WHEN len(t) >= 3 THEN
+            list_distinct(list_transform(generate_series(1, len(t)-2),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+          ELSE [] END AS shingles
+        FROM toks
+      ), sig AS (
+        SELECT doc_id,
+          list_transform(generate_series(0, 11), k ->
+            list_min(list_transform(
+              list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)),
+              h -> ((2*k+1)*h + k*12582917) % 4294967311))) AS sig
+        FROM sh WHERE len(shingles) > 0
+      ), bands AS (
+        SELECT doc_id, b, md5(array_to_string(sig[(3*b+1):(3*b+3)], ',')) AS band_key
+        FROM sig, (SELECT unnest(generate_series(0,3)) AS b)
+      ), edges AS (
+        SELECT DISTINCT a.doc_id AS u, c.doc_id AS v
+        FROM bands a JOIN bands c ON a.b = c.b AND a.band_key = c.band_key
+          AND a.doc_id <> c.doc_id
+      ), reach AS (
+        SELECT doc_id AS u, doc_id AS lbl FROM sig
+        UNION
+        SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+      )
+      SELECT d.doc_id, COALESCE(mn.comp, d.doc_id) AS cluster_id
+      FROM documents d
+      LEFT JOIN (SELECT u AS doc_id, MIN(lbl) AS comp FROM reach GROUP BY 1) mn
+        USING (doc_id)"""))
+
+  /** q88 through the STAR-CONTRACTION components path (r12) —
+    * [[graft.operators.ConnectedComponents.viaStars]], the O(log n)-
+    * round Kiveris large-star/small-star alternation, on the same LSH
+    * collision graph with the SAME oracle verbatim: the two algorithms
+    * must agree label-for-label, and the gate keeps the adversarial-
+    * diameter scale path (FANIN.md chain probe: 65 rounds → 6) driver-
+    * checked every round, not just spec-checked. Bucket memberships
+    * contract to (member, bucket-min) star edges before any iteration —
+    * the edge list stays LINEAR in the membership frame, never a hot
+    * bucket's m² pairs.
+    */
+  val q104 = QueryDef(
+    "q104_components_stars",
+    (s, dir) => {
+      import s.implicits._
+      val sig = hashedShingles(s, dir)
+        .filter(size($"shingles") > 0)
+        .withColumn("sig", T.minhashFromHashes($"hashes", K))
+        .select($"doc_id", $"sig")
+      val cc = graft.operators.ConnectedComponents
+        .viaStars(bandFrame(sig), "doc_id", Seq("b", "key"))
       docs(s, dir).select($"doc_id")
         .join(cc, Seq("doc_id"), "left")
         .select($"doc_id", coalesce($"component", $"doc_id").as("cluster_id"))
@@ -2253,5 +2244,6 @@ object Pipeline {
   val all: Seq[QueryDef] =
     Seq(q13, q14, q15, q16, q17, q18, q19, q29, q39, q41, q43, q44, q46,
       q48, q49, q54, q55, q57, q58, q59, q60, q61, q66, q78, q79, q80,
-      q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q95, q97, q100, q101)
+      q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q95, q97, q100, q101,
+      q104)
 }

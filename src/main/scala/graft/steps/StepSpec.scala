@@ -40,7 +40,18 @@ object TaskType {
   val Sql = "SQL"
   val Excel = "EXCEL"
   val Csv = "CSV"
-  val all: Seq[String] = Seq(Sql, Excel, Csv)
+  /** Our addition in the reference's own option style (like
+    * `CsvParams.einzeldatei`): a COPY whose Befehl names a registered
+    * [[Transforms]] curation transform instead of SQL text — the
+    * reference's step surface is SQL-only because its engine is a SQL
+    * database; a Spark engine's native operators (span removal, mixture
+    * rates, semantic stages) need a step type of their own to run under
+    * the same orchestration/ledger/mutex machinery. Macro expansion,
+    * Zieltabelle write lifecycle, audit columns and `ErwarteteDaten`
+    * accounting are identical to COPY/SQL.
+    */
+  val Pipeline = "PIPELINE"
+  val all: Seq[String] = Seq(Sql, Excel, Csv, Pipeline)
 }
 
 /** The 7 CSV format options of `pc.ETL_Paketschritt_Parameter`

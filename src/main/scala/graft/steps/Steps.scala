@@ -57,6 +57,8 @@ object Steps {
 
   /** Dispatch on `Befehlstyp` like `Step.cs:1083-1252`. */
   def execute(spec: StepSpec, ctx: StepContext): Option[Long] = spec.befehlstyp match {
+    case CommandType.Copy if spec.aufgabentyp == TaskType.Pipeline =>
+      Some(pipelineStep(spec, ctx))
     case CommandType.Copy if !spec.zeitscheibe => Some(copy(spec, ctx))
     case CommandType.Copy => Some(copyTimesliced(spec, ctx))
     case CommandType.Transfer if spec.aufgabentyp == TaskType.Csv => Some(csvExport(spec, ctx))
@@ -82,6 +84,23 @@ object Steps {
     val query = Macros.expand(spec.befehl, ctx.macroCtx)
     ctx.ledger.logQuery(query, ctx.schrittRunId, ctx.konfigurationenId)
     writeAligned(sourceFrame(query, ctx), target, ctx)
+  }
+
+  /** COPY/PIPELINE (our Spark-native step type, [[TaskType.Pipeline]]):
+    * the macro-expanded Befehl names a registered curation transform
+    * ([[Transforms]]) whose output is written to the Zieltabelle with
+    * the exact COPY lifecycle — query-log row, destination alignment +
+    * audit columns, `Observation` row count into `ErwarteteDaten` —
+    * and the transform's staged persists are released when the write
+    * finishes (the operators' service-path contract).
+    */
+  def pipelineStep(spec: StepSpec, ctx: StepContext): Long = {
+    val target = targetTable(spec)
+    val command = Macros.expand(spec.befehl, ctx.macroCtx)
+    ctx.ledger.logQuery(command, ctx.schrittRunId, ctx.konfigurationenId)
+    val staged = Transforms.resolve(command, ctx)
+    try writeAligned(staged.frame, target, ctx)
+    finally staged.release()
   }
 
   /** COPY's source frame: a tenant-resolved JDBC source executes the

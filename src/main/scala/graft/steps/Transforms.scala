@@ -1,0 +1,90 @@
+package graft.steps
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Curation
+
+/** Named curation transforms executable as PIPELINE workflow steps —
+  * the bridge that lets the metadata-driven orchestrator (workflow →
+  * package DAG → realization → step, the reference's entire identity,
+  * `Workflow.cs` / `Step.cs:1083-1252`) carry the engine's
+  * data-SELECTION surface (r12, VERDICT next #1). A PIPELINE step's
+  * `Befehl` is macro-expanded like any step command and then parsed as
+  *
+  *   `<transform> key=value key=value …`
+  *
+  * so the reference's `##placeholder##` machinery parameterizes
+  * curation stages exactly the way it parameterizes SQL (the q103
+  * fixture feeds the decontamination holdout from `##Workflow_ID##` and
+  * the corpus slice from the takeover window). Each transform resolves
+  * its input tables against the warehouse first (stage chaining: the
+  * previous step's Zieltabelle) and the session catalog second (views a
+  * SQL_TARGET step created), and returns a [[Curation.Staged]] — the
+  * step executor writes the frame, then releases the stage persists in
+  * a `finally` (the service-path discipline: a long-lived runner must
+  * not rely on a registry runner's `clearCache()`).
+  *
+  * The bodies are NOT re-implementations: every transform calls the
+  * same [[graft.operators.Curation]] stage the oracle-gated registry
+  * queries (q79/q80/q86) execute, so a workflow run and a gate run are
+  * plan-identical by construction.
+  */
+object Transforms {
+
+  type Transform = (StepContext, Map[String, String]) => Curation.Staged
+
+  /** Parse + dispatch a macro-expanded PIPELINE command. */
+  def resolve(command: String, ctx: StepContext): Curation.Staged = {
+    val parts = command.trim.split("\\s+").toSeq
+    require(parts.nonEmpty && parts.head.nonEmpty, "empty PIPELINE command")
+    val name = parts.head
+    val params = parts.tail.map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => k -> v
+        case _ => throw new IllegalArgumentException(
+          s"PIPELINE parameter '$kv' is not key=value (command: $command)")
+      }
+    }.toMap
+    val t = registry.getOrElse(name, throw new IllegalArgumentException(
+      s"unknown PIPELINE transform '$name' (known: ${registry.keys.toSeq.sorted.mkString(", ")})"))
+    t(ctx, params)
+  }
+
+  /** Input-table resolution: warehouse table (a previous step's
+    * Zieltabelle) first, session catalog (temp views, registered
+    * sources) second — the same two catalogs COPY steps read. */
+  private def input(ctx: StepContext, params: Map[String, String], key: String): DataFrame = {
+    val name = params.getOrElse(key,
+      throw new IllegalArgumentException(s"PIPELINE transform needs parameter '$key'"))
+    if (ctx.warehouse.exists(ctx.spark, name)) ctx.warehouse.read(ctx.spark, name)
+    else ctx.spark.table(name)
+  }
+
+  private def long(params: Map[String, String], key: String, default: Option[Long] = None): Long =
+    params.get(key).map(_.toLong).orElse(default).getOrElse(
+      throw new IllegalArgumentException(s"PIPELINE transform needs parameter '$key'"))
+
+  private def unstaged(df: DataFrame): Curation.Staged = Curation.Staged(df, () => ())
+
+  val registry: Map[String, Transform] = Map(
+    // decontaminate in=<table> holdout=<mod-10 residue>
+    "decontaminate" -> ((ctx, p) =>
+      unstaged(Curation.decontaminate(input(ctx, p, "in"), long(p, "holdout")))),
+    // repetition in=<table>
+    "repetition" -> ((ctx, p) =>
+      unstaged(Curation.repetitionStats(input(ctx, p, "in")))),
+    // span_removal docs=<table> clean=<q79-shaped table> keep=<q80-shaped table> n=<gram>
+    "span_removal" -> { (ctx, p) =>
+      val clean = input(ctx, p, "clean")
+        .filter(org.apache.spark.sql.functions.col("contaminated") === 0)
+      val keep = input(ctx, p, "keep")
+        .filter(org.apache.spark.sql.functions.col("keep_doc") === 1)
+      Curation.spanCleanedWithRelease(
+        Curation.survivors(input(ctx, p, "docs"), clean, keep),
+        n = long(p, "n", Some(8L)).toInt)
+    },
+    // mixture_budget in=<span_removal output table> epoch=<docs> budget=<tokens>
+    "mixture_budget" -> ((ctx, p) =>
+      Curation.mixtureBudgetWithRelease(input(ctx, p, "in"),
+        epochDocs = long(p, "epoch"), budget = long(p, "budget"))))
+}

@@ -1,0 +1,102 @@
+package graft.steps
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.RunLevel
+import graft.queries.EndToEnd
+import graft.testkit.SparkSupport
+
+/** Ledger semantics of the q103 curation workflow — the assertions the
+  * DuckDB oracle can't express (ServiceSpec-style): every level's run
+  * rows close correctly, `ErwarteteDaten` carries each PIPELINE step's
+  * written row count, the macro-expanded stage commands land in the
+  * query log, and the induced-failure variant takes the cancellation
+  * cascade + fallback-compensation path with the right error/abort
+  * accounting.
+  */
+class CurationWorkflowSpec extends AnyFunSuite with SparkSupport {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("happy path: all four levels close successfully and ErwarteteDaten matches the written tables") {
+    val (result, ledger, wh) = EndToEnd.runCurationWorkflow(spark, sf)
+    assert(result.success && !result.fallbackRan && result.error.isEmpty)
+
+    val rows = ledger.current
+    def level(l: String) = rows.filter(_.level == l)
+    assert(level(RunLevel.Workflow).map(r => (r.istAbgeschlossen, r.erfolgreich)) == Seq((true, true)))
+    assert(level(RunLevel.Paket).map(_.refId).sorted == Seq(31L, 32L, 33L))
+    assert(level(RunLevel.Paket).forall(r => r.istAbgeschlossen && r.erfolgreich))
+    assert(level(RunLevel.Umsetzung).map(_.refId).sorted == Seq(310L, 320L, 330L))
+    assert(level(RunLevel.Schritt).map(_.refId).sorted ==
+      Seq(3100L, 3200L, 3201L, 3300L, 3301L))
+    assert(level(RunLevel.Schritt).forall(r => r.istAbgeschlossen && r.erfolgreich))
+
+    // each PIPELINE step's ErwarteteDaten = the rows its table holds;
+    // the SQL_TARGET view step moves no rows and records none
+    val written = Map(3200L -> "cur_clean", 3201L -> "cur_keep",
+      3300L -> "cur_cleaned", 3301L -> "cur_manifest")
+    written.foreach { case (stepRef, table) =>
+      val row = level(RunLevel.Schritt).find(_.refId == stepRef).get
+      assert(row.erwarteteDaten.contains(wh.read(spark, table).count()),
+        s"step $stepRef must account the rows it wrote to $table")
+    }
+    assert(level(RunLevel.Schritt).find(_.refId == 3100L).get.erwarteteDaten.isEmpty)
+    assert(wh.read(spark, "cur_manifest").count() > 0, "the sliced corpus must yield a manifest")
+
+    // macros really fed the stage parameters: the logged (expanded)
+    // commands carry the workflow-id holdout and the takeover-day slice
+    val queries = ledger.allQueries.map(_.sql)
+    assert(queries.exists(q => q.startsWith("decontaminate ") && q.endsWith("holdout=7")),
+      s"##Workflow_ID## must expand into the holdout parameter:\n${queries.mkString("\n")}")
+    assert(queries.exists(_.contains("BETWEEN 19960301 % 100 AND 19960328 % 100")),
+      "the takeover window must expand into the corpus-slice predicate")
+  }
+
+  test("PIPELINE command parsing fails loudly: unknown transform, malformed pair, missing parameter") {
+    val ctx = StepContext(spark,
+      new graft.catalog.Warehouse(graft.util.TempDirs.scratch("tf-parse")),
+      new graft.ledger.RunLedger(),
+      graft.macros.Macros.Context(1L,
+        java.time.LocalDateTime.of(2026, 1, 1, 0, 0),
+        java.time.LocalDateTime.of(2026, 1, 2, 0, 0)))
+    val unknown = intercept[IllegalArgumentException](Transforms.resolve("nonsense in=x", ctx))
+    assert(unknown.getMessage.contains("unknown PIPELINE transform"))
+    assert(unknown.getMessage.contains("span_removal"), "the error must list what IS registered")
+    val malformed = intercept[IllegalArgumentException](
+      Transforms.resolve("decontaminate justakey", ctx))
+    assert(malformed.getMessage.contains("not key=value"))
+    val missing = intercept[IllegalArgumentException](
+      Transforms.resolve("decontaminate holdout=7", ctx))
+    assert(missing.getMessage.contains("'in'"))
+  }
+
+  test("induced stage failure: cancellation cascade aborts the successor, fallback package compensates") {
+    val (result, ledger, _) = EndToEnd.runCurationWorkflow(spark, sf, induceFailure = true)
+    assert(!result.success && result.fallbackRan && result.error.isDefined)
+
+    val rows = ledger.current
+    def step(ref: Long) = rows.find(r => r.level == RunLevel.Schritt && r.refId == ref).get
+    // span removal failed (its clean input table does not exist) …
+    assert(step(3300L).istAbgeschlossen && !step(3300L).erfolgreich)
+    assert(ledger.allErrors.exists(e => e.meldungstext.contains("step 3300 failed")),
+      "the root-cause step must log an error row")
+    // … and the queued mixture step never starts: the cancellation
+    // cascade's checkpoint fires before the step opens a ledger row, so
+    // the aborted successor leaves NO run row and NO error row — the
+    // single root-cause error stays unburied (the r10 discipline)
+    assert(!rows.exists(r => r.level == RunLevel.Schritt && r.refId == 3301L),
+      "a cascade-aborted queued step must not open a run row")
+    assert(!ledger.allErrors.exists(_.meldungstext.contains("step 3301")),
+      "an aborted successor is not a SQL failure")
+    // the fallback package ran to success under the failed workflow run
+    assert(step(3900L).istAbgeschlossen && step(3900L).erfolgreich,
+      "the compensation step must execute after the failure")
+    assert(rows.exists(r => r.level == RunLevel.Paket && r.refId == 39L && r.erfolgreich))
+    // the workflow row itself closes unsuccessfully
+    assert(rows.filter(_.level == RunLevel.Workflow)
+      .forall(r => r.istAbgeschlossen && !r.erfolgreich))
+    // stage-2 tables were built before the failure: their steps stay green
+    assert(step(3200L).erfolgreich && step(3201L).erfolgreich)
+  }
+}
