@@ -356,6 +356,86 @@ object Selection {
       )
       SELECT vec_id, cell FROM an WHERE vec_id NOT IN (SELECT vec_id FROM dup)"""))
 
+  /** STREAMING SemDeDup through the CLOSURE-codebook assignment path
+    * (r12, VERDICT next #5) — q96 with [[graft.operators.SemDeDup
+    * .assignCellFunc]] in the cell-assign slot: the production route
+    * for codebooks too LARGE to inline, since [[graft.operators
+    * .SemDeDup.assignCellLit]]'s plan is O(C·dim) expressions (the q40
+    * audit forbids that shape past toy C) and the join path's argmin
+    * groupBy cannot precede a stateful streaming operator. The codebook
+    * rides the task closure through `Dataset.map` (serialized once per
+    * executor, like a broadcast); the fold is the same strict-left
+    * IEEE association with the strict-`<`-over-ascending-cids tie rule,
+    * so the assignment is bit-identical to both other paths
+    * (SelectionSpec pins it; FANIN.md proved survivor parity at C=1024
+    * ×100). This gate makes the big-C path DRIVER-CHECKED every round:
+    * same corpus, same admission processor, same oracle as q96,
+    * verbatim — only the assignment slot differs.
+    */
+  val q102 = QueryDef(
+    "q102_semdedup_stream_bigc",
+    (s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      require(graft.streaming.Streams.stateV2Ready(s2),
+        "streaming semdedup needs Spark 4+ with the RocksDB state store provider")
+      import s2.implicits._
+      val base = graft.util.TempDirs.scratch("q102stream")
+      val cents = s2.read.parquet(s"$dir/embeddings.parquet")
+        .filter($"vec_id" < 8)
+        .select($"vec_id".cast("long"), V.asDouble($"embedding"))
+        .as[(Long, Seq[Double])].collect()
+        .map { case (cid, ce) => (cid, ce.toArray) }.toSeq
+      val assign = graft.operators.SemDeDup.assignCellFunc(cents)
+      val schema = s2.read.parquet(s"$dir/embeddings.parquet").schema
+      val stream = s2.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        .withColumn("e", V.asDouble($"embedding"))
+        .withColumn("nrm", V.norm($"e"))
+        .select($"vec_id".cast("long").as("vec_id"), lit(-1L).as("cell"), $"e", $"nrm")
+        .as[graft.streaming.Streams.VecRow]
+        .map(v => v.copy(cell = assign(v.e)))
+      val q = graft.streaming.Streams.semDedupStream(stream, threshold = 0.3)
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.schema("vec_id BIGINT, cell BIGINT").parquet(s"$base/out")
+    },
+    Some("""
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+      ), n AS (
+        SELECT vec_id, e, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(e, x -> x*x)), (a,b) -> a+b)) AS nrm FROM v
+      ), cents AS (
+        SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8
+      ), dists AS (
+        SELECT n.vec_id, c.cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> (n.e[i]-c.ce[i])*(n.e[i]-c.ce[i]))),
+            (a,b) -> a+b) AS d
+        FROM n CROSS JOIN cents c
+      ), assigned AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM dists) WHERE rn = 1
+      ), an AS (
+        SELECT n.*, a.cell FROM n JOIN assigned a USING (vec_id)
+      ), dup AS (
+        SELECT DISTINCT b.vec_id
+        FROM an a JOIN an b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> a.e[i]*b.e[i])), (x,y) -> x+y)
+            / (a.nrm * b.nrm) >= 0.3
+      )
+      SELECT vec_id, cell FROM an WHERE vec_id NOT IN (SELECT vec_id FROM dup)"""))
+
   /** STREAMING DSIR scoring — q92's weight as a continuous, STATELESS
     * pipeline ([[graft.streaming.Streams.dsirScoreStream]]): the batch
     * pass trains the bounded LM (q92's single-agg count table, ≤8192
@@ -535,6 +615,6 @@ object Selection {
       SELECT s.doc_id, s.lang, s.source, ss.cell, w.dsir_weight
       FROM surv s JOIN semsurv ss ON s.doc_id = ss.vec_id JOIN wts w ON s.doc_id = w.doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q91, q92, q93, q94, q96, q98, q99)
+  val all: Seq[QueryDef] = Seq(q91, q92, q93, q94, q96, q98, q99, q102)
 }
 
