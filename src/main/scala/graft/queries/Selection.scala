@@ -143,8 +143,10 @@ object Selection {
     * production swaps in percentile boundaries from a sketch for
     * skewed columns, the plan is identical), interleave into a 12-bit
     * z-key, bucket on its top 6 bits (the file-boundary stand-in: a
-    * z-ordered write is `repartitionByRange(zkey)` + sorted files, and
-    * a z-key prefix IS a file's key range), and report each bucket's
+    * z-ordered write is `repartitionByRange(zkey)` + sorted files —
+    * EXECUTED as `ZOrder.writeLayout`, with real footer-stat skipping
+    * measured in FANIN.md/ZOrderSpec (r12) — and a z-key prefix IS a
+    * file's key range), and report each bucket's
     * min/max envelope on BOTH raw columns — exactly the parquet
     * footer/manifest stats a scan planner prunes with. The output is
     * the pruning evidence itself: every bucket's envelope is confined
@@ -373,7 +375,7 @@ object Selection {
     * verbatim — only the assignment slot differs.
     */
   val q102 = QueryDef(
-    "q102_semdedup_stream_bigc",
+    "q102_semdedup_streaming_bigc",
     (s, dir) => {
       val s2 = s.newSession()
       s2.conf.set("spark.sql.streaming.stateStore.providerClass",
