@@ -107,6 +107,34 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
     (before, partFiles(table))
   }
 
+  /** Compact + RE-LAYOUT a table in z-key order (r12) — the operation
+    * Delta's `OPTIMIZE … ZORDER BY` compiles to, on the plain-parquet
+    * warehouse: rewrite into ⌈rows / targetRowsPerFile⌉ files
+    * range-partitioned and sorted on the Morton key of `zcols`
+    * ([[graft.operators.ZOrder.zkeyed]]), so every file's footer
+    * min/max is a tight envelope on EVERY keyed column and a manifest
+    * planner skips files for predicates on any of them (measured skip
+    * ratios in FANIN.md). Contents and schema unchanged (the key is
+    * dropped after the sort); same crash-safe swap as [[compact]].
+    * Returns (files before, files after).
+    */
+  def optimizeZOrder(spark: SparkSession, table: String, zcols: Seq[String],
+      bits: Int = 6, targetRowsPerFile: Long = 1000000L): (Int, Int) = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    val before = partFiles(table)
+    if (exists(spark, table)) {
+      val df = read(spark, table)
+      val rows = df.count()
+      val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
+      val keyed = graft.operators.ZOrder.zkeyed(df, zcols, bits, "__zorder_key")
+      rewriteInPlace(table, keyed
+        .repartitionByRange(nFiles, org.apache.spark.sql.functions.col("__zorder_key"))
+        .sortWithinPartitions("__zorder_key")
+        .drop("__zorder_key"))
+    }
+    (before, partFiles(table))
+  }
+
   /** Keyed upsert (SCD-1 merge): rows in `batch` REPLACE existing rows
     * with the same key; everything else appends. Parquet has no row
     * updates, so this is delete-matching + union + the crash-safe swap —

@@ -48,6 +48,37 @@ object ZOrder {
   def deinterleave(z: Long, k: Int, bits: Int, j: Int): Long =
     (0 until bits).map(i => ((z >> (i * k + j)) & 1L) << i).reduce(_ | _)
 
+  /** Quantize arbitrary integral columns into their `bits`-bit min-max
+    * domain positions and attach the interleaved z-key as `keyName`.
+    * The domain stats are ONE aggregate row shipped through a broadcast
+    * join on a non-foldable single-valued key (the q93/IvfIndex
+    * constKey trick — a foldable `lit` key constant-folds the condition
+    * away and the join degrades to BroadcastNestedLoopJoin); the
+    * quantizer is linear min-max (order-preserving, so z-locality
+    * survives in the original key space; production swaps percentile
+    * boundaries from a sketch for skewed columns, the plan is
+    * identical). Degenerate domains (min = max) quantize to 0.
+    */
+  def zkeyed(df: DataFrame, zcols: Seq[String], bits: Int,
+      keyName: String = "zkey"): DataFrame = {
+    require(zcols.nonEmpty, "zkeyed needs at least one column")
+    require(bits >= 1 && zcols.size * bits <= 63,
+      s"k*bits must be in [1,63], got ${zcols.size * bits}")
+    val aggs = zcols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"__zmin_$c"),
+      max(col(c).cast("long")).as(s"__zmax_$c")))
+    val dom = df.agg(aggs.head, aggs.drop(1): _*)
+      .withColumn("__zone", pmod(xxhash64(col(s"__zmin_${zcols.head}")), lit(1L)))
+    val keyed = df
+      .withColumn("__zone", pmod(xxhash64(col(zcols.head).cast("long")), lit(1L)))
+      .join(broadcast(dom), "__zone")
+    val quantized = zcols.map(c => expr(
+      s"((cast(`$c` as long) - `__zmin_$c`) * ${1L << bits}L) " +
+        s"div (`__zmax_$c` - `__zmin_$c` + 1L)"))
+    keyed.withColumn(keyName, interleave(quantized, bits))
+      .drop(zcols.flatMap(c => Seq(s"__zmin_$c", s"__zmax_$c")) :+ "__zone": _*)
+  }
+
   /** The layout ACTION the z-key exists for (r12, VERDICT missing #2
     * executed): range-partition on the key, sort within each partition,
     * write parquet — one shuffle (sampled range boundaries), one local

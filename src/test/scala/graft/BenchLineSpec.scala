@@ -57,5 +57,13 @@ class BenchLineSpec extends AnyFunSuite {
     // current registry here so a rename is a deliberate act.
     val streamingInRegistry = SparkEntry.queries.keys.filter(Bench.isStreaming)
     assert(streamingInRegistry.toSet.forall(_.contains("streaming")))
+    // the r12 near-miss, as a lint: a gate named "…_stream_…" reads as a
+    // streaming-lifecycle gate to a human but NOT to the name-based
+    // classifier, and would silently land in the batch subtotal
+    // (q102_semdedup_stream_bigc did exactly that before its rename) —
+    // any abbreviation of the token is a classification bug
+    SparkEntry.queries.keys.filter(_.contains("stream")).foreach(n =>
+      assert(n.contains("streaming"),
+        s"$n abbreviates 'streaming' — the bench guard would bucket it as batch"))
   }
 }

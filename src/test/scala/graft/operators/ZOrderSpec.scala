@@ -58,7 +58,14 @@ class ZOrderSpec extends AnyFunSuite with SparkSupport with PropSupport {
       .select($"l_partkey".cast("long").as("x"), $"l_suppkey".cast("long").as("y"))
     val Array(xmax, ymax) = li.agg(max($"x"), max($"y")).collect()(0)
       .toSeq.map(_.asInstanceOf[Long]).toArray
-    val files = 32
+    // 64 files over the 12-bit key ≈ one top-6-bit region per file: 3
+    // fixed prefix bits for EACH column (~1/8-domain envelopes, ~73%
+    // skip — the FanIn probe's measured point). At 32 files the x
+    // column (low interleave position) keeps one fewer fixed bit and
+    // its skip ratio sits exactly on the 50% assertion edge, where
+    // repartitionByRange's run-seeded boundary sampling makes the test
+    // flip (observed 15/32 vs 16/32 across runs).
+    val files = 64
     val z = li
       .withColumn("xq", expr(s"(x * 64L) div (${xmax} + 1L)"))
       .withColumn("yq", expr(s"(y * 64L) div (${ymax} + 1L)"))
@@ -99,6 +106,41 @@ class ZOrderSpec extends AnyFunSuite with SparkSupport with PropSupport {
     assert(linSkipY == 0,
       s"an x-sorted layout cannot skip on y — got $linSkipY/$linTotal, is the fixture still uniform?")
     assert(linSkipX * 2 >= linTotal)
+  }
+
+  test("Warehouse.optimizeZOrder: contents unchanged, files compacted, envelopes prune on every keyed column") {
+    import spark.implicits._
+    // append-heavy table (8 small appends -> many files), then the
+    // OPTIMIZE ZORDER maintenance pass: same rows, fewer files, and the
+    // rewritten files' footer stats prune on BOTH keyed columns
+    val wh = new graft.catalog.Warehouse(graft.util.TempDirs.scratch("zorder-wh"))
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey".cast("long").as("x"), $"l_suppkey".cast("long").as("y"))
+    (0 until 8).foreach(i =>
+      wh.append(li.filter($"l_orderkey" % 8 === i).repartition(16), "fact"))
+    val beforeRows = wh.read(spark, "fact").groupBy($"x", $"y").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // file count must resolve the z-grid: ~60 files over the 12-bit key
+    // keeps each file inside ~1 top-prefix region (the same granularity
+    // the writeLayout test measures); far fewer files would widen each
+    // envelope past its prefix slice and dilute the skip ratio
+    val (before, after) = wh.optimizeZOrder(spark, "fact", Seq("x", "y"),
+      bits = 6, targetRowsPerFile = 1000L)
+    assert(before > after, s"optimize must compact the append fragments: $before -> $after")
+    val afterRows = wh.read(spark, "fact").groupBy($"x", $"y").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(afterRows == beforeRows, "OPTIMIZE must not change table contents")
+    val Array(xmax, ymax) = wh.read(spark, "fact").agg(max($"x"), max($"y"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    def skipRatio(column: String, dom: Long): (Int, Int) = {
+      val env = ZOrder.fileEnvelopes(spark, s"${wh.dir}/fact", column)
+      (ZOrder.skippable(env, dom / 2, dom / 2 + dom / 8), env.size)
+    }
+    val (sx, nx) = skipRatio("x", xmax)
+    val (sy, ny) = skipRatio("y", ymax)
+    assert(nx >= 8, s"expected a multi-file layout, got $nx files")
+    assert(sx * 2 >= nx, s"x predicate must skip >=half the files: $sx/$nx")
+    assert(sy * 2 >= ny, s"y predicate must skip >=half the files: $sy/$ny")
   }
 
   test("single-column interleave is the masked identity; width guard rejects sign-bit keys") {
