@@ -64,6 +64,9 @@ object ZOrder {
     require(zcols.nonEmpty, "zkeyed needs at least one column")
     require(bits >= 1 && zcols.size * bits <= 63,
       s"k*bits must be in [1,63], got ${zcols.size * bits}")
+    val reserved = "__zone" +: keyName +: zcols.flatMap(c => Seq(s"__zmin_$c", s"__zmax_$c"))
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty, s"zkeyed scratch columns collide with input columns: ${clash.mkString(", ")}")
     val aggs = zcols.flatMap(c => Seq(
       min(col(c).cast("long")).as(s"__zmin_$c"),
       max(col(c).cast("long")).as(s"__zmax_$c")))

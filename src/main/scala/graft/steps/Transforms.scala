@@ -64,6 +64,10 @@ object Transforms {
     params.get(key).map(_.toLong).orElse(default).getOrElse(
       throw new IllegalArgumentException(s"PIPELINE transform needs parameter '$key'"))
 
+  private def str(params: Map[String, String], key: String): String =
+    params.getOrElse(key,
+      throw new IllegalArgumentException(s"PIPELINE transform needs parameter '$key'"))
+
   private def unstaged(df: DataFrame): Curation.Staged = Curation.Staged(df, () => ())
 
   val registry: Map[String, Transform] = Map(
@@ -86,5 +90,16 @@ object Transforms {
     // mixture_budget in=<span_removal output table> epoch=<docs> budget=<tokens>
     "mixture_budget" -> ((ctx, p) =>
       Curation.mixtureBudgetWithRelease(input(ctx, p, "in"),
-        epochDocs = long(p, "epoch"), budget = long(p, "budget"))))
+        epochDocs = long(p, "epoch"), budget = long(p, "budget"))),
+    // dsir_weight in=<docs table> target_lang=<lang> [buckets=8192 scale=1000000]
+    // — the selection surface is not curation-only: any Staged operator
+    // drops into the registry the same way (q92's scorer here)
+    "dsir_weight" -> { (ctx, p) =>
+      val staged = graft.operators.Dsir.weightsWithRelease(
+        input(ctx, p, "in"), "doc_id", "text",
+        targetPred = org.apache.spark.sql.functions.col("lang") === str(p, "target_lang"),
+        buckets = long(p, "buckets", Some(8192L)),
+        scale = long(p, "scale", Some(1000000L)))
+      Curation.Staged(staged.frame, staged.release)
+    })
 }

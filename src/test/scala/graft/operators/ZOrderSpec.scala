@@ -143,6 +143,25 @@ class ZOrderSpec extends AnyFunSuite with SparkSupport with PropSupport {
     assert(sy * 2 >= ny, s"y predicate must skip >=half the files: $sy/$ny")
   }
 
+  test("zkeyed matches a driver-side quantize+interleave reference on random rows, including negatives and degenerate domains") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    // negatives exercise the min-shift; the constant column exercises
+    // the degenerate min==max domain (quantizes to 0 everywhere)
+    val rows = Seq.fill(300)((rnd.nextInt(2000) - 1000L, rnd.nextInt(500).toLong, 7L))
+    val got = ZOrder.zkeyed(rows.toDF("a", "b", "c"), Seq("a", "b", "c"), bits = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val (amin, amax) = (rows.map(_._1).min, rows.map(_._1).max)
+    val (bmin, bmax) = (rows.map(_._2).min, rows.map(_._2).max)
+    def q(v: Long, lo: Long, hi: Long): Long = ((v - lo) * 32L) / (hi - lo + 1L)
+    rows.foreach { case (a, b, c) =>
+      val z = got((a, b, c))
+      assert(ZOrder.deinterleave(z, 3, 5, 0) == q(a, amin, amax), s"a quantile wrong for $a")
+      assert(ZOrder.deinterleave(z, 3, 5, 1) == q(b, bmin, bmax), s"b quantile wrong for $b")
+      assert(ZOrder.deinterleave(z, 3, 5, 2) == 0L, "degenerate domain must quantize to 0")
+    }
+  }
+
   test("single-column interleave is the masked identity; width guard rejects sign-bit keys") {
     import spark.implicits._
     val got = Seq(300L, 65535L, 70000L).toDF("x")

@@ -167,6 +167,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkSupport
       s"q92 occurrence stream must be staged (persisted) and re-read, not recomputed:\n$dsirPlan")
     assert(!dsirPlan.contains("LeftOuter"),
       s"q92 LM must be a single conditional aggregate, not a ct/cr left join:\n$dsirPlan")
+    // the bloom lifecycle's bitmap probes ride BROADCAST joins under the
+    // word-count guard (r12): the incoming key stream must never shuffle
+    // to meet a bitmap that fits in one broadcast
+    val bloomPlan = physicalPlan("q101_bloom_batch_ingest")
+    assert(bloomPlan.contains("BroadcastHashJoin"),
+      s"q101 bitmap probes must broadcast the word frame:\n$bloomPlan")
     // the inverted index computes tf with a map-side partial aggregate
     // before its shuffle, and its pair join is an equi-join (the global
     // cartesian sweep pins the absence of the nested-loop fallback)

@@ -71,6 +71,34 @@ class CurationWorkflowSpec extends AnyFunSuite with SparkSupport {
     assert(missing.getMessage.contains("'in'"))
   }
 
+  test("dsir_weight runs as a PIPELINE step and matches the operator run directly") {
+    // the registry is not curation-only: the DSIR scorer executes under
+    // the same step lifecycle (macro expansion, audit columns,
+    // ErwarteteDaten) and its table equals the operator's own output
+    import org.apache.spark.sql.functions.col
+    graft.catalog.Tables.registerAll(spark, sf)
+    val wh = new graft.catalog.Warehouse(graft.util.TempDirs.scratch("dsir-step"))
+    val ledger = new graft.ledger.RunLedger()
+    val ctx = StepContext(spark, wh, ledger,
+      graft.macros.Macros.Context(7L,
+        java.time.LocalDateTime.of(2026, 1, 1, 0, 0),
+        java.time.LocalDateTime.of(2026, 1, 2, 0, 0)))
+    val moved = Steps.execute(
+      StepSpec(5000, CommandType.Copy, TaskType.Pipeline,
+        "dsir_weight in=documents target_lang=en",
+        zieltabelle = Some("doc_scores")), ctx)
+    val viaStep = wh.read(spark, "doc_scores")
+      .select(col("doc_id"), col("n_feats"), col("dsir_weight"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = graft.operators.Dsir.weightsManaged(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text",
+      targetPred = col("lang") === "en") {
+      _.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(viaStep == direct, "the step lifecycle must not perturb the operator's output")
+    assert(moved.contains(direct.size.toLong), "ErwarteteDaten must count the written rows")
+  }
+
   test("induced stage failure: cancellation cascade aborts the successor, fallback package compensates") {
     val (result, ledger, _) = EndToEnd.runCurationWorkflow(spark, sf, induceFailure = true)
     assert(!result.success && result.fallbackRan && result.error.isDefined)
