@@ -2004,6 +2004,71 @@ object Pipeline {
       WHERE doc_id % 4 = 3
         AND fingerprint NOT IN (SELECT fingerprint FROM fp WHERE doc_id % 4 IN (0, 1, 2))"""))
 
+  /** STREAMING incremental bloom-gated dedup (r12) — q101's lifecycle
+    * run continuously ([[graft.streaming.Streams.bloomDedupStream]]):
+    * two arrival files drain as mtime-ordered micro-batches
+    * (`maxFilesPerTrigger=1` + AvailableNow), each probing the
+    * warehouse-persisted bitmap, appending its admissions, and folding
+    * them into the filter by `Bloom.merge` — the filter's state is a
+    * relational (w, bits) TABLE in the warehouse (restart-surviving,
+    * job-shareable), not stream-store or driver state, and the historic
+    * keyset is scanned once at setup. Exact at any fp rate (every hit
+    * confirmed by the exact semi-join), so the oracle is q101's
+    * verbatim: batch 1's reference set is historic, batch 2's is
+    * historic ∪ batch 1.
+    */
+  val q105 = QueryDef(
+    "q105_bloom_streaming_ingest",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Bloom
+      val mBits = 1L << 16
+      val k = 5
+      val base = graft.util.TempDirs.scratch("q105stream")
+      val fp = docs(s, dir)
+        .select($"doc_id", T.fingerprintMd5($"text").as("fingerprint"))
+      // two arrival files with strictly increasing mtimes — the file
+      // source drains oldest-first, which IS the ordering contract
+      def writeArrival(n: Int, slice: Long, mtime: Long): Unit = {
+        val tmp = s"$base/tmp$n"
+        fp.filter(pmod($"doc_id", lit(4L)) === slice).coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(s"$base/in/batch$n.parquet")
+        dst.getParentFile.mkdirs()
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        require(dst.setLastModified(mtime), s"could not order arrival file $n")
+      }
+      writeArrival(1, 0L, 1700000000000L)
+      writeArrival(2, 3L, 1700000100000L)
+      val wh = new graft.catalog.Warehouse(s"$base/wh")
+      wh.append(fp.filter(pmod($"doc_id", lit(4L)).isin(1L, 2L))
+        .select($"fingerprint"), "seen")
+      wh.overwrite(
+        Bloom.build(wh.read(s, "seen"), "fingerprint", mBits, k), "bloom")
+      val stream = s.readStream.schema(fp.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val q = graft.streaming.Streams.bloomDedupStream(stream, "fingerprint",
+        wh, seenTable = "seen", bloomTable = "bloom", outTable = "admitted",
+        checkpointDir = s"$base/ckpt", mBits = mBits, k = k)
+      q.awaitTermination()
+      wh.read(s, "admitted")
+        .select($"batch".cast("long").as("batch"), $"doc_id", $"fingerprint")
+    },
+    Some("""
+      WITH fp AS (
+        SELECT doc_id,
+          md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS fingerprint
+        FROM documents
+      )
+      SELECT CAST(1 AS BIGINT) AS batch, doc_id, fingerprint FROM fp
+      WHERE doc_id % 4 = 0
+        AND fingerprint NOT IN (SELECT fingerprint FROM fp WHERE doc_id % 4 IN (1, 2))
+      UNION ALL
+      SELECT CAST(2 AS BIGINT) AS batch, doc_id, fingerprint FROM fp
+      WHERE doc_id % 4 = 3
+        AND fingerprint NOT IN (SELECT fingerprint FROM fp WHERE doc_id % 4 IN (0, 1, 2))"""))
+
   /** Unigram-LM surprisal (r11) — the exact-arithmetic skeleton of a
     * CCNet-style perplexity filter: train the unigram LM on the corpus
     * itself (token → count), score every doc by its summed inverse
@@ -2245,5 +2310,5 @@ object Pipeline {
     Seq(q13, q14, q15, q16, q17, q18, q19, q29, q39, q41, q43, q44, q46,
       q48, q49, q54, q55, q57, q58, q59, q60, q61, q66, q78, q79, q80,
       q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q95, q97, q100, q101,
-      q104)
+      q104, q105)
 }

@@ -227,6 +227,69 @@ object Streams {
       }
       .start()
 
+  /** STREAMING incremental bloom-gated dedup — the q101 lifecycle run
+    * continuously (r12): each arriving micro-batch probes the
+    * warehouse-persisted historic BITMAP ([[graft.operators.Bloom
+    * .newKeysAgainst]] — definitely-new keys skip the exact join
+    * entirely, hits are confirmed exactly against the `seenTable`
+    * keyset), the admitted rows land in `outTable` tagged with their
+    * batch number, the admitted keys append to `seenTable`, and the
+    * bitmap is MAINTAINED by [[graft.operators.Bloom.merge]] — bitmap-
+    * sized work per batch, the historic corpus is never re-scanned.
+    * This is where the relational bitmap pays off at 100 TB: the
+    * filter's state lives in the warehouse as a (w, bits) table, not in
+    * a driver array or a stream-state store, so it survives restarts,
+    * shares across jobs, and its maintenance is an idempotent overwrite.
+    *
+    * The merged bitmap is `localCheckpoint`ed before the overwrite —
+    * the new frame's lineage reads the table being replaced, and Spark
+    * (rightly) refuses to overwrite a path it is still reading from.
+    *
+    * Batch ORDER is the correctness contract (a later batch must probe
+    * a bitmap covering every earlier admission); AvailableNow +
+    * `maxFilesPerTrigger` delivers files oldest-first, and the q105
+    * gate's fixture pins it. Exactly-once on replay: the gate runs one
+    * drained pass; a production feed wraps the out/seen appends in the
+    * upsert-keyed sink ([[upsertSink]]'s idempotency argument) keyed by
+    * (batch, key).
+    */
+  def bloomDedupStream(
+      incoming: DataFrame,
+      keyCol: String,
+      warehouse: graft.catalog.Warehouse,
+      seenTable: String,
+      bloomTable: String,
+      outTable: String,
+      checkpointDir: String,
+      mBits: Long = 1L << 16,
+      k: Int = 5,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          import org.apache.spark.sql.functions.lit
+          val spark = batch.sparkSession
+          val seen = warehouse.read(spark, seenTable)
+          val bloom = warehouse.read(spark, bloomTable)
+          val admitted = graft.operators.Bloom
+            .newKeysAgainst(batch, seen, keyCol, bloom, mBits, k)
+            .persist() // consumed three times: out, seen keys, bitmap build
+          try {
+            warehouse.append(admitted.withColumn("batch", lit(id + 1)), outTable)
+            warehouse.append(admitted.select(col(keyCol)), seenTable)
+            val merged = graft.operators.Bloom
+              .merge(bloom, graft.operators.Bloom.build(
+                admitted.select(col(keyCol)), keyCol, mBits, k))
+              .localCheckpoint(true)
+            warehouse.overwrite(merged, bloomTable)
+          } finally { admitted.unpersist(); () }
+        }
+      }
+      .start()
+
   /** Stateful sessionization — gap > `gapSeconds` closes a session
     * (q12's batch semantics) via `flatMapGroupsWithState` with an
     * event-time timeout: per-user state is (start, last, count); a
