@@ -139,7 +139,8 @@ object ConnectedComponents {
         .distinct()
         .localCheckpoint(true)
       var round = 0
-      var changed = if (edges.isEmpty) 0L else 1L
+      var edgeCount = edges.count()
+      var changed = if (edgeCount == 0) 0L else 1L
       while (changed > 0) {
         round += 1
         if (round > maxIters)
@@ -165,8 +166,16 @@ object ConnectedComponents {
           .unionByName(mins2.select(col("u"), col("mu").as("v")))
           .distinct()
           .localCheckpoint(true)
-        changed = next.exceptAll(edges).count() + edges.exceptAll(next).count()
+        // fixpoint = edge-set equality; a COUNT mismatch already proves
+        // inequality (both sets are distinct), so the two anti-join
+        // passes only run on the candidate-converged round — all
+        // shrinking rounds pay one count instead of two except scans
+        val nextCount = next.count()
+        changed =
+          if (nextCount != edgeCount) 1L
+          else next.exceptAll(edges).count() + edges.exceptAll(next).count()
         onRound(round, changed)
+        edgeCount = nextCount
         edges = next
       }
       allNodes
