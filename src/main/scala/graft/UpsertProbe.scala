@@ -40,6 +40,11 @@ object UpsertProbe {
     import spark.implicits._
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cold = sys.env.get("UPSERT_PROBE_COLD").contains("1")
+    // fail up front rather than printing warm numbers labeled cold=true
+    // (r12 review: dropCaches needs root; a silent false would mislabel
+    // the exact measurement the probe exists to pin)
+    require(!cold || dropCaches(),
+      "UPSERT_PROBE_COLD=1 requires root (writes /proc/sys/vm/drop_caches)")
     val reps = sys.env.getOrElse("UPSERT_PROBE_REPS", "5").toInt
 
     def timed[A](f: => A): (A, Double) = {

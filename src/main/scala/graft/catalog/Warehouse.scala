@@ -74,6 +74,18 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
   def overwrite(df: DataFrame, table: String): Unit =
     df.write.mode(SaveMode.Overwrite).format(format).save(path(table))
 
+  /** CRASH-SAFE full replacement — [[overwrite]] is delete-then-write
+    * (a crash in the window leaves a torn table), this is the same
+    * swap [[deleteWhere]]/[[compact]]/[[upsert]] rewrite through: the
+    * new contents land in a side dir first, so a crash at any point
+    * leaves the old or the new copy recoverable, and `contents` may
+    * read FROM the table it replaces (the side-dir write never
+    * overwrites its own input). Use for state a restart must be able
+    * to trust — e.g. the streaming bloom bitmap (r12 review).
+    */
+  def replace(table: String, contents: DataFrame): Unit =
+    rewriteInPlace(table, contents)
+
   /** Delete-by-predicate (the idempotent-ingest rollback,
     * `CommandExecuter.cs:1130-1157` `DELETE … WHERE Dateiname='f'`):
     * parquet has no row deletes, so rewrite-without-the-rows — the same
@@ -121,16 +133,31 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
   def optimizeZOrder(spark: SparkSession, table: String, zcols: Seq[String],
       bits: Int = 6, targetRowsPerFile: Long = 1000000L): (Int, Int) = {
     require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
     val before = partFiles(table)
     if (exists(spark, table)) {
       val df = read(spark, table)
-      val rows = df.count()
-      val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
-      val keyed = graft.operators.ZOrder.zkeyed(df, zcols, bits, "__zorder_key")
-      rewriteInPlace(table, keyed
-        .repartitionByRange(nFiles, org.apache.spark.sql.functions.col("__zorder_key"))
-        .sortWithinPartitions("__zorder_key")
-        .drop("__zorder_key"))
+      // ONE stats job for row count AND every column's bounds (r12
+      // review: count + zkeyed's internal min/max were two separate
+      // full-table aggregations — a whole extra scan per OPTIMIZE)
+      val statsRow = df.agg(count(lit(1)).as("__rows"),
+        zcols.flatMap(c => Seq(min(col(c).cast("long")), max(col(c).cast("long")))): _*)
+        .head()
+      val rows = statsRow.getLong(0)
+      if (rows > 0) {
+        zcols.zipWithIndex.foreach { case (c, i) =>
+          require(!statsRow.isNullAt(1 + 2 * i),
+            s"optimizeZOrder: `$c` holds no non-null values — not a layout key") }
+        val bounds = zcols.indices.map(i =>
+          (statsRow.getLong(1 + 2 * i), statsRow.getLong(2 + 2 * i)))
+        val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
+        val keyed = graft.operators.ZOrder
+          .zkeyedWithBounds(df, zcols, bounds, bits, "__zorder_key")
+        rewriteInPlace(table, keyed
+          .repartitionByRange(nFiles, col("__zorder_key"))
+          .sortWithinPartitions("__zorder_key")
+          .drop("__zorder_key"))
+      }
     }
     (before, partFiles(table))
   }

@@ -167,13 +167,13 @@ object ConnectedComponents {
           .distinct()
           .localCheckpoint(true)
         // fixpoint = edge-set equality; a COUNT mismatch already proves
-        // inequality (both sets are distinct), so the two anti-join
-        // passes only run on the candidate-converged round — all
-        // shrinking rounds pay one count instead of two except scans
+        // inequality (both sets are distinct), so the anti-join pass
+        // only runs on the candidate-converged round — and ONE direction
+        // suffices there: |A| = |B| with A∖B = ∅ implies A = B for sets
         val nextCount = next.count()
         changed =
           if (nextCount != edgeCount) 1L
-          else next.exceptAll(edges).count() + edges.exceptAll(next).count()
+          else next.exceptAll(edges).count()
         onRound(round, changed)
         edgeCount = nextCount
         edges = next

@@ -75,11 +75,56 @@ object ZOrder {
     val keyed = df
       .withColumn("__zone", pmod(xxhash64(col(zcols.head).cast("long")), lit(1L)))
       .join(broadcast(dom), "__zone")
-    val quantized = zcols.map(c => expr(
-      s"((cast(`$c` as long) - `__zmin_$c`) * ${1L << bits}L) " +
-        s"div (`__zmax_$c` - `__zmin_$c` + 1L)"))
+    // domain-width guard (r12 review): for a width past 2^(63-bits) the
+    // numerator (v-min)·2^bits wraps Long (and max-min itself can wrap
+    // negative for mixed-sign extremes) — without the guard interleave's
+    // masking turns the overflow into a silently RANDOM layout whose
+    // envelopes prune nothing. Loud failure instead, in-plan (the
+    // bounds are row values here, not driver constants).
+    val maxWidth = Long.MaxValue >> bits
+    val quantized = zcols.map { c =>
+      // try_subtract: under ANSI a wrapping max-min would throw inside
+      // the width computation itself (with an unhelpful message); under
+      // non-ANSI it wraps negative — null and negative both route to
+      // the loud domain error below, in either session mode
+      val width = expr(s"try_subtract(`__zmax_$c`, `__zmin_$c`)")
+      when(width.isNull || width < 0 || width > maxWidth,
+        raise_error(concat(
+          lit(s"zkeyed: domain of `$c` is wider than 2^${63 - bits} "),
+          lit(s"(min "), col(s"__zmin_$c"), lit(", max "), col(s"__zmax_$c"),
+          lit(s") — pre-bucket the column or lower bits=$bits"))))
+        .otherwise(expr(
+          s"((cast(`$c` as long) - `__zmin_$c`) * ${1L << bits}L) " +
+            s"div (`__zmax_$c` - `__zmin_$c` + 1L)"))
+    }
     keyed.withColumn(keyName, interleave(quantized, bits))
       .drop(zcols.flatMap(c => Seq(s"__zmin_$c", s"__zmax_$c")) :+ "__zone": _*)
+  }
+
+  /** [[zkeyed]] with DRIVER-KNOWN domain bounds — a pure map (no stats
+    * job, no broadcast join): the warehouse maintenance path collects
+    * table stats ONCE (count + min/max in one aggregate) and quantizes
+    * against literals. Same arithmetic and the same width guard,
+    * checked eagerly on the driver. `bounds` pairs with `zcols` by
+    * position as (min, max).
+    */
+  def zkeyedWithBounds(df: DataFrame, zcols: Seq[String], bounds: Seq[(Long, Long)],
+      bits: Int, keyName: String = "zkey"): DataFrame = {
+    require(zcols.nonEmpty && zcols.size == bounds.size,
+      s"need one (min, max) per column: ${zcols.size} cols, ${bounds.size} bounds")
+    require(bits >= 1 && zcols.size * bits <= 63,
+      s"k*bits must be in [1,63], got ${zcols.size * bits}")
+    val maxWidth = Long.MaxValue >> bits
+    bounds.zip(zcols).foreach { case ((lo, hi), c) =>
+      require(hi >= lo, s"zkeyed: inverted bounds for `$c`: ($lo, $hi)")
+      require(hi - lo >= 0 && hi - lo <= maxWidth,
+        s"zkeyed: domain of `$c` ($lo..$hi) is wider than 2^${63 - bits} — " +
+          s"pre-bucket the column or lower bits=$bits")
+    }
+    val quantized = zcols.zip(bounds).map { case (c, (lo, hi)) =>
+      expr(s"((cast(`$c` as long) - ${lo}L) * ${1L << bits}L) div ${hi - lo + 1L}L")
+    }
+    df.withColumn(keyName, interleave(quantized, bits))
   }
 
   /** The layout ACTION the z-key exists for (r12, VERDICT missing #2

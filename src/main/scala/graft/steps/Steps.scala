@@ -57,6 +57,13 @@ object Steps {
 
   /** Dispatch on `Befehlstyp` like `Step.cs:1083-1252`. */
   def execute(spec: StepSpec, ctx: StepContext): Option[Long] = spec.befehlstyp match {
+    case CommandType.Copy if spec.aufgabentyp == TaskType.Pipeline && spec.zeitscheibe =>
+      // reject loudly (r12 review): every other COPY applies the takeover
+      // window as month slices — silently ignoring the flag here would be
+      // a semantic downgrade the author only notices in the output
+      throw new IllegalArgumentException(
+        "Zeitscheibe is not defined for PIPELINE steps — slice the corpus in " +
+          "the transform's input view (the q103 fixture's takeover predicate) instead")
     case CommandType.Copy if spec.aufgabentyp == TaskType.Pipeline =>
       Some(pipelineStep(spec, ctx))
     case CommandType.Copy if !spec.zeitscheibe => Some(copy(spec, ctx))

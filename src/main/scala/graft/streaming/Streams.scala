@@ -238,12 +238,14 @@ object Streams {
     * sized work per batch, the historic corpus is never re-scanned.
     * This is where the relational bitmap pays off at 100 TB: the
     * filter's state lives in the warehouse as a (w, bits) table, not in
-    * a driver array or a stream-state store, so it survives restarts,
-    * shares across jobs, and its maintenance is an idempotent overwrite.
-    *
-    * The merged bitmap is `localCheckpoint`ed before the overwrite —
-    * the new frame's lineage reads the table being replaced, and Spark
-    * (rightly) refuses to overwrite a path it is still reading from.
+    * a driver array or a stream-state store, so it survives restarts
+    * and shares across jobs. Maintenance goes through the CRASH-SAFE
+    * swap ([[graft.catalog.Warehouse.replace]], r12 review — a plain
+    * overwrite's delete-then-write window could tear the bitmap, and a
+    * torn bitmap means false NEGATIVES: keys that skip the exact
+    * confirm and silently re-admit duplicates); the swap also writes to
+    * a side dir first, so the merged frame may read the table it
+    * replaces without a checkpoint.
     *
     * Batch ORDER is the correctness contract (a later batch must probe
     * a bitmap covering every earlier admission); AvailableNow +
@@ -280,11 +282,9 @@ object Streams {
           try {
             warehouse.append(admitted.withColumn("batch", lit(id + 1)), outTable)
             warehouse.append(admitted.select(col(keyCol)), seenTable)
-            val merged = graft.operators.Bloom
+            warehouse.replace(bloomTable, graft.operators.Bloom
               .merge(bloom, graft.operators.Bloom.build(
-                admitted.select(col(keyCol)), keyCol, mBits, k))
-              .localCheckpoint(true)
-            warehouse.overwrite(merged, bloomTable)
+                admitted.select(col(keyCol)), keyCol, mBits, k)))
           } finally { admitted.unpersist(); () }
         }
       }

@@ -162,6 +162,28 @@ class ZOrderSpec extends AnyFunSuite with SparkSupport with PropSupport {
     }
   }
 
+  test("domain-width overflow fails loudly in both quantizer paths instead of writing a random layout") {
+    import spark.implicits._
+    // hash-like extremes: (v-min)*2^bits wraps Long, and max-min itself
+    // wraps negative — pre-guard, interleave's masking made that a
+    // silently useless layout (r12 review)
+    val wide = Seq(Long.MinValue + 5L, 0L, Long.MaxValue - 5L).toDF("h")
+    val err = intercept[Exception](
+      ZOrder.zkeyed(wide, Seq("h"), bits = 6).collect())
+    assert(err.getMessage.contains("wider than 2^57"), err.getMessage)
+    val err2 = intercept[IllegalArgumentException](
+      ZOrder.zkeyedWithBounds(wide, Seq("h"),
+        Seq((Long.MinValue + 5L, Long.MaxValue - 5L)), bits = 6))
+    assert(err2.getMessage.contains("wider than 2^57"))
+    // bounds within the width limit pass and agree with the in-plan path
+    val ok = Seq(10L, 500L, 1000L).toDF("v")
+    val a = ZOrder.zkeyed(ok, Seq("v"), bits = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = ZOrder.zkeyedWithBounds(ok, Seq("v"), Seq((10L, 1000L)), bits = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "literal-bounds and in-plan quantizers must agree")
+  }
+
   test("single-column interleave is the masked identity; width guard rejects sign-bit keys") {
     import spark.implicits._
     val got = Seq(300L, 65535L, 70000L).toDF("x")

@@ -69,6 +69,12 @@ class CurationWorkflowSpec extends AnyFunSuite with SparkSupport {
     val missing = intercept[IllegalArgumentException](
       Transforms.resolve("decontaminate holdout=7", ctx))
     assert(missing.getMessage.contains("'in'"))
+    // Zeitscheibe has no PIPELINE semantics — rejected loudly, not
+    // silently ignored (every other COPY month-slices the takeover)
+    val sliced = intercept[IllegalArgumentException](Steps.execute(
+      StepSpec(5001, CommandType.Copy, TaskType.Pipeline,
+        "repetition in=documents", zieltabelle = Some("x"), zeitscheibe = true), ctx))
+    assert(sliced.getMessage.contains("Zeitscheibe"))
   }
 
   test("dsir_weight runs as a PIPELINE step and matches the operator run directly") {
