@@ -56,6 +56,30 @@ object SkewProbe {
     println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.1f s, $rows%,d rows")
   }
 
+  /** [[time]] plus the LONGEST single task the action ran — the number
+    * that exposes stratum serialization: a skew-safe plan's wall and
+    * max-task track each other; a one-task-per-hot-key plan shows a
+    * max task approaching the whole wall (r13, the per-source window
+    * family). Listener delivery is async — a short drain sleep keeps
+    * this a probe-tolerance reading, like FanIn's task-metric probes.
+    */
+  private def timeMaxTask(spark: SparkSession, name: String)(f: => Long): Unit = {
+    val maxMs = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val d = t.taskInfo.duration
+        maxMs.getAndUpdate(m => math.max(m, d)); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try time(name)(f)
+    finally {
+      Thread.sleep(500)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    println(f"$name: max task ${maxMs.get / 1000.0}%.1f s")
+  }
+
   private def sessionizeGlobal(ev: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -128,6 +152,71 @@ object SkewProbe {
           .queryExecution.toRdd.count()
       }
     }
+
+    // ---- q60/q61/q82 shape: per-source windows on a Zipf corpus ----
+    // (r13, VERDICT wrong #1) One source holds 80% of the corpus — the
+    // realistic crawl-dominated 100 TB stratum mix. The naive
+    // PARTITION BY source rank/prefix windows sort the hot stratum in
+    // ONE task; TopK.perKey / PrefixSum.perKey spread it over
+    // salts/buckets tasks. Equality of results is asserted (aggregate
+    // fingerprint here; row-for-row in SkewSafeWindowsSpec).
+    val zn = sys.env.getOrElse("ZIPF_DOCS", n.toString).toLong
+    spark.range(zn).select(
+      $"id".as("doc_id"),
+      when(pmod(xxhash64($"id", lit("zs")), lit(100)) < 80, lit("hot"))
+        .otherwise(concat(lit("s"), pmod(xxhash64($"id", lit("zt")), lit(1000))))
+        .as("source"),
+      (pmod(xxhash64($"id", lit("zq")), lit(100000)) / lit(1000.0)).as("q"),
+      (pmod(xxhash64($"id", lit("zv")), lit(900)) + 100).as("toks"))
+      .write.mode("overwrite").parquet(s"$outDir/zipf.parquet")
+    val zipf = spark.read.parquet(s"$outDir/zipf.parquet")
+    println(s"# zipf corpus: $zn docs, hot source = 80%")
+
+    import org.apache.spark.sql.expressions.Window
+    val rankOrder = Seq($"q".desc, $"doc_id")
+    timeMaxTask(spark, "top-5 per source, naive rank window, zipf") {
+      zipf.withColumn("rnk", row_number().over(
+        Window.partitionBy($"source").orderBy(rankOrder: _*)).cast("long"))
+        .filter($"rnk" <= 5).queryExecution.toRdd.count()
+    }
+    timeMaxTask(spark, "top-5 per source, TopK.perKey(salts=32), zipf") {
+      graft.operators.TopK.perKey(zipf, Seq("source"), rankOrder,
+        k = 5, rankName = "rnk", saltExpr = xxhash64($"doc_id"), salts = 32)
+        .queryExecution.toRdd.count()
+    }
+    val tk1 = zipf.withColumn("rnk", row_number().over(
+      Window.partitionBy($"source").orderBy(rankOrder: _*)).cast("long"))
+      .filter($"rnk" <= 5).agg(expr("bit_xor(xxhash64(doc_id, rnk))")).head.getLong(0)
+    val tk2 = graft.operators.TopK.perKey(zipf, Seq("source"), rankOrder,
+      5, "rnk", xxhash64($"doc_id"), 32)
+      .agg(expr("bit_xor(xxhash64(doc_id, rnk))")).head.getLong(0)
+    assert(tk1 == tk2, s"top-k fingerprints diverged: $tk1 vs $tk2")
+    println("top-k fingerprints match both paths")
+
+    timeMaxTask(spark, "prefix sum per source, naive unbounded window, zipf") {
+      zipf.withColumn("cum", sum($"toks").over(
+        Window.partitionBy($"source").orderBy(rankOrder: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .queryExecution.toRdd.count()
+    }
+    timeMaxTask(spark, "prefix sum per source, PrefixSum.perKey(buckets=64), zipf") {
+      val st = graft.operators.PrefixSum.perKeyWithRelease(zipf, Seq("source"),
+        rankOrder, orderHead = $"q", descending = true, value = $"toks",
+        cumName = "cum", numBuckets = 64)
+      try st.frame.queryExecution.toRdd.count() finally st.release()
+    }
+    val ps1 = zipf.withColumn("cum", sum($"toks").over(
+      Window.partitionBy($"source").orderBy(rankOrder: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .agg(expr("bit_xor(xxhash64(doc_id, cum))")).head.getLong(0)
+    val st2 = graft.operators.PrefixSum.perKeyWithRelease(zipf, Seq("source"),
+      rankOrder, orderHead = $"q", descending = true, value = $"toks",
+      cumName = "cum", numBuckets = 64)
+    val ps2 = try st2.frame.agg(expr("bit_xor(xxhash64(doc_id, cum))")).head.getLong(0)
+      finally st2.release()
+    assert(ps1 == ps2, s"prefix-sum fingerprints diverged: $ps1 vs $ps2")
+    println("prefix-sum fingerprints match both paths")
+
     spark.stop()
   }
 }

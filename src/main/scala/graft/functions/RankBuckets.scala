@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Order-preserving quantile bucketing — the shared primitive behind
+  * the skew-safe window family ([[graft.operators.PrefixSum]],
+  * [[graft.operators.TopK]]) and the percentile z-order quantizer
+  * ([[graft.operators.ZOrder.zkeyedQuantile]]). A linear `value div
+  * width` bucket splits the VALUE domain evenly, which under Zipf data
+  * puts nearly all rows into one bucket (the r12 verdict's envelope-
+  * collapse finding); boundaries taken at rank quantiles split the
+  * ROW MASS evenly instead, so every bucket holds ≈ n/numBuckets rows
+  * no matter how skewed the values are.
+  *
+  * Correctness stance: bucket ids are a MONOTONE function of the
+  * bucketed expression (equal values always share a bucket, larger
+  * values never get a smaller bucket in the chosen direction), which is
+  * the only property the consumers rely on — the boundary VALUES are
+  * an approximation (Greenwald–Khanna via `approxQuantile`, and a
+  * `cast to double` that rounds past 2^53), so they shift WHERE the
+  * bucket edges fall, never the results computed across them.
+  */
+object RankBuckets {
+
+  /** `numBuckets - 1` interior boundary values of `e` at even rank
+    * quantiles. One job over `df` (callers persist a frame that was
+    * expensive to compute). Heavily repeated values produce duplicate
+    * boundaries — the duplicates are dropped, so the effective bucket
+    * count shrinks rather than producing empty buckets.
+    */
+  def boundaries(df: DataFrame, e: Column, numBuckets: Int,
+      relativeError: Double = 0.001): Seq[Double] = {
+    require(numBuckets >= 1, s"numBuckets must be positive, got $numBuckets")
+    if (numBuckets == 1) Seq.empty
+    else {
+      val probs = (1 until numBuckets).map(_.toDouble / numBuckets).toArray
+      df.select(e.cast("double").as("__rb"))
+        .stat.approxQuantile("__rb", probs, relativeError)
+        .toSeq.distinct.sorted
+    }
+  }
+
+  /** The bucket id of `e` against `bnds` (ascending boundary values):
+    * the count of boundaries the value has passed in the sort
+    * direction. Ascending: `#{b : b <= e}` — non-decreasing in `e`;
+    * descending: `#{b : b >= e}` — non-decreasing as `e` falls, so in
+    * BOTH directions the bucket id is non-decreasing along the sort
+    * order, which is what makes cross-bucket offsets well-defined.
+    * Codegen'd collection expression over a literal array (bounded by
+    * `numBuckets`, never data-sized).
+    */
+  def bucketOf(bnds: Seq[Double], e: Column, descending: Boolean = false): Column =
+    if (bnds.isEmpty) lit(0L)
+    else {
+      val arr = array(bnds.map(lit): _*)
+      val v = e.cast("double")
+      val cond: Column => Column = if (descending) _ >= v else _ <= v
+      size(filter(arr, cond)).cast("long")
+    }
+}

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => T}
@@ -153,11 +152,21 @@ object Curation {
     val rates = Mixture
       .rates(langStats.toSeq.map(r => (r.getString(0), r.getLong(1))), epochDocs)
       .toDF("lang", "base", "thresh")
-    val w = Window.partitionBy(col("source")).orderBy(col("q").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val out = c.join(broadcast(rates), "lang")
+    // the budget take runs through the skew-safe two-pass prefix sum
+    // (r13, VERDICT wrong #1): the bare per-source unbounded window is a
+    // one-task-per-stratum sort — fatal on a Zipf corpus. The prefix
+    // input is projected down to the scoring/accounting columns first
+    // (q is computed here; cleaned_text never enters the staged frame),
+    // and offsetCap prunes buckets that can no longer fit the budget.
+    val scored = c.join(broadcast(rates), "lang")
       .withColumn("q", T.qualityScore(col("cleaned_text")))
-      .withColumn("cum_tokens", sum(col("toks_clean")).over(w))
+      .select(col("doc_id"), col("lang"), col("source"), col("toks_clean"),
+        col("base"), col("thresh"), col("q"))
+    val prefixed = PrefixSum.perKeyWithRelease(scored, Seq("source"),
+      order = Seq(col("q").desc, col("doc_id")), orderHead = col("q"),
+      descending = true, value = col("toks_clean"), cumName = "cum_tokens",
+      offsetCap = Some(budget))
+    val out = prefixed.frame
       .filter(col("cum_tokens") <= budget)
       .select(col("doc_id"), col("lang"), col("source"), col("toks_clean"),
         (col("base") +
@@ -165,6 +174,6 @@ object Curation {
             1L).otherwise(0L))
           .cast("long").as("n_repeats"),
         col("cum_tokens"))
-    Staged(out, () => { c.unpersist(); () })
+    Staged(out, () => { prefixed.release(); c.unpersist(); () })
   }
 }

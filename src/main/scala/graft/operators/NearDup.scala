@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T}
+
+/** MinHash-LSH near-duplicate clustering as ONE implementation (r13,
+  * VERDICT next #3): the signal (band-collision component labels, the
+  * q88/q104 bodies) and the action (per-cluster prune manifest, the
+  * q95 body) extracted from the gate registry so the PIPELINE workflow
+  * steps ([[graft.steps.Transforms]] `neardup_components` /
+  * `neardup_prune`) execute literally the same plans the DuckDB-
+  * oracled gates prove — the no-drift rule the curation stages already
+  * follow ([[Curation]]).
+  *
+  * Scale shape (unchanged from the gates): shingle → minhash → banded
+  * blocking, components over the BUCKET frame (doc–doc edges never
+  * materialize — a hot band costs its membership, not its square;
+  * [[ConnectedComponents]] scaladoc), labels propagated to singletons
+  * by a left join against the corpus id set.
+  */
+object NearDup {
+
+  /** Result frame + explicit release of the operator's staged persists
+    * (idempotent; call after the terminal action on `frame`). */
+  final case class Staged(frame: DataFrame, release: () => Unit)
+
+  /** (doc_id, cluster_id) for EVERY input doc — cluster_id is the
+    * minimum doc_id reachable through band-key collisions; docs with no
+    * shingles or no collisions label themselves. `viaStars` picks the
+    * O(log n)-round star-contraction path (adversarial diameters) over
+    * min-label propagation (near-clique LSH graphs) —
+    * [[ConnectedComponents]] documents the measured crossover.
+    */
+  def componentLabelsWithRelease(docs: DataFrame, k: Int = 12, bands: Int = 4,
+      viaStars: Boolean = false): Staged = {
+    require(k % bands == 0, s"minhash length $k must divide into $bands bands")
+    val rows = k / bands
+    val toks = docs.select(col("doc_id"), T.tokens(col("text")).as("t")).persist()
+    val sh = toks
+      .select(col("doc_id"), T.shingles("t").as("shingles"))
+      .withColumn("hashes", transform(col("shingles"), x => T.hash32(x)))
+      .persist()
+    val sig = sh.filter(size(col("shingles")) > 0)
+      .withColumn("sig", T.minhashFromHashes(col("hashes"), k))
+      .select(col("doc_id"), col("sig"))
+    val bandFrame = sig.select(
+      col("doc_id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("b"), T.bandKey(col("sig"), b, rows).as("key"))): _*)).as("band"))
+      .select(col("doc_id"), col("band.b"), col("band.key"))
+    val cc =
+      if (viaStars) ConnectedComponents.viaStars(bandFrame, "doc_id", Seq("b", "key"))
+      else ConnectedComponents.viaBuckets(bandFrame, "doc_id", Seq("b", "key"))
+    val out = docs.select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster_id"))
+    Staged(out, () => { sh.unpersist(); toks.unpersist(); () })
+  }
+
+  /** Raw gate form — persists are released by the registry runner's
+    * `clearCache()`; services use the Staged surface. */
+  private[graft] def componentLabels(docs: DataFrame, k: Int = 12, bands: Int = 4,
+      viaStars: Boolean = false): DataFrame =
+    componentLabelsWithRelease(docs, k, bands, viaStars).frame
+
+  /** The prune ACTION on a complete labeling (the q95 body): one row
+    * per surviving document (the cluster representative = the min-id
+    * member, which IS the label), with member count and the character
+    * mass dropped with the non-representatives. One groupBy(cluster)
+    * over the labeling — no new join class.
+    */
+  def pruneManifest(docs: DataFrame, labels: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("n_chars"))
+      .join(labels.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(when(col("doc_id") === col("cluster_id"), lit(0L))
+          .otherwise(col("n_chars"))).as("chars_dropped"))
+      .select(col("cluster_id").as("doc_id"), col("n_members"), col("chars_dropped"))
+}

@@ -505,5 +505,231 @@ object EndToEnd {
       FROM ctake t JOIN rt USING (lang)
       WHERE t.cum_tokens <= 800"""))
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q36, q42, q53, q103)
+  /** The near-dup workflow fixture (r13, VERDICT next #3): signal →
+    * action as chained PIPELINE steps — package 42 labels the corpus's
+    * LSH band-collision components ([[graft.operators.NearDup]]
+    * through the `neardup_components` transform, writing the label
+    * table), package 43 prunes against that table (`neardup_prune`,
+    * reading the PREVIOUS step's Zieltabelle back through the
+    * warehouse — the stage-chaining contract, claimed in the table
+    * mutex via quelltabelle). `induceFailure` points the prune at a
+    * missing label table: the step fails loudly, the cascade aborts
+    * the realization, and the fallback package compensates —
+    * NearDupWorkflowSpec pins the ledger rows.
+    */
+  private[graft] def neardupWorkflowSpec(view: String,
+      induceFailure: Boolean = false): WorkflowSpec = WorkflowSpec(
+    id = 8,
+    masterPackageId = 43,
+    fallbackPackageId = Some(49L),
+    packages = Map(
+      41L -> PackageSpec(41, realizations = Seq(RealizationSpec(
+        410, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(4100, CommandType.SqlTarget, TaskType.Sql,
+          s"CREATE OR REPLACE TEMP VIEW $view AS " +
+            "SELECT doc_id, text, n_chars FROM documents"))))),
+      42L -> PackageSpec(42, dependencies = Seq(41L), realizations = Seq(RealizationSpec(
+        420, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(4200, CommandType.Copy, TaskType.Pipeline,
+          s"neardup_components in=$view k=12 bands=4",
+          zieltabelle = Some("nd_labels")))))),
+      43L -> PackageSpec(43, dependencies = Seq(42L), realizations = Seq(RealizationSpec(
+        430, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(4300, CommandType.Copy, TaskType.Pipeline,
+          s"neardup_prune docs=$view " +
+            s"labels=${if (induceFailure) "nd_missing" else "nd_labels"}",
+          zieltabelle = Some("nd_manifest"),
+          quelltabelle = Some("nd_labels")))))),
+      49L -> PackageSpec(49, realizations = Seq(RealizationSpec(
+        490, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(4900, CommandType.SqlTarget, TaskType.Sql,
+          s"CREATE OR REPLACE TEMP VIEW ${view}_compensation AS " +
+            "SELECT 'prune aborted' AS status")))))))
+
+  /** Run the near-dup workflow fixture. */
+  private[graft] def runNeardupWorkflow(s: SparkSession, dir: String,
+      induceFailure: Boolean = false): (graft.orchestrate.WorkflowResult, RunLedger, Warehouse) = {
+    Tables.registerAll(s, dir)
+    val ledger = new RunLedger(() => FixedClock)
+    val wh = new Warehouse(graft.util.TempDirs.scratch("graft-nd-wf"))
+    val runner = new WorkflowRunner(
+      new WorkflowManager, ledger, new Gates.ThreadCap(8),
+      new Gates.TableLocks, new Gates.ParallelLocks, clock = () => FixedClock)
+    val view = s"nd_src_${System.nanoTime()}"
+    val result = runner.run(neardupWorkflowSpec(view, induceFailure),
+      zeitplanAusfuehrungenId = 10,
+      (m: Macros.Context, stepRunId: Option[Long], real: RealizationSpec) =>
+        StepContext(s, wh, ledger, m, schrittRunId = stepRunId,
+          konfigurationenId = real.konfigurationenId))
+    (result, ledger, wh)
+  }
+
+  /** Near-dup dedup run AS a workflow (r13, VERDICT next #3): q88's
+    * component labels and q95's prune manifest executed as chained
+    * PIPELINE steps under the full orchestrator, the prune reading the
+    * label step's warehouse table. The manifest readback must
+    * hash-match DuckDB recomputing label propagation (recursive CTE
+    * over the materialized edge list — oracle-scale only; the engine
+    * never builds edges) and the per-cluster prune from the source
+    * table — q95's oracle verbatim, so a wrong label table, a stale
+    * read, or a broken stage chain breaks the gate.
+    */
+  val q106 = QueryDef(
+    "q106_neardup_workflow",
+    (s, dir) => {
+      val (result, _, wh) = runNeardupWorkflow(s, dir)
+      result.error.foreach(throw _)
+      wh.read(s, "nd_manifest")
+        .select(col("doc_id"), col("n_members"), col("chars_dropped"))
+    },
+    Some("""
+      WITH RECURSIVE toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      ), sh AS (
+        SELECT doc_id,
+          CASE WHEN len(t) >= 3 THEN
+            list_distinct(list_transform(generate_series(1, len(t)-2),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+          ELSE [] END AS shingles
+        FROM toks
+      ), sig AS (
+        SELECT doc_id,
+          list_transform(generate_series(0, 11), k ->
+            list_min(list_transform(
+              list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)),
+              h -> ((2*k+1)*h + k*12582917) % 4294967311))) AS sig
+        FROM sh WHERE len(shingles) > 0
+      ), bands AS (
+        SELECT doc_id, b, md5(array_to_string(sig[(3*b+1):(3*b+3)], ',')) AS band_key
+        FROM sig, (SELECT unnest(generate_series(0,3)) AS b)
+      ), edges AS (
+        SELECT DISTINCT a.doc_id AS u, c.doc_id AS v
+        FROM bands a JOIN bands c ON a.b = c.b AND a.band_key = c.band_key
+          AND a.doc_id <> c.doc_id
+      ), reach AS (
+        SELECT doc_id AS u, doc_id AS lbl FROM sig
+        UNION
+        SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+      ), labeled AS (
+        SELECT d.doc_id, d.n_chars, COALESCE(mn.comp, d.doc_id) AS cluster_id
+        FROM documents d
+        LEFT JOIN (SELECT u AS doc_id, MIN(lbl) AS comp FROM reach GROUP BY 1) mn
+          USING (doc_id)
+      )
+      SELECT cluster_id AS doc_id, COUNT(*) AS n_members,
+        CAST(SUM(CASE WHEN doc_id = cluster_id THEN 0 ELSE n_chars END) AS BIGINT)
+          AS chars_dropped
+      FROM labeled GROUP BY 1"""))
+
+  /** The streaming-ingest workflow fixture (r13, VERDICT next #4):
+    * package 51 COPIES the historic fingerprint keyset into the
+    * warehouse (an ordinary step-written table, audit columns and
+    * all); package 52's STREAM step chains off it — bootstraps the
+    * stream's bare (key, batch) keyset + bitmap from that seed, then
+    * starts and DRAINS the q105 bloom-dedup stream over the arrival
+    * folder under the full orchestrator. `induceFailure` points the
+    * stream at a watch dir that does not exist: the query fails on
+    * start, `awaitTermination` rethrows, the step fails, and the
+    * fallback package compensates (StreamWorkflowSpec pins the ledger
+    * rows).
+    */
+  private[graft] def streamWorkflowSpec(fpView: String, inDir: String,
+      ckptDir: String, induceFailure: Boolean = false): WorkflowSpec = WorkflowSpec(
+    id = 9,
+    masterPackageId = 52,
+    fallbackPackageId = Some(59L),
+    packages = Map(
+      51L -> PackageSpec(51, realizations = Seq(RealizationSpec(
+        510, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(5100, CommandType.Copy, TaskType.Sql,
+          s"SELECT fingerprint FROM $fpView WHERE pmod(doc_id, 4) IN (1, 2)",
+          zieltabelle = Some("bl_hist")))))),
+      52L -> PackageSpec(52, dependencies = Seq(51L), realizations = Seq(RealizationSpec(
+        520, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(5200, CommandType.Copy, TaskType.Stream,
+          s"bloom_ingest_stream dir=${if (induceFailure) s"$inDir-missing" else inDir} " +
+            s"ckpt=$ckptDir " +
+            "schema=\"doc_id BIGINT, fingerprint STRING\" " +
+            "key=fingerprint seed=bl_hist seen=bl_seen bloom=bl_bloom " +
+            "out=bl_admitted mbits=65536 k=5 maxfiles=1",
+          zieltabelle = Some("bl_admitted"),
+          quelltabelle = Some("bl_hist,bl_seen,bl_bloom")))))),
+      59L -> PackageSpec(59, realizations = Seq(RealizationSpec(
+        590, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(5900, CommandType.SqlTarget, TaskType.Sql,
+          s"CREATE OR REPLACE TEMP VIEW ${fpView}_compensation AS " +
+            "SELECT 'ingest aborted' AS status")))))))
+
+  /** Build the arrival-folder fixture + fp view, run the workflow. */
+  private[graft] def runStreamWorkflow(s: SparkSession, dir: String,
+      induceFailure: Boolean = false): (graft.orchestrate.WorkflowResult, RunLedger, Warehouse) = {
+    import org.apache.spark.sql.functions.pmod
+    Tables.registerAll(s, dir)
+    val base = graft.util.TempDirs.scratch("graft-stream-wf")
+    val fp = s.table("documents").select(col("doc_id"),
+      graft.functions.TextFunctions.fingerprintMd5(col("text")).as("fingerprint"))
+    val fpView = s"bl_fp_${System.nanoTime()}"
+    fp.createOrReplaceTempView(fpView)
+    // two arrival files, strictly increasing mtimes (the q105 ordering
+    // contract: the file source drains oldest-first)
+    def writeArrival(n: Int, slice: Long, mtime: Long): Unit = {
+      val tmp = s"$base/tmp$n"
+      fp.filter(pmod(col("doc_id"), lit(4L)) === slice).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$base/in/batch$n.parquet")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      require(dst.setLastModified(mtime), s"could not order arrival file $n")
+    }
+    writeArrival(1, 0L, 1700000000000L)
+    writeArrival(2, 3L, 1700000100000L)
+    val ledger = new RunLedger(() => FixedClock)
+    val wh = new Warehouse(s"$base/wh")
+    val runner = new WorkflowRunner(
+      new WorkflowManager, ledger, new Gates.ThreadCap(8),
+      new Gates.TableLocks, new Gates.ParallelLocks, clock = () => FixedClock)
+    val result = runner.run(
+      streamWorkflowSpec(fpView, s"$base/in", s"$base/ckpt", induceFailure),
+      zeitplanAusfuehrungenId = 11,
+      (m: Macros.Context, stepRunId: Option[Long], real: RealizationSpec) =>
+        StepContext(s, wh, ledger, m, schrittRunId = stepRunId,
+          konfigurationenId = real.konfigurationenId))
+    (result, ledger, wh)
+  }
+
+  /** Streaming ingest run AS a workflow (r13, VERDICT next #4): the
+    * q105 bloom-dedup stream started, drained, and ledgered under
+    * `WorkflowRunner` — a COPY step seeds the historic keyset, the
+    * STREAM step bootstraps its state tables from it and drains two
+    * mtime-ordered arrival files through the crash-safe incremental
+    * dedup. The admitted readback must hash-match q105's oracle
+    * verbatim (batch 1 admits against historic, batch 2 against
+    * historic ∪ batch 1) — a broken bootstrap, a mis-ordered drain, or
+    * a stale seed table breaks the gate. Ledger/fallback semantics are
+    * pinned by StreamWorkflowSpec.
+    */
+  val q107 = QueryDef(
+    "q107_streaming_workflow",
+    (s, dir) => {
+      val (result, _, wh) = runStreamWorkflow(s, dir)
+      result.error.foreach(throw _)
+      wh.read(s, "bl_admitted")
+        .select(col("batch").cast("long").as("batch"), col("doc_id"), col("fingerprint"))
+    },
+    Some("""
+      WITH fp AS (
+        SELECT doc_id,
+          md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS fingerprint
+        FROM documents
+      )
+      SELECT CAST(1 AS BIGINT) AS batch, doc_id, fingerprint FROM fp
+      WHERE doc_id % 4 = 0
+        AND fingerprint NOT IN (SELECT fingerprint FROM fp WHERE doc_id % 4 IN (1, 2))
+      UNION ALL
+      SELECT CAST(2 AS BIGINT) AS batch, doc_id, fingerprint FROM fp
+      WHERE doc_id % 4 = 3
+        AND fingerprint NOT IN (SELECT fingerprint FROM fp WHERE doc_id % 4 IN (0, 1, 2))"""))
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q36, q42, q53, q103, q106, q107)
 }

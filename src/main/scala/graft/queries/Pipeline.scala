@@ -1084,10 +1084,18 @@ object Pipeline {
 
   /** Per-source quality top-k — the "keep the best N per domain"
     * curation filter: rank by the q18 quality score within each source,
-    * keep 5. The window partitions on `source` (shuffle key = the
-    * stratum — partition-parallel, never global); ties break on doc_id
-    * so the selection is total-order deterministic. At 100 TB this is
-    * the shape domain-balancing filters run per crawl snapshot.
+    * keep 5; ties break on doc_id so the selection is total-order
+    * deterministic. The Zipf-skew verdict on this shape (r13, VERDICT
+    * wrong #1) resolves the SPARK-FIRST way: Catalyst's
+    * `InferWindowGroupLimit` already rewrites a rank-filtered window
+    * into a two-stage top-k — a map-side `WindowGroupLimit(Partial)`
+    * emits ≤ k rows per source per task BEFORE the shuffle, so the hot
+    * stratum's reduce-side input is ≤ k·numMapTasks rows, exactly the
+    * salted candidate set [[graft.operators.TopK.perKey]] hand-builds
+    * (measured parity on the 80%-hot corpus, FANIN.md r13; the rewrite
+    * is pinned by PlanAuditSpec so a filter refactor that breaks the
+    * `rnk <= k` adjacency fails the build, and TopK.perKey stays the
+    * explicit form for rank windows the rewrite can't reach).
     */
   val q60 = QueryDef(
     "q60_quality_topk",
@@ -1128,10 +1136,15 @@ object Pipeline {
   /** Token-budget sequence packing — pre-training prep: per source,
     * documents (in stable doc_id order) are greedily packed into
     * ~4096-token sequences; a doc belongs to the pack its FIRST token
-    * lands in (cumulative-sum bucketing). One window partitioned by
-    * source — partition-parallel, and the pack assignment is a pure
-    * function of the ordered prefix sums, so it is reproducible across
-    * engines and reruns.
+    * lands in (cumulative-sum bucketing), a pure function of the
+    * ordered prefix sums, so it is reproducible across engines and
+    * reruns. The running sum goes through [[graft.operators.PrefixSum
+    * .perKey]] (r13, VERDICT wrong #1): the bare per-source unbounded
+    * window serializes each stratum into one task — the two-pass
+    * bucketed form (quantile buckets on doc_id, per-bucket partials,
+    * cross-bucket offsets, within-bucket window) spreads a Zipf-hot
+    * source over 64 tasks and is bit-identical because long addition is
+    * associative.
     */
   val q61 = QueryDef(
     "q61_token_packing",
@@ -1139,9 +1152,9 @@ object Pipeline {
       import s.implicits._
       val toks = docs(s, dir).select(
         $"doc_id", $"source", size(T.tokens($"text")).cast("long").as("n_tokens"))
-      val w = Window.partitionBy($"source").orderBy($"doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      toks.withColumn("cum", sum($"n_tokens").over(w))
+      graft.operators.PrefixSum.perKey(toks, Seq("source"),
+        order = Seq($"doc_id"), orderHead = $"doc_id", descending = false,
+        value = $"n_tokens", cumName = "cum")
         .select($"doc_id", $"source", $"n_tokens",
           // exact integral division — `/` on longs is double division and
           // rounds above 2^53 (the BucketedWindow rationale applies here)
@@ -1397,9 +1410,12 @@ object Pipeline {
     * BIGINT accumulation — and the filter keeps every doc whose
     * cumulative count stays within budget (the first overflowing doc is
     * dropped, docs after it can NOT re-enter: budget take is prefix
-    * semantics, pinned by the oracle). At 100 TB the window shuffles
-    * once on `source`, the same stratum key the curation filters
-    * already use.
+    * semantics, pinned by the oracle). The running sum goes through
+    * [[graft.operators.PrefixSum.perKey]] (r13, VERDICT wrong #1) with
+    * quality-descending quantile buckets, so a Zipf-hot source spreads
+    * over 64 tasks instead of one — and `offsetCap` prunes the buckets
+    * whose offset already exceeds the budget, so the never-admittable
+    * corpus tail is dropped before the window touches it.
     */
   val q82 = QueryDef(
     "q82_token_budget_take",
@@ -1410,10 +1426,9 @@ object Pipeline {
         $"doc_id", $"source",
         T.tokenCount($"text").as("toks"),
         T.qualityScore($"text").as("q"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"source").orderBy($"q".desc, $"doc_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      scored.withColumn("cum_tokens", sum($"toks").over(w))
+      graft.operators.PrefixSum.perKey(scored, Seq("source"),
+        order = Seq($"q".desc, $"doc_id"), orderHead = $"q", descending = true,
+        value = $"toks", cumName = "cum_tokens", offsetCap = Some(budget))
         .filter($"cum_tokens" <= budget)
         .select($"doc_id", $"source", $"toks", $"cum_tokens")
     },
@@ -1810,18 +1825,8 @@ object Pipeline {
     */
   val q88 = QueryDef(
     "q88_neardup_components",
-    (s, dir) => {
-      import s.implicits._
-      val sig = hashedShingles(s, dir)
-        .filter(size($"shingles") > 0)
-        .withColumn("sig", T.minhashFromHashes($"hashes", K))
-        .select($"doc_id", $"sig")
-      val cc = graft.operators.ConnectedComponents
-        .viaBuckets(bandFrame(sig), "doc_id", Seq("b", "key"))
-      docs(s, dir).select($"doc_id")
-        .join(cc, Seq("doc_id"), "left")
-        .select($"doc_id", coalesce($"component", $"doc_id").as("cluster_id"))
-    },
+    (s, dir) => graft.operators.NearDup
+      .componentLabels(docs(s, dir), k = K, bands = BANDS),
     Some("""
       WITH RECURSIVE toks AS (
         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
@@ -1869,18 +1874,8 @@ object Pipeline {
     */
   val q104 = QueryDef(
     "q104_components_stars",
-    (s, dir) => {
-      import s.implicits._
-      val sig = hashedShingles(s, dir)
-        .filter(size($"shingles") > 0)
-        .withColumn("sig", T.minhashFromHashes($"hashes", K))
-        .select($"doc_id", $"sig")
-      val cc = graft.operators.ConnectedComponents
-        .viaStars(bandFrame(sig), "doc_id", Seq("b", "key"))
-      docs(s, dir).select($"doc_id")
-        .join(cc, Seq("doc_id"), "left")
-        .select($"doc_id", coalesce($"component", $"doc_id").as("cluster_id"))
-    },
+    (s, dir) => graft.operators.NearDup
+      .componentLabels(docs(s, dir), k = K, bands = BANDS, viaStars = true),
     Some("""
       WITH RECURSIVE toks AS (
         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
@@ -2042,8 +2037,10 @@ object Pipeline {
       writeArrival(1, 0L, 1700000000000L)
       writeArrival(2, 3L, 1700000100000L)
       val wh = new graft.catalog.Warehouse(s"$base/wh")
+      // seen rows are (key, batch): the batch tag is the stream's
+      // replay-rewind key (r13); the historic keyset is batch 0
       wh.append(fp.filter(pmod($"doc_id", lit(4L)).isin(1L, 2L))
-        .select($"fingerprint"), "seen")
+        .select($"fingerprint", lit(0L).as("batch")), "seen")
       wh.overwrite(
         Bloom.build(wh.read(s, "seen"), "fingerprint", mBits, k), "bloom")
       val stream = s.readStream.schema(fp.schema)
@@ -2128,25 +2125,8 @@ object Pipeline {
     */
   val q95 = QueryDef(
     "q95_neardup_prune",
-    (s, dir) => {
-      import s.implicits._
-      val sig = hashedShingles(s, dir)
-        .filter(size($"shingles") > 0)
-        .withColumn("sig", T.minhashFromHashes($"hashes", K))
-        .select($"doc_id", $"sig")
-      val cc = graft.operators.ConnectedComponents
-        .viaBuckets(bandFrame(sig), "doc_id", Seq("b", "key"))
-      docs(s, dir).select($"doc_id", $"n_chars")
-        .join(cc, Seq("doc_id"), "left")
-        .select($"doc_id", $"n_chars",
-          coalesce($"component", $"doc_id").as("cluster_id"))
-        .groupBy($"cluster_id")
-        .agg(
-          count(lit(1)).as("n_members"),
-          sum(when($"doc_id" === $"cluster_id", lit(0L))
-            .otherwise($"n_chars")).as("chars_dropped"))
-        .select($"cluster_id".as("doc_id"), $"n_members", $"chars_dropped")
-    },
+    (s, dir) => graft.operators.NearDup.pruneManifest(docs(s, dir),
+      graft.operators.NearDup.componentLabels(docs(s, dir), k = K, bands = BANDS)),
     Some("""
       WITH RECURSIVE toks AS (
         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents

@@ -48,10 +48,21 @@ object TaskType {
     * rates, semantic stages) need a step type of their own to run under
     * the same orchestration/ledger/mutex machinery. Macro expansion,
     * Zieltabelle write lifecycle, audit columns and `ErwarteteDaten`
-    * accounting are identical to COPY/SQL.
+    * accounting are identical to COPY/SQL. Command values are
+    * whitespace-free unless double-quoted (`key="a b"` — quotes
+    * stripped, [[Transforms.parse]]).
     */
   val Pipeline = "PIPELINE"
-  val all: Seq[String] = Seq(Sql, Excel, Csv, Pipeline)
+  /** A COPY whose Befehl names a registered [[StreamTransforms]]
+    * streaming transform (r13): the step starts a Structured Streaming
+    * query, drains it (`Trigger.AvailableNow` — the scheduler-tick
+    * reading of an always-on component), and records the admitted rows
+    * as `ErwarteteDaten`; a stream failure is a step failure, so
+    * cascade + fallback semantics apply unchanged. Same command syntax
+    * and quoting as PIPELINE.
+    */
+  val Stream = "STREAM"
+  val all: Seq[String] = Seq(Sql, Excel, Csv, Pipeline, Stream)
 }
 
 /** The 7 CSV format options of `pc.ETL_Paketschritt_Parameter`

@@ -66,6 +66,12 @@ object Steps {
           "the transform's input view (the q103 fixture's takeover predicate) instead")
     case CommandType.Copy if spec.aufgabentyp == TaskType.Pipeline =>
       Some(pipelineStep(spec, ctx))
+    case CommandType.Copy if spec.aufgabentyp == TaskType.Stream && spec.zeitscheibe =>
+      throw new IllegalArgumentException(
+        "Zeitscheibe is not defined for STREAM steps — a stream's batching is " +
+          "its trigger; slice the watch folder's content upstream instead")
+    case CommandType.Copy if spec.aufgabentyp == TaskType.Stream =>
+      Some(streamStep(spec, ctx))
     case CommandType.Copy if !spec.zeitscheibe => Some(copy(spec, ctx))
     case CommandType.Copy => Some(copyTimesliced(spec, ctx))
     case CommandType.Transfer if spec.aufgabentyp == TaskType.Csv => Some(csvExport(spec, ctx))
@@ -108,6 +114,25 @@ object Steps {
     val staged = Transforms.resolve(command, ctx)
     try writeAligned(staged.frame, target, ctx)
     finally staged.release()
+  }
+
+  /** COPY/STREAM (r13, VERDICT next #4): the macro-expanded Befehl
+    * names a registered streaming transform ([[StreamTransforms]]) that
+    * starts, drains (`AvailableNow`), and reports a Structured
+    * Streaming query — the orchestrated reading of the engine's
+    * always-on surface. The stream writes its own warehouse tables
+    * (state schemas are the stream's, bootstrapped bare — see
+    * [[StreamTransforms]] on why step audit columns must not leak into
+    * stream-appended tables), so unlike COPY/PIPELINE there is no
+    * `writeAligned`; the transform's admitted-row count lands in
+    * `ErwarteteDaten` and the query log carries the expanded command.
+    */
+  def streamStep(spec: StepSpec, ctx: StepContext): Long = {
+    val command = Macros.expand(spec.befehl, ctx.macroCtx)
+    ctx.ledger.logQuery(command, ctx.schrittRunId, ctx.konfigurationenId)
+    val rows = StreamTransforms.resolve(command, ctx)
+    ctx.schrittRunId.foreach(ctx.ledger.recordExpectedRows(_, rows))
+    rows
   }
 
   /** COPY's source frame: a tenant-resolved JDBC source executes the

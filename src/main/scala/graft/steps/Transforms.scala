@@ -33,18 +33,33 @@ object Transforms {
 
   type Transform = (StepContext, Map[String, String]) => Curation.Staged
 
-  /** Parse + dispatch a macro-expanded PIPELINE command. */
-  def resolve(command: String, ctx: StepContext): Curation.Staged = {
-    val parts = command.trim.split("\\s+").toSeq
-    require(parts.nonEmpty && parts.head.nonEmpty, "empty PIPELINE command")
-    val name = parts.head
+  /** Tokenize + split a `<name> key=value …` step command. Values are
+    * whitespace-free by default; a value that needs spaces (a schema
+    * DDL, a quoted timestamp a macro expanded) must be double-quoted —
+    * `key="a b c"` — and the quotes are stripped (ADVICE r12: the
+    * constraint existed but was undocumented and unquotable). Shared by
+    * the PIPELINE and STREAM step parsers so the two command syntaxes
+    * cannot drift.
+    */
+  private[steps] def parse(kind: String, command: String): (String, Map[String, String]) = {
+    val token = """\S+="[^"]*"|\S+""".r
+    val parts = token.findAllIn(command.trim).toSeq
+    require(parts.nonEmpty && parts.head.nonEmpty, s"empty $kind command")
     val params = parts.tail.map { kv =>
       kv.split("=", 2) match {
-        case Array(k, v) => k -> v
+        case Array(k, v) =>
+          k -> (if (v.length >= 2 && v.startsWith("\"") && v.endsWith("\""))
+            v.substring(1, v.length - 1) else v)
         case _ => throw new IllegalArgumentException(
-          s"PIPELINE parameter '$kv' is not key=value (command: $command)")
+          s"$kind parameter '$kv' is not key=value (command: $command)")
       }
     }.toMap
+    (parts.head, params)
+  }
+
+  /** Parse + dispatch a macro-expanded PIPELINE command. */
+  def resolve(command: String, ctx: StepContext): Curation.Staged = {
+    val (name, params) = parse("PIPELINE", command)
     val t = registry.getOrElse(name, throw new IllegalArgumentException(
       s"unknown PIPELINE transform '$name' (known: ${registry.keys.toSeq.sorted.mkString(", ")})"))
     t(ctx, params)
@@ -53,18 +68,18 @@ object Transforms {
   /** Input-table resolution: warehouse table (a previous step's
     * Zieltabelle) first, session catalog (temp views, registered
     * sources) second — the same two catalogs COPY steps read. */
-  private def input(ctx: StepContext, params: Map[String, String], key: String): DataFrame = {
+  private[steps] def input(ctx: StepContext, params: Map[String, String], key: String): DataFrame = {
     val name = params.getOrElse(key,
       throw new IllegalArgumentException(s"PIPELINE transform needs parameter '$key'"))
     if (ctx.warehouse.exists(ctx.spark, name)) ctx.warehouse.read(ctx.spark, name)
     else ctx.spark.table(name)
   }
 
-  private def long(params: Map[String, String], key: String, default: Option[Long] = None): Long =
+  private[steps] def long(params: Map[String, String], key: String, default: Option[Long] = None): Long =
     params.get(key).map(_.toLong).orElse(default).getOrElse(
       throw new IllegalArgumentException(s"PIPELINE transform needs parameter '$key'"))
 
-  private def str(params: Map[String, String], key: String): String =
+  private[steps] def str(params: Map[String, String], key: String): String =
     params.getOrElse(key,
       throw new IllegalArgumentException(s"PIPELINE transform needs parameter '$key'"))
 
@@ -101,5 +116,34 @@ object Transforms {
         buckets = long(p, "buckets", Some(8192L)),
         scale = long(p, "scale", Some(1000000L)))
       Curation.Staged(staged.frame, staged.release)
-    })
+    },
+    // ---- the dedup family (r13, VERDICT next #3): signal → prune as
+    // chained steps, same operator bodies as the q87/q88/q104/q95 gates
+    // paragraph_dedup in=<docs table> [chunk=20]
+    "paragraph_dedup" -> { (ctx, p) =>
+      val staged = graft.operators.ParagraphDedup.dedupWithRelease(
+        input(ctx, p, "in"), chunk = long(p, "chunk", Some(20L)).toInt)
+      Curation.Staged(staged.frame, staged.release)
+    },
+    // neardup_components in=<docs table> [k=12 bands=4 stars=false]
+    "neardup_components" -> { (ctx, p) =>
+      val staged = graft.operators.NearDup.componentLabelsWithRelease(
+        input(ctx, p, "in"),
+        k = long(p, "k", Some(12L)).toInt,
+        bands = long(p, "bands", Some(4L)).toInt,
+        viaStars = p.get("stars").exists(_.toBoolean))
+      Curation.Staged(staged.frame, staged.release)
+    },
+    // neardup_prune docs=<docs table> labels=<neardup_components output>
+    "neardup_prune" -> ((ctx, p) =>
+      unstaged(graft.operators.NearDup.pruneManifest(
+        input(ctx, p, "docs"), input(ctx, p, "labels")))),
+    // bloom_ingest in=<incoming table> seen=<historic keys table>
+    //   key=<column> [mbits=65536 k=5] — admitted (definitely-new) rows;
+    // the batch half of the q89/q101 lifecycle as a step
+    "bloom_ingest" -> ((ctx, p) =>
+      unstaged(graft.operators.Bloom.newKeys(
+        input(ctx, p, "in"), input(ctx, p, "seen"), str(p, "key"),
+        mBits = long(p, "mbits", Some(1L << 16)),
+        k = long(p, "k", Some(5L)).toInt))))
 }

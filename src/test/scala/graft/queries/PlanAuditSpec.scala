@@ -247,4 +247,46 @@ class PlanAuditSpec extends AnyFunSuite with SparkSupport
     assert(!sp.toString.contains("Join"),
       s"SQ8 encode must not join (ranges are literal arrays):\n$sp")
   }
+
+  test("per-source window family: no corpus-cardinality key owns a single-partition unbounded window") {
+    // r13 (VERDICT wrong #1): q60/q61/q82/q86 ran `PARTITION BY source`
+    // windows over the whole corpus — one task per stratum, fatal under
+    // Zipf sources. A window with a single partition key is now legal
+    // only over a provably bounded input: below a WindowGroupLimit
+    // (Catalyst's InferWindowGroupLimit bounds the per-key input to
+    // k·numMapTasks — q60's shape), above an aggregated frame
+    // (PrefixSum's per-bucket totals feeding its offsets window), or
+    // above TopK.perKey's stage-1 rank filter; everything corpus-sized
+    // must carry ≥ 2 partition expressions (stratum + salt/bucket).
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    Seq("q60_quality_topk", "q61_token_packing", "q82_token_budget_take",
+        "q86_curation_e2e").foreach { name =>
+      val df = Registry.byName(name).run(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.sparkPlan
+      val wins = plan.collect { case w: WindowExec => w }
+      assert(wins.nonEmpty, s"$name should plan window operators")
+      wins.filter(_.partitionSpec.size < 2).foreach { w =>
+        val bounded =
+          w.collectFirst { case g: WindowGroupLimitExec => g }.nonEmpty ||
+            w.collectFirst { case a: BaseAggregateExec => a }.nonEmpty ||
+            w.collectFirst {
+              case f: FilterExec if f.condition.toString.contains("__tkr") => f
+            }.nonEmpty
+        assert(bounded,
+          s"$name plans a single-key window over an unbounded input:\n$w")
+      }
+      // and the skew-spread machinery is present where it must be:
+      // q60's rank rewrite, the (key, bucket) windows everywhere else
+      if (name == "q60_quality_topk")
+        assert(plan.collect { case g: WindowGroupLimitExec => g }.nonEmpty,
+          "q60 lost the InferWindowGroupLimit rewrite (rank filter no longer adjacent?)")
+      else
+        assert(wins.exists(_.partitionSpec.size >= 2),
+          s"$name lost its skew-spread (key, bucket) window")
+      spark.catalog.clearCache()
+    }
+  }
 }

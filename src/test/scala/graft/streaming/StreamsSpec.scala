@@ -46,7 +46,8 @@ class StreamsSpec extends AnyFunSuite with SparkSupport {
     implicit val sqlCtx = spark.sqlContext
     val (mBits, k) = (1L << 12, 4)
     val wh = new graft.catalog.Warehouse(tmpDir("stream-bloom-wh"))
-    wh.append(Seq("h1", "h2").toDF("key"), "seen")
+    wh.append(Seq("h1", "h2").toDF("key")
+      .withColumn("batch", org.apache.spark.sql.functions.lit(0L)), "seen")
     wh.overwrite(graft.operators.Bloom.build(
       wh.read(spark, "seen"), "key", mBits, k), "bloom")
     val input = MemoryStream[String]
@@ -76,6 +77,57 @@ class StreamsSpec extends AnyFunSuite with SparkSupport {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(maintained == rebuilt)
     } finally query.stop()
+  }
+
+  test("bloomDedupBatch: checkpoint replay after a crash at EVERY phase is exactly-once") {
+    // r13 (VERDICT wrong #2): foreachBatch re-runs the same (batch, id)
+    // after a crash. For each induced crash point — after the rewind,
+    // after the bitmap fold, after the out append, after the seen
+    // append — replaying the batch must converge to exactly the clean
+    // run's out/seen/bitmap state: no duplicate admissions, no lost
+    // rows, and never a key in seen that the bitmap lacks.
+    import spark.implicits._
+    val (mBits, k) = (1L << 12, 4)
+    def freshWh(tag: String): graft.catalog.Warehouse = {
+      val wh = new graft.catalog.Warehouse(tmpDir(s"bloom-replay-$tag"))
+      wh.append(Seq("h1", "h2").toDF("key")
+        .withColumn("batch", org.apache.spark.sql.functions.lit(0L)), "seen")
+      wh.overwrite(graft.operators.Bloom.build(
+        wh.read(spark, "seen"), "key", mBits, k), "bloom")
+      wh
+    }
+    val batch1 = Seq("a", "b", "h1", "a").toDF("key") // within-batch dup a: both admitted
+    val batch2 = Seq("a", "c", "h2").toDF("key") // a now historic
+    def state(wh: graft.catalog.Warehouse) = (
+      wh.read(spark, "out").collect()
+        .map(r => (r.getAs[Long]("batch"), r.getAs[String]("key"))).toSeq.sorted,
+      wh.read(spark, "seen").collect()
+        .map(r => (r.getAs[String]("key"), r.getAs[Long]("batch"))).toSeq.sorted,
+      wh.read(spark, "bloom").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    def run(wh: graft.catalog.Warehouse, df: org.apache.spark.sql.DataFrame,
+        id: Long, failAt: Int = Int.MaxValue): Unit =
+      Streams.bloomDedupBatch(df, id, "key", wh, "seen", "bloom", "out",
+        mBits, k, failAfterPhase = failAt)
+    val clean = freshWh("clean")
+    run(clean, batch1, 0L); run(clean, batch2, 1L)
+    val want = state(clean)
+    assert(want._1 == Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "c")))
+    for (failAt <- 0 to 3) {
+      val wh = freshWh(s"f$failAt")
+      val e = intercept[IllegalStateException](run(wh, batch1, 0L, failAt))
+      assert(e.getMessage.contains(s"after phase $failAt"))
+      // the invariant that makes replay safe: bloom ⊇ seen even mid-crash
+      val seenKeys = wh.read(spark, "seen").select("key").as[String].collect().toSet
+      val probed = graft.operators.Bloom.maybeSeen(
+        wh.read(spark, "seen"), "key", wh.read(spark, "bloom"), mBits, k)
+        .select("key").as[String].collect().toSet
+      assert(probed == seenKeys,
+        s"crash after phase $failAt left seen keys the bitmap cannot see")
+      run(wh, batch1, 0L) // the replay foreachBatch would issue
+      run(wh, batch2, 1L)
+      assert(state(wh) == want, s"replay after phase-$failAt crash diverged")
+    }
   }
 
   test("windowedCounts: watermark closes windows, counts per type") {
