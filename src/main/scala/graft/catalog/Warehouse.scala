@@ -129,6 +129,16 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
     * ratios in FANIN.md). Contents and schema unchanged (the key is
     * dropped after the sort); same crash-safe swap as [[compact]].
     * Returns (files before, files after).
+    *
+    * The stats job and the rewrite are TWO scans outside the table
+    * monitor (holding it across a full rewrite would block every
+    * reader), so a row appended between them can lie outside the
+    * collected bounds — `zkeyedWithBounds` CLAMPS such rows to the
+    * domain edge (r13, ADVICE r12: unclamped they quantized through
+    * Long overflow into silently wrong keys), which keeps envelopes
+    * truthful and costs pruning quality only for the straggler rows
+    * until the next OPTIMIZE. Steps claim the table mutex before
+    * maintenance, so inside a workflow the window is already exclusive.
     */
   def optimizeZOrder(spark: SparkSession, table: String, zcols: Seq[String],
       bits: Int = 6, targetRowsPerFile: Long = 1000000L): (Int, Int) = {
