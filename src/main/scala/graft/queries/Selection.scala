@@ -105,7 +105,9 @@ object Selection {
     * two-agg left join), one broadcast join, one doc groupBy: one
     * corpus pass plus the staged readback, where the old two-agg shape
     * paid three. Docs with <2 tokens have no features and drop out, in
-    * both engines.
+    * both engines. r13 (VERDICT wrong #3): `dsir_weight_mean` — the
+    * per-feature normalized weight a selector should rank on — leads
+    * the weight columns, oracle-matched by exact integer division.
     */
   val q92 = QueryDef(
     "q92_dsir_weight",
@@ -131,6 +133,8 @@ object Selection {
         SELECT cr.fb, COALESCE(ct.ct, 0) AS ct, cr.cr FROM cr LEFT JOIN ct USING (fb)
       )
       SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+        CAST(CAST(SUM((1000000 * (lm.ct + 1)) // (lm.cr + 1)) AS BIGINT)
+          // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS dsir_weight_mean,
         CAST(SUM((1000000 * (lm.ct + 1)) // (lm.cr + 1)) AS BIGINT) AS dsir_weight
       FROM occ o JOIN lm USING (fb)
       GROUP BY 1"""))

@@ -203,12 +203,15 @@ class SelectionSpec extends AnyFunSuite with SparkSupport with BeforeAndAfterEac
       (4L, "de", "solo")  // 1 token -> no features -> absent
     ))
     val out = Registry.byName("q92_dsir_weight").run(spark, dir)
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_feats"), r.getAs[Long]("dsir_weight"),
+          r.getAs[Long]("dsir_weight_mean")))).toMap
     assert(out.keySet == Set(1L, 2L, 3L), "the 1-token doc has no features")
-    // (1e6 * (ct+1)) div (cr+1): "a b" -> 2e6 div 3, "x y" -> 1e6 div 2
-    assert(out(1L) == ((1L, 666666L)))
-    assert(out(2L) == ((1L, 666666L)), "weight scores content, not the doc's own lang")
-    assert(out(3L) == ((1L, 500000L)))
+    // (1e6 * (ct+1)) div (cr+1): "a b" -> 2e6 div 3, "x y" -> 1e6 div 2;
+    // single-feature docs: mean == sum (r13 — the normalized primary column)
+    assert(out(1L) == ((1L, 666666L, 666666L)))
+    assert(out(2L) == ((1L, 666666L, 666666L)), "weight scores content, not the doc's own lang")
+    assert(out(3L) == ((1L, 500000L, 500000L)))
     assert(out(1L)._2 > out(3L)._2, "target-distribution-aligned content scores higher")
   }
 
@@ -226,12 +229,15 @@ class SelectionSpec extends AnyFunSuite with SparkSupport with BeforeAndAfterEac
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val fixed = graft.operators.Dsir.weightsManaged(docs, "doc_id", "text",
       targetPred = col("lang") === "en") {
-      _.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      _.collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_feats"), r.getAs[Long]("dsir_weight"),
+          r.getAs[Long]("dsir_weight_mean")))).toMap
     }
     val logStaged = graft.operators.Dsir.logWeightsWithRelease(docs, "doc_id", "text",
       targetPred = col("lang") === "en")
     val logw =
-      try logStaged.frame.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      try logStaged.frame.collect().map(r => r.getLong(0) ->
+        ((r.getAs[Double]("dsir_logweight_mean"), r.getAs[Double]("dsir_logweight")))).toMap
       finally logStaged.release()
     assert(fixed.keySet == logw.keySet, "both forms must score exactly the featured docs")
 
@@ -255,20 +261,35 @@ class SelectionSpec extends AnyFunSuite with SparkSupport with BeforeAndAfterEac
       val cov = ra.zip(rb).map { case (x, y) => (x - ma) * (y - mb) }.sum
       cov / math.sqrt(ra.map(x => (x - ma) * (x - ma)).sum * rb.map(y => (y - mb) * (y - mb)).sum)
     }
+    // r13: rank on the SHIPPED normalized columns — the surface a
+    // selector consumes — not on a hand-derived ratio
     val ids = fixed.keySet.toSeq.sorted
-    val perFeatFixed = ids.map(i => fixed(i)._2.toDouble / fixed(i)._1)
-    val perFeatLog = ids.map(i => logw(i) / fixed(i)._1)
+    val perFeatFixed = ids.map(i => fixed(i)._3.toDouble)
+    val perFeatLog = ids.map(i => logw(i)._1)
     val sPerFeat = spearman(perFeatFixed, perFeatLog)
     assert(sPerFeat >= 0.98,
       s"per-feature ranks must agree (measured 0.996 at this sf), got $sPerFeat")
-    val top50Fixed = ids.sortBy(i => -fixed(i)._2.toDouble / fixed(i)._1).take(50).toSet
-    val top50Log = ids.sortBy(i => -logw(i) / fixed(i)._1).take(50).toSet
+    val top50Fixed = ids.sortBy(i => (-fixed(i)._3, i)).take(50).toSet
+    val top50Log = ids.sortBy(i => (-logw(i)._1, i)).take(50).toSet
     assert(top50Fixed.intersect(top50Log).size >= 45,
       s"top-50 per-feature selections must overlap (measured 48/50)")
-    val sRaw = spearman(ids.map(i => fixed(i)._2.toDouble), ids.map(logw))
+    val sRaw = spearman(ids.map(i => fixed(i)._2.toDouble), ids.map(i => logw(i)._2))
     assert(sRaw <= -0.9,
       s"raw sums are length-biased in OPPOSITE directions by construction " +
         s"(measured -0.98); a drift toward agreement means an expression changed: $sRaw")
+
+    // the selector surface: top-k ranks by the normalized mean with a
+    // distributed partial top-k plan, never a global sort or window
+    val topStaged = graft.operators.Dsir.selectTopKWithRelease(docs, "doc_id", "text",
+      targetPred = col("lang") === "en", k = 10)
+    try {
+      val got = topStaged.frame.collect().map(_.getLong(0)).toSeq
+      val want = ids.sortBy(i => (-fixed(i)._3, i)).take(10)
+      assert(got == want, "selectTopK must rank by dsir_weight_mean, ties on id")
+      val plan = topStaged.frame.queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"selectTopK must plan a distributed partial top-k:\n$plan")
+    } finally topStaged.release()
   }
 
   test("q93: buckets partition the fact table and every envelope prunes to <=1/8 of both domains") {

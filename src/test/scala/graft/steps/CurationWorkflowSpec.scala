@@ -94,12 +94,12 @@ class CurationWorkflowSpec extends AnyFunSuite with SparkSupport {
         "dsir_weight in=documents target_lang=en",
         zieltabelle = Some("doc_scores")), ctx)
     val viaStep = wh.read(spark, "doc_scores")
-      .select(col("doc_id"), col("n_feats"), col("dsir_weight"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      .select(col("doc_id"), col("n_feats"), col("dsir_weight_mean"), col("dsir_weight"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     val direct = graft.operators.Dsir.weightsManaged(
       spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text",
       targetPred = col("lang") === "en") {
-      _.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      _.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     }
     assert(viaStep == direct, "the step lifecycle must not perturb the operator's output")
     assert(moved.contains(direct.size.toLong), "ErwarteteDaten must count the written rows")
