@@ -734,7 +734,33 @@ object FanIn {
         println(f"components chain probe: depth $depth%3d, $nNodes%,d nodes " +
           f"($width%,d chains): propagation $rounds rounds (= diameter+1) $wallS%.1f s " +
           f"(${wallS / rounds}%.2f s/round) vs star contraction $starRounds rounds $starS%.1f s")
+        // r13: the dispatch must pick the measured winner on this shape
+        var autoPick = ""
+        val t2 = System.nanoTime()
+        val autoComp = ConnectedComponents.auto(memb, "node", Seq("bucket"),
+          onDispatch = autoPick = _)
+          .select(countDistinct($"component")).head().getLong(0)
+        val autoS = (System.nanoTime() - t2) / 1e9
+        assert(autoComp == width)
+        val expected = if (depth + 1 <= 4) "propagation" else "stars"
+        assert(autoPick == expected,
+          s"auto picked $autoPick on a depth-$depth chain, expected $expected")
+        println(f"components auto dispatch: depth $depth%3d -> $autoPick $autoS%.1f s")
       }
+      // the clique control (the LSH duplicate-cluster shape): auto must
+      // stay on propagation — the measured winner (FANIN crossover)
+      val cliqueMemb = spark.range(1000L * mult)
+        .select($"id".as("node"), pmod($"id", lit(100L)).as("bucket"))
+      var cliquePick = ""
+      val t3 = System.nanoTime()
+      val cliqueComps = graft.operators.ConnectedComponents
+        .auto(cliqueMemb, "node", Seq("bucket"), onDispatch = cliquePick = _)
+        .select(countDistinct($"component")).head().getLong(0)
+      assert(cliquePick == "propagation",
+        s"auto must keep near-clique graphs on propagation, picked $cliquePick")
+      assert(cliqueComps == 100L)
+      println(f"components auto dispatch: 100 cliques of ${10L * mult}%,d -> " +
+        f"$cliquePick ${(System.nanoTime() - t3) / 1e9}%.1f s")
     }
 
     // ---- end-to-end runs on the 100x corpus (FANIN_E2E=0 skips) ----

@@ -52,9 +52,22 @@ object ConnectedComponents {
     */
   def viaBuckets(memberships: DataFrame, nodeCol: String,
       bucketCols: Seq[String], maxIters: Int = 50,
-      onRound: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
+      onRound: (Int, Long) => Unit = (_, _) => ()): DataFrame =
+    propagate(memberships, nodeCol, bucketCols, maxIters, onRound).getOrElse(
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIters rounds — " +
+          "component diameter exceeds the bound; raise maxIters (or use " +
+          "viaStars/auto: star contraction converges in O(log n) rounds)"))
+
+  /** The propagation loop shared by [[viaBuckets]] (throws at the
+    * bound) and [[auto]] (dispatches at the bound): Some(labels) on
+    * convergence within `maxRounds`, None if labels still moved.
+    */
+  private def propagate(memberships: DataFrame, nodeCol: String,
+      bucketCols: Seq[String], maxRounds: Int,
+      onRound: (Int, Long) => Unit): Option[DataFrame] = {
     require(bucketCols.nonEmpty, "bucketCols must be non-empty")
-    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    require(maxRounds >= 1, s"maxIters must be >= 1, got $maxRounds")
     val bCols = bucketCols.map(col)
     val m = memberships
       .select(col(nodeCol).as("n") +: bCols: _*)
@@ -68,10 +81,7 @@ object ConnectedComponents {
       var moved = 1L
       while (moved > 0) {
         round += 1
-        if (round > maxIters)
-          throw new IllegalStateException(
-            s"connected components did not converge in $maxIters rounds — " +
-              "component diameter exceeds the bound; raise maxIters")
+        if (round > maxRounds) return None
         val bucketMin = m.join(labels, "n")
           .groupBy(bCols: _*).agg(min(col("lbl")).as("bm"))
         val stepped = m.join(bucketMin, bucketCols)
@@ -83,10 +93,40 @@ object ConnectedComponents {
         onRound(round, moved)
         labels = stepped.select(col("n"), col("nxt").as("lbl"))
       }
-      labels.select(col("n").as(nodeCol), col("lbl").as("component"))
+      Some(labels.select(col("n").as(nodeCol), col("lbl").as("component")))
     } finally {
       m.unpersist()
       ()
+    }
+  }
+
+  /** Algorithm dispatch from ROUND-1..k movement statistics (r13,
+    * VERDICT stretch #7) instead of caller choice: probe with min-label
+    * propagation — the measured winner on near-clique LSH collision
+    * graphs (2–3 rounds, no symmetrize, FANIN.md crossover table) —
+    * and if labels still move after `probeRounds`, the component
+    * diameter is propagation-hostile (each round advances one
+    * bucket-hop), so restart as [[viaStars]], whose alternation halves
+    * remaining depth per round. The probe pays ≤ `probeRounds` cheap
+    * rounds on the losing side of the dispatch — bounded, and small
+    * against the 65-vs-7-round gap it avoids (FANIN.md chain probe);
+    * on the winning side it IS the computation.
+    *
+    * `onDispatch` observes the decision ("propagation" after
+    * convergence in the probe, or "stars" with the restart) — the
+    * ConnectedComponentsSpec pin and a production run's logging hook.
+    */
+  def auto(memberships: DataFrame, nodeCol: String, bucketCols: Seq[String],
+      probeRounds: Int = 4, maxIters: Int = 40,
+      onRound: (Int, Long) => Unit = (_, _) => (),
+      onDispatch: String => Unit = _ => ()): DataFrame = {
+    require(probeRounds >= 1 && probeRounds <= maxIters,
+      s"probeRounds must be in [1, maxIters], got $probeRounds")
+    propagate(memberships, nodeCol, bucketCols, probeRounds, onRound) match {
+      case Some(labels) => onDispatch("propagation"); labels
+      case None =>
+        onDispatch("stars")
+        viaStars(memberships, nodeCol, bucketCols, maxIters, onRound)
     }
   }
 

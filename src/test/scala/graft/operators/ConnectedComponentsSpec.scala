@@ -170,4 +170,38 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkSupport {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 2L))
   }
+
+  test("auto dispatches by round-1..k movement: propagation on the clique, stars on the deep chain") {
+    import spark.implicits._
+    // r13 (VERDICT stretch #7): the measured winner on each shape
+    // (FANIN crossover table) must be what the probe picks — clique
+    // converges inside the probe, a chain deeper than probeRounds
+    // restarts as star contraction; labels identical either way
+    val clique = (0L to 9L).map(n => (n, 0)).toDF("n", "bucket")
+    var picked = ""
+    val cliqueGot = ConnectedComponents.auto(clique, "n", Seq("bucket"),
+      probeRounds = 4, onDispatch = picked = _)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(picked == "propagation", s"clique must stay on propagation, picked $picked")
+    assert(cliqueGot == (0L to 9L).map(_ -> 0L).toMap)
+
+    val depth = 12 // diameter > probeRounds -> propagation probe gives up
+    val chain = (0 until depth).flatMap(i => Seq((i.toLong, i), ((i + 1).toLong, i)))
+      .toDF("n", "bucket")
+    val chainGot = ConnectedComponents.auto(chain, "n", Seq("bucket"),
+      probeRounds = 4, onDispatch = picked = _)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(picked == "stars", s"deep chain must dispatch to stars, picked $picked")
+    assert(chainGot == (0L to depth.toLong).map(_ -> 0L).toMap)
+
+    // and the dispatch is label-transparent on a random mixed graph
+    val rnd = new scala.util.Random(47)
+    val memb = (0 until 150).map(_ =>
+      (rnd.nextInt(70).toLong, rnd.nextInt(40))).distinct.toDF("n", "bucket")
+    val viaAuto = ConnectedComponents.auto(memb, "n", Seq("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaB = ConnectedComponents.viaBuckets(memb, "n", Seq("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaAuto == viaB)
+  }
 }
