@@ -139,9 +139,19 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
     * truthful and costs pruning quality only for the straggler rows
     * until the next OPTIMIZE. Steps claim the table mutex before
     * maintenance, so inside a workflow the window is already exclusive.
+    *
+    * `quantile = true` (r13) swaps the linear min-max quantizer for
+    * rank-quantile positions ([[graft.operators.ZOrder.zkeyedQuantile]]
+    * — one `approxQuantile` sketch pass per layout key instead of the
+    * min/max aggregate): the layout keeps pruning on Zipf-skewed
+    * columns where min-max collapses nearly all rows into one position
+    * (measured in ZOrderSpec), and DATE/TIMESTAMP keys are accepted
+    * directly. Same rewrite, same swap; prefer it whenever the key's
+    * distribution is unknown.
     */
   def optimizeZOrder(spark: SparkSession, table: String, zcols: Seq[String],
-      bits: Int = 6, targetRowsPerFile: Long = 1000000L): (Int, Int) = {
+      bits: Int = 6, targetRowsPerFile: Long = 1000000L,
+      quantile: Boolean = false): (Int, Int) = {
     require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
     import org.apache.spark.sql.functions.{col, count, lit, max, min}
     val before = partFiles(table)
@@ -149,20 +159,29 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
       val df = read(spark, table)
       // ONE stats job for row count AND every column's bounds (r12
       // review: count + zkeyed's internal min/max were two separate
-      // full-table aggregations — a whole extra scan per OPTIMIZE)
-      val statsRow = df.agg(count(lit(1)).as("__rows"),
-        zcols.flatMap(c => Seq(min(col(c).cast("long")), max(col(c).cast("long")))): _*)
-        .head()
+      // full-table aggregations — a whole extra scan per OPTIMIZE);
+      // the quantile path only needs the count (its boundaries come
+      // from per-column sketch passes inside zkeyedQuantile)
+      val statsRow =
+        if (quantile) df.agg(count(lit(1)).as("__rows")).head()
+        else df.agg(count(lit(1)).as("__rows"),
+          zcols.flatMap(c => Seq(min(col(c).cast("long")), max(col(c).cast("long")))): _*)
+          .head()
       val rows = statsRow.getLong(0)
       if (rows > 0) {
-        zcols.zipWithIndex.foreach { case (c, i) =>
+        if (!quantile) zcols.zipWithIndex.foreach { case (c, i) =>
           require(!statsRow.isNullAt(1 + 2 * i),
             s"optimizeZOrder: `$c` holds no non-null values — not a layout key") }
-        val bounds = zcols.indices.map(i =>
-          (statsRow.getLong(1 + 2 * i), statsRow.getLong(2 + 2 * i)))
         val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
-        val keyed = graft.operators.ZOrder
-          .zkeyedWithBounds(df, zcols, bounds, bits, "__zorder_key")
+        val keyed =
+          if (quantile)
+            graft.operators.ZOrder.zkeyedQuantile(df, zcols, bits, "__zorder_key")
+          else {
+            val bounds = zcols.indices.map(i =>
+              (statsRow.getLong(1 + 2 * i), statsRow.getLong(2 + 2 * i)))
+            graft.operators.ZOrder
+              .zkeyedWithBounds(df, zcols, bounds, bits, "__zorder_key")
+          }
         rewriteInPlace(table, keyed
           .repartitionByRange(nFiles, col("__zorder_key"))
           .sortWithinPartitions("__zorder_key")

@@ -145,5 +145,30 @@ object Transforms {
       unstaged(graft.operators.Bloom.newKeys(
         input(ctx, p, "in"), input(ctx, p, "seen"), str(p, "key"),
         mBits = long(p, "mbits", Some(1L << 16)),
-        k = long(p, "k", Some(5L)).toInt))))
+        k = long(p, "k", Some(5L)).toInt))),
+    // semdedup in=<embeddings table> [id=vec_id emb=embedding
+    //   threshold=0.3 seed_k=8 | cents=<(cid, ce) table>] — the q91
+    // within-cell cosine dedup as a step; centroids come from a
+    // previous step's table (a trained q68 codebook, the q94 shape) or
+    // from the first seed_k vectors (the q91 seed shape)
+    "semdedup" -> { (ctx, p) =>
+      import org.apache.spark.sql.functions.col
+      import graft.functions.{VectorFunctions => V}
+      val idCol = p.getOrElse("id", "vec_id")
+      val embCol = p.getOrElse("emb", "embedding")
+      val v = input(ctx, p, "in")
+        .withColumn("__e", V.asDouble(col(embCol)))
+        .withColumn("__nrm", V.norm(col("__e")))
+        .select(col(idCol), col("__e"), col("__nrm"))
+      val cents = p.get("cents") match {
+        case Some(_) => input(ctx, p, "cents")
+          .select(col("cid"), V.asDouble(col("ce")).as("ce"))
+        case None => v.filter(col(idCol) < long(p, "seed_k", Some(8L)))
+          .select(col(idCol).cast("long").as("cid"), col("__e").as("ce"))
+      }
+      val staged = graft.operators.SemDeDup.survivorsWithRelease(
+        v, cents, idCol = idCol, embCol = "__e", normCol = "__nrm",
+        threshold = p.get("threshold").map(_.toDouble).getOrElse(0.3))
+      Curation.Staged(staged.frame, staged.release)
+    })
 }

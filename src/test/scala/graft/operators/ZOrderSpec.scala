@@ -143,6 +143,33 @@ class ZOrderSpec extends AnyFunSuite with SparkSupport with PropSupport {
     assert(sy * 2 >= ny, s"y predicate must skip >=half the files: $sy/$ny")
   }
 
+  test("Warehouse.optimizeZOrder(quantile=true): Zipf key keeps pruning after maintenance") {
+    import spark.implicits._
+    // r13: the maintenance path's quantile mode — a Zipf-skewed layout
+    // key (log-uniform magnitudes) plus a uniform one; after OPTIMIZE
+    // the dense low region of the skewed column must still prune,
+    // which the linear min-max quantizer cannot deliver (its position
+    // 0 holds ~2/3 of all rows — the ZOrderSpec collapse measurement)
+    val wh = new graft.catalog.Warehouse(graft.util.TempDirs.scratch("zorder-wh-q"))
+    val df = spark.range(30000).select(
+      expr("cast(shiftleft(1L, cast(pmod(xxhash64(id, 'ox'), 20) as int)) as long)").as("x"),
+      pmod(xxhash64($"id", lit("oy")), lit(4096)).as("y"))
+    wh.append(df.repartition(64), "zfact") // fragmented, as an append-heavy table would be
+    val beforeRows = wh.read(spark, "zfact").groupBy($"x", $"y").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val (before, after) = wh.optimizeZOrder(spark, "zfact", Seq("x", "y"),
+      bits = 5, targetRowsPerFile = 1000L, quantile = true)
+    assert(before > after, s"optimize must compact: $before -> $after")
+    val afterRows = wh.read(spark, "zfact").groupBy($"x", $"y").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(afterRows == beforeRows, "OPTIMIZE must not change table contents")
+    val env = ZOrder.fileEnvelopes(spark, s"${wh.dir}/zfact", "x").filterNot(_.rows == 0)
+    val skipped = ZOrder.skippable(env, 1L, 8L)
+    assert(env.size >= 8, s"expected a multi-file layout, got ${env.size}")
+    assert(skipped * 2 >= env.size,
+      s"dense-region predicate must skip >=half the files on the Zipf key: $skipped/${env.size}")
+  }
+
   test("zkeyed matches a driver-side quantize+interleave reference on random rows, including negatives and degenerate domains") {
     import spark.implicits._
     val rnd = new scala.util.Random(53)

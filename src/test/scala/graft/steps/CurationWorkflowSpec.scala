@@ -105,6 +105,29 @@ class CurationWorkflowSpec extends AnyFunSuite with SparkSupport {
     assert(moved.contains(direct.size.toLong), "ErwarteteDaten must count the written rows")
   }
 
+  test("semdedup runs as a PIPELINE step and matches the q91 gate output (r13: the last selection surface step-reachable)") {
+    import org.apache.spark.sql.functions.col
+    graft.catalog.Tables.registerAll(spark, sf)
+    val wh = new graft.catalog.Warehouse(graft.util.TempDirs.scratch("semdedup-step"))
+    val ledger = new graft.ledger.RunLedger()
+    val ctx = StepContext(spark, wh, ledger,
+      graft.macros.Macros.Context(7L,
+        java.time.LocalDateTime.of(2026, 1, 1, 0, 0),
+        java.time.LocalDateTime.of(2026, 1, 2, 0, 0)))
+    val moved = Steps.execute(
+      StepSpec(5003, CommandType.Copy, TaskType.Pipeline,
+        "semdedup in=embeddings threshold=0.3 seed_k=8",
+        zieltabelle = Some("vec_survivors")), ctx)
+    val viaStep = wh.read(spark, "vec_survivors")
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaGate = graft.queries.Registry.byName("q91_semdedup").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache() // the gate form's persists (registry contract)
+    assert(viaStep == viaGate, "the step lifecycle must not perturb the operator's output")
+    assert(moved.contains(viaGate.size.toLong))
+  }
+
   test("induced stage failure: cancellation cascade aborts the successor, fallback package compensates") {
     val (result, ledger, _) = EndToEnd.runCurationWorkflow(spark, sf, induceFailure = true)
     assert(!result.success && result.fallbackRan && result.error.isDefined)

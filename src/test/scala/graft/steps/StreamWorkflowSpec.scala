@@ -73,6 +73,35 @@ class StreamWorkflowSpec extends AnyFunSuite with SparkSupport {
       .forall(r => r.istAbgeschlossen && !r.erfolgreich))
   }
 
+  test("the stream workflow runs under the SCHEDULER LOOP: each due tick drains one catch-up pass") {
+    // the reference's always-on component is the scheduler loop
+    // (Processor.cs:1110-1168) re-running a configured component per
+    // tick — here each tick executes the STREAM workflow's bounded
+    // AvailableNow drain, and a finished workflow is re-created for
+    // its next slot, so consecutive ticks keep draining
+    import java.time.{LocalDateTime}
+    import graft.orchestrate.{SchedulerLoop, WorkflowManager}
+    import graft.schedule.{Interval, Schedule}
+    val base = LocalDateTime.of(2026, 3, 2, 9, 0, 0)
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(graft.orchestrate.WorkflowResult, Long)]
+    val loop = new SchedulerLoop(new WorkflowManager,
+      (wf, zid, _) => {
+        assert(wf == 9)
+        val (result, _, wh) = EndToEnd.runStreamWorkflow(spark, sf)
+        results += ((result, wh.read(spark, "bl_admitted").count()))
+      }, tickSeconds = 10)
+    loop.register(9, Schedule(Interval.Minute, base, base.toLocalTime))
+    assert(loop.tick(base) == Seq(9))
+    assert(loop.tick(base.plusMinutes(1)) == Seq(9),
+      "a finished stream workflow must be re-created for the next slot")
+    assert(results.size == 2)
+    results.foreach { case (r, admitted) =>
+      assert(r.success && !r.fallbackRan)
+      assert(admitted > 0, "each tick's drained pass must admit its arrivals")
+    }
+  }
+
   test("STREAM step command parsing fails loudly; Zeitscheibe rejected; quoted values parse") {
     val ctx = StepContext(spark,
       new graft.catalog.Warehouse(graft.util.TempDirs.scratch("st-parse")),
