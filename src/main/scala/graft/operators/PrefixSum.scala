@@ -88,8 +88,17 @@ object PrefixSum {
     }
     val p = df.persist() // three consumers: boundary stats, totals, the windowed join
     val bnds = RankBuckets.boundaries(p, orderHead, numBuckets)
+    // null order keys fail loudly (r13 review): bucketOf would silently
+    // put a null in bucket 0, but Spark's DESC ordering sorts nulls
+    // LAST — the row's bucket and its window position would disagree
+    // and the offsets would be silently wrong. No gate input is
+    // nullable here; a caller's is a contract violation, not data.
+    val bucketOrFail = when(orderHead.isNull, raise_error(lit(
+      "PrefixSum.perKey: null in the leading order expression — " +
+        "filter nulls or coalesce them to a sortable sentinel first")))
+      .otherwise(RankBuckets.bucketOf(bnds, orderHead, descending))
     val b = p
-      .withColumn("__pb", RankBuckets.bucketOf(bnds, orderHead, descending))
+      .withColumn("__pb", bucketOrFail)
       .withColumn("__pv", value)
     val keyCols = keys.map(col)
     val totals = b.groupBy(keyCols :+ col("__pb"): _*)

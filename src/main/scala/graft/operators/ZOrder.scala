@@ -160,6 +160,14 @@ object ZOrder {
     * `CommandExecuter.cs` Zeitscheibe bounds, land here). Boundary
     * positions are order-preserving in the original key space, so
     * z-locality survives exactly as in the linear form.
+    *
+    * Cost note: ONE `approxQuantile` job per layout column over `df` —
+    * persist an expensive-to-recompute frame upstream (the warehouse
+    * maintenance path reads plain parquet, where the rescan is the
+    * sketch's natural input). Null key values take position 0 — they
+    * cluster together at the layout's low edge, their files carry
+    * truthful (possibly stat-less) envelopes, and pruning on the other
+    * interleaved columns is unaffected.
     */
   def zkeyedQuantile(df: DataFrame, zcols: Seq[String], bits: Int,
       keyName: String = "zkey"): DataFrame = {

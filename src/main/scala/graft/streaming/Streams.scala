@@ -309,6 +309,9 @@ object Streams {
       warehouse: graft.catalog.Warehouse,
       seenTable: String, bloomTable: String, outTable: String,
       mBits: Long, k: Int, failAfterPhase: Int = Int.MaxValue): Unit = {
+    require(!batch.columns.contains("batch") && keyCol != "batch",
+      "bloomDedupStream reserves the `batch` column for its replay-rewind " +
+        "tag — rename the incoming column")
     if (!batch.isEmpty) {
       import org.apache.spark.sql.functions.lit
       val spark = batch.sparkSession

@@ -123,6 +123,19 @@ class SkewSafeWindowsSpec extends AnyFunSuite with SparkSupport {
     }
   }
 
+  test("PrefixSum.perKey: a null leading order key fails loudly (bucket/window order would disagree)") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1.0), 1L), ("a", None, 2L)).toDF("k", "o", "v")
+    val staged = PrefixSum.perKeyWithRelease(df, Seq("k"),
+      Seq(col("o").desc, col("v")), orderHead = col("o"), descending = true,
+      value = col("v"), cumName = "cum", numBuckets = 4)
+    try {
+      val e = intercept[Exception](staged.frame.collect())
+      assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+        .contains("null in the leading order expression"))
+    } finally staged.release()
+  }
+
   test("RankBuckets: bucket ids are monotone along the sort order and equal values share buckets") {
     import spark.implicits._
     val df = (0 until 500).map(i => math.pow(1.3, i % 40)).toDF("x")

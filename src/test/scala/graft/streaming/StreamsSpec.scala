@@ -113,6 +113,12 @@ class StreamsSpec extends AnyFunSuite with SparkSupport {
     run(clean, batch1, 0L); run(clean, batch2, 1L)
     val want = state(clean)
     assert(want._1 == Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "c")))
+    // the replay-rewind tag is reserved: an incoming `batch` column
+    // would be silently overwritten — refuse loudly instead
+    val reserved = intercept[IllegalArgumentException](
+      run(freshWh("rsv"), batch1.withColumn("batch",
+        org.apache.spark.sql.functions.lit(9L)), 0L))
+    assert(reserved.getMessage.contains("reserves the `batch` column"))
     for (failAt <- 0 to 3) {
       val wh = freshWh(s"f$failAt")
       val e = intercept[IllegalStateException](run(wh, batch1, 0L, failAt))
