@@ -144,8 +144,10 @@ object Selection {
     * domain positions (linear min-max quantizer — order-preserving, so
     * z-locality survives in the ORIGINAL key space; the domain stats
     * are a 1-row broadcast on a constant key, never a global window;
-    * production swaps in percentile boundaries from a sketch for
-    * skewed columns, the plan is identical), interleave into a 12-bit
+    * the percentile
+    * quantizer for skewed/temporal columns is executed code —
+    * `ZOrder.zkeyedQuantile` + `optimizeZOrder(quantile = true)`,
+    * ZOrderSpec-measured — r13), interleave into a 12-bit
     * z-key, bucket on its top 6 bits (the file-boundary stand-in: a
     * z-ordered write is `repartitionByRange(zkey)` + sorted files —
     * EXECUTED as `ZOrder.writeLayout`, with real footer-stat skipping

@@ -128,6 +128,53 @@ class CurationWorkflowSpec extends AnyFunSuite with SparkSupport {
     assert(moved.contains(viaGate.size.toLong))
   }
 
+  test("paragraph_dedup and bloom_ingest run as PIPELINE steps and match their gate outputs") {
+    // the no-drift rule for the rest of the r13 dedup registry: the
+    // step lifecycle must write exactly what the oracle-gated bodies
+    // compute (q87's dedup; q89's bloom-pre-filtered admission)
+    import org.apache.spark.sql.functions.col
+    graft.catalog.Tables.registerAll(spark, sf)
+    val wh = new graft.catalog.Warehouse(graft.util.TempDirs.scratch("dedup-steps"))
+    val ledger = new graft.ledger.RunLedger()
+    val ctx = StepContext(spark, wh, ledger,
+      graft.macros.Macros.Context(7L,
+        java.time.LocalDateTime.of(2026, 1, 1, 0, 0),
+        java.time.LocalDateTime.of(2026, 1, 2, 0, 0)))
+
+    Steps.execute(StepSpec(5004, CommandType.Copy, TaskType.Pipeline,
+      "paragraph_dedup in=documents chunk=20",
+      zieltabelle = Some("para_dedup")), ctx)
+    val viaStep = wh.read(spark, "para_dedup")
+      .select(col("doc_id"), col("chunks_kept"), col("tokens_kept"), col("cleaned_text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val viaGate = graft.queries.Registry.byName("q87_paragraph_dedup").run(spark, sf)
+      .select(col("doc_id"), col("chunks_kept"), col("tokens_kept"), col("cleaned_text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    spark.catalog.clearCache()
+    assert(viaStep == viaGate)
+
+    // bloom_ingest: seed the seen table as a previous step would, then
+    // admit the incoming slice; equals the q89 gate rows
+    spark.sql("""CREATE OR REPLACE TEMP VIEW bl_fp_step AS
+      SELECT doc_id, md5(concat_ws(' ', split(trim(lower(text)), '\\s+'))) AS fingerprint
+      FROM documents""")
+    Steps.execute(StepSpec(5005, CommandType.Copy, TaskType.Sql,
+      "SELECT fingerprint FROM bl_fp_step WHERE pmod(doc_id, 4) != 0",
+      zieltabelle = Some("bl_seen_step")), ctx)
+    spark.sql("CREATE OR REPLACE TEMP VIEW bl_incoming AS " +
+      "SELECT doc_id, fingerprint FROM bl_fp_step WHERE pmod(doc_id, 4) = 0")
+    Steps.execute(StepSpec(5006, CommandType.Copy, TaskType.Pipeline,
+      "bloom_ingest in=bl_incoming seen=bl_seen_step key=fingerprint mbits=65536 k=5",
+      zieltabelle = Some("bl_admitted_step")), ctx)
+    val admittedStep = wh.read(spark, "bl_admitted_step")
+      .select(col("doc_id"), col("fingerprint"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val admittedGate = graft.queries.Registry.byName("q89_bloom_incremental").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    spark.catalog.clearCache()
+    assert(admittedStep == admittedGate)
+  }
+
   test("induced stage failure: cancellation cascade aborts the successor, fallback package compensates") {
     val (result, ledger, _) = EndToEnd.runCurationWorkflow(spark, sf, induceFailure = true)
     assert(!result.success && result.fallbackRan && result.error.isDefined)
