@@ -693,6 +693,31 @@ object FanIn {
         f"(linear $linWriteS%.1f s); 1/8-domain skip z-layout x=${skip(s"$outDir/zlayout", "x", xDom)} " +
         s"y=${skip(s"$outDir/zlayout", "y", yDom)} vs linear-x x=${skip(s"$outDir/linlayout", "x", xDom)} " +
         s"y=${skip(s"$outDir/linlayout", "y", yDom)}")
+
+      // r13: the PERCENTILE quantizer under Zipf skew at FANIN scale —
+      // x is log-uniform over 20 magnitudes, so the min-max quantizer
+      // maps ~2/3 of rows into z-position 0 and the layout stops
+      // pruning the dense low region; rank-quantile positions hold it
+      val zipfPts = spark.range(n).select(
+        expr("cast(shiftleft(1L, cast(pmod(xxhash64(id, 'fzx'), 20) as int)) as long)").as("x"),
+        pmod(xxhash64($"id", lit("fzy")), lit(yDom)).as("y"))
+      val t2 = System.nanoTime()
+      ZOrder.writeLayout(ZOrder.zkeyedQuantile(zipfPts, Seq("x", "y"), bits = 6),
+        "zkey", files, s"$outDir/zq")
+      val qWriteS = (System.nanoTime() - t2) / 1e9
+      ZOrder.writeLayout(ZOrder.zkeyed(zipfPts, Seq("x", "y"), bits = 6),
+        "zkey", files, s"$outDir/zlin")
+      def skipDense(dir: String): String = {
+        val env = ZOrder.fileEnvelopes(spark, dir, "x").filterNot(_.rows == 0)
+        s"${ZOrder.skippable(env, 1L, 8L)}/${env.size}"
+      }
+      val qSkip = skipDense(s"$outDir/zq")
+      val lSkip = skipDense(s"$outDir/zlin")
+      println(f"zorder quantile vs linear under Zipf x at x$mult: dense-region " +
+        f"(x<=8, ~20%% of rows) skip quantile $qSkip vs min-max $lSkip; " +
+        f"quantile write (incl. sketch passes) $qWriteS%.1f s")
+      val Array(qS, qN) = qSkip.split("/").map(_.toInt)
+      assert(qS * 2 >= qN, s"quantile layout must skip >=half on the dense region: $qSkip")
     }
 
     // ---- connected-components rounds vs diameter (r12 stretch #8):

@@ -162,6 +162,13 @@ object Curation {
       .withColumn("q", T.qualityScore(col("cleaned_text")))
       .select(col("doc_id"), col("lang"), col("source"), col("toks_clean"),
         col("base"), col("thresh"), col("q"))
+    // the bucket count stays FIXED (not derived from the lang-stats
+    // row count): a data-dependent numBuckets=1 lets Catalyst fold the
+    // constant bucket column out of the window's partition spec and
+    // the plan silently degrades to the one-task-per-stratum shape the
+    // PlanAuditSpec pin exists to forbid — the sketch pass + join are
+    // ~1 s of fixed cost at toy scale (FANIN r13 sidecar note), priced
+    // against the 12× hot-task collapse the spread buys under Zipf
     val prefixed = PrefixSum.perKeyWithRelease(scored, Seq("source"),
       order = Seq(col("q").desc, col("doc_id")), orderHead = col("q"),
       descending = true, value = col("toks_clean"), cumName = "cum_tokens",
