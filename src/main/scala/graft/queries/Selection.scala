@@ -623,6 +623,52 @@ object Selection {
       SELECT s.doc_id, s.lang, s.source, ss.cell, w.dsir_weight
       FROM surv s JOIN semsurv ss ON s.doc_id = ss.vec_id JOIN wts w ON s.doc_id = w.doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q91, q92, q93, q94, q96, q98, q99, q102)
+  /** The DSIR SELECTOR surface, oracle-gated (r13, VERDICT wrong #3
+    * closed end-to-end): [[graft.operators.Dsir.selectTopKWithRelease]]
+    * — top-k raw-pool docs by the per-feature-normalized weight, ties
+    * on doc_id. The plan is a distributed partial top-k
+    * (`TakeOrderedAndProject`, pinned in SelectionSpec — never a global
+    * sort or a rank window), and because the normalized mean is exact
+    * integer division, DuckDB reproduces the selected SET and its
+    * columns digit-for-digit with a plain ORDER BY … LIMIT. This gate
+    * is what makes the length-bias hardening enforceable: a regression
+    * that re-ranked on the raw sum would select different docs and
+    * break the hash.
+    */
+  val q108 = QueryDef(
+    "q108_dsir_select_topk",
+    (s, dir) =>
+      graft.operators.Dsir.selectTopKWithRelease(docs(s, dir), "doc_id", "text",
+        targetPred = col("lang") === "en", k = 50,
+        buckets = 8192L, scale = 1000000L).frame,
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+      ), occ AS (
+        SELECT doc_id, lang,
+          CAST('0x' || substr(md5(f), 1, 8) AS BIGINT) % 8192 AS fb
+        FROM (
+          SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(t)-1),
+            i -> t[i] || ' ' || t[i+1])) AS f
+          FROM t WHERE len(t) >= 2)
+      ), ct AS (
+        SELECT fb, CAST(COUNT(*) AS BIGINT) AS ct FROM occ WHERE lang = 'en' GROUP BY 1
+      ), cr AS (
+        SELECT fb, CAST(COUNT(*) AS BIGINT) AS cr FROM occ GROUP BY 1
+      ), lm AS (
+        SELECT cr.fb, COALESCE(ct.ct, 0) AS ct, cr.cr FROM cr LEFT JOIN ct USING (fb)
+      ), w AS (
+        SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+          CAST(CAST(SUM((1000000 * (lm.ct + 1)) // (lm.cr + 1)) AS BIGINT)
+            // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS dsir_weight_mean,
+          CAST(SUM((1000000 * (lm.ct + 1)) // (lm.cr + 1)) AS BIGINT) AS dsir_weight
+        FROM occ o JOIN lm USING (fb)
+        GROUP BY 1
+      )
+      SELECT doc_id, n_feats, dsir_weight_mean, dsir_weight
+      FROM w ORDER BY dsir_weight_mean DESC, doc_id LIMIT 50"""))
+
+  val all: Seq[QueryDef] = Seq(q91, q92, q93, q94, q96, q98, q99, q102, q108)
 }
 
