@@ -694,6 +694,33 @@ object FanIn {
         s"y=${skip(s"$outDir/zlayout", "y", yDom)} vs linear-x x=${skip(s"$outDir/linlayout", "x", xDom)} " +
         s"y=${skip(s"$outDir/linlayout", "y", yDom)}")
 
+      // r13 round tail: the read-side CONSUMER priced — prunedRead
+      // schedules only envelope-intersecting files (plan-time,
+      // file-level) vs the same residual filter over a full scan of
+      // the layout. Warm-up + min-of-2 per variant so parquet/codegen
+      // init doesn't land on whichever runs first (probe discipline).
+      {
+        val (lo, hi) = (yDom / 2, yDom / 2 + yDom / 8)
+        spark.read.parquet(s"$outDir/zlayout").queryExecution.toRdd.count()
+        def minOf2(f: => Long): (Long, Double) = {
+          def once = {
+            val t = System.nanoTime(); val c = f; (c, (System.nanoTime() - t) / 1e9)
+          }
+          val a = once; val b = once
+          (a._1, math.min(a._2, b._2))
+        }
+        val pruned = ZOrder.prunedRead(spark, s"$outDir/zlayout", "y", lo, hi)
+        val full = spark.read.parquet(s"$outDir/zlayout")
+          .where($"y" >= lo && $"y" <= hi)
+        val (prCnt, prS) = minOf2(pruned.queryExecution.toRdd.count())
+        val (fCnt, fS) = minOf2(full.queryExecution.toRdd.count())
+        assert(prCnt == fCnt,
+          s"prunedRead must return exactly the full-scan filter's rows: $prCnt vs $fCnt")
+        println(f"zorder pruned read at x$mult: y-in-1/8-domain over " +
+          f"${pruned.inputFiles.length}/${full.inputFiles.length} scheduled files, " +
+          f"$prS%.2f s vs full-scan residual $fS%.2f s ($prCnt%,d rows)")
+      }
+
       // r13: the PERCENTILE quantizer under Zipf skew at FANIN scale —
       // x is log-uniform over 20 magnitudes, so the min-max quantizer
       // maps ~2/3 of rows into z-position 0 and the layout stops

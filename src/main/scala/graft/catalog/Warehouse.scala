@@ -137,8 +137,11 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
     * domain edge (r13, ADVICE r12: unclamped they quantized through
     * Long overflow into silently wrong keys), which keeps envelopes
     * truthful and costs pruning quality only for the straggler rows
-    * until the next OPTIMIZE. Steps claim the table mutex before
-    * maintenance, so inside a workflow the window is already exclusive.
+    * until the next OPTIMIZE. Run as a MAINTENANCE step
+    * ([[graft.steps.Steps.maintenanceStep]] — executed code, q109) the
+    * table mutex is claimed on the maintained table itself before the
+    * stats job starts, so inside the orchestrator the window is
+    * exclusive against every step-issued writer.
     *
     * `quantile = true` (r13) swaps the linear min-max quantizer for
     * rank-quantile positions ([[graft.operators.ZOrder.zkeyedQuantile]]

@@ -265,4 +265,34 @@ object ZOrder {
     * — the files whose envelope misses the range entirely. */
   def skippable(envelopes: Seq[FileEnvelope], lo: Long, hi: Long): Int =
     envelopes.count(e => e.max < lo || e.min > hi)
+
+  /** Manifest-pruned range read (r13) — the read-side CONSUMER of
+    * [[fileEnvelopes]], i.e. what a Delta/Iceberg manifest planner does
+    * with the stats [[writeLayout]] produces: keep only the files whose
+    * footer `[min, max]` envelope on `column` intersects `[lo, hi]`,
+    * scan just that subset, and apply the residual predicate.
+    * Row-identical to filtering the full scan BY CONSTRUCTION — footer
+    * min/max are exact bounds, so a file whose envelope misses the
+    * range can hold no qualifying row (q111 hash-pins this; ZOrderSpec
+    * additionally pins that the pruned plan's `inputFiles` really
+    * shrank). At 100 TB the win over Spark's own parquet row-group
+    * pushdown (which still OPENS every footer executor-side) is one
+    * level up: unqualified files are never scheduled as tasks at all —
+    * the planning-time pruning a z-ordered layout exists to enable.
+    * Driver-side footer listing is bounded metadata, not data (same
+    * contract as [[fileEnvelopes]]).
+    */
+  def prunedRead(spark: SparkSession, dir: String, column: String,
+      lo: Long, hi: Long): DataFrame = {
+    require(lo <= hi, s"prunedRead range is empty: [$lo, $hi]")
+    val keep = fileEnvelopes(spark, dir, column)
+      .filter(e => e.rows > 0 && e.max >= lo && e.min <= hi)
+      .map(e => s"$dir/${e.file}")
+    val residual = col(column) >= lo && col(column) <= hi
+    if (keep.isEmpty)
+      // schema from the (empty-after-filter) full listing; lit(false)
+      // folds to an empty LocalRelation, so nothing is scanned
+      spark.read.parquet(dir).where(lit(false))
+    else spark.read.parquet(keep: _*).where(residual)
+  }
 }

@@ -731,5 +731,244 @@ object EndToEnd {
       WHERE doc_id % 4 = 3
         AND fingerprint NOT IN (SELECT fingerprint FROM fp WHERE doc_id % 4 IN (0, 1, 2))"""))
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q36, q42, q53, q103, q106, q107)
+  /** The maintenance workflow fixture (r13): append-heavy table →
+    * warehouse maintenance as steps. Package 61's two COPY steps append
+    * two contiguous quarter slices of `lineitem` into one table (the
+    * file-accumulation shape every append-heavy table develops);
+    * package 62 runs `compact` then `optimize_zorder` as MAINTENANCE
+    * steps on that table — the maintained table is the Zieltabelle, so
+    * the table mutex covers the stats-to-rewrite window structurally
+    * (see [[graft.steps.TaskType.Maintenance]]). `induceFailure` swaps
+    * the compact command for an unknown action: the step fails loudly
+    * and the fallback package compensates (MaintenanceWorkflowSpec pins
+    * the ledger rows and the file accounting).
+    */
+  private[graft] def maintenanceWorkflowSpec(
+      induceFailure: Boolean = false): WorkflowSpec = {
+    def slice(from: String, to: String): String =
+      "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, " +
+        "l_extendedprice, l_shipdate FROM lineitem " +
+        s"WHERE l_shipdate >= TIMESTAMP '$from' AND l_shipdate < TIMESTAMP '$to'"
+    WorkflowSpec(
+      id = 10,
+      masterPackageId = 62,
+      fallbackPackageId = Some(69L),
+      packages = Map(
+        61L -> PackageSpec(61, realizations = Seq(RealizationSpec(
+          610, anzahlParalleleSchritte = 1,
+          steps = Seq(
+            StepSpec(6100, CommandType.Copy, TaskType.Sql,
+              slice("1995-01-01 00:00:00", "1995-04-01 00:00:00"),
+              zieltabelle = Some("mt_lineitem"), schrittReihenfolge = 0),
+            StepSpec(6110, CommandType.Copy, TaskType.Sql,
+              slice("1995-04-01 00:00:00", "1995-07-01 00:00:00"),
+              zieltabelle = Some("mt_lineitem"), schrittReihenfolge = 1))))),
+        62L -> PackageSpec(62, dependencies = Seq(61L), realizations = Seq(RealizationSpec(
+          620, anzahlParalleleSchritte = 1,
+          steps = Seq(
+            StepSpec(6200, CommandType.Copy, TaskType.Maintenance,
+              if (induceFailure) "vacuum retention=0" else "compact rows_per_file=1000000",
+              zieltabelle = Some("mt_lineitem"), schrittReihenfolge = 0),
+            StepSpec(6210, CommandType.Copy, TaskType.Maintenance,
+              "optimize_zorder cols=l_partkey,l_suppkey bits=6 rows_per_file=256 quantile=true",
+              zieltabelle = Some("mt_lineitem"), schrittReihenfolge = 1))))),
+        69L -> PackageSpec(69, realizations = Seq(RealizationSpec(
+          690, anzahlParalleleSchritte = 1,
+          steps = Seq(StepSpec(6900, CommandType.SqlTarget, TaskType.Sql,
+            "CREATE OR REPLACE TEMP VIEW mt_compensation AS " +
+              "SELECT 'maintenance aborted' AS status")))))))
+  }
+
+  /** Run the maintenance workflow fixture. */
+  private[graft] def runMaintenanceWorkflow(s: SparkSession, dir: String,
+      induceFailure: Boolean = false): (graft.orchestrate.WorkflowResult, RunLedger, Warehouse, String) = {
+    Tables.registerAll(s, dir)
+    val whDir = graft.util.TempDirs.scratch("graft-mt-wf")
+    val ledger = new RunLedger(() => FixedClock)
+    val wh = new Warehouse(whDir)
+    val runner = new WorkflowRunner(
+      new WorkflowManager, ledger, new Gates.ThreadCap(8),
+      new Gates.TableLocks, new Gates.ParallelLocks, clock = () => FixedClock)
+    val result = runner.run(maintenanceWorkflowSpec(induceFailure),
+      zeitplanAusfuehrungenId = 12,
+      (m: Macros.Context, stepRunId: Option[Long], real: RealizationSpec) =>
+        StepContext(s, wh, ledger, m, schrittRunId = stepRunId,
+          konfigurationenId = real.konfigurationenId))
+    (result, ledger, wh, whDir)
+  }
+
+  /** Warehouse maintenance run AS a workflow (r13): two COPY appends
+    * accumulate a table, then `compact` and `optimize_zorder
+    * (quantile)` rewrite it as MAINTENANCE steps under the full
+    * orchestrator — the readback must hash-match DuckDB evaluating the
+    * two COPY slices directly, i.e. maintenance must preserve the
+    * table's contents EXACTLY through both crash-safe rewrites (a
+    * dropped row, a clamped-away value, or a type drift in the rewrite
+    * path breaks the gate). The layout/file-count effects — the part
+    * maintenance actually buys — are pinned by MaintenanceWorkflowSpec
+    * on the same run (footer-envelope skipping on BOTH layout keys,
+    * message-log file accounting, mutex claim set, fallback path).
+    */
+  val q109 = QueryDef(
+    "q109_maintenance_workflow",
+    (s, dir) => {
+      val (result, _, wh, _) = runMaintenanceWorkflow(s, dir)
+      result.error.foreach(throw _)
+      wh.read(s, "mt_lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+          col("l_shipdate"))
+    },
+    Some("""
+      SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        l_extendedprice, l_shipdate
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1995-07-01 00:00:00'"""))
+
+  /** The ANN index workflow fixture (r13): train → assign → search as
+    * chained PIPELINE steps. Package 72 trains the flat k-means
+    * codebook into a warehouse table (`kmeans_train` — fixed-point
+    * deterministic, so the parquet round trip is value-identical to an
+    * in-session book), package 73 assigns every corpus vector against
+    * that table (`ivf_assign`), package 74 probes + scores queries
+    * against both index tables (`ann_search`). The index is thereby an
+    * ordinary pair of warehouse tables a workflow builds and maintains
+    * — claimed in the table mutex like any other stage chain.
+    * `induceFailure` points the search at a missing assignment table.
+    */
+  private[graft] def annWorkflowSpec(view: String,
+      induceFailure: Boolean = false): WorkflowSpec = WorkflowSpec(
+    id = 11,
+    masterPackageId = 74,
+    fallbackPackageId = Some(79L),
+    packages = Map(
+      71L -> PackageSpec(71, realizations = Seq(RealizationSpec(
+        710, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(7100, CommandType.SqlTarget, TaskType.Sql,
+          s"CREATE OR REPLACE TEMP VIEW $view AS " +
+            "SELECT vec_id, embedding FROM embeddings"))))),
+      72L -> PackageSpec(72, dependencies = Seq(71L), realizations = Seq(RealizationSpec(
+        720, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(7200, CommandType.Copy, TaskType.Pipeline,
+          s"kmeans_train in=$view k=4 iters=1",
+          zieltabelle = Some("ann_book")))))),
+      73L -> PackageSpec(73, dependencies = Seq(72L), realizations = Seq(RealizationSpec(
+        730, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(7300, CommandType.Copy, TaskType.Pipeline,
+          s"ivf_assign in=$view book=ann_book",
+          zieltabelle = Some("ann_assign"),
+          quelltabelle = Some("ann_book")))))),
+      74L -> PackageSpec(74, dependencies = Seq(73L), realizations = Seq(RealizationSpec(
+        740, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(7400, CommandType.Copy, TaskType.Pipeline,
+          s"ann_search in=$view book=ann_book " +
+            s"assign=${if (induceFailure) "ann_missing" else "ann_assign"} " +
+            "queries_below=30 nprobe=2 topk=3",
+          zieltabelle = Some("ann_topk"),
+          quelltabelle = Some("ann_book,ann_assign")))))),
+      79L -> PackageSpec(79, realizations = Seq(RealizationSpec(
+        790, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(7900, CommandType.SqlTarget, TaskType.Sql,
+          s"CREATE OR REPLACE TEMP VIEW ${view}_compensation AS " +
+            "SELECT 'search aborted' AS status")))))))
+
+  /** Run the ANN workflow fixture. */
+  private[graft] def runAnnWorkflow(s: SparkSession, dir: String,
+      induceFailure: Boolean = false): (graft.orchestrate.WorkflowResult, RunLedger, Warehouse) = {
+    Tables.registerAll(s, dir)
+    val ledger = new RunLedger(() => FixedClock)
+    val wh = new Warehouse(graft.util.TempDirs.scratch("graft-ann-wf"))
+    val runner = new WorkflowRunner(
+      new WorkflowManager, ledger, new Gates.ThreadCap(8),
+      new Gates.TableLocks, new Gates.ParallelLocks, clock = () => FixedClock)
+    val view = s"ann_src_${System.nanoTime()}"
+    val result = runner.run(annWorkflowSpec(view, induceFailure),
+      zeitplanAusfuehrungenId = 13,
+      (m: Macros.Context, stepRunId: Option[Long], real: RealizationSpec) =>
+        StepContext(s, wh, ledger, m, schrittRunId = stepRunId,
+          konfigurationenId = real.konfigurationenId))
+    (result, ledger, wh)
+  }
+
+  /** ANN index lifecycle AS a workflow (r13): k-means training, corpus
+    * assignment, and probed top-k search executed as three chained
+    * PIPELINE steps whose index artifacts are warehouse TABLES — the
+    * search reads the book and assignments back from parquet, so the
+    * gate also pins that the index survives the storage round trip
+    * bit-for-bit (fixed-point training means, strict-fold distances).
+    * Oracle = DuckDB re-deriving the one-iteration Lloyd book, the
+    * corpus cells, the 2-probe query cells, and the exact within-cell
+    * cosine top-3 — q68's training CTEs composed with q67's search
+    * tail on a flat index. A stale table read, a book that lost
+    * precision in storage, or a broken stage chain breaks the hash.
+    */
+  val q110 = QueryDef(
+    "q110_ann_workflow",
+    (s, dir) => {
+      val (result, _, wh) = runAnnWorkflow(s, dir)
+      result.error.foreach(throw _)
+      wh.read(s, "ann_topk")
+        .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+      ), n AS (
+        SELECT vec_id, e, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(e, x -> x*x)), (a,b) -> a+b)) AS nrm FROM v
+      ), seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
+        FROM v ORDER BY vec_id LIMIT 4
+      ), d1 AS (
+        SELECT v.vec_id, s.cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> (v.e[i]-s.ce[i])*(v.e[i]-s.ce[i]))),
+            (a,b) -> a+b) AS d
+        FROM v CROSS JOIN seeds s
+      ), a1 AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM d1) WHERE rn = 1
+      ), px1 AS (
+        SELECT a1.cell, i.i AS pos,
+          CAST(floor(v.e[i.i] * 1073741824.0) AS HUGEINT) AS q
+        FROM a1 JOIN v USING (vec_id)
+        CROSS JOIN (SELECT unnest(generate_series(1,64)) AS i) i
+      ), c1 AS (
+        SELECT cell, pos, (CAST(SUM(q) AS DOUBLE) / 1073741824.0) / COUNT(*) AS val
+        FROM px1 GROUP BY 1, 2
+      ), book AS (
+        SELECT cell AS cid, list(val ORDER BY pos) AS ce FROM c1 GROUP BY cell
+      ), d2 AS (
+        SELECT v.vec_id, b.cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> (v.e[i]-b.ce[i])*(v.e[i]-b.ce[i]))),
+            (a,b) -> a+b) AS d
+        FROM v CROSS JOIN book b
+      ), corpus AS (
+        SELECT a.vec_id, a.cell, n.e, n.nrm
+        FROM (SELECT vec_id, cid AS cell FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM d2) WHERE rn = 1) a JOIN n USING (vec_id)
+      ), probes AS (
+        SELECT vec_id AS query_id, cid AS cell FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM d2 WHERE vec_id < 30) WHERE rn <= 2
+      ), qv AS (
+        SELECT p.query_id, p.cell, n.e, n.nrm
+        FROM probes p JOIN n ON n.vec_id = p.query_id
+      ), scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> q.e[i]*c.e[i])), (a,b) -> a+b)
+            / (q.nrm * c.nrm) AS cosine
+        FROM qv q JOIN corpus c ON c.cell = q.cell AND c.vec_id <> q.query_id
+      ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM scored
+      )
+      SELECT query_id, rnk, neighbor_id, cosine FROM ranked WHERE rnk <= 3"""))
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q36, q42, q53, q103, q106, q107, q109, q110)
 }

@@ -669,6 +669,45 @@ object Selection {
       SELECT doc_id, n_feats, dsir_weight_mean, dsir_weight
       FROM w ORDER BY dsir_weight_mean DESC, doc_id LIMIT 50"""))
 
-  val all: Seq[QueryDef] = Seq(q91, q92, q93, q94, q96, q98, q99, q102, q108)
+  /** The z-order layout's READ side, oracle-gated (r13): write the
+    * two-key layout ([[graft.operators.ZOrder.writeLayout]] — the q93
+    * key, executed as range-partitioned sorted parquet), then answer
+    * range predicates on EACH interleaved column through
+    * [[graft.operators.ZOrder.prunedRead]] — the manifest planner that
+    * keeps only footer-envelope-intersecting files and scans just
+    * those. The oracle filters the source table directly, so the gate
+    * pins the pruning's CORRECTNESS contract: no qualifying row may
+    * live in a skipped file, on either dimension of one layout. The
+    * files-actually-skipped measurement is ZOrderSpec's (`inputFiles`
+    * shrinkage) and FANIN.md's (skip ratios at ×10/×100).
+    */
+  val q111 = QueryDef(
+    "q111_zorder_pruned_read",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.ZOrder
+      val li = Tables.load(s, dir, "lineitem")
+        .select($"l_partkey".cast("long").as("x"), $"l_suppkey".cast("long").as("y"))
+      val out = graft.util.TempDirs.scratch("graft-zpruned")
+      ZOrder.writeLayout(ZOrder.zkeyed(li, Seq("x", "y"), bits = 6), "zkey", 16, out)
+      def slice(c: String, lo: Long, hi: Long, other: String) =
+        ZOrder.prunedRead(s, out, c, lo, hi)
+          .groupBy(col(c))
+          .agg(count(lit(1)).as("cnt"), sum(col(other)).as("sum_other"))
+          .select(lit(c).as("dim"), col(c).as("k"), $"cnt", $"sum_other")
+      slice("x", 10L, 59L, "y").unionByName(slice("y", 3L, 20L, "x"))
+    },
+    Some("""
+      SELECT 'x' AS dim, CAST(l_partkey AS BIGINT) AS k,
+        CAST(COUNT(*) AS BIGINT) AS cnt,
+        CAST(SUM(CAST(l_suppkey AS BIGINT)) AS BIGINT) AS sum_other
+      FROM lineitem WHERE l_partkey BETWEEN 10 AND 59 GROUP BY 2
+      UNION ALL
+      SELECT 'y', CAST(l_suppkey AS BIGINT),
+        CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CAST(l_partkey AS BIGINT)) AS BIGINT)
+      FROM lineitem WHERE l_suppkey BETWEEN 3 AND 20 GROUP BY 2"""))
+
+  val all: Seq[QueryDef] = Seq(q91, q92, q93, q94, q96, q98, q99, q102, q108, q111)
 }
 

@@ -62,7 +62,22 @@ object TaskType {
     * and quoting as PIPELINE.
     */
   val Stream = "STREAM"
-  val all: Seq[String] = Seq(Sql, Excel, Csv, Pipeline, Stream)
+  /** A COPY whose Befehl names a warehouse MAINTENANCE action (r13):
+    * `compact` / `optimize_zorder` on the step's own Zieltabelle. The
+    * maintained table IS the Zieltabelle by construction — not a
+    * command parameter — so the orchestrator's table mutex
+    * ([[graft.orchestrate.Gates.TableLocks]], claimed from
+    * `StepSpec.claimedTables` like every step) covers the action's
+    * stats-to-rewrite window structurally: as long as writers go
+    * through steps, `optimizeZOrder`'s "no concurrent writers"
+    * assumption (ADVICE r12) is enforced by the same machinery that
+    * serializes the reference's table writes (`Step.cs:449-469`).
+    * Contents are unchanged by contract (the q109 gate hash-checks
+    * that); file counts land in the message log. Same command syntax
+    * and quoting as PIPELINE.
+    */
+  val Maintenance = "MAINTENANCE"
+  val all: Seq[String] = Seq(Sql, Excel, Csv, Pipeline, Stream, Maintenance)
 }
 
 /** The 7 CSV format options of `pc.ETL_Paketschritt_Parameter`

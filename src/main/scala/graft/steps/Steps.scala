@@ -72,6 +72,12 @@ object Steps {
           "its trigger; slice the watch folder's content upstream instead")
     case CommandType.Copy if spec.aufgabentyp == TaskType.Stream =>
       Some(streamStep(spec, ctx))
+    case CommandType.Copy if spec.aufgabentyp == TaskType.Maintenance && spec.zeitscheibe =>
+      throw new IllegalArgumentException(
+        "Zeitscheibe is not defined for MAINTENANCE steps — compaction and " +
+          "re-layout always rewrite the whole table, not a takeover slice")
+    case CommandType.Copy if spec.aufgabentyp == TaskType.Maintenance =>
+      maintenanceStep(spec, ctx); None
     case CommandType.Copy if !spec.zeitscheibe => Some(copy(spec, ctx))
     case CommandType.Copy => Some(copyTimesliced(spec, ctx))
     case CommandType.Transfer if spec.aufgabentyp == TaskType.Csv => Some(csvExport(spec, ctx))
@@ -133,6 +139,46 @@ object Steps {
     val rows = StreamTransforms.resolve(command, ctx)
     ctx.schrittRunId.foreach(ctx.ledger.recordExpectedRows(_, rows))
     rows
+  }
+
+  /** COPY/MAINTENANCE (r13): the macro-expanded Befehl names a
+    * warehouse maintenance action applied to the step's own
+    * Zieltabelle — `compact [rows_per_file=N]` ([[Warehouse.compact]])
+    * or `optimize_zorder cols=a,b [bits=6] [rows_per_file=N]
+    * [quantile=true]` ([[Warehouse.optimizeZOrder]]). The table comes
+    * from the Zieltabelle, NOT a command parameter, so the table-mutex
+    * claim and the mutated table cannot diverge (see
+    * [[TaskType.Maintenance]]); contents are unchanged by contract and
+    * the before→after file counts land in the message log (the
+    * reference's trace surface, `Helper.cs:1862-2020` — row counts
+    * stay untouched, so there is no `ErwarteteDaten` for maintenance).
+    */
+  def maintenanceStep(spec: StepSpec, ctx: StepContext): Unit = {
+    val command = Macros.expand(spec.befehl, ctx.macroCtx)
+    ctx.ledger.logQuery(command, ctx.schrittRunId, ctx.konfigurationenId)
+    val (action, params) = Transforms.parse("MAINTENANCE", command)
+    val table = targetTable(spec)
+    // a typo'd Zieltabelle must not report a successful 0->0-file run
+    // (the silent-downgrade class this repo rejects loudly everywhere)
+    require(ctx.warehouse.exists(ctx.spark, table),
+      s"MAINTENANCE step ${spec.id}: table `$table` does not exist in the warehouse")
+    val (before, after) = action match {
+      case "compact" =>
+        ctx.warehouse.compact(ctx.spark, table,
+          targetRowsPerFile = Transforms.long(params, "rows_per_file", Some(1000000L)))
+      case "optimize_zorder" =>
+        val cols = Transforms.str(params, "cols").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(cols.nonEmpty, s"optimize_zorder on `$table` needs at least one layout column")
+        ctx.warehouse.optimizeZOrder(ctx.spark, table, cols,
+          bits = Transforms.long(params, "bits", Some(6L)).toInt,
+          targetRowsPerFile = Transforms.long(params, "rows_per_file", Some(1000000L)),
+          quantile = params.get("quantile").exists(_.toBoolean))
+      case other => throw new IllegalArgumentException(
+        s"unknown MAINTENANCE action '$other' (known: compact, optimize_zorder)")
+    }
+    ctx.ledger.message(
+      s"MAINTENANCE $action on $table: $before -> $after files",
+      schrittRunId = ctx.schrittRunId)
   }
 
   /** COPY's source frame: a tenant-resolved JDBC source executes the

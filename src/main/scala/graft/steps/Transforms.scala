@@ -117,6 +117,20 @@ object Transforms {
         scale = long(p, "scale", Some(1000000L)))
       Curation.Staged(staged.frame, staged.release)
     },
+    // dsir_select in=<docs table> target_lang=<lang> k=<N>
+    //   [buckets=8192 scale=1000000] — the q108 SELECTOR as a step:
+    //   top-k raw-pool docs by the per-feature-normalized weight
+    //   (normalization internal — the raw-sum length trap is not
+    //   constructable from a step command either)
+    "dsir_select" -> { (ctx, p) =>
+      val staged = graft.operators.Dsir.selectTopKWithRelease(
+        input(ctx, p, "in"), "doc_id", "text",
+        targetPred = org.apache.spark.sql.functions.col("lang") === str(p, "target_lang"),
+        k = long(p, "k").toInt,
+        buckets = long(p, "buckets", Some(8192L)),
+        scale = long(p, "scale", Some(1000000L)))
+      Curation.Staged(staged.frame, staged.release)
+    },
     // ---- the dedup family (r13, VERDICT next #3): signal → prune as
     // chained steps, same operator bodies as the q87/q88/q104/q95 gates
     // paragraph_dedup in=<docs table> [chunk=20]
@@ -170,5 +184,67 @@ object Transforms {
         v, cents, idCol = idCol, embCol = "__e", normCol = "__nrm",
         threshold = p.get("threshold").map(_.toDouble).getOrElse(0.3))
       Curation.Staged(staged.frame, staged.release)
+    },
+    // ---- the ANN index family (r13): train → assign → search as
+    // chained steps, the q68/q67 operator bodies behind step commands —
+    // the index TABLES (codebook, assignments) become ordinary
+    // warehouse tables a workflow maintains like any other, and the
+    // search step reads them back like any stage-chained input.
+    // kmeans_train in=<emb table> [id=vec_id emb=embedding k=4 iters=1]
+    //   — writes the (cid, ce) codebook; training is fixed-point
+    //   bit-deterministic (KMeansCodebook), so the parquet round trip
+    //   through the warehouse is value-identical to an in-session book
+    "kmeans_train" -> { (ctx, p) =>
+      import org.apache.spark.sql.functions.col
+      import graft.functions.{VectorFunctions => V}
+      import graft.operators.KMeansCodebook
+      val id = p.getOrElse("id", "vec_id")
+      val v = input(ctx, p, "in")
+        .select(col(id), V.asDouble(col(p.getOrElse("emb", "embedding"))).as("e"))
+      unstaged(KMeansCodebook.train(v,
+        KMeansCodebook.initLowestIds(v, "e", id, long(p, "k", Some(4L)).toInt),
+        "e", id, iters = long(p, "iters", Some(1L)).toInt))
+    },
+    // ivf_assign in=<emb table> book=<codebook table> [id= emb=]
+    //   — one cell per corpus vector against the trained book
+    "ivf_assign" -> { (ctx, p) =>
+      import org.apache.spark.sql.functions.col
+      import graft.functions.{VectorFunctions => V}
+      val id = p.getOrElse("id", "vec_id")
+      val v = input(ctx, p, "in")
+        .select(col(id), V.asDouble(col(p.getOrElse("emb", "embedding"))).as("e"))
+      val book = input(ctx, p, "book").select(col("cid"), col("ce"))
+      unstaged(graft.operators.IvfIndex.assign(v, book, embCol = "e", idCol = id)
+        .select(col(id), col("cell")))
+    },
+    // ann_search in=<emb table> book=<codebook> assign=<assignments>
+    //   queries_below=<N> [id= emb= nprobe=2 topk=3] — probe the
+    //   nprobe nearest cells per query, exact cosine inside them,
+    //   top-k per query (q67's search tail on a flat trained index)
+    "ann_search" -> { (ctx, p) =>
+      import org.apache.spark.sql.functions.{col, row_number}
+      import graft.functions.{VectorFunctions => V}
+      val id = p.getOrElse("id", "vec_id")
+      val v = input(ctx, p, "in")
+        .withColumn("__e", V.asDouble(col(p.getOrElse("emb", "embedding"))))
+        .withColumn("__nrm", V.norm(col("__e")))
+        .select(col(id), col("__e"), col("__nrm"))
+      val book = input(ctx, p, "book").select(col("cid"), col("ce"))
+      val asg = input(ctx, p, "assign").select(col(id), col("cell"))
+      val queries = v.filter(col(id) < long(p, "queries_below"))
+        .select(col(id).as("query_id"), col("__e").as("qe"), col("__nrm").as("qn"))
+      val probes = graft.operators.IvfIndex.probeCells(queries, book,
+        embCol = "qe", idCol = "query_id",
+        nprobe = long(p, "nprobe", Some(2L)).toInt)
+        .select(col("query_id"), col("cell"), col("qe"), col("qn"))
+      val scored = asg.join(v, Seq(id)).join(probes, Seq("cell"))
+        .filter(col(id) =!= col("query_id"))
+        .select(col("query_id"), col(id).as("neighbor_id"),
+          V.cosine(col("qe"), col("__e"), col("qn"), col("__nrm")).as("cosine"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+      unstaged(scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= long(p, "topk", Some(3L)))
+        .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine")))
     })
 }

@@ -108,6 +108,38 @@ class ZOrderSpec extends AnyFunSuite with SparkSupport with PropSupport {
     assert(linSkipX * 2 >= linTotal)
   }
 
+  test("prunedRead returns exactly the filtered rows while scheduling only envelope-intersecting files") {
+    import spark.implicits._
+    // the read-side consumer of the layout (r13): file-level pruning
+    // happens at PLAN time — the pruned frame's inputFiles really
+    // shrink, and the result is row-identical to the full-scan filter
+    // (values pinned cross-engine by q111's oracle; this test owns the
+    // scheduling claim SQL can't see)
+    val sf = "/root/testdata/sf0.01"
+    val base = graft.util.TempDirs.scratch("zpruned-spec")
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_partkey".cast("long").as("x"), $"l_suppkey".cast("long").as("y"))
+    ZOrder.writeLayout(ZOrder.zkeyed(li, Seq("x", "y"), bits = 6), "zkey", 64, s"$base/z")
+    val Array(xmax, ymax) = li.agg(max($"x"), max($"y")).collect()(0)
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val totalFiles = spark.read.parquet(s"$base/z").inputFiles.length
+    def check(c: String, lo: Long, hi: Long): Unit = {
+      val pruned = ZOrder.prunedRead(spark, s"$base/z", c, lo, hi)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.select($"x", $"y")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(rows(pruned) ==
+        rows(spark.read.parquet(s"$base/z").filter(col(c).between(lo, hi))),
+        s"pruned read on $c must equal the full-scan filter row-for-row")
+      assert(pruned.inputFiles.length * 2 <= totalFiles,
+        s"a 1/8-domain predicate on $c must schedule <=half the files " +
+          s"(got ${pruned.inputFiles.length}/$totalFiles)")
+    }
+    check("x", xmax / 4, xmax / 4 + xmax / 8)
+    check("y", ymax / 2, ymax / 2 + ymax / 8)
+    // a range beyond the domain prunes everything and scans nothing
+    assert(ZOrder.prunedRead(spark, s"$base/z", "x", xmax + 10, xmax + 20).isEmpty)
+  }
+
   test("Warehouse.optimizeZOrder: contents unchanged, files compacted, envelopes prune on every keyed column") {
     import spark.implicits._
     // append-heavy table (8 small appends -> many files), then the

@@ -105,6 +105,33 @@ class CurationWorkflowSpec extends AnyFunSuite with SparkSupport {
     assert(moved.contains(direct.size.toLong), "ErwarteteDaten must count the written rows")
   }
 
+  test("dsir_select runs as a PIPELINE step and matches the q108 gate output") {
+    // the selector surface too: the top-k SET a workflow step writes is
+    // the set the oracle-gated q108 selector returns — ranking on the
+    // normalized mean inside the operator, never reconstructable from
+    // the raw sum at the step command
+    import org.apache.spark.sql.functions.col
+    graft.catalog.Tables.registerAll(spark, sf)
+    val wh = new graft.catalog.Warehouse(graft.util.TempDirs.scratch("dsir-select-step"))
+    val ledger = new graft.ledger.RunLedger()
+    val ctx = StepContext(spark, wh, ledger,
+      graft.macros.Macros.Context(7L,
+        java.time.LocalDateTime.of(2026, 1, 1, 0, 0),
+        java.time.LocalDateTime.of(2026, 1, 2, 0, 0)))
+    val moved = Steps.execute(
+      StepSpec(5007, CommandType.Copy, TaskType.Pipeline,
+        "dsir_select in=documents target_lang=en k=50",
+        zieltabelle = Some("doc_selected")), ctx)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("n_feats"), col("dsir_weight_mean"), col("dsir_weight"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val viaStep = key(wh.read(spark, "doc_selected"))
+    val viaGate = key(graft.queries.Registry.byName("q108_dsir_select_topk").run(spark, sf))
+    spark.catalog.clearCache()
+    assert(viaStep == viaGate, "the step must select exactly the gate's top-k set")
+    assert(moved.contains(viaGate.size.toLong), "ErwarteteDaten must count the written rows")
+  }
+
   test("semdedup runs as a PIPELINE step and matches the q91 gate output (r13: the last selection surface step-reachable)") {
     import org.apache.spark.sql.functions.col
     graft.catalog.Tables.registerAll(spark, sf)
