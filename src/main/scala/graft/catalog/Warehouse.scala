@@ -93,9 +93,17 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
     * is renamed aside BEFORE the rewrite moves into place, so a crash at
     * any point leaves either the old or the new copy recoverable (never
     * a window where the table is only in a dir `read()` ignores).
+    *
+    * A delete that matches NOTHING is a pushdown-pruned existence probe
+    * and no rewrite (r13): callers on repeat-until-clean paths — the
+    * streaming rewind scrub, re-ingest rollback of a file that never
+    * landed — would otherwise pay a full O(table) rewrite to delete
+    * zero rows, which at 100 TB turns an idempotence check into the
+    * dominant cost. The probe's predicate reaches the parquet footers
+    * (row-group stats skip), so the common no-op case is metadata-sized.
     */
   def deleteWhere(spark: SparkSession, table: String, predicate: String): Unit =
-    if (exists(spark, table))
+    if (exists(spark, table) && !read(spark, table).filter(predicate).isEmpty)
       rewriteInPlace(table, read(spark, table).filter(s"NOT ($predicate)"))
 
   /** Compact a table's accumulated small files — the maintenance pass
@@ -194,6 +202,81 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
     (before, partFiles(table))
   }
 
+  /** The stats-manifest sibling table of `table` (r13): one row per
+    * (part file, layout column) carrying the file's footer envelope.
+    * An ordinary warehouse table — crash-safe [[replace]], readable by
+    * any session — so the scan planner stops re-opening footers.
+    */
+  def statsTable(table: String): String = table + "__stats"
+
+  /** Refresh `table`'s stats manifest over `cols` (r13): read every
+    * part file's footer envelope ONCE ([[graft.operators.ZOrder
+    * .fileEnvelopes]] — footer-sized I/O, no data pages) and persist
+    * them as the [[statsTable]] sibling, replacing any previous
+    * manifest whole (the crash-safe swap: a reader sees the old or the
+    * new manifest, never a torn one). This is the metadata layer a
+    * Delta/Iceberg commit writes transactionally per file add; on the
+    * plain-parquet warehouse it is a MAINTENANCE action
+    * (`refresh_stats`, [[graft.steps.Steps.maintenanceStep]]) run after
+    * compact/OPTIMIZE under the same table mutex, so the listed files
+    * cannot be swapped away mid-listing inside the orchestrator.
+    * Returns the number of envelope rows written.
+    *
+    * Driver-side by design: one row per (file, column) is bounded
+    * METADATA (100k files × a few layout columns), the exact thing a
+    * manifest exists to keep driver-sized at 100 TB.
+    */
+  def refreshStats(spark: SparkSession, table: String, cols: Seq[String]): Int = {
+    require(format == "parquet",
+      s"stats manifest reads parquet footers; table format is $format")
+    require(cols.nonEmpty, "refreshStats needs at least one column")
+    require(exists(spark, table), s"refreshStats: table `$table` does not exist")
+    val rows = cols.flatMap(c =>
+      graft.operators.ZOrder.fileEnvelopes(spark, path(table), c)
+        .map(e => (e.file, c, e.rows, e.min, e.max)))
+    import spark.implicits._
+    replace(statsTable(table),
+      rows.toDF("file", "colname", "rows", "vmin", "vmax").coalesce(1))
+    rows.size
+  }
+
+  /** Manifest-backed range read (r13) — [[graft.operators.ZOrder
+    * .prunedRead]]'s file-level skipping, but planned from the
+    * PERSISTED [[statsTable]] instead of re-opening every footer: at
+    * 100 TB a layout holds ~100k part files and opening each footer is
+    * 100k driver RPCs PER QUERY, where the manifest is one small
+    * parquet read. Freshness rule (the Delta stats rule): a current
+    * part file ABSENT from the manifest — appended since the last
+    * `refresh_stats` — has unknown bounds and is always scanned, and
+    * manifest rows for files a rewrite swapped away are ignored
+    * (membership is the live listing, stats are advisory) — so the
+    * result is row-identical to filtering [[read]] under ANY
+    * append/maintenance interleaving, and staleness costs pruning
+    * quality only (q112 hash-pins this with a post-refresh append in
+    * flight; WarehouseStatsSpec pins the scheduling claims). No
+    * manifest at all → plain filtered read.
+    */
+  def statsPrunedRead(spark: SparkSession, table: String, column: String,
+      lo: Long, hi: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(lo <= hi, s"statsPrunedRead range is empty: [$lo, $hi]")
+    val residual = col(column) >= lo && col(column) <= hi
+    if (!exists(spark, statsTable(table))) return read(spark, table).where(residual)
+    val manifest = read(spark, statsTable(table))
+      .filter(col("colname") === column)
+      .select("file", "rows", "vmin", "vmax").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    recoverIfTorn(table)
+    val keep = listPartFiles(table).filter { f =>
+      manifest.get(f) match {
+        case Some((rows, vmin, vmax)) => rows > 0 && vmax >= lo && vmin <= hi
+        case None => true // unknown bounds (post-refresh append): must scan
+      }
+    }
+    if (keep.isEmpty) read(spark, table).where(lit(false))
+    else spark.read.parquet(keep.map(f => s"${path(table)}/$f"): _*).where(residual)
+  }
+
   /** Keyed upsert (SCD-1 merge): rows in `batch` REPLACE existing rows
     * with the same key; everything else appends. Parquet has no row
     * updates, so this is delete-matching + union + the crash-safe swap —
@@ -230,9 +313,13 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
     }
   }
 
-  private def partFiles(table: String): Int = {
+  private def partFiles(table: String): Int = listPartFiles(table).size
+
+  private def listPartFiles(table: String): Seq[String] = {
     val d = new java.io.File(path(table))
-    if (d.isDirectory) d.listFiles().count(_.getName.endsWith(s".$format")) else 0
+    if (d.isDirectory)
+      d.listFiles().toSeq.map(_.getName).filter(_.endsWith(s".$format")).sorted
+    else Seq.empty
   }
 
   /** Crash-safe table rewrite: the new contents land in a side dir, the

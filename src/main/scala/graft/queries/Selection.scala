@@ -708,6 +708,60 @@ object Selection {
         CAST(SUM(CAST(l_partkey AS BIGINT)) AS BIGINT)
       FROM lineitem WHERE l_suppkey BETWEEN 3 AND 20 GROUP BY 2"""))
 
-  val all: Seq[QueryDef] = Seq(q91, q92, q93, q94, q96, q98, q99, q102, q108, q111)
+  /** Manifest-planned pruned read with a STALE manifest in flight
+    * (r13): two appends → quantile z-order OPTIMIZE → `refresh_stats`
+    * (the footer envelopes persisted as the `__stats` sibling table)
+    * → a THIRD append the manifest has never seen → range reads on
+    * both layout keys through [[graft.catalog.Warehouse
+    * .statsPrunedRead]], which plans file skipping from the manifest
+    * alone. The oracle filters the full three-slice source directly,
+    * so the gate pins the freshness rule that makes persisted stats
+    * safe at all: a file absent from the manifest is always scanned
+    * (the post-refresh append's rows MUST appear), a manifest row may
+    * only ever remove provably-disjoint files — under any
+    * append/maintenance interleaving staleness costs pruning quality,
+    * never rows. The scheduling claims (manifested files really
+    * pruned, one small manifest read instead of per-file footer opens)
+    * are WarehouseStatsSpec's.
+    */
+  val q112 = QueryDef(
+    "q112_stats_pruned_read",
+    (s, dir) => {
+      import s.implicits._
+      val wh = new graft.catalog.Warehouse(graft.util.TempDirs.scratch("graft-zstats"))
+      val li = Tables.load(s, dir, "lineitem")
+        .select($"l_partkey".cast("long").as("x"), $"l_suppkey".cast("long").as("y"),
+          $"l_shipdate".as("sd"))
+      def slice(from: String, to: String) =
+        li.filter($"sd" >= lit(from).cast("timestamp") && $"sd" < lit(to).cast("timestamp"))
+          .select($"x", $"y")
+      wh.append(slice("1995-01-01 00:00:00", "1995-04-01 00:00:00"), "zs_lineitem")
+      wh.append(slice("1995-04-01 00:00:00", "1995-07-01 00:00:00"), "zs_lineitem")
+      wh.optimizeZOrder(s, "zs_lineitem", Seq("x", "y"), bits = 6,
+        targetRowsPerFile = 256, quantile = true)
+      wh.refreshStats(s, "zs_lineitem", Seq("x", "y"))
+      wh.append(slice("1995-07-01 00:00:00", "1995-10-01 00:00:00"), "zs_lineitem")
+      def sliceAgg(c: String, lo: Long, hi: Long, other: String) =
+        wh.statsPrunedRead(s, "zs_lineitem", c, lo, hi)
+          .groupBy(col(c))
+          .agg(count(lit(1)).as("cnt"), sum(col(other)).as("sum_other"))
+          .select(lit(c).as("dim"), col(c).as("k"), $"cnt", $"sum_other")
+      sliceAgg("x", 10L, 59L, "y").unionByName(sliceAgg("y", 3L, 20L, "x"))
+    },
+    Some("""
+      WITH src AS (
+        SELECT CAST(l_partkey AS BIGINT) AS x, CAST(l_suppkey AS BIGINT) AS y
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+      )
+      SELECT 'x' AS dim, x AS k, CAST(COUNT(*) AS BIGINT) AS cnt,
+        CAST(SUM(y) AS BIGINT) AS sum_other
+      FROM src WHERE x BETWEEN 10 AND 59 GROUP BY 2
+      UNION ALL
+      SELECT 'y', y, CAST(COUNT(*) AS BIGINT), CAST(SUM(x) AS BIGINT)
+      FROM src WHERE y BETWEEN 3 AND 20 GROUP BY 2"""))
+
+  val all: Seq[QueryDef] = Seq(q91, q92, q93, q94, q96, q98, q99, q102, q108, q111, q112)
 }
 

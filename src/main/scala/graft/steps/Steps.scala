@@ -143,9 +143,12 @@ object Steps {
 
   /** COPY/MAINTENANCE (r13): the macro-expanded Befehl names a
     * warehouse maintenance action applied to the step's own
-    * Zieltabelle — `compact [rows_per_file=N]` ([[Warehouse.compact]])
-    * or `optimize_zorder cols=a,b [bits=6] [rows_per_file=N]
-    * [quantile=true]` ([[Warehouse.optimizeZOrder]]). The table comes
+    * Zieltabelle — `compact [rows_per_file=N]` ([[Warehouse.compact]]),
+    * `optimize_zorder cols=a,b [bits=6] [rows_per_file=N]
+    * [quantile=true]` ([[Warehouse.optimizeZOrder]]), or
+    * `refresh_stats cols=a,b` ([[Warehouse.refreshStats]] — persist the
+    * per-file footer envelopes as the stats-manifest sibling table a
+    * manifest-planned read prunes from). The table comes
     * from the Zieltabelle, NOT a command parameter, so the table-mutex
     * claim and the mutated table cannot diverge (see
     * [[TaskType.Maintenance]]); contents are unchanged by contract and
@@ -162,22 +165,36 @@ object Steps {
     // (the silent-downgrade class this repo rejects loudly everywhere)
     require(ctx.warehouse.exists(ctx.spark, table),
       s"MAINTENANCE step ${spec.id}: table `$table` does not exist in the warehouse")
-    val (before, after) = action match {
+    def layoutCols: Seq[String] = {
+      val cols = Transforms.str(params, "cols").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(cols.nonEmpty, s"$action on `$table` needs at least one column in cols=")
+      cols
+    }
+    val outcome = action match {
       case "compact" =>
-        ctx.warehouse.compact(ctx.spark, table,
+        val (before, after) = ctx.warehouse.compact(ctx.spark, table,
           targetRowsPerFile = Transforms.long(params, "rows_per_file", Some(1000000L)))
+        s"$before -> $after files"
       case "optimize_zorder" =>
-        val cols = Transforms.str(params, "cols").split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        require(cols.nonEmpty, s"optimize_zorder on `$table` needs at least one layout column")
-        ctx.warehouse.optimizeZOrder(ctx.spark, table, cols,
+        val (before, after) = ctx.warehouse.optimizeZOrder(ctx.spark, table, layoutCols,
           bits = Transforms.long(params, "bits", Some(6L)).toInt,
           targetRowsPerFile = Transforms.long(params, "rows_per_file", Some(1000000L)),
           quantile = params.get("quantile").exists(_.toBoolean))
+        s"$before -> $after files"
+      // refresh_stats cols=a,b — persist per-file footer envelopes as the
+      // `<table>__stats` manifest sibling (Warehouse.refreshStats), the
+      // metadata a manifest-planned read (statsPrunedRead) prunes from
+      // without re-opening footers; chained after compact/optimize_zorder
+      // under the same mutex claim, so the listing can't be swapped away
+      case "refresh_stats" =>
+        val cols = layoutCols
+        val n = ctx.warehouse.refreshStats(ctx.spark, table, cols)
+        s"$n envelopes over ${cols.size} columns"
       case other => throw new IllegalArgumentException(
-        s"unknown MAINTENANCE action '$other' (known: compact, optimize_zorder)")
+        s"unknown MAINTENANCE action '$other' (known: compact, optimize_zorder, refresh_stats)")
     }
     ctx.ledger.message(
-      s"MAINTENANCE $action on $table: $before -> $after files",
+      s"MAINTENANCE $action on $table: $outcome",
       schrittRunId = ctx.schrittRunId)
   }
 

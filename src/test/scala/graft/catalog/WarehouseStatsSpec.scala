@@ -1,0 +1,165 @@
+package graft.catalog
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ledger.RunLedger
+import graft.macros.Macros
+import graft.operators.ZOrder
+import graft.steps.{CommandType, StepContext, Steps, StepSpec, TaskType}
+import graft.testkit.SparkSupport
+import graft.util.TempDirs
+
+/** Scheduling semantics of the persisted stats manifest (r13):
+  * `Warehouse.refreshStats` + `statsPrunedRead`. The VALUES under any
+  * append/maintenance interleaving are q112's DuckDB oracle's job;
+  * this spec owns what SQL can't see — which files the manifest
+  * planner actually schedules: fresh manifest ≡ footer planning,
+  * unmanifested appends always scanned, stale rows ignored after a
+  * rewrite, no manifest → plain read, and the MAINTENANCE-step surface
+  * (`refresh_stats`) writing the identical manifest the direct call
+  * writes.
+  */
+class WarehouseStatsSpec extends AnyFunSuite with SparkSupport {
+
+  import spark.implicits._
+
+  private def corpus(): DataFrame =
+    spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .select(col("l_partkey").cast("long").as("x"), col("l_suppkey").cast("long").as("y"))
+
+  /** Layout + fresh manifest over ~60 files; returns (wh, xmax, ymax). */
+  private def freshLayout(): (Warehouse, Long, Long) = {
+    val wh = new Warehouse(TempDirs.scratch("wh-stats"))
+    val li = corpus()
+    wh.append(li, "t")
+    wh.optimizeZOrder(spark, "t", Seq("x", "y"), bits = 6,
+      targetRowsPerFile = 1000L, quantile = true)
+    wh.refreshStats(spark, "t", Seq("x", "y"))
+    val Array(xmax, ymax) = li.agg(max($"x"), max($"y")).collect()(0)
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    (wh, xmax, ymax)
+  }
+
+  private def rowSet(df: DataFrame): Seq[(Long, Long)] =
+    df.select($"x", $"y").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+  test("fresh manifest: row-identical to the filter and schedules exactly the footer planner's files") {
+    val (wh, xmax, ymax) = freshLayout()
+    val total = wh.read(spark, "t").inputFiles.length
+    for ((c, lo, hi) <- Seq(("x", xmax / 4, xmax / 4 + xmax / 8),
+                            ("y", ymax / 2, ymax / 2 + ymax / 8))) {
+      val pruned = wh.statsPrunedRead(spark, "t", c, lo, hi)
+      assert(rowSet(pruned) == rowSet(wh.read(spark, "t").filter(col(c).between(lo, hi))),
+        s"manifest-pruned read on $c must equal the full-scan filter row-for-row")
+      // the manifest was refreshed from these exact footers, so the two
+      // planners must schedule the SAME file set — and a 1/8-domain
+      // range must prune at least half of a quantile z-ordered layout
+      val viaFooters = ZOrder.prunedRead(spark, s"${wh.dir}/t", c, lo, hi)
+      assert(pruned.inputFiles.toSet == viaFooters.inputFiles.toSet,
+        s"fresh manifest and footer planning must agree on $c's file set")
+      assert(pruned.inputFiles.length * 2 <= total,
+        s"a 1/8-domain predicate on $c must schedule <=half the files " +
+          s"(got ${pruned.inputFiles.length}/$total)")
+    }
+    // a range beyond the domain prunes everything
+    assert(wh.statsPrunedRead(spark, "t", "x", xmax + 10, xmax + 20).isEmpty)
+  }
+
+  test("files appended after refresh_stats are always scanned (unknown bounds = must scan)") {
+    val (wh, xmax, _) = freshLayout()
+    val (lo, hi) = (xmax / 4, xmax / 4 + xmax / 8)
+    val allBefore = wh.read(spark, "t").inputFiles.toSet
+    // the append lands both in-range and out-of-range rows in files the
+    // manifest has never seen; losing them would be silent row loss
+    val extra = Seq((lo + 1L, -1L), (hi + 1000L, -2L)).toDF("x", "y").coalesce(1)
+    wh.append(extra, "t")
+    val after = wh.statsPrunedRead(spark, "t", "x", lo, hi)
+    val newFiles = wh.read(spark, "t").inputFiles.toSet -- allBefore
+    assert(newFiles.nonEmpty)
+    assert(rowSet(after) ==
+      rowSet(wh.read(spark, "t").filter($"x".between(lo, hi))),
+      "post-refresh appends must appear in a manifest-pruned read")
+    assert(rowSet(after).contains((lo + 1L, -1L)))
+    assert(newFiles.subsetOf(after.inputFiles.toSet),
+      "every unmanifested part file must be scheduled — its bounds are unknown")
+  }
+
+  test("a rewrite makes every manifest row stale: pruning degrades to a full scan, rows stay exact") {
+    val (wh, xmax, _) = freshLayout()
+    wh.compact(spark, "t", targetRowsPerFile = 5000L)
+    val (lo, hi) = (xmax / 4, xmax / 4 + xmax / 8)
+    val pruned = wh.statsPrunedRead(spark, "t", "x", lo, hi)
+    assert(rowSet(pruned) == rowSet(wh.read(spark, "t").filter($"x".between(lo, hi))))
+    assert(pruned.inputFiles.toSet == wh.read(spark, "t").inputFiles.toSet,
+      "after a rewrite no current file is manifested, so all must be scanned")
+  }
+
+  test("no manifest at all: plain filtered read") {
+    val wh = new Warehouse(TempDirs.scratch("wh-stats-none"))
+    wh.append(corpus(), "bare")
+    val pruned = wh.statsPrunedRead(spark, "bare", "x", 10L, 50L)
+    assert(rowSet(pruned) == rowSet(wh.read(spark, "bare").filter($"x".between(10, 50))))
+    assert(pruned.inputFiles.toSet == wh.read(spark, "bare").inputFiles.toSet)
+  }
+
+  test("refresh_stats as a MAINTENANCE step writes the manifest the direct call writes") {
+    val wh = new Warehouse(TempDirs.scratch("wh-stats-step"))
+    wh.append(corpus(), "t")
+    wh.optimizeZOrder(spark, "t", Seq("x", "y"), bits = 6,
+      targetRowsPerFile = 1000L, quantile = true)
+    val ledger = new RunLedger(() => LocalDateTime.of(2026, 3, 1, 12, 0, 0))
+    val ctx = StepContext(spark, wh, ledger, Macros.Context(
+      workflowId = 1L,
+      takeoverVon = LocalDateTime.of(1995, 1, 1, 0, 0),
+      takeoverBis = LocalDateTime.of(1995, 7, 1, 0, 0)))
+    Steps.execute(StepSpec(8000, CommandType.Copy, TaskType.Maintenance,
+      "refresh_stats cols=x,y", zieltabelle = Some("t")), ctx)
+    def manifest() = wh.read(spark, wh.statsTable("t"))
+      .select($"file", $"colname", $"rows", $"vmin", $"vmax")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sorted.toSeq
+    val viaStep = manifest()
+    // same table, same files: the direct call must reproduce the
+    // step-written manifest row-for-row (file names included)
+    wh.refreshStats(spark, "t", Seq("x", "y"))
+    assert(manifest() == viaStep,
+      "step-written and directly-written manifests must be identical")
+    assert(viaStep.nonEmpty && viaStep.map(_._2).toSet == Set("x", "y"))
+    val msg = ledger.allMessages.map(_.meldungstext)
+      .find(_.startsWith("MAINTENANCE refresh_stats on t")).get
+    assert(msg.contains("over 2 columns"))
+  }
+
+  test("deleteWhere that matches nothing is a probe, not a rewrite") {
+    // same IO-semantics family as the manifest claims (r13 review): the
+    // streaming rewind scrub and re-ingest rollback call deleteWhere on
+    // predicates that usually match nothing — that case must leave
+    // every part file in place (a rewrite would mint fresh file names)
+    val wh = new Warehouse(TempDirs.scratch("wh-delete-noop"))
+    wh.append(corpus(), "t")
+    val files = wh.read(spark, "t").inputFiles.toSet
+    val rows = wh.read(spark, "t").count()
+    wh.deleteWhere(spark, "t", "x = -424242")
+    assert(wh.read(spark, "t").inputFiles.toSet == files,
+      "a no-match delete must not rewrite the table")
+    // a matching delete still rewrites (and actually deletes)
+    val someX = wh.read(spark, "t").select($"x").head().getLong(0)
+    val matching = wh.read(spark, "t").filter($"x" === someX).count()
+    assert(matching > 0)
+    wh.deleteWhere(spark, "t", s"x = $someX")
+    assert(wh.read(spark, "t").count() == rows - matching)
+    assert(wh.read(spark, "t").filter($"x" === someX).isEmpty)
+  }
+
+  test("refreshStats on a missing table fails loudly") {
+    val wh = new Warehouse(TempDirs.scratch("wh-stats-miss"))
+    val ex = intercept[IllegalArgumentException] {
+      wh.refreshStats(spark, "nope", Seq("x"))
+    }
+    assert(ex.getMessage.contains("does not exist"))
+  }
+}
