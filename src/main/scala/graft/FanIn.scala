@@ -721,6 +721,23 @@ object FanIn {
           f"$prS%.2f s vs full-scan residual $fS%.2f s ($prCnt%,d rows)")
       }
 
+      // r13 round tail: deleteWhere's no-match probe priced against the
+      // rewrite it replaces (the streaming rewind scrub pays this on
+      // EVERY micro-batch — unconditioned it was O(table) per batch).
+      {
+        val wh = new graft.catalog.Warehouse(s"$outDir/delwh")
+        wh.append(spark.read.parquet(s"$outDir/zlayout"), "scrub")
+        val t0 = System.nanoTime()
+        wh.deleteWhere(spark, "scrub", "x = -424242") // matches nothing
+        val probeS = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        // the pre-r13 cost of the same call: unconditional rewrite
+        wh.replace("scrub", wh.read(spark, "scrub").filter("NOT (x = -424242)"))
+        val rewriteS = (System.nanoTime() - t1) / 1e9
+        println(f"deleteWhere no-match at x$mult ($n%,d rows): probe $probeS%.2f s " +
+          f"vs unconditional rewrite $rewriteS%.2f s (the per-batch scrub delta)")
+      }
+
       // r13: the PERCENTILE quantizer under Zipf skew at FANIN scale —
       // x is log-uniform over 20 magnitudes, so the min-max quantizer
       // maps ~2/3 of rows into z-position 0 and the layout stops

@@ -318,20 +318,39 @@ object Streams {
       val b = id + 1
       def induced(p: Int): Unit = if (failAfterPhase == p)
         throw new IllegalStateException(s"induced crash after phase $p")
+      // The bitmap table carries a replay WATERMARK as a sentinel word
+      // row (w = -1 — real word indices are >= 0): phase 1's atomic
+      // replace advances it to this batch's id in the same swap that
+      // folds the batch's keys, and out/seen writes happen strictly
+      // after, so "partial batch-b rows may exist" ⟺ "watermark >= b".
+      // That makes phase 0's rewind decision bitmap-sized (r13 review:
+      // unconditioned, the scrub paid two O(table) deleteWhere rewrites
+      // on EVERY batch — quadratic cumulative IO over the stream's
+      // life). A bitmap without the sentinel (bootstrap, pre-r13 state)
+      // reads as watermark-unknown and keeps the conservative scrub,
+      // whose no-match probes are metadata-sized since deleteWhere
+      // stopped rewriting on zero matches.
+      val bloomRaw = warehouse.read(spark, bloomTable)
+      val bloom = bloomRaw.filter(col("w") >= 0)
+      val watermark = bloomRaw.filter(col("w") === -1L)
+        .agg(org.apache.spark.sql.functions.max(col("bits"))).head()
       // phase 0: rewind any partial writes of THIS batch id
-      warehouse.deleteWhere(spark, outTable, s"batch = $b")
-      warehouse.deleteWhere(spark, seenTable, s"batch = $b")
+      if (watermark.isNullAt(0) || watermark.getLong(0) >= b) {
+        warehouse.deleteWhere(spark, outTable, s"batch = $b")
+        warehouse.deleteWhere(spark, seenTable, s"batch = $b")
+      }
       induced(0)
       val seen = warehouse.read(spark, seenTable)
-      val bloom = warehouse.read(spark, bloomTable)
       val admitted = graft.operators.Bloom
         .newKeysAgainst(batch, seen, keyCol, bloom, mBits, k)
         .persist() // consumed three times: bitmap build, out, seen keys
       try {
+        import spark.implicits._
         // phase 1: bitmap first — bloom ⊇ seen holds at every crash point
         warehouse.replace(bloomTable, graft.operators.Bloom
           .merge(bloom, graft.operators.Bloom.build(
-            admitted.select(col(keyCol)), keyCol, mBits, k)))
+            admitted.select(col(keyCol)), keyCol, mBits, k))
+          .unionByName(Seq((-1L, b)).toDF("w", "bits")))
         induced(1)
         // phase 2: admitted rows
         warehouse.append(admitted.withColumn("batch", lit(b)), outTable)

@@ -69,8 +69,10 @@ class StreamsSpec extends AnyFunSuite with SparkSupport {
       assert(out.count(_ == ((3L, "d"))) == 2,
         "within-batch duplicates both pass (the exact confirm is against PRIOR batches)")
       // the maintained bitmap is word-for-word the bitmap a full rebuild
-      // over the final seen keyset produces — merge-per-batch loses nothing
-      val maintained = wh.read(spark, "bloom").collect()
+      // over the final seen keyset produces — merge-per-batch loses
+      // nothing (w >= 0: the sentinel word is the replay watermark, not
+      // filter state, and a rebuild legitimately lacks it)
+      val maintained = wh.read(spark, "bloom").filter("w >= 0").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val rebuilt = graft.operators.Bloom.build(
         wh.read(spark, "seen"), "key", mBits, k).collect()
@@ -134,6 +136,41 @@ class StreamsSpec extends AnyFunSuite with SparkSupport {
       run(wh, batch2, 1L)
       assert(state(wh) == want, s"replay after phase-$failAt crash diverged")
     }
+  }
+
+  test("bloomDedupBatch: a non-replay batch never rewrites out/seen (watermark fast path)") {
+    // r13 review: phase 0's scrub used to pay two O(table) deleteWhere
+    // rewrites on EVERY batch — quadratic cumulative IO over a stream's
+    // life. With the sentinel watermark (w = -1, bits = last folded
+    // batch) the happy path must leave every previously-written part
+    // file in place: appends only, no rewrite ever touches them.
+    import spark.implicits._
+    val (mBits, k) = (1L << 12, 4)
+    val wh = new graft.catalog.Warehouse(tmpDir("bloom-fastpath"))
+    wh.append(Seq("h1").toDF("key")
+      .withColumn("batch", org.apache.spark.sql.functions.lit(0L)), "seen")
+    wh.overwrite(graft.operators.Bloom.build(
+      wh.read(spark, "seen"), "key", mBits, k), "bloom")
+    def run(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      Streams.bloomDedupBatch(df, id, "key", wh, "seen", "bloom", "out", mBits, k)
+    run(Seq("a", "b").toDF("key"), 0L)
+    // batch 1 folded: the watermark sentinel rides the bitmap table
+    val marks = wh.read(spark, "bloom").filter("w = -1")
+      .select("bits").collect().map(_.getLong(0)).toSeq
+    assert(marks == Seq(1L), s"expected watermark [1], got $marks")
+    val outFiles = wh.read(spark, "out").inputFiles.toSet
+    val seenFiles = wh.read(spark, "seen").inputFiles.toSet
+    run(Seq("c").toDF("key"), 1L)
+    assert(outFiles.subsetOf(wh.read(spark, "out").inputFiles.toSet),
+      "a non-replay batch must append to out, never rewrite it")
+    assert(seenFiles.subsetOf(wh.read(spark, "seen").inputFiles.toSet),
+      "a non-replay batch must append to seen, never rewrite it")
+    assert(wh.read(spark, "bloom").filter("w = -1")
+      .select("bits").collect().map(_.getLong(0)).toSeq == Seq(2L),
+      "the watermark must advance with each folded batch")
+    // and the rows are still exactly right
+    assert(wh.read(spark, "out").select("key").as[String].collect().sorted.toSeq ==
+      Seq("a", "b", "c"))
   }
 
   test("windowedCounts: watermark closes windows, counts per type") {
