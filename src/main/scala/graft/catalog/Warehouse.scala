@@ -123,6 +123,7 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
       val rows = df.count()
       val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
       rewriteInPlace(table, df.repartition(nFiles))
+      refreshStatsIfManifested(spark, table)
     }
     (before, partFiles(table))
   }
@@ -197,10 +198,27 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
           .repartitionByRange(nFiles, col("__zorder_key"))
           .sortWithinPartitions("__zorder_key")
           .drop("__zorder_key"))
+        refreshStatsIfManifested(spark, table)
       }
     }
     (before, partFiles(table))
   }
+
+  /** A rewrite invalidates every manifest row (fresh file names), so a
+    * maintained table with a manifest would silently degrade to
+    * full-scan planning until the operator remembered to chain
+    * `refresh_stats` — the staleness class Delta/Iceberg avoid by
+    * committing stats with the rewrite. [[compact]] and
+    * [[optimizeZOrder]] therefore re-manifest the columns the existing
+    * manifest already records; a table nobody manifested stays
+    * manifest-free (opt-in surface, no surprise footer scans).
+    */
+  private def refreshStatsIfManifested(spark: SparkSession, table: String): Unit =
+    if (format == "parquet" && exists(spark, statsTable(table))) {
+      val cols = read(spark, statsTable(table))
+        .select("colname").distinct().collect().map(_.getString(0)).toSeq.sorted
+      if (cols.nonEmpty) { refreshStats(spark, table, cols); () }
+    }
 
   /** The stats-manifest sibling table of `table` (r13): one row per
     * (part file, layout column) carrying the file's footer envelope.

@@ -88,14 +88,46 @@ class WarehouseStatsSpec extends AnyFunSuite with SparkSupport {
       "every unmanifested part file must be scheduled — its bounds are unknown")
   }
 
-  test("a rewrite makes every manifest row stale: pruning degrades to a full scan, rows stay exact") {
+  test("a non-maintenance rewrite makes every manifest row stale: full scan, rows stay exact") {
+    // deleteWhere rewrites without re-manifesting (a per-batch caller
+    // must not pay a table-wide footer scan); the freshness rule keeps
+    // the read exact and merely loses pruning until the next refresh
     val (wh, xmax, _) = freshLayout()
-    wh.compact(spark, "t", targetRowsPerFile = 5000L)
+    val someX = wh.read(spark, "t").select($"x").head().getLong(0)
+    wh.deleteWhere(spark, "t", s"x = $someX")
     val (lo, hi) = (xmax / 4, xmax / 4 + xmax / 8)
     val pruned = wh.statsPrunedRead(spark, "t", "x", lo, hi)
     assert(rowSet(pruned) == rowSet(wh.read(spark, "t").filter($"x".between(lo, hi))))
     assert(pruned.inputFiles.toSet == wh.read(spark, "t").inputFiles.toSet,
-      "after a rewrite no current file is manifested, so all must be scanned")
+      "after a non-maintenance rewrite no current file is manifested, so all must be scanned")
+  }
+
+  test("maintenance re-manifests an existing manifest automatically (compact and optimize)") {
+    // the staleness class Delta commits stats to avoid: OPTIMIZE on a
+    // manifested table must not silently degrade planning to full scans
+    val (wh, xmax, _) = freshLayout()
+    def manifestedFiles() = wh.read(spark, wh.statsTable("t"))
+      .select("file").distinct().collect().map(_.getString(0)).toSet
+    def liveFiles() = wh.read(spark, "t").inputFiles
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    wh.compact(spark, "t", targetRowsPerFile = 5000L)
+    assert(manifestedFiles() == liveFiles(),
+      "compact must re-manifest the manifest's own columns")
+    wh.optimizeZOrder(spark, "t", Seq("x", "y"), bits = 6,
+      targetRowsPerFile = 1000L, quantile = true)
+    assert(manifestedFiles() == liveFiles(),
+      "optimize_zorder must re-manifest the manifest's own columns")
+    // and the refreshed manifest prunes like a fresh one
+    val (lo, hi) = (xmax / 4, xmax / 4 + xmax / 8)
+    val pruned = wh.statsPrunedRead(spark, "t", "x", lo, hi)
+    assert(rowSet(pruned) == rowSet(wh.read(spark, "t").filter($"x".between(lo, hi))))
+    assert(pruned.inputFiles.length * 2 <= liveFiles().size)
+    // a table nobody manifested stays manifest-free through maintenance
+    val bare = new Warehouse(TempDirs.scratch("wh-stats-bare"))
+    bare.append(corpus(), "b")
+    bare.compact(spark, "b", targetRowsPerFile = 5000L)
+    assert(!bare.exists(spark, bare.statsTable("b")),
+      "maintenance must not conjure a manifest the operator never asked for")
   }
 
   test("no manifest at all: plain filtered read") {
