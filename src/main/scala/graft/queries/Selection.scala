@@ -738,7 +738,7 @@ object Selection {
       wh.append(slice("1995-01-01 00:00:00", "1995-04-01 00:00:00"), "zs_lineitem")
       wh.append(slice("1995-04-01 00:00:00", "1995-07-01 00:00:00"), "zs_lineitem")
       wh.optimizeZOrder(s, "zs_lineitem", Seq("x", "y"), bits = 6,
-        targetRowsPerFile = 256, quantile = true)
+        targetRowsPerFile = 1024, quantile = true)
       wh.refreshStats(s, "zs_lineitem", Seq("x", "y"))
       wh.append(slice("1995-07-01 00:00:00", "1995-10-01 00:00:00"), "zs_lineitem")
       def sliceAgg(c: String, lo: Long, hi: Long, other: String) =
