@@ -970,5 +970,116 @@ object EndToEnd {
       )
       SELECT query_id, rnk, neighbor_id, cosine FROM ranked WHERE rnk <= 3"""))
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q36, q42, q53, q103, q106, q107, q109, q110)
+  /** The assembly workflow fixture (r13): the post-selection TAIL of
+    * the training-data pipeline — per-source token-budget take →
+    * deterministic split → sequence packing — as three chained PIPELINE
+    * steps (`budget_take` / `hash_split` / `token_pack`, the
+    * q82/q59/q61 bodies out of [[graft.operators.Assembly]], one
+    * implementation). `induceFailure` points the packer's split
+    * restriction at a missing table.
+    */
+  private[graft] def assemblyWorkflowSpec(
+      induceFailure: Boolean = false): WorkflowSpec = WorkflowSpec(
+    id = 12,
+    masterPackageId = 83,
+    fallbackPackageId = Some(89L),
+    packages = Map(
+      81L -> PackageSpec(81, realizations = Seq(RealizationSpec(
+        810, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(8100, CommandType.Copy, TaskType.Pipeline,
+          "budget_take in=documents budget=800",
+          zieltabelle = Some("as_take")))))),
+      82L -> PackageSpec(82, dependencies = Seq(81L), realizations = Seq(RealizationSpec(
+        820, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(8200, CommandType.Copy, TaskType.Pipeline,
+          "hash_split in=as_take",
+          zieltabelle = Some("as_split"),
+          quelltabelle = Some("as_take")))))),
+      83L -> PackageSpec(83, dependencies = Seq(82L), realizations = Seq(RealizationSpec(
+        830, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(8300, CommandType.Copy, TaskType.Pipeline,
+          "token_pack in=documents " +
+            s"only=${if (induceFailure) "as_missing" else "as_split"} " +
+            "split=train pack=4096",
+          zieltabelle = Some("as_packs"),
+          quelltabelle = Some("as_split")))))),
+      89L -> PackageSpec(89, realizations = Seq(RealizationSpec(
+        890, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(8900, CommandType.SqlTarget, TaskType.Sql,
+          "CREATE OR REPLACE TEMP VIEW as_compensation AS " +
+            "SELECT 'assembly aborted' AS status")))))))
+
+  /** Run the assembly workflow fixture. */
+  private[graft] def runAssemblyWorkflow(s: SparkSession, dir: String,
+      induceFailure: Boolean = false): (graft.orchestrate.WorkflowResult, RunLedger, Warehouse) = {
+    Tables.registerAll(s, dir)
+    val ledger = new RunLedger(() => FixedClock)
+    val wh = new Warehouse(graft.util.TempDirs.scratch("graft-as-wf"))
+    val runner = new WorkflowRunner(
+      new WorkflowManager, ledger, new Gates.ThreadCap(8),
+      new Gates.TableLocks, new Gates.ParallelLocks, clock = () => FixedClock)
+    val result = runner.run(assemblyWorkflowSpec(induceFailure),
+      zeitplanAusfuehrungenId = 14,
+      (m: Macros.Context, stepRunId: Option[Long], real: RealizationSpec) =>
+        StepContext(s, wh, ledger, m, schrittRunId = stepRunId,
+          konfigurationenId = real.konfigurationenId))
+    (result, ledger, wh)
+  }
+
+  /** Training-set assembly AS a workflow (r13): budget take, hash
+    * split, and sequence packing chained as PIPELINE steps under the
+    * full orchestrator — stage outputs are warehouse tables, the packer
+    * restricts to the split step's train ids by left-semi join, and the
+    * oracle recomposes all three stages in DuckDB from `documents`
+    * alone (q82's quality/budget CTEs → q59's md5 split → q61's
+    * prefix-sum packing). A broken stage chain, a drifted stage body,
+    * or a split leak into the packed set breaks the hash.
+    */
+  val q113 = QueryDef(
+    "q113_assembly_workflow",
+    (s, dir) => {
+      val (result, _, wh) = runAssemblyWorkflow(s, dir)
+      result.error.foreach(throw _)
+      wh.read(s, "as_packs")
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("pack_id"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, source,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS t,
+          CAST(length(text) AS BIGINT) AS n_chars_c,
+          CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
+        FROM documents
+      ), sig AS (
+        SELECT doc_id, source,
+          CAST(len(t) AS BIGINT) AS toks, n_chars_c, n_punct,
+          CAST(len(list_filter(t, x -> list_contains(['the','and','of','to','a','in','is','der','die','und','das','ist','ein','el','la','de','que','y','es'], x))) AS BIGINT) AS stop_hits
+        FROM base
+      ), scored AS (
+        SELECT doc_id, source, toks,
+          least(CAST(toks AS DOUBLE) / 100.0, 1.0) * 0.5
+            + least(CAST(stop_hits AS DOUBLE) / toks * 4.0, 1.0) * 0.5
+            - least(CAST(n_punct AS DOUBLE) / n_chars_c * 5.0, 1.0) * 0.25 AS q
+        FROM sig
+      ), c AS (
+        SELECT doc_id, source, toks,
+          SUM(toks) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM scored
+      ), take AS (
+        SELECT doc_id, source, toks FROM c WHERE cum_tokens <= 800
+      ), train AS (
+        SELECT doc_id FROM take
+        WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80
+      ), packed AS (
+        SELECT t.doc_id, t.source, t.toks AS n_tokens,
+          SUM(t.toks) OVER (PARTITION BY t.source ORDER BY t.doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM take t JOIN train USING (doc_id)
+      )
+      SELECT doc_id, source, n_tokens,
+             CAST((cum - n_tokens) // 4096 AS BIGINT) AS pack_id
+      FROM packed"""))
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q36, q42, q53, q103, q106, q107, q109, q110, q113)
 }

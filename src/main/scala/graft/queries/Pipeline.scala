@@ -1065,14 +1065,7 @@ object Pipeline {
     */
   val q59 = QueryDef(
     "q59_hash_split",
-    (s, dir) => {
-      import s.implicits._
-      docs(s, dir).select(
-        $"doc_id", $"source",
-        when(pmod(T.hash32($"doc_id".cast("string")), lit(100L)) < 80, "train")
-          .when(pmod(T.hash32($"doc_id".cast("string")), lit(100L)) < 90, "val")
-          .otherwise("test").as("split"))
-    },
+    (s, dir) => graft.operators.Assembly.hashSplit(docs(s, dir)),
     Some("""
       SELECT doc_id, source,
         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80
@@ -1148,18 +1141,7 @@ object Pipeline {
     */
   val q61 = QueryDef(
     "q61_token_packing",
-    (s, dir) => {
-      import s.implicits._
-      val toks = docs(s, dir).select(
-        $"doc_id", $"source", size(T.tokens($"text")).cast("long").as("n_tokens"))
-      graft.operators.PrefixSum.perKey(toks, Seq("source"),
-        order = Seq($"doc_id"), orderHead = $"doc_id", descending = false,
-        value = $"n_tokens", cumName = "cum")
-        .select($"doc_id", $"source", $"n_tokens",
-          // exact integral division — `/` on longs is double division and
-          // rounds above 2^53 (the BucketedWindow rationale applies here)
-          expr("(cum - n_tokens) div 4096").as("pack_id"))
-    },
+    (s, dir) => graft.operators.Assembly.tokenPack(docs(s, dir)),
     Some("""
       WITH toks AS (
         SELECT doc_id, source,
@@ -1419,19 +1401,7 @@ object Pipeline {
     */
   val q82 = QueryDef(
     "q82_token_budget_take",
-    (s, dir) => {
-      import s.implicits._
-      val budget = 800L // tokens per source
-      val scored = docs(s, dir).select(
-        $"doc_id", $"source",
-        T.tokenCount($"text").as("toks"),
-        T.qualityScore($"text").as("q"))
-      graft.operators.PrefixSum.perKey(scored, Seq("source"),
-        order = Seq($"q".desc, $"doc_id"), orderHead = $"q", descending = true,
-        value = $"toks", cumName = "cum_tokens", offsetCap = Some(budget))
-        .filter($"cum_tokens" <= budget)
-        .select($"doc_id", $"source", $"toks", $"cum_tokens")
-    },
+    (s, dir) => graft.operators.Assembly.budgetTake(docs(s, dir), budget = 800L),
     Some("""
       WITH base AS (
         SELECT doc_id, source,

@@ -185,6 +185,37 @@ object Transforms {
         threshold = p.get("threshold").map(_.toDouble).getOrElse(0.3))
       Curation.Staged(staged.frame, staged.release)
     },
+    // ---- the ASSEMBLY family (r13): the post-selection tail as steps —
+    // budget → split → pack, the q82/q59/q61 operator bodies
+    // (operators/Assembly, one implementation), chained by q113
+    // budget_take in=<docs table> budget=<tokens per source>
+    "budget_take" -> { (ctx, p) =>
+      graft.operators.Assembly.budgetTakeWithRelease(
+        input(ctx, p, "in"), budget = long(p, "budget"))
+    },
+    // hash_split in=<table with (id, source)> [id=doc_id]
+    "hash_split" -> ((ctx, p) =>
+      unstaged(graft.operators.Assembly.hashSplit(
+        input(ctx, p, "in"), idCol = p.getOrElse("id", "doc_id")))),
+    // token_pack in=<docs table> [pack=4096] [only=<hash_split output>
+    //   split=train] — pack the docs (optionally restricted to one
+    //   split's ids via left-semi join; the restriction table is a
+    //   stage-chained step output)
+    "token_pack" -> { (ctx, p) =>
+      val id = p.getOrElse("id", "doc_id")
+      val in0 = input(ctx, p, "in")
+      val in = p.get("only") match {
+        case Some(_) => in0.join(
+          input(ctx, p, "only")
+            .filter(org.apache.spark.sql.functions.col("split") ===
+              p.getOrElse("split", "train"))
+            .select(org.apache.spark.sql.functions.col(id)),
+          Seq(id), "left_semi")
+        case None => in0
+      }
+      graft.operators.Assembly.tokenPackWithRelease(
+        in, packTokens = long(p, "pack", Some(4096L)))
+    },
     // ---- the ANN index family (r13): train → assign → search as
     // chained steps, the q68/q67 operator bodies behind step commands —
     // the index TABLES (codebook, assignments) become ordinary
