@@ -719,6 +719,25 @@ object FanIn {
         println(f"zorder pruned read at x$mult: y-in-1/8-domain over " +
           f"${pruned.inputFiles.length}/${full.inputFiles.length} scheduled files, " +
           f"$prS%.2f s vs full-scan residual $fS%.2f s ($prCnt%,d rows)")
+
+        // rectangle (r13 round tail): conjunctive ranges on BOTH
+        // interleaved keys — per-dimension skips multiply, the query
+        // shape the 2-D layout exists for
+        val rect = ZOrder.prunedRead(spark, s"$outDir/zlayout",
+          Seq(("x", xDom / 4, xDom / 4 + xDom / 8), ("y", lo, hi)))
+        val rectFull = spark.read.parquet(s"$outDir/zlayout")
+          .where($"x" >= xDom / 4 && $"x" <= xDom / 4 + xDom / 8 &&
+            $"y" >= lo && $"y" <= hi)
+        val oneDx = ZOrder.prunedRead(spark, s"$outDir/zlayout",
+          "x", xDom / 4, xDom / 4 + xDom / 8)
+        val (rcCnt, rcS) = minOf2(rect.queryExecution.toRdd.count())
+        val (rfCnt, rfS) = minOf2(rectFull.queryExecution.toRdd.count())
+        assert(rcCnt == rfCnt,
+          s"rectangle prunedRead must match the full-scan conjunction: $rcCnt vs $rfCnt")
+        println(f"zorder RECT read at x$mult: 1/8x1/8 rectangle over " +
+          f"${rect.inputFiles.length}/${full.inputFiles.length} scheduled files " +
+          f"(1-D x alone ${oneDx.inputFiles.length}, y alone ${pruned.inputFiles.length}), " +
+          f"$rcS%.2f s vs full-scan residual $rfS%.2f s ($rcCnt%,d rows)")
       }
 
       // r13 round tail: deleteWhere's no-match probe priced against the

@@ -249,9 +249,11 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
       s"stats manifest reads parquet footers; table format is $format")
     require(cols.nonEmpty, "refreshStats needs at least one column")
     require(exists(spark, table), s"refreshStats: table `$table` does not exist")
-    val rows = cols.flatMap(c =>
-      graft.operators.ZOrder.fileEnvelopes(spark, path(table), c)
-        .map(e => (e.file, c, e.rows, e.min, e.max)))
+    // executor-side collection (r13 round tail): each footer opened
+    // ONCE for all columns, fanned out over the cluster — the refresh
+    // itself must not pay the 100k-serial-driver-opens bottleneck the
+    // manifest exists to remove from query planning
+    val rows = graft.operators.ZOrder.fileEnvelopesAll(spark, path(table), cols)
     import spark.implicits._
     replace(statsTable(table),
       rows.toDF("file", "colname", "rows", "vmin", "vmax").coalesce(1))
@@ -275,20 +277,42 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
     * manifest at all → plain filtered read.
     */
   def statsPrunedRead(spark: SparkSession, table: String, column: String,
-      lo: Long, hi: Long): DataFrame = {
+      lo: Long, hi: Long): DataFrame =
+    statsPrunedRead(spark, table, Seq((column, lo, hi)))
+
+  /** Conjunctive (rectangle) form of [[statsPrunedRead]] — the manifest
+    * twin of [[graft.operators.ZOrder.prunedRead]]'s rectangle planner:
+    * a file is scheduled only if its manifested envelope intersects
+    * EVERY range, so the per-dimension skip ratios of a z-ordered
+    * layout multiply. The freshness rule is per (file, column): a
+    * column a file has no manifest row for (post-refresh append, or a
+    * column never manifested) contributes no pruning for that file —
+    * staleness still costs quality, never rows.
+    */
+  def statsPrunedRead(spark: SparkSession, table: String,
+      ranges: Seq[(String, Long, Long)]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    require(lo <= hi, s"statsPrunedRead range is empty: [$lo, $hi]")
-    val residual = col(column) >= lo && col(column) <= hi
+    require(ranges.nonEmpty, "statsPrunedRead needs at least one range")
+    require(ranges.map(_._1).distinct.size == ranges.size,
+      s"duplicate range columns: ${ranges.map(_._1).mkString(", ")}")
+    val residual = ranges.map { case (c, lo, hi) =>
+      require(lo <= hi, s"statsPrunedRead range on `$c` is empty: [$lo, $hi]")
+      col(c) >= lo && col(c) <= hi
+    }.reduce(_ && _)
     if (!exists(spark, statsTable(table))) return read(spark, table).where(residual)
+    val cols = ranges.map(_._1)
     val manifest = read(spark, statsTable(table))
-      .filter(col("colname") === column)
-      .select("file", "rows", "vmin", "vmax").collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      .filter(col("colname").isin(cols: _*))
+      .select("file", "colname", "rows", "vmin", "vmax").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     recoverIfTorn(table)
     val keep = listPartFiles(table).filter { f =>
-      manifest.get(f) match {
-        case Some((rows, vmin, vmax)) => rows > 0 && vmax >= lo && vmin <= hi
-        case None => true // unknown bounds (post-refresh append): must scan
+      ranges.forall { case (c, lo, hi) =>
+        manifest.get((f, c)) match {
+          case Some((rows, vmin, vmax)) => rows > 0 && vmax >= lo && vmin <= hi
+          case None => true // unknown bounds (post-refresh append): must scan
+        }
       }
     }
     if (keep.isEmpty) read(spark, table).where(lit(false))

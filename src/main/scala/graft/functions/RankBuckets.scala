@@ -28,10 +28,35 @@ object RankBuckets {
     * expensive to compute). Heavily repeated values produce duplicate
     * boundaries — the duplicates are dropped, so the effective bucket
     * count shrinks rather than producing empty buckets.
+    *
+    * The axis must resolve to a NUMERIC type (r13 review): a string
+    * axis casts to all-null doubles, every boundary probe and every
+    * `bucketOf` comparison goes null, and all rows collapse into
+    * bucket 0 — which for [[graft.operators.PrefixSum]] silently
+    * re-serializes each stratum into the one hot task the bucketing
+    * exists to kill. Temporal axes map through
+    * `unix_date`/`unix_seconds` caller-side (as
+    * [[graft.operators.ZOrder.zkeyedQuantile]] does).
     */
+  /** Schema-only axis-type check, usable BEFORE an expensive persist
+    * (a throw after `persist()` would leak the block — the same
+    * discipline as PrefixSum's value-type precheck). */
+  def requireNumericAxis(df: DataFrame, e: Column): Unit = {
+    import org.apache.spark.sql.types.NumericType
+    df.select(e.as("__rb0")).schema("__rb0").dataType match {
+      case _: NumericType => ()
+      case other => throw new IllegalArgumentException(
+        s"RankBuckets: bucketing axis has type $other — its double cast is " +
+          "null/meaningless and every row would land in bucket 0; map the axis " +
+          "to a numeric order first (temporal → unix_date/unix_seconds, " +
+          "string → a pre-bucketed rank)")
+    }
+  }
+
   def boundaries(df: DataFrame, e: Column, numBuckets: Int,
       relativeError: Double = 0.001): Seq[Double] = {
     require(numBuckets >= 1, s"numBuckets must be positive, got $numBuckets")
+    requireNumericAxis(df, e)
     if (numBuckets == 1) Seq.empty
     else {
       val probs = (1 until numBuckets).map(_.toDouble / numBuckets).toArray

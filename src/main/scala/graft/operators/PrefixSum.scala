@@ -86,6 +86,9 @@ object PrefixSum {
       case other => throw new IllegalArgumentException(
         s"perKey needs an integral value expression for an exact two-pass sum, got $other")
     }
+    // the axis-type check is also pre-persist (r13 review): boundaries()
+    // would throw it anyway, but only after the persist below leaked
+    RankBuckets.requireNumericAxis(df, orderHead)
     val p = df.persist() // three consumers: boundary stats, totals, the windowed join
     val bnds = RankBuckets.boundaries(p, orderHead, numBuckets)
     // null order keys fail loudly (r13 review): bucketOf would silently

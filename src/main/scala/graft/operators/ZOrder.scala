@@ -230,35 +230,80 @@ object ZOrder {
     */
   def fileEnvelopes(spark: SparkSession, dir: String, column: String): Seq[FileEnvelope] = {
     import org.apache.hadoop.fs.Path
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
     fs.listStatus(root).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .flatMap { f =>
-        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
-        try {
-          val blocks = reader.getFooter.getBlocks.asScala.toSeq
-          val stats = blocks.flatMap(b =>
-            b.getColumns.asScala.find(_.getPath.toDotString == column).map(_.getStatistics))
-          if (stats.isEmpty) None // zero-row file: trivially skippable
-          else {
-            require(stats.forall(s => s.hasNonNullValue),
-              s"$column carries no footer stats in ${f.getPath} — wrong column or type?")
-            def asLong(v: Any): Long = v match {
-              case l: java.lang.Long => l.longValue()
-              case i: java.lang.Integer => i.longValue()
-              case other => throw new IllegalArgumentException(
-                s"$column is not an integral parquet column: stat value $other")
-            }
-            Some(FileEnvelope(f.getPath.getName, blocks.map(_.getRowCount).sum,
-              stats.map(s => asLong(s.genericGetMin)).min,
-              stats.map(s => asLong(s.genericGetMax)).max))
+      .flatMap(f => readEnvelopes(f.getPath, conf, Seq(column)).map(_._2))
+  }
+
+  /** One footer open → the envelope of EVERY requested column (the
+    * shared body of the driver-side and executor-side collectors).
+    * Returns (column, envelope) pairs; a column with no stats in any
+    * block (zero-row file, or a file written before the column
+    * existed) yields no pair — trivially skippable either way.
+    */
+  private def readEnvelopes(p: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration,
+      columns: Seq[String]): Seq[(String, FileEnvelope)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      columns.flatMap { column =>
+        val stats = blocks.flatMap(b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == column).map(_.getStatistics))
+        if (stats.isEmpty) None
+        else {
+          require(stats.forall(s => s.hasNonNullValue),
+            s"$column carries no footer stats in $p — wrong column or type?")
+          def asLong(v: Any): Long = v match {
+            case l: java.lang.Long => l.longValue()
+            case i: java.lang.Integer => i.longValue()
+            case other => throw new IllegalArgumentException(
+              s"$column is not an integral parquet column: stat value $other")
           }
-        } finally reader.close()
+          Some(column -> FileEnvelope(p.getName, rows,
+            stats.map(s => asLong(s.genericGetMin)).min,
+            stats.map(s => asLong(s.genericGetMax)).max))
+        }
       }
+    } finally reader.close()
+  }
+
+  /** Executor-side envelope collection (r13 round tail): the driver
+    * lists file NAMES (bounded metadata) and the footer opens fan out
+    * over the cluster, one task batch per ~64-file slice, each footer
+    * opened ONCE for all requested columns. This is what
+    * [[graft.catalog.Warehouse.refreshStats]] runs: at 100k files the
+    * driver-side loop is 100k serial footer RPCs × one per column —
+    * exactly the planning-time bottleneck a manifest exists to remove,
+    * so the manifest's own refresh must not pay it either. Output
+    * (file, colname, rows, vmin, vmax), collected — manifest-sized,
+    * not data-sized.
+    */
+  def fileEnvelopesAll(spark: SparkSession, dir: String,
+      columns: Seq[String]): Seq[(String, String, Long, Long, Long)] = {
+    import org.apache.hadoop.fs.Path
+    require(columns.nonEmpty, "fileEnvelopesAll needs at least one column")
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val files = root.getFileSystem(conf).listStatus(root).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).sorted
+    if (files.isEmpty) return Seq.empty
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val parts = math.max(1, math.min(files.size, 64))
+    spark.sparkContext.parallelize(files, parts)
+      .flatMap { f =>
+        readEnvelopes(new Path(f), serConf.value, columns).map {
+          case (c, e) => (e.file, c, e.rows, e.min, e.max)
+        }
+      }
+      .collect().toSeq.sortBy(r => (r._1, r._2))
   }
 
   /** How many of `envelopes` a planner skips for `col BETWEEN lo AND hi`
@@ -283,12 +328,34 @@ object ZOrder {
     * contract as [[fileEnvelopes]]).
     */
   def prunedRead(spark: SparkSession, dir: String, column: String,
-      lo: Long, hi: Long): DataFrame = {
-    require(lo <= hi, s"prunedRead range is empty: [$lo, $hi]")
-    val keep = fileEnvelopes(spark, dir, column)
-      .filter(e => e.rows > 0 && e.max >= lo && e.min <= hi)
-      .map(e => s"$dir/${e.file}")
-    val residual = col(column) >= lo && col(column) <= hi
+      lo: Long, hi: Long): DataFrame =
+    prunedRead(spark, dir, Seq((column, lo, hi)))
+
+  /** Conjunctive (rectangle) form of [[prunedRead]] — the query shape a
+    * MULTI-column z-order layout exists for: a file survives only if
+    * its envelope intersects EVERY range, so the skip ratios of the
+    * interleaved dimensions MULTIPLY instead of the caller picking one
+    * (a 2-D layout skipping ~75% per dimension schedules ~1/16 of the
+    * files for a rectangle — q114 hash-pins correctness, ZOrderSpec
+    * pins that the rectangle schedules no more files than either
+    * single-dimension prune). Same correctness contract by
+    * construction: envelopes are exact bounds, so a dropped file can
+    * hold no row satisfying the conjunction.
+    */
+  def prunedRead(spark: SparkSession, dir: String,
+      ranges: Seq[(String, Long, Long)]): DataFrame = {
+    require(ranges.nonEmpty, "prunedRead needs at least one range")
+    require(ranges.map(_._1).distinct.size == ranges.size,
+      s"duplicate range columns: ${ranges.map(_._1).mkString(", ")}")
+    val residual = ranges.map { case (c, lo, hi) =>
+      require(lo <= hi, s"prunedRead range on `$c` is empty: [$lo, $hi]")
+      col(c) >= lo && col(c) <= hi
+    }.reduce(_ && _)
+    val keep = ranges.map { case (c, lo, hi) =>
+      fileEnvelopes(spark, dir, c)
+        .filter(e => e.rows > 0 && e.max >= lo && e.min <= hi)
+        .map(_.file).toSet
+    }.reduce(_ intersect _).toSeq.sorted.map(f => s"$dir/$f")
     if (keep.isEmpty)
       // schema from the (empty-after-filter) full listing; lit(false)
       // folds to an empty LocalRelation, so nothing is scanned

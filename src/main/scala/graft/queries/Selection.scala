@@ -762,6 +762,66 @@ object Selection {
       SELECT 'y', y, CAST(COUNT(*) AS BIGINT), CAST(SUM(x) AS BIGINT)
       FROM src WHERE y BETWEEN 3 AND 20 GROUP BY 2"""))
 
-  val all: Seq[QueryDef] = Seq(q91, q92, q93, q94, q96, q98, q99, q102, q108, q111, q112)
+  /** Conjunctive (rectangle) pruned reads (r13 round tail): the query
+    * shape a TWO-column z-order layout exists for — a range predicate
+    * on BOTH interleaved keys, planned by file skipping where the
+    * per-dimension skip ratios MULTIPLY (a layout skipping ~3/4 per
+    * dimension schedules ~1/16 of its files for the rectangle;
+    * ZOrderSpec measures the shrinkage, this gate pins correctness).
+    * One q112-style lifecycle — two appends, quantile OPTIMIZE,
+    * `refresh_stats`, then a THIRD append the manifest has never seen —
+    * read back as the same rectangle through BOTH planners: the
+    * manifest ([[graft.catalog.Warehouse.statsPrunedRead]] — must
+    * honor the freshness rule on every dimension at once) and the live
+    * footers ([[graft.operators.ZOrder.prunedRead]] over the table dir
+    * — fresh by construction). The oracle evaluates the rectangle over
+    * the three slices directly, once per planner: any file dropped
+    * despite holding a qualifying (x AND y) row — on either planner,
+    * stale or fresh — breaks the hash, and the two planners' rows must
+    * agree with each other because they agree with it.
+    */
+  val q114 = QueryDef(
+    "q114_zorder_rect_read",
+    (s, dir) => {
+      import s.implicits._
+      val wh = new graft.catalog.Warehouse(graft.util.TempDirs.scratch("graft-zrect"))
+      val li = Tables.load(s, dir, "lineitem")
+        .select($"l_partkey".cast("long").as("x"), $"l_suppkey".cast("long").as("y"),
+          $"l_shipdate".as("sd"))
+      def slice(from: String, to: String) =
+        li.filter($"sd" >= lit(from).cast("timestamp") && $"sd" < lit(to).cast("timestamp"))
+          .select($"x", $"y")
+      wh.append(slice("1995-01-01 00:00:00", "1995-04-01 00:00:00"), "zr_lineitem")
+      wh.append(slice("1995-04-01 00:00:00", "1995-07-01 00:00:00"), "zr_lineitem")
+      wh.optimizeZOrder(s, "zr_lineitem", Seq("x", "y"), bits = 6,
+        targetRowsPerFile = 1024, quantile = true)
+      wh.refreshStats(s, "zr_lineitem", Seq("x", "y"))
+      wh.append(slice("1995-07-01 00:00:00", "1995-10-01 00:00:00"), "zr_lineitem")
+      val rect = Seq(("x", 10L, 59L), ("y", 3L, 20L))
+      def agg(planner: String, df: org.apache.spark.sql.DataFrame) =
+        df.groupBy($"x")
+          .agg(count(lit(1)).as("cnt"), sum($"y").as("sum_y"))
+          .select(lit(planner).as("planner"), $"x".as("k"), $"cnt", $"sum_y")
+      agg("manifest", wh.statsPrunedRead(s, "zr_lineitem", rect))
+        .unionByName(agg("footer",
+          graft.operators.ZOrder.prunedRead(s, s"${wh.dir}/zr_lineitem", rect)))
+    },
+    Some("""
+      WITH rect AS (
+        SELECT CAST(l_partkey AS BIGINT) AS x, CAST(l_suppkey AS BIGINT) AS y
+        FROM lineitem
+        WHERE l_partkey BETWEEN 10 AND 59 AND l_suppkey BETWEEN 3 AND 20
+          AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+      )
+      SELECT 'manifest' AS planner, x AS k, CAST(COUNT(*) AS BIGINT) AS cnt,
+        CAST(SUM(y) AS BIGINT) AS sum_y
+      FROM rect GROUP BY 2
+      UNION ALL
+      SELECT 'footer', x, CAST(COUNT(*) AS BIGINT), CAST(SUM(y) AS BIGINT)
+      FROM rect GROUP BY 2"""))
+
+  val all: Seq[QueryDef] = Seq(q91, q92, q93, q94, q96, q98, q99, q102, q108,
+    q111, q112, q114)
 }
 

@@ -160,6 +160,12 @@ object Steps {
     val command = Macros.expand(spec.befehl, ctx.macroCtx)
     ctx.ledger.logQuery(command, ctx.schrittRunId, ctx.konfigurationenId)
     val (action, params) = Transforms.parse("MAINTENANCE", command)
+    Transforms.rejectUnknown("MAINTENANCE", action, params, action match {
+      case "compact" => Set("rows_per_file")
+      case "optimize_zorder" => Set("cols", "bits", "rows_per_file", "quantile")
+      case "refresh_stats" => Set("cols")
+      case _ => params.keySet // unknown action fails below with the action list
+    })
     val table = targetTable(spec)
     // a typo'd Zieltabelle must not report a successful 0->0-file run
     // (the silent-downgrade class this repo rejects loudly everywhere)

@@ -35,8 +35,16 @@ object StreamTransforms {
     val (name, params) = Transforms.parse("STREAM", command)
     val t = registry.getOrElse(name, throw new IllegalArgumentException(
       s"unknown STREAM transform '$name' (known: ${registry.keys.toSeq.sorted.mkString(", ")})"))
+    Transforms.rejectUnknown("STREAM", name, params, allowedKeys(name))
     t(ctx, params)
   }
+
+  /** Parameter vocabulary per STREAM transform (r13 review — typo'd
+    * optional keys fail loudly, see [[Transforms.rejectUnknown]]);
+    * TransformsSpec pins the keysets equal to the registry's. */
+  private[steps] val allowedKeys: Map[String, Set[String]] = Map(
+    "bloom_ingest_stream" -> Set("dir", "ckpt", "schema", "key", "seed",
+      "seen", "bloom", "out", "mbits", "k", "maxfiles"))
 
   val registry: Map[String, StreamRun] = Map(
     // bloom_ingest_stream dir=<watch dir> ckpt=<checkpoint dir>

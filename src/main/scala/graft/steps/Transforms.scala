@@ -62,8 +62,46 @@ object Transforms {
     val (name, params) = parse("PIPELINE", command)
     val t = registry.getOrElse(name, throw new IllegalArgumentException(
       s"unknown PIPELINE transform '$name' (known: ${registry.keys.toSeq.sorted.mkString(", ")})"))
+    rejectUnknown("PIPELINE", name, params, allowedKeys(name))
     t(ctx, params)
   }
+
+  /** Unknown parameter keys fail loudly (r13 review): the k=v parser
+    * accepts any key, so a typo'd OPTIONAL parameter (`chunks=` for
+    * `chunk=`) would otherwise fall back to its default silently — the
+    * silent-downgrade class this repo rejects everywhere else. Shared
+    * by the PIPELINE, STREAM and MAINTENANCE dispatchers.
+    */
+  private[steps] def rejectUnknown(kind: String, name: String,
+      params: Map[String, String], allowed: Set[String]): Unit = {
+    val unknown = params.keySet -- allowed
+    require(unknown.isEmpty,
+      s"$kind $name: unknown parameter(s) ${unknown.toSeq.sorted.mkString(", ")} " +
+        s"(allowed: ${allowed.toSeq.sorted.mkString(", ")})")
+  }
+
+  /** The parameter vocabulary of each PIPELINE transform, kept beside
+    * the registry; TransformsSpec pins the two keysets equal so a new
+    * transform cannot land without declaring its keys. */
+  private[steps] val allowedKeys: Map[String, Set[String]] = Map(
+    "decontaminate" -> Set("in", "holdout"),
+    "repetition" -> Set("in"),
+    "span_removal" -> Set("docs", "clean", "keep", "n"),
+    "mixture_budget" -> Set("in", "epoch", "budget"),
+    "dsir_weight" -> Set("in", "target_lang", "buckets", "scale"),
+    "dsir_select" -> Set("in", "target_lang", "k", "buckets", "scale"),
+    "paragraph_dedup" -> Set("in", "chunk"),
+    "neardup_components" -> Set("in", "k", "bands", "stars"),
+    "neardup_prune" -> Set("docs", "labels"),
+    "bloom_ingest" -> Set("in", "seen", "key", "mbits", "k"),
+    "semdedup" -> Set("in", "id", "emb", "threshold", "seed_k", "cents"),
+    "budget_take" -> Set("in", "budget"),
+    "hash_split" -> Set("in", "id"),
+    "token_pack" -> Set("in", "id", "pack", "only", "split"),
+    "kmeans_train" -> Set("in", "id", "emb", "k", "iters"),
+    "ivf_assign" -> Set("in", "book", "id", "emb"),
+    "ann_search" -> Set("in", "book", "assign", "queries_below",
+      "id", "emb", "nprobe", "topk"))
 
   /** Input-table resolution: warehouse table (a previous step's
     * Zieltabelle) first, session catalog (temp views, registered

@@ -88,6 +88,32 @@ class WarehouseStatsSpec extends AnyFunSuite with SparkSupport {
       "every unmanifested part file must be scheduled — its bounds are unknown")
   }
 
+  test("rectangle read: per-dimension keeps intersect, stale appends still scanned on every dimension") {
+    val (wh, xmax, ymax) = freshLayout()
+    val rx = ("x", xmax / 4, xmax / 4 + xmax / 8)
+    val ry = ("y", ymax / 2, ymax / 2 + ymax / 8)
+    // an unmanifested append inside the rectangle on x but with an
+    // out-of-range y, and one inside on both — the second must appear,
+    // and BOTH new files must be scheduled (unknown bounds on each
+    // dimension independently)
+    val allBefore = wh.read(spark, "t").inputFiles.toSet
+    wh.append(Seq((rx._2 + 1L, -5L), (rx._2 + 1L, ry._2 + 1L)).toDF("x", "y").coalesce(1), "t")
+    val rect = wh.statsPrunedRead(spark, "t", Seq(rx, ry))
+    assert(rowSet(rect) == rowSet(wh.read(spark, "t")
+        .filter($"x".between(rx._2, rx._3) && $"y".between(ry._2, ry._3))),
+      "rectangle read must equal the full-scan conjunction under a stale manifest")
+    assert(rowSet(rect).contains((rx._2 + 1L, ry._2 + 1L)))
+    val newFiles = wh.read(spark, "t").inputFiles.toSet -- allBefore
+    assert(newFiles.nonEmpty && newFiles.subsetOf(rect.inputFiles.toSet),
+      "unmanifested files must be scheduled by the rectangle planner too")
+    // manifested files: the rectangle schedules exactly the
+    // intersection of the single-dimension schedules
+    val oneDx = wh.statsPrunedRead(spark, "t", rx._1, rx._2, rx._3).inputFiles.toSet
+    val oneDy = wh.statsPrunedRead(spark, "t", ry._1, ry._2, ry._3).inputFiles.toSet
+    assert(rect.inputFiles.toSet == oneDx.intersect(oneDy),
+      "rectangle file set must be the intersection of the per-dimension sets")
+  }
+
   test("a non-maintenance rewrite makes every manifest row stale: full scan, rows stay exact") {
     // deleteWhere rewrites without re-manifesting (a per-batch caller
     // must not pay a table-wide footer scan); the freshness rule keeps
@@ -185,6 +211,21 @@ class WarehouseStatsSpec extends AnyFunSuite with SparkSupport {
     wh.deleteWhere(spark, "t", s"x = $someX")
     assert(wh.read(spark, "t").count() == rows - matching)
     assert(wh.read(spark, "t").filter($"x" === someX).isEmpty)
+  }
+
+  test("executor-side envelope collection matches the driver-side reader column-for-column") {
+    // refreshStats collects envelopes ON EXECUTORS (one footer open per
+    // file for all columns); the driver-side reader is the reference
+    val (wh, _, _) = freshLayout()
+    val dir = s"${wh.dir}/t"
+    val all = ZOrder.fileEnvelopesAll(spark, dir, Seq("x", "y"))
+    assert(all.nonEmpty)
+    for (c <- Seq("x", "y")) {
+      val driver = ZOrder.fileEnvelopes(spark, dir, c)
+        .map(e => (e.file, c, e.rows, e.min, e.max)).sortBy(_._1)
+      assert(all.filter(_._2 == c).sortBy(_._1) == driver,
+        s"distributed and driver-side envelopes must agree on $c")
+    }
   }
 
   test("refreshStats on a missing table fails loudly") {

@@ -154,4 +154,21 @@ class SkewSafeWindowsSpec extends AnyFunSuite with SparkSupport {
       }
     }
   }
+
+  test("RankBuckets: a non-numeric bucketing axis fails loudly (all-bucket-0 collapse)") {
+    // a string axis casts to all-null doubles — every row would land in
+    // bucket 0 and PrefixSum would silently re-serialize each stratum
+    // into the one hot task the bucketing exists to kill (r13 review)
+    import spark.implicits._
+    val df = Seq(("doc_a", 1L), ("doc_b", 2L)).toDF("doc_id", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.RankBuckets.boundaries(df, col("doc_id"), 16)
+    }
+    assert(e.getMessage.contains("bucketing axis"))
+    val e2 = intercept[IllegalArgumentException] {
+      PrefixSum.perKey(df, Seq("doc_id"), Seq(col("doc_id")), col("doc_id"),
+        descending = false, value = col("v"), cumName = "cum")
+    }
+    assert(e2.getMessage.contains("bucketing axis"))
+  }
 }

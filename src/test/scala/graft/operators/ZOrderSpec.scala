@@ -138,6 +138,30 @@ class ZOrderSpec extends AnyFunSuite with SparkSupport with PropSupport {
     check("y", ymax / 2, ymax / 2 + ymax / 8)
     // a range beyond the domain prunes everything and scans nothing
     assert(ZOrder.prunedRead(spark, s"$base/z", "x", xmax + 10, xmax + 20).isEmpty)
+    // the rectangle (r13 round tail): a conjunctive read schedules
+    // exactly the INTERSECTION of the per-dimension file sets — the
+    // multiplicative skip a 2-column layout exists for — and stays
+    // row-identical to the full-scan conjunction
+    val rx = ("x", xmax / 4, xmax / 4 + xmax / 8)
+    val ry = ("y", ymax / 2, ymax / 2 + ymax / 8)
+    val rect = ZOrder.prunedRead(spark, s"$base/z", Seq(rx, ry))
+    val oneDx = ZOrder.prunedRead(spark, s"$base/z", rx._1, rx._2, rx._3)
+    val oneDy = ZOrder.prunedRead(spark, s"$base/z", ry._1, ry._2, ry._3)
+    assert(rect.inputFiles.toSet == oneDx.inputFiles.toSet.intersect(oneDy.inputFiles.toSet),
+      "rectangle must schedule exactly the intersection of the per-dimension file sets")
+    assert(rect.inputFiles.length < math.min(oneDx.inputFiles.length, oneDy.inputFiles.length),
+      s"the 1/8x1/8 rectangle must beat both single-dimension prunes " +
+        s"(${rect.inputFiles.length} vs ${oneDx.inputFiles.length}/${oneDy.inputFiles.length})")
+    val rectRows = rect.select($"x", $"y")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val fullRows = spark.read.parquet(s"$base/z")
+      .filter(col("x").between(rx._2, rx._3) && col("y").between(ry._2, ry._3))
+      .select($"x", $"y").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(rectRows == fullRows, "rectangle read must equal the full-scan conjunction")
+    val dup = intercept[IllegalArgumentException] {
+      ZOrder.prunedRead(spark, s"$base/z", Seq(rx, rx))
+    }
+    assert(dup.getMessage.contains("duplicate"))
   }
 
   test("Warehouse.optimizeZOrder: contents unchanged, files compacted, envelopes prune on every keyed column") {
