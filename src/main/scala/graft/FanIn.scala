@@ -851,6 +851,39 @@ object FanIn {
         f"$cliquePick ${(System.nanoTime() - t3) / 1e9}%.1f s")
     }
 
+    // ---- shard-shuffle occupancy (r13 round tail / q115): the shard
+    // window partitions the PACKS frame by a hash of the pack key, so
+    // occupancy is uniform BY CONSTRUCTION even when one source holds
+    // 80% of the corpus — the Zipf stratum that serializes a
+    // per-source window (SkewProbe, FANIN r13 top section) cannot
+    // recur. Measured: max/mean packs per shard on the 80%-hot corpus,
+    // plus the wall of the full placement (window + join back).
+    locally {
+      val nPacks = 20000L * mult // one row per pack, worst case 1 doc/pack
+      val packed = spark.range(nPacks).select(
+        $"id".as("doc_id"),
+        when(pmod($"id", lit(10L)) < 8, lit("hot"))
+          .otherwise(concat(lit("s"), pmod($"id", lit(97L)))).as("source"),
+        lit(512L).as("n_tokens"),
+        $"id".as("pack_id"))
+      val t0 = System.nanoTime()
+      val occ = graft.operators.Assembly.shardShuffle(packed, nShards = 64)
+        .select("shard", "shard_pos").groupBy("shard")
+        .agg(count(lit(1)).as("n")).select($"n").collect().map(_.getLong(0))
+      val wallS = (System.nanoTime() - t0) / 1e9
+      val mean = occ.sum.toDouble / occ.length
+      val maxOverMean = occ.max / mean
+      // binomial occupancy: sd/mean ≈ 1/sqrt(mean), the max of 64 draws
+      // sits ~3 sd up — assert at 4.5 sd so the bound TIGHTENS with
+      // scale (x100: 1.026) instead of a fixed slack that hides drift
+      val bound = 1.0 + 4.5 / math.sqrt(mean)
+      println(f"shard shuffle at x$mult (${nPacks}%,d packs, 80%% one source, " +
+        f"64 shards): max/mean occupancy $maxOverMean%.3f (bound $bound%.3f), " +
+        f"wall $wallS%.1f s")
+      assert(occ.length == 64 && maxOverMean < bound,
+        f"hash placement must stay uniform under source skew, got $maxOverMean%.3f")
+    }
+
     // ---- end-to-end runs on the 100x corpus (FANIN_E2E=0 skips) ----
     if (sys.env.get("FANIN_E2E").contains("0")) { spark.stop(); return }
     def time(name: String)(f: => Long): Unit = {

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => T}
@@ -74,6 +75,65 @@ object Assembly {
         expr(s"(cum - n_tokens) div ${packTokens}L").as("pack_id")),
       staged.release)
   }
+
+  /** Deterministic training-shard shuffle (the stage AFTER packing —
+    * the last assembly step before files hit the trainer): scatter the
+    * packed sequences across `nShards` output shards in a
+    * pseudo-random but fully REPRODUCIBLE order. SGD wants the corpus
+    * order decorrelated from its construction order (source runs,
+    * pack-id runs); reproducibility wants the permutation to be a pure
+    * function of the data, not of `rand()` or the partitioning. Both
+    * come from hashing the pack key: `shard = hash32(source:pack_id)
+    * mod nShards`, and within a shard packs order by (hash, source,
+    * pack_id) — the hash scatters, the key breaks 32-bit collisions
+    * totally, so the layout is identical across engines, reruns, and
+    * cluster sizes. All docs of a pack land in the same shard,
+    * contiguous at the pack's `shard_pos`.
+    *
+    * Scale stance: the position window runs over the PACKS frame (one
+    * row per pack — corpus rows / pack size) partitioned by `shard`,
+    * and shard occupancy is hash-UNIFORM by construction — no Zipf
+    * stratum can serialize into one task the way a `source` partition
+    * can (the r13 PrefixSum finding); `nShards` is picked to make one
+    * shard one trainer-file-sized unit, which bounds the per-task sort
+    * independent of corpus skew. The join back to doc rows is one
+    * co-partitioned hash shuffle on the pack key.
+    *
+    * Input: a [[tokenPackWithRelease]]-shaped frame
+    * (`doc_id, source, n_tokens, pack_id`). Output: the same plus
+    * (`shard`, `shard_pos`).
+    */
+  def shardShuffle(packed: DataFrame, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be positive, got $nShards")
+    val packKey = concat_ws(":", col("source"), col("pack_id"))
+    val packs = packed.select(col("source"), col("pack_id")).distinct()
+      .withColumn("__sh", T.hash32(packKey))
+      .withColumn("shard", pmod(col("__sh"), lit(nShards.toLong)))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__sh"), col("source"), col("pack_id"))
+    val placed = packs
+      .withColumn("shard_pos", row_number().over(w).cast("long") - 1L)
+      .select(col("source"), col("pack_id"), col("shard"), col("shard_pos"))
+    packed.join(placed, Seq("source", "pack_id"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("pack_id"),
+        col("shard"), col("shard_pos"))
+  }
+
+  /** The WRITE action [[shardShuffle]] exists for: materialize the
+    * sharded corpus as one directory per shard
+    * (`path/shard=K/part-*.parquet`), each shard's rows sorted by
+    * (shard_pos, doc_id) so a trainer streaming a shard's files in
+    * name order reads packs in their shuffled order. One
+    * `repartition(nShards, shard)` hash shuffle + per-partition sort —
+    * no global sort, no single-task sink; `shard_pos` stays in the
+    * schema so the order is re-derivable even where a reader's file
+    * ordering isn't trusted.
+    */
+  def writeShards(sharded: DataFrame, path: String): Unit =
+    sharded
+      .repartition(sharded.col("shard"))
+      .sortWithinPartitions("shard", "shard_pos", "doc_id")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 
   /** Raw gate forms — persists are released by the registry runner's
     * `clearCache()`; services use the Staged surface. */

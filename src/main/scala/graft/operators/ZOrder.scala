@@ -240,9 +240,16 @@ object ZOrder {
 
   /** One footer open → the envelope of EVERY requested column (the
     * shared body of the driver-side and executor-side collectors).
-    * Returns (column, envelope) pairs; a column with no stats in any
-    * block (zero-row file, or a file written before the column
-    * existed) yields no pair — trivially skippable either way.
+    * Returns (column, envelope) pairs; a column with no VALUE stats in
+    * any block (zero-row file, a file written before the column
+    * existed, or an all-null column) yields no pair — trivially
+    * skippable either way, since a row-less/value-less file can hold
+    * no row satisfying a range predicate. Blocks whose column chunk is
+    * entirely null are excluded from the min/max (r13 review: the old
+    * `forall(hasNonNullValue)` require made ONE all-null row group in
+    * an otherwise-populated file fail the whole pruned read — null
+    * rows can never match a range, so ignoring the value-less chunk is
+    * exact, not a relaxation).
     */
   private def readEnvelopes(p: org.apache.hadoop.fs.Path,
       conf: org.apache.hadoop.conf.Configuration,
@@ -256,10 +263,9 @@ object ZOrder {
       columns.flatMap { column =>
         val stats = blocks.flatMap(b =>
           b.getColumns.asScala.find(_.getPath.toDotString == column).map(_.getStatistics))
+          .filter(s => s.hasNonNullValue)
         if (stats.isEmpty) None
         else {
-          require(stats.forall(s => s.hasNonNullValue),
-            s"$column carries no footer stats in $p — wrong column or type?")
           def asLong(v: Any): Long = v match {
             case l: java.lang.Long => l.longValue()
             case i: java.lang.Integer => i.longValue()
@@ -344,6 +350,7 @@ object ZOrder {
     */
   def prunedRead(spark: SparkSession, dir: String,
       ranges: Seq[(String, Long, Long)]): DataFrame = {
+    import org.apache.hadoop.fs.Path
     require(ranges.nonEmpty, "prunedRead needs at least one range")
     require(ranges.map(_._1).distinct.size == ranges.size,
       s"duplicate range columns: ${ranges.map(_._1).mkString(", ")}")
@@ -351,11 +358,20 @@ object ZOrder {
       require(lo <= hi, s"prunedRead range on `$c` is empty: [$lo, $hi]")
       col(c) >= lo && col(c) <= hi
     }.reduce(_ && _)
-    val keep = ranges.map { case (c, lo, hi) =>
-      fileEnvelopes(spark, dir, c)
-        .filter(e => e.rows > 0 && e.max >= lo && e.min <= hi)
-        .map(_.file).toSet
-    }.reduce(_ intersect _).toSeq.sorted.map(f => s"$dir/$f")
+    // one footer open per FILE for all range columns (r13 review: the
+    // per-column fileEnvelopes form re-opened every footer k times)
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val keep = root.getFileSystem(conf).listStatus(root).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .filter { f =>
+        val envs = readEnvelopes(f.getPath, conf, ranges.map(_._1)).toMap
+        ranges.forall { case (c, lo, hi) =>
+          // no envelope ⇒ no non-null value of c in the file ⇒ skippable
+          envs.get(c).exists(e => e.rows > 0 && e.max >= lo && e.min <= hi)
+        }
+      }
+      .map(_.getPath.getName).sorted.map(f => s"$dir/$f")
     if (keep.isEmpty)
       // schema from the (empty-after-filter) full listing; lit(false)
       // folds to an empty LocalRelation, so nothing is scanned

@@ -981,7 +981,7 @@ object EndToEnd {
   private[graft] def assemblyWorkflowSpec(
       induceFailure: Boolean = false): WorkflowSpec = WorkflowSpec(
     id = 12,
-    masterPackageId = 83,
+    masterPackageId = 84,
     fallbackPackageId = Some(89L),
     packages = Map(
       81L -> PackageSpec(81, realizations = Seq(RealizationSpec(
@@ -1003,6 +1003,12 @@ object EndToEnd {
             "split=train pack=4096",
           zieltabelle = Some("as_packs"),
           quelltabelle = Some("as_split")))))),
+      84L -> PackageSpec(84, dependencies = Seq(83L), realizations = Seq(RealizationSpec(
+        840, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(8400, CommandType.Copy, TaskType.Pipeline,
+          "shard_shuffle in=as_packs shards=8",
+          zieltabelle = Some("as_shards"),
+          quelltabelle = Some("as_packs")))))),
       89L -> PackageSpec(89, realizations = Seq(RealizationSpec(
         890, anzahlParalleleSchritte = 1,
         steps = Seq(StepSpec(8900, CommandType.SqlTarget, TaskType.Sql,
@@ -1027,21 +1033,24 @@ object EndToEnd {
   }
 
   /** Training-set assembly AS a workflow (r13): budget take, hash
-    * split, and sequence packing chained as PIPELINE steps under the
-    * full orchestrator — stage outputs are warehouse tables, the packer
-    * restricts to the split step's train ids by left-semi join, and the
-    * oracle recomposes all three stages in DuckDB from `documents`
-    * alone (q82's quality/budget CTEs → q59's md5 split → q61's
-    * prefix-sum packing). A broken stage chain, a drifted stage body,
-    * or a split leak into the packed set breaks the hash.
+    * split, sequence packing, and the deterministic shard shuffle
+    * chained as PIPELINE steps under the full orchestrator — stage
+    * outputs are warehouse tables, the packer restricts to the split
+    * step's train ids by left-semi join, the shard step places every
+    * pack, and the oracle recomposes all FOUR stages in DuckDB from
+    * `documents` alone (q82's quality/budget CTEs → q59's md5 split →
+    * q61's prefix-sum packing → q115's hash shard placement). A broken
+    * stage chain, a drifted stage body, a split leak into the packed
+    * set, or a nondeterministic shuffle breaks the hash.
     */
   val q113 = QueryDef(
     "q113_assembly_workflow",
     (s, dir) => {
       val (result, _, wh) = runAssemblyWorkflow(s, dir)
       result.error.foreach(throw _)
-      wh.read(s, "as_packs")
-        .select(col("doc_id"), col("source"), col("n_tokens"), col("pack_id"))
+      wh.read(s, "as_shards")
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("pack_id"),
+          col("shard"), col("shard_pos"))
     },
     Some("""
       WITH base AS (
@@ -1071,15 +1080,28 @@ object EndToEnd {
       ), train AS (
         SELECT doc_id FROM take
         WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80
-      ), packed AS (
+      ), packed0 AS (
         SELECT t.doc_id, t.source, t.toks AS n_tokens,
           SUM(t.toks) OVER (PARTITION BY t.source ORDER BY t.doc_id
                             ROWS UNBOUNDED PRECEDING) AS cum
         FROM take t JOIN train USING (doc_id)
+      ), packed AS (
+        SELECT doc_id, source, n_tokens,
+               CAST((cum - n_tokens) // 4096 AS BIGINT) AS pack_id
+        FROM packed0
+      ), packs AS (
+        SELECT source, pack_id,
+          CAST('0x' || substr(md5(source || ':' || CAST(pack_id AS VARCHAR)), 1, 8)
+            AS BIGINT) AS h
+        FROM (SELECT DISTINCT source, pack_id FROM packed)
+      ), placed AS (
+        SELECT source, pack_id, h % 8 AS shard,
+          CAST(ROW_NUMBER() OVER (PARTITION BY h % 8
+            ORDER BY h, source, pack_id) AS BIGINT) - 1 AS shard_pos
+        FROM packs
       )
-      SELECT doc_id, source, n_tokens,
-             CAST((cum - n_tokens) // 4096 AS BIGINT) AS pack_id
-      FROM packed"""))
+      SELECT p.doc_id, p.source, p.n_tokens, p.pack_id, d.shard, d.shard_pos
+      FROM packed p JOIN placed d USING (source, pack_id)"""))
 
   val all: Seq[QueryDef] = Seq(q20, q21, q36, q42, q53, q103, q106, q107, q109, q110, q113)
 }

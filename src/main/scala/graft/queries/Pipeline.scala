@@ -1157,6 +1157,50 @@ object Pipeline {
              CAST((cum - n_tokens) // 4096 AS BIGINT) AS pack_id
       FROM cum"""))
 
+  /** Deterministic shard shuffle over the packed corpus (r13 — the
+    * assembly tail's LAST stage, [[graft.operators.Assembly
+    * .shardShuffle]]): every pack lands in a hash-chosen shard at a
+    * hash-ordered position, so the trainer's read order is
+    * decorrelated from (source, pack_id) construction order yet a pure
+    * function of the data — rerun-, engine- and cluster-size-stable.
+    * The oracle recomposes packing (q61's CTE) and the placement
+    * (md5-prefix hash, mod-8 shard, rank by (hash, source, pack_id)
+    * within shard) entirely in DuckDB, so a hash mismatch catches any
+    * nondeterminism — the exact failure mode `rand()`-based shuffles
+    * ship and this operator exists to exclude.
+    */
+  val q115 = QueryDef(
+    "q115_shard_shuffle",
+    (s, dir) => graft.operators.Assembly.shardShuffle(
+      graft.operators.Assembly.tokenPack(docs(s, dir)), nShards = 8),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, source,
+          CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents
+      ), cum AS (
+        SELECT doc_id, source, n_tokens,
+          SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM toks
+      ), packed AS (
+        SELECT doc_id, source, n_tokens,
+               CAST((cum - n_tokens) // 4096 AS BIGINT) AS pack_id
+        FROM cum
+      ), packs AS (
+        SELECT source, pack_id,
+          CAST('0x' || substr(md5(source || ':' || CAST(pack_id AS VARCHAR)), 1, 8)
+            AS BIGINT) AS h
+        FROM (SELECT DISTINCT source, pack_id FROM packed)
+      ), placed AS (
+        SELECT source, pack_id, h % 8 AS shard,
+          CAST(ROW_NUMBER() OVER (PARTITION BY h % 8
+            ORDER BY h, source, pack_id) AS BIGINT) - 1 AS shard_pos
+        FROM packs
+      )
+      SELECT p.doc_id, p.source, p.n_tokens, p.pack_id, d.shard, d.shard_pos
+      FROM packed p JOIN placed d USING (source, pack_id)"""))
+
   /** Streaming drop-folder ingest, oracle-gated (VERDICT r9 missing #3 —
     * the last test-only §2.6 row): the S3 TRANSFER step as a continuous
     * pipeline ([[graft.streaming.Streams.fileIngest]], reference
@@ -2260,5 +2304,5 @@ object Pipeline {
     Seq(q13, q14, q15, q16, q17, q18, q19, q29, q39, q41, q43, q44, q46,
       q48, q49, q54, q55, q57, q58, q59, q60, q61, q66, q78, q79, q80,
       q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q95, q97, q100, q101,
-      q104, q105)
+      q104, q105, q115)
 }

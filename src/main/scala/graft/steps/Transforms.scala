@@ -98,6 +98,7 @@ object Transforms {
     "budget_take" -> Set("in", "budget"),
     "hash_split" -> Set("in", "id"),
     "token_pack" -> Set("in", "id", "pack", "only", "split"),
+    "shard_shuffle" -> Set("in", "shards"),
     "kmeans_train" -> Set("in", "id", "emb", "k", "iters"),
     "ivf_assign" -> Set("in", "book", "id", "emb"),
     "ann_search" -> Set("in", "book", "assign", "queries_below",
@@ -254,6 +255,13 @@ object Transforms {
       graft.operators.Assembly.tokenPackWithRelease(
         in, packTokens = long(p, "pack", Some(4096L)))
     },
+    // shard_shuffle in=<token_pack output table> [shards=8] — the
+    // assembly tail's last stage: deterministic hash placement of each
+    // pack into a shard + a hash-ordered within-shard position (q115's
+    // body; reproducible across engines/reruns/cluster sizes)
+    "shard_shuffle" -> ((ctx, p) =>
+      unstaged(graft.operators.Assembly.shardShuffle(
+        input(ctx, p, "in"), nShards = long(p, "shards", Some(8L)).toInt))),
     // ---- the ANN index family (r13): train → assign → search as
     // chained steps, the q68/q67 operator bodies behind step commands —
     // the index TABLES (codebook, assignments) become ordinary
