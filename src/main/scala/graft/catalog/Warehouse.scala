@@ -101,10 +101,26 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
     * zero rows, which at 100 TB turns an idempotence check into the
     * dominant cost. The probe's predicate reaches the parquet footers
     * (row-group stats skip), so the common no-op case is metadata-sized.
+    *
+    * `remanifest = true` re-collects the stats manifest after a
+    * deleting rewrite (the maintenance-path discipline of
+    * [[compact]]/[[optimizeZOrder]]) — the RETENTION caller
+    * (`delete_where` MAINTENANCE steps) wants pruning quality restored
+    * with the rewrite, while per-micro-batch data-path callers (the
+    * streaming rewind scrub) must not pay a footer sweep per batch, so
+    * the default stays off; either way staleness costs pruning
+    * quality, never rows (the [[statsPrunedRead]] freshness rule).
+    * Returns true iff rows were deleted (a rewrite happened).
     */
-  def deleteWhere(spark: SparkSession, table: String, predicate: String): Unit =
-    if (exists(spark, table) && !read(spark, table).filter(predicate).isEmpty)
+  def deleteWhere(spark: SparkSession, table: String, predicate: String,
+      remanifest: Boolean = false): Boolean = {
+    val rewrite = exists(spark, table) && !read(spark, table).filter(predicate).isEmpty
+    if (rewrite) {
       rewriteInPlace(table, read(spark, table).filter(s"NOT ($predicate)"))
+      if (remanifest) refreshStatsIfManifested(spark, table)
+    }
+    rewrite
+  }
 
   /** Compact a table's accumulated small files — the maintenance pass
     * every append-heavy table needs (each `append` and every streaming

@@ -769,9 +769,18 @@ object EndToEnd {
             StepSpec(6200, CommandType.Copy, TaskType.Maintenance,
               if (induceFailure) "vacuum retention=0" else "compact rows_per_file=1000000",
               zieltabelle = Some("mt_lineitem"), schrittReihenfolge = 0),
+            // retention BEFORE the layout pass (r13 round tail): a
+            // deleting rewrite does not preserve a z-order layout, so
+            // the realistic maintenance order is drop → lay out → manifest
             StepSpec(6210, CommandType.Copy, TaskType.Maintenance,
+              "delete_where predicate=\"l_shipdate < TIMESTAMP '1995-02-01 00:00:00'\"",
+              zieltabelle = Some("mt_lineitem"), schrittReihenfolge = 1),
+            StepSpec(6220, CommandType.Copy, TaskType.Maintenance,
               "optimize_zorder cols=l_partkey,l_suppkey bits=6 rows_per_file=256 quantile=true",
-              zieltabelle = Some("mt_lineitem"), schrittReihenfolge = 1))))),
+              zieltabelle = Some("mt_lineitem"), schrittReihenfolge = 2),
+            StepSpec(6230, CommandType.Copy, TaskType.Maintenance,
+              "refresh_stats cols=l_partkey,l_suppkey",
+              zieltabelle = Some("mt_lineitem"), schrittReihenfolge = 3))))),
         69L -> PackageSpec(69, realizations = Seq(RealizationSpec(
           690, anzahlParalleleSchritte = 1,
           steps = Seq(StepSpec(6900, CommandType.SqlTarget, TaskType.Sql,
@@ -798,16 +807,20 @@ object EndToEnd {
   }
 
   /** Warehouse maintenance run AS a workflow (r13): two COPY appends
-    * accumulate a table, then `compact` and `optimize_zorder
-    * (quantile)` rewrite it as MAINTENANCE steps under the full
-    * orchestrator — the readback must hash-match DuckDB evaluating the
-    * two COPY slices directly, i.e. maintenance must preserve the
-    * table's contents EXACTLY through both crash-safe rewrites (a
-    * dropped row, a clamped-away value, or a type drift in the rewrite
-    * path breaks the gate). The layout/file-count effects — the part
-    * maintenance actually buys — are pinned by MaintenanceWorkflowSpec
-    * on the same run (footer-envelope skipping on BOTH layout keys,
-    * message-log file accounting, mutex claim set, fallback path).
+    * accumulate a table, then the full maintenance pass runs as
+    * MAINTENANCE steps under the orchestrator — `compact`, the
+    * `delete_where` retention cut (the one action that changes
+    * contents BY DESIGN: rows before the retention horizon drop
+    * through the crash-safe rewrite), `optimize_zorder (quantile)`,
+    * and `refresh_stats` (the manifest re-collected over the final
+    * layout). The readback must hash-match DuckDB evaluating the COPY
+    * slices MINUS the retention window directly: a dropped survivor
+    * row, an under-deleted straggler, a clamped-away value, or a type
+    * drift in any rewrite breaks the gate. The layout/file-count
+    * effects — the part maintenance actually buys — are pinned by
+    * MaintenanceWorkflowSpec on the same run (footer-envelope skipping
+    * on BOTH layout keys, message-log accounting, mutex claim set,
+    * fallback path).
     */
   val q109 = QueryDef(
     "q109_maintenance_workflow",
@@ -823,7 +836,7 @@ object EndToEnd {
       SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
         l_extendedprice, l_shipdate
       FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      WHERE l_shipdate >= TIMESTAMP '1995-02-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1995-07-01 00:00:00'"""))
 
   /** The ANN index workflow fixture (r13): train → assign → search as

@@ -145,14 +145,17 @@ object Steps {
     * warehouse maintenance action applied to the step's own
     * Zieltabelle — `compact [rows_per_file=N]` ([[Warehouse.compact]]),
     * `optimize_zorder cols=a,b [bits=6] [rows_per_file=N]
-    * [quantile=true]` ([[Warehouse.optimizeZOrder]]), or
+    * [quantile=true]` ([[Warehouse.optimizeZOrder]]),
     * `refresh_stats cols=a,b` ([[Warehouse.refreshStats]] — persist the
     * per-file footer envelopes as the stats-manifest sibling table a
-    * manifest-planned read prunes from). The table comes
+    * manifest-planned read prunes from), or `delete_where
+    * predicate="…"` ([[Warehouse.deleteWhere]] with remanifest — the
+    * retention verb). The table comes
     * from the Zieltabelle, NOT a command parameter, so the table-mutex
     * claim and the mutated table cannot diverge (see
-    * [[TaskType.Maintenance]]); contents are unchanged by contract and
-    * the before→after file counts land in the message log (the
+    * [[TaskType.Maintenance]]); contents are unchanged by contract —
+    * except `delete_where`, whose whole point is dropping the matched
+    * rows — and the outcome lands in the message log (the
     * reference's trace surface, `Helper.cs:1862-2020` — row counts
     * stay untouched, so there is no `ErwarteteDaten` for maintenance).
     */
@@ -164,6 +167,7 @@ object Steps {
       case "compact" => Set("rows_per_file")
       case "optimize_zorder" => Set("cols", "bits", "rows_per_file", "quantile")
       case "refresh_stats" => Set("cols")
+      case "delete_where" => Set("predicate")
       case _ => params.keySet // unknown action fails below with the action list
     })
     val table = targetTable(spec)
@@ -196,8 +200,23 @@ object Steps {
         val cols = layoutCols
         val n = ctx.warehouse.refreshStats(ctx.spark, table, cols)
         s"$n envelopes over ${cols.size} columns"
+      // delete_where predicate="<SQL boolean over the table's columns>"
+      // — the RETENTION verb (Delta's DELETE as maintenance): rows
+      // matching the predicate are dropped through the crash-safe
+      // rewrite, and a stats manifest is re-collected with the rewrite
+      // (Warehouse.deleteWhere remanifest=true) so pruned reads keep
+      // their quality. The one maintenance action that changes CONTENTS
+      // by design; a no-match predicate is a metadata-sized probe.
+      case "delete_where" =>
+        val predicate = Transforms.str(params, "predicate")
+        require(predicate.trim.nonEmpty,
+          s"delete_where on `$table` needs a non-empty predicate=")
+        if (ctx.warehouse.deleteWhere(ctx.spark, table, predicate, remanifest = true))
+          s"deleted rows matching [$predicate]"
+        else s"no rows match [$predicate] — probe only, no rewrite"
       case other => throw new IllegalArgumentException(
-        s"unknown MAINTENANCE action '$other' (known: compact, optimize_zorder, refresh_stats)")
+        s"unknown MAINTENANCE action '$other' (known: compact, optimize_zorder, " +
+          "refresh_stats, delete_where)")
     }
     ctx.ledger.message(
       s"MAINTENANCE $action on $table: $outcome",

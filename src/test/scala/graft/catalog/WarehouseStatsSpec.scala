@@ -128,6 +128,31 @@ class WarehouseStatsSpec extends AnyFunSuite with SparkSupport {
       "after a non-maintenance rewrite no current file is manifested, so all must be scanned")
   }
 
+  test("deleteWhere(remanifest=true) re-collects the manifest with the retention rewrite") {
+    // the delete_where MAINTENANCE action's contract: the retained rows
+    // read back exactly AND the manifest covers the post-rewrite files,
+    // so pruned reads keep their quality instead of degrading to the
+    // scan-everything freshness fallback until someone remembers a
+    // refresh_stats (the same discipline compact/optimize carry)
+    val (wh, xmax, _) = freshLayout()
+    val someX = wh.read(spark, "t").select($"x").head().getLong(0)
+    assert(wh.deleteWhere(spark, "t", s"x = $someX", remanifest = true))
+    val manifested = wh.read(spark, wh.statsTable("t"))
+      .select("file").distinct().collect().map(_.getString(0)).toSet
+    val live = wh.read(spark, "t").inputFiles
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    assert(manifested == live,
+      "the retention rewrite must leave a manifest over exactly the new files")
+    val (lo, hi) = (xmax / 4, xmax / 4 + xmax / 8)
+    val pruned = wh.statsPrunedRead(spark, "t", "x", lo, hi)
+    assert(rowSet(pruned) == rowSet(wh.read(spark, "t").filter($"x".between(lo, hi))))
+    // a no-match retention predicate stays a probe: no rewrite, and the
+    // (fresh) manifest is untouched
+    assert(!wh.deleteWhere(spark, "t", "x = -424242", remanifest = true))
+    assert(wh.read(spark, wh.statsTable("t"))
+      .select("file").distinct().collect().map(_.getString(0)).toSet == manifested)
+  }
+
   test("maintenance re-manifests an existing manifest automatically (compact and optimize)") {
     // the staleness class Delta commits stats to avoid: OPTIMIZE on a
     // manifested table must not silently degrade planning to full scans
