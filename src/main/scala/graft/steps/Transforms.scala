@@ -109,18 +109,18 @@ object Transforms {
     * sources) second — the same two catalogs COPY steps read. */
   private[steps] def input(ctx: StepContext, params: Map[String, String], key: String): DataFrame = {
     val name = params.getOrElse(key,
-      throw new IllegalArgumentException(s"PIPELINE transform needs parameter '$key'"))
+      throw new IllegalArgumentException(s"step command needs parameter '$key'"))
     if (ctx.warehouse.exists(ctx.spark, name)) ctx.warehouse.read(ctx.spark, name)
     else ctx.spark.table(name)
   }
 
   private[steps] def long(params: Map[String, String], key: String, default: Option[Long] = None): Long =
     params.get(key).map(_.toLong).orElse(default).getOrElse(
-      throw new IllegalArgumentException(s"PIPELINE transform needs parameter '$key'"))
+      throw new IllegalArgumentException(s"step command needs parameter '$key'"))
 
   private[steps] def str(params: Map[String, String], key: String): String =
     params.getOrElse(key,
-      throw new IllegalArgumentException(s"PIPELINE transform needs parameter '$key'"))
+      throw new IllegalArgumentException(s"step command needs parameter '$key'"))
 
   private def unstaged(df: DataFrame): Curation.Staged = Curation.Staged(df, () => ())
 
