@@ -44,7 +44,9 @@ object StreamTransforms {
     * TransformsSpec pins the keysets equal to the registry's. */
   private[steps] val allowedKeys: Map[String, Set[String]] = Map(
     "bloom_ingest_stream" -> Set("dir", "ckpt", "schema", "key", "seed",
-      "seen", "bloom", "out", "mbits", "k", "maxfiles"))
+      "seen", "bloom", "out", "mbits", "k", "maxfiles"),
+    "file_ingest_stream" -> Set("dir", "ckpt", "archive", "schema", "out",
+      "producer"))
 
   val registry: Map[String, StreamRun] = Map(
     // bloom_ingest_stream dir=<watch dir> ckpt=<checkpoint dir>
@@ -81,5 +83,33 @@ object StreamTransforms {
         checkpointDir = Transforms.str(p, "ckpt"), mBits = mBits, k = k)
       q.awaitTermination() // AvailableNow: returns drained, rethrows failure
       ctx.warehouse.read(spark, outT).count() - before
+    },
+    // file_ingest_stream dir=<csv drop folder> ckpt=<checkpoint dir>
+    //   archive=<processed-file dir> schema="<arrival DDL>"
+    //   out=<parquet dir> [producer=graft]
+    // — the q78 TRANSFER drop-folder pipeline (audit columns, archive
+    // lifecycle) drained under the orchestrator. Exactly-once comes
+    // from the parquet SINK's own commit protocol (_spark_metadata
+    // transaction log), which is also why `out` is a plain directory
+    // and NOT a warehouse table: a metadata-logged sink dir has ONE
+    // writer — the stream — and warehouse rewrites would invalidate
+    // its log. Rows counted for ErwarteteDaten by reading the sink
+    // back (the log makes that read exactly the committed set).
+    "file_ingest_stream" -> { (ctx, p) =>
+      val spark = ctx.spark
+      val out = Transforms.str(p, "out")
+      def countOut(): Long =
+        if (new java.io.File(out).exists) spark.read.parquet(out).count() else 0L
+      val before = countOut()
+      val q = graft.streaming.Streams.fileIngest(spark,
+        inDir = Transforms.str(p, "dir"),
+        schema = StructType.fromDDL(Transforms.str(p, "schema")),
+        outDir = out,
+        checkpointDir = Transforms.str(p, "ckpt"),
+        archiveDir = Transforms.str(p, "archive"),
+        datenproduzent = p.getOrElse("producer", "graft"),
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination() // drained, or rethrows the stream's failure
+      countOut() - before
     })
 }

@@ -102,6 +102,50 @@ class StreamWorkflowSpec extends AnyFunSuite with SparkSupport {
     }
   }
 
+  test("file_ingest_stream: the TRANSFER drop-folder pipeline as a STREAM step, exactly-once") {
+    val base = tmpDir("graft-fi-step")
+    val in = new java.io.File(s"$base/in"); in.mkdirs()
+    def drop(name: String, rows: Seq[String]): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(in, name))
+      try { w.println("k,v"); rows.foreach(w.println) } finally w.close()
+    }
+    drop("a.csv", Seq("1,alpha", "2,beta"))
+    drop("b.csv", Seq("3,gamma"))
+    val ledger = new graft.ledger.RunLedger()
+    val ctx = StepContext(spark,
+      new graft.catalog.Warehouse(s"$base/wh"), ledger,
+      graft.macros.Macros.Context(1L,
+        java.time.LocalDateTime.of(2026, 1, 1, 0, 0),
+        java.time.LocalDateTime.of(2026, 1, 2, 0, 0)))
+    val cmd = s"file_ingest_stream dir=$in ckpt=$base/ckpt archive=$base/arch " +
+      "schema=\"k INT, v STRING\" " + s"out=$base/out producer=probe"
+    val spec = StepSpec(7700, CommandType.Copy, TaskType.Stream, cmd,
+      zieltabelle = Some("fi_out"))
+    assert(Steps.execute(spec, ctx).contains(3L))
+
+    // audit columns + values, straight off the sink's committed files
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.columns.sorted.toSeq ==
+      Seq("dateiname", "datenproduzent", "exportdatum", "k", "v"))
+    val rows = out.select("k", "v", "dateiname", "datenproduzent")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(rows == Set((1, "alpha", "a.csv", "probe"), (2, "beta", "a.csv", "probe"),
+      (3, "gamma", "b.csv", "probe")))
+
+    // exactly-once: a second drain with nothing new admits zero rows
+    // (the checkpoint, not the archive move, is the dedup boundary —
+    // cleanSource archives lazily on later batches, so watch-folder
+    // emptiness is timing, not contract),
+    // and a replayed file name lands once (fresh content, new file)
+    assert(Steps.execute(spec, ctx).contains(0L))
+    drop("c.csv", Seq("4,delta"))
+    assert(Steps.execute(spec, ctx).contains(1L))
+    assert(spark.read.parquet(s"$base/out").count() == 4L)
+
+    // the expanded command is in the query log (one row per execute)
+    assert(ledger.allQueries.map(_.sql).count(_.startsWith("file_ingest_stream ")) == 3)
+  }
+
   test("STREAM step command parsing fails loudly; Zeitscheibe rejected; quoted values parse") {
     val ctx = StepContext(spark,
       new graft.catalog.Warehouse(graft.util.TempDirs.scratch("st-parse")),
