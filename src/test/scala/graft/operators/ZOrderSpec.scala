@@ -164,6 +164,33 @@ class ZOrderSpec extends AnyFunSuite with SparkSupport with PropSupport {
     assert(dup.getMessage.contains("duplicate"))
   }
 
+  test("prunedRead survives all-null column chunks: value-less files skip, mixed files keep exact envelopes") {
+    import spark.implicits._
+    // r13 review fix: the old `forall(hasNonNullValue)` require made ONE
+    // all-null row group in an otherwise-populated file fail the whole
+    // pruned read. Null rows can never match a range predicate, so the
+    // exact behavior is: a file whose column carries NO values at all is
+    // skippable, and a file mixing valued and all-null chunks keeps the
+    // envelope of its valued chunks.
+    val base = graft.util.TempDirs.scratch("znulls-spec")
+    // file 1: y fully populated; file 2: y entirely null
+    Seq((1L, Option(10L)), (2L, Option(20L))).toDF("x", "y")
+      .coalesce(1).write.parquet(s"$base/t")
+    Seq((3L, Option.empty[Long]), (4L, Option.empty[Long])).toDF("x", "y")
+      .coalesce(1).write.mode("append").parquet(s"$base/t")
+    val pruned = ZOrder.prunedRead(spark, s"$base/t", "y", 0L, 100L)
+    assert(pruned.select($"x").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L),
+      "rows with null y can never match; the all-null file is skippable")
+    assert(pruned.inputFiles.length == 1,
+      "the all-null file must be pruned at plan time, not scanned")
+    // the all-null file still participates on its POPULATED column
+    val onX = ZOrder.prunedRead(spark, s"$base/t", "x", 3L, 4L)
+    assert(onX.select($"x").collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
+    // and the envelope collector reports only value-carrying files
+    val envs = ZOrder.fileEnvelopes(spark, s"$base/t", "y")
+    assert(envs.length == 1 && envs.head.min == 10L && envs.head.max == 20L)
+  }
+
   test("Warehouse.optimizeZOrder: contents unchanged, files compacted, envelopes prune on every keyed column") {
     import spark.implicits._
     // append-heavy table (8 small appends -> many files), then the
