@@ -54,15 +54,34 @@ object RankBuckets {
   }
 
   def boundaries(df: DataFrame, e: Column, numBuckets: Int,
-      relativeError: Double = 0.001): Seq[Double] = {
+      relativeError: Double = 0.001): Seq[Double] =
+    boundariesMulti(df, Seq(e), numBuckets, relativeError).head
+
+  /** [[boundaries]] for SEVERAL expressions from ONE sketch job (r14,
+    * VERDICT r13 wrong #3): Spark's single-column `approxQuantile`
+    * delegates to the multi-column Greenwald–Khanna pass internally
+    * (`StatFunctions.multipleApproxQuantiles` builds one
+    * `QuantileSummaries` per column in the same traversal), so each
+    * expression's boundaries here are BIT-IDENTICAL to a separate
+    * [[boundaries]] call — but the k full scans of `df` collapse into
+    * one. The caller that cares is the z-order quantizer's OPTIMIZE
+    * path ([[graft.operators.ZOrder.zkeyedQuantile]]): a k-key layout
+    * rewrite of a 100 TB table previously paid k sketch scans plus the
+    * count and the rewrite, where 1 + 2 suffices (ZOrderSpec pins the
+    * bit-identity; FANIN.md r14 the scan-count drop).
+    */
+  def boundariesMulti(df: DataFrame, es: Seq[Column], numBuckets: Int,
+      relativeError: Double = 0.001): Seq[Seq[Double]] = {
     require(numBuckets >= 1, s"numBuckets must be positive, got $numBuckets")
-    requireNumericAxis(df, e)
-    if (numBuckets == 1) Seq.empty
+    require(es.nonEmpty, "boundariesMulti needs at least one expression")
+    es.foreach(e => requireNumericAxis(df, e))
+    if (numBuckets == 1) es.map(_ => Seq.empty)
     else {
       val probs = (1 until numBuckets).map(_.toDouble / numBuckets).toArray
-      df.select(e.cast("double").as("__rb"))
-        .stat.approxQuantile("__rb", probs, relativeError)
-        .toSeq.distinct.sorted
+      val names = es.indices.map(i => s"__rb$i")
+      df.select(es.zip(names).map { case (e, n) => e.cast("double").as(n) }: _*)
+        .stat.approxQuantile(names.toArray, probs, relativeError)
+        .map(_.toSeq.distinct.sorted).toSeq
     }
   }
 

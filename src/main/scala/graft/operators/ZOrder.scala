@@ -161,10 +161,13 @@ object ZOrder {
     * positions are order-preserving in the original key space, so
     * z-locality survives exactly as in the linear form.
     *
-    * Cost note: ONE `approxQuantile` job per layout column over `df` —
-    * persist an expensive-to-recompute frame upstream (the warehouse
-    * maintenance path reads plain parquet, where the rescan is the
-    * sketch's natural input). Null key values take position 0 — they
+    * Cost note: ONE `approxQuantile` job over `df` for ALL layout
+    * columns (r14 — previously one scan per column; the multi-column
+    * Greenwald–Khanna pass sketches every axis in the same traversal,
+    * boundaries bit-identical, ZOrderSpec pins it). Persist an
+    * expensive-to-recompute frame upstream (the warehouse maintenance
+    * path reads plain parquet, where the rescan is the sketch's
+    * natural input). Null key values take position 0 — they
     * cluster together at the layout's low edge, their files carry
     * truthful (possibly stat-less) envelopes, and pruning on the other
     * interleaved columns is unaffected.
@@ -175,9 +178,9 @@ object ZOrder {
     require(bits >= 1 && zcols.size * bits <= 63,
       s"k*bits must be in [1,63], got ${zcols.size * bits}")
     val buckets = 1 << bits
-    val quantized = zcols.map { c =>
-      val e = orderableAsNumeric(df, c)
-      val bnds = graft.functions.RankBuckets.boundaries(df, e, buckets)
+    val exprs = zcols.map(c => orderableAsNumeric(df, c))
+    val allBnds = graft.functions.RankBuckets.boundariesMulti(df, exprs, buckets)
+    val quantized = exprs.zip(allBnds).map { case (e, bnds) =>
       graft.functions.RankBuckets.bucketOf(bnds, e)
     }
     df.withColumn(keyName, interleave(quantized, bits))
