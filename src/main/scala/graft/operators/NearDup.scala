@@ -28,13 +28,20 @@ object NearDup {
 
   /** (doc_id, cluster_id) for EVERY input doc — cluster_id is the
     * minimum doc_id reachable through band-key collisions; docs with no
-    * shingles or no collisions label themselves. `viaStars` picks the
-    * O(log n)-round star-contraction path (adversarial diameters) over
-    * min-label propagation (near-clique LSH graphs) —
-    * [[ConnectedComponents]] documents the measured crossover.
+    * shingles or no collisions label themselves.
+    *
+    * `algo` (r14, VERDICT r13 next #6 — auto IS the default now):
+    * "auto" probes with min-label propagation and restarts as star
+    * contraction if labels still move after the probe rounds
+    * ([[ConnectedComponents.auto]] — picks the measured winner on both
+    * FANIN probe shapes); "propagation" / "stars" force one path (the
+    * q88/q104 gates pin each algorithm individually — the labels are
+    * identical either way, so the dispatch can never change results).
+    * `onDispatch` observes the algorithm that actually ran — the
+    * workflow step's message-log hook.
     */
   def componentLabelsWithRelease(docs: DataFrame, k: Int = 12, bands: Int = 4,
-      viaStars: Boolean = false): Staged = {
+      algo: String = "auto", onDispatch: String => Unit = _ => ()): Staged = {
     require(k % bands == 0, s"minhash length $k must divide into $bands bands")
     val rows = k / bands
     val toks = docs.select(col("doc_id"), T.tokens(col("text")).as("t")).persist()
@@ -50,9 +57,19 @@ object NearDup {
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("b"), T.bandKey(col("sig"), b, rows).as("key"))): _*)).as("band"))
       .select(col("doc_id"), col("band.b"), col("band.key"))
-    val cc =
-      if (viaStars) ConnectedComponents.viaStars(bandFrame, "doc_id", Seq("b", "key"))
-      else ConnectedComponents.viaBuckets(bandFrame, "doc_id", Seq("b", "key"))
+    val cc = algo match {
+      case "auto" =>
+        ConnectedComponents.auto(bandFrame, "doc_id", Seq("b", "key"),
+          onDispatch = onDispatch)
+      case "propagation" =>
+        onDispatch("propagation (forced)")
+        ConnectedComponents.viaBuckets(bandFrame, "doc_id", Seq("b", "key"))
+      case "stars" =>
+        onDispatch("stars (forced)")
+        ConnectedComponents.viaStars(bandFrame, "doc_id", Seq("b", "key"))
+      case other => throw new IllegalArgumentException(
+        s"unknown components algorithm '$other' (known: auto, propagation, stars)")
+    }
     val out = docs.select(col("doc_id"))
       .join(cc, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster_id"))
@@ -62,8 +79,8 @@ object NearDup {
   /** Raw gate form — persists are released by the registry runner's
     * `clearCache()`; services use the Staged surface. */
   private[graft] def componentLabels(docs: DataFrame, k: Int = 12, bands: Int = 4,
-      viaStars: Boolean = false): DataFrame =
-    componentLabelsWithRelease(docs, k, bands, viaStars).frame
+      algo: String = "auto"): DataFrame =
+    componentLabelsWithRelease(docs, k, bands, algo).frame
 
   /** The prune ACTION on a complete labeling (the q95 body): one row
     * per surviving document (the cluster representative = the min-id

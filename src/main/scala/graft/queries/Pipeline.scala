@@ -1839,8 +1839,10 @@ object Pipeline {
     */
   val q88 = QueryDef(
     "q88_neardup_components",
+    // forced propagation: q88 pins THIS algorithm's labels against the
+    // oracle (q104 pins stars, q95/q106 ride the auto dispatch default)
     (s, dir) => graft.operators.NearDup
-      .componentLabels(docs(s, dir), k = K, bands = BANDS),
+      .componentLabels(docs(s, dir), k = K, bands = BANDS, algo = "propagation"),
     Some("""
       WITH RECURSIVE toks AS (
         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
@@ -1889,7 +1891,7 @@ object Pipeline {
   val q104 = QueryDef(
     "q104_components_stars",
     (s, dir) => graft.operators.NearDup
-      .componentLabels(docs(s, dir), k = K, bands = BANDS, viaStars = true),
+      .componentLabels(docs(s, dir), k = K, bands = BANDS, algo = "stars"),
     Some("""
       WITH RECURSIVE toks AS (
         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents

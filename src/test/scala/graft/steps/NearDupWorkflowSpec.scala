@@ -49,6 +49,14 @@ class NearDupWorkflowSpec extends AnyFunSuite with SparkSupport {
     val queries = ledger.allQueries.map(_.sql)
     assert(queries.exists(_.startsWith("neardup_components ")))
     assert(queries.exists(q => q.startsWith("neardup_prune ") && q.contains("labels=nd_labels")))
+
+    // the components ALGORITHM dispatch is message-logged (r14, VERDICT
+    // r13 next #6: auto is the production default, and a workflow run
+    // must record which algorithm labeled it). The LSH collision graph
+    // is near-clique, so the probe converges and propagation wins.
+    val msgs = ledger.allMessages.map(_.meldungstext)
+    assert(msgs.exists(_ == "neardup_components dispatch: propagation"),
+      s"auto dispatch must be message-logged; messages: ${msgs.mkString("; ")}")
   }
 
   test("induced failure: prune against a missing label table aborts, fallback compensates") {

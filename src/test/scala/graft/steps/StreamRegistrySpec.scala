@@ -1,0 +1,146 @@
+package graft.steps
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.RunLevel
+import graft.queries.EndToEnd
+import graft.testkit.SparkSupport
+
+/** Drain lifecycles of the r14 STREAM registry additions
+  * (`sessionize_stream`, `windowed_counts_stream` — VERDICT r13 missing
+  * #3) plus the q117 workflow's orchestration contract: each
+  * `Steps.execute` is one bounded AvailableNow catch-up tick, state
+  * carries across drains in the checkpoint, an empty re-drain admits
+  * zero, and the batch consumer really reads the stream's sink. The
+  * emitted VALUES at corpus scale are the q117 DuckDB oracle's job.
+  */
+class StreamRegistrySpec extends AnyFunSuite with SparkSupport {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def ctx(base: String): StepContext = StepContext(spark,
+    new graft.catalog.Warehouse(s"$base/wh"), new graft.ledger.RunLedger(),
+    graft.macros.Macros.Context(1L,
+      java.time.LocalDateTime.of(2026, 1, 1, 0, 0),
+      java.time.LocalDateTime.of(2026, 1, 2, 0, 0)))
+
+  /** One parquet arrival file of (user_id, ts, event_type, value). */
+  private def dropEvents(inDir: java.io.File, name: String,
+      rows: Seq[(Long, String, String, Double)]): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val tmp = new java.io.File(inDir.getParentFile, s"tmp-$name")
+    rows.toDF("user_id", "tss", "event_type", "value")
+      .select(col("user_id"), col("tss").cast("timestamp").as("ts"),
+        col("event_type"), col("value"))
+      .coalesce(1).write.parquet(tmp.toString)
+    val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+    inDir.mkdirs()
+    java.nio.file.Files.move(part.toPath, new java.io.File(inDir, name).toPath)
+  }
+
+  test("sessionize_stream: 3-drain lifecycle — timeout close, empty re-drain, gap close across drains") {
+    val base = tmpDir("graft-ss-step")
+    val in = new java.io.File(s"$base/in")
+    // u1: two events 10 min apart (one session; its timeout at last+gap
+    // = 00:40 is passed by the drain's final watermark 02:30) — closes.
+    // u2: one event at 03:00 — timeout 03:30 > watermark, stays open.
+    dropEvents(in, "e1.parquet", Seq(
+      (1L, "2026-01-01 00:00:00", "click", 1.0),
+      (1L, "2026-01-01 00:10:00", "click", 1.0),
+      (2L, "2026-01-01 03:00:00", "view", 1.0)))
+    val c = ctx(base)
+    val cmd = s"sessionize_stream dir=$in ckpt=$base/ckpt " +
+      "schema=\"user_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE\" " +
+      s"out=$base/out"
+    val spec = StepSpec(8800, CommandType.Copy, TaskType.Stream, cmd,
+      zieltabelle = Some("ss_out"))
+    assert(Steps.execute(spec, c).contains(1L),
+      "drain 1 must emit exactly u1's timeout-closed session")
+
+    // nothing new arrived: the checkpoint (not sink emptiness) is the
+    // dedup boundary, and open state must not re-emit
+    assert(Steps.execute(spec, c).contains(0L))
+
+    // u2's next event is > gap after its open session: the old session
+    // closes by GAP (state carried across drains in the checkpoint)
+    dropEvents(in, "e2.parquet", Seq((2L, "2026-01-01 06:00:00", "view", 1.0)))
+    assert(Steps.execute(spec, c).contains(1L))
+
+    val sink = spark.read
+      .schema("user_id BIGINT, session_start TIMESTAMP, n_events BIGINT, closed BOOLEAN")
+      .parquet(s"$base/out")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2))).toSet
+    assert(sink == Set(
+      (1L, "2026-01-01 00:00:00.0", 2L),
+      (2L, "2026-01-01 03:00:00.0", 1L)),
+      s"closed sessions must carry start + event count; got $sink")
+  }
+
+  test("windowed_counts_stream: 3-drain lifecycle — watermark closes windows, empty re-drain admits zero") {
+    val base = tmpDir("graft-wc-step")
+    val in = new java.io.File(s"$base/in")
+    // window [00:00,01:00) holds two clicks; the 03:00 event drives the
+    // watermark to 02:30, closing it. [03:00,04:00) stays open.
+    dropEvents(in, "w1.parquet", Seq(
+      (1L, "2026-01-01 00:05:00", "click", 1.0),
+      (1L, "2026-01-01 00:15:00", "click", 1.0),
+      (2L, "2026-01-01 03:00:00", "view", 1.0)))
+    val c = ctx(base)
+    val cmd = s"windowed_counts_stream dir=$in ckpt=$base/ckpt " +
+      "schema=\"user_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE\" " +
+      s"out=$base/out"
+    val spec = StepSpec(8810, CommandType.Copy, TaskType.Stream, cmd,
+      zieltabelle = Some("wc_out"))
+    assert(Steps.execute(spec, c).contains(1L),
+      "drain 1 must emit exactly the closed [00:00,01:00) window")
+    assert(Steps.execute(spec, c).contains(0L))
+    // a later event advances the watermark past the open window's end
+    dropEvents(in, "w2.parquet", Seq((1L, "2026-01-01 06:00:00", "click", 1.0)))
+    assert(Steps.execute(spec, c).contains(1L))
+
+    val sink = spark.read
+      .schema("window_start TIMESTAMP, event_type STRING, n BIGINT")
+      .parquet(s"$base/out")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(sink == Set(
+      ("2026-01-01 00:00:00.0", "click", 2L),
+      ("2026-01-01 03:00:00.0", "view", 1L)),
+      s"closed windows must carry start + type + count; got $sink")
+  }
+
+  test("q117 happy path: STREAM and its batch consumer close green; consumer aggregates the sink") {
+    val (result, ledger, wh) = EndToEnd.runSessionStreamWorkflow(spark, sf)
+    assert(result.success && !result.fallbackRan && result.error.isEmpty)
+    val rows = ledger.current
+    def level(l: String) = rows.filter(_.level == l)
+    assert(level(RunLevel.Schritt).forall(r => r.istAbgeschlossen && r.erfolgreich))
+    def step(ref: Long) = level(RunLevel.Schritt).find(_.refId == ref).get
+    // the STREAM step accounts the closed sessions it admitted; the
+    // consumer's per-user stats must re-aggregate exactly that set
+    val stats = wh.read(spark, "ss_user_stats")
+    val closedSessions = step(11100L).erwarteteDaten.get
+    assert(closedSessions > 0)
+    assert(stats.agg(org.apache.spark.sql.functions.sum("n_sessions"))
+      .head.getLong(0) == closedSessions,
+      "the batch consumer must see exactly the stream's committed sessions")
+    assert(step(11200L).erwarteteDaten.contains(stats.count()))
+    // both commands land in the query log, expanded
+    val queries = ledger.allQueries.map(_.sql)
+    assert(queries.exists(_.startsWith("sessionize_stream ")))
+    assert(queries.exists(q => q.contains("FROM parquet.") && q.contains("GROUP BY user_id")))
+  }
+
+  test("q117 induced failure: a stream that cannot start fails the step; consumer never runs; fallback compensates") {
+    val (result, ledger, _) =
+      EndToEnd.runSessionStreamWorkflow(spark, sf, induceFailure = true)
+    assert(!result.success && result.fallbackRan && result.error.isDefined)
+    val rows = ledger.current
+    def step(ref: Long) = rows.find(r => r.level == RunLevel.Schritt && r.refId == ref)
+    assert(step(11100L).exists(r => r.istAbgeschlossen && !r.erfolgreich))
+    assert(step(11200L).forall(r => !r.erfolgreich),
+      "the consumer must not run green after its producer failed")
+    assert(step(11900L).exists(r => r.istAbgeschlossen && r.erfolgreich),
+      "the compensation step must execute after the failure")
+  }
+}
