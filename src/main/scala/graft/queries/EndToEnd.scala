@@ -1341,6 +1341,118 @@ object EndToEnd {
         CAST(SUM(n_events) AS BIGINT) AS total_events
       FROM closed GROUP BY 1"""))
 
+  /** The streaming-SemDeDup workflow fixture (r14): admission control
+    * as a STREAM step whose CENTROIDS are a table a previous step wrote
+    * — package 121's COPY seeds the (cid, ce) codebook (the q91 seed
+    * shape; a `kmeans_train` book drops into the same slot), package
+    * 122 drains the vector drop folder through `semdedup_stream`
+    * (closure-path cell assignment, RocksDB per-cell state, closed
+    * admissions to a metadata-logged sink). `induceFailure` points the
+    * stream at a missing centroid table.
+    */
+  private[graft] def semdedupStreamWorkflowSpec(inDir: String, ckptDir: String,
+      outDir: String, induceFailure: Boolean = false): WorkflowSpec = WorkflowSpec(
+    id = 17,
+    masterPackageId = 122,
+    fallbackPackageId = Some(129L),
+    packages = Map(
+      121L -> PackageSpec(121, realizations = Seq(RealizationSpec(
+        1210, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(12100, CommandType.Copy, TaskType.Sql,
+          "SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS ce " +
+            "FROM embeddings WHERE vec_id < 8",
+          zieltabelle = Some("sd_cents")))))),
+      122L -> PackageSpec(122, dependencies = Seq(121L), realizations = Seq(RealizationSpec(
+        1220, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(12200, CommandType.Copy, TaskType.Stream,
+          s"semdedup_stream dir=$inDir ckpt=$ckptDir " +
+            "schema=\"vec_id BIGINT, embedding ARRAY<FLOAT>\" " +
+            s"out=$outDir cents=${if (induceFailure) "sd_missing" else "sd_cents"} " +
+            "threshold=0.3",
+          zieltabelle = Some("sd_admitted"),
+          quelltabelle = Some("sd_cents")))))),
+      129L -> PackageSpec(129, realizations = Seq(RealizationSpec(
+        1290, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(12900, CommandType.SqlTarget, TaskType.Sql,
+          "CREATE OR REPLACE TEMP VIEW sd_compensation AS " +
+            "SELECT 'semdedup aborted' AS status")))))))
+
+  /** Build the single-arrival-file vector fixture + run the workflow. */
+  private[graft] def runSemdedupStreamWorkflow(s: SparkSession, dir: String,
+      induceFailure: Boolean = false)
+      : (graft.orchestrate.WorkflowResult, RunLedger, Warehouse, String) = {
+    Tables.registerAll(s, dir)
+    val base = graft.util.TempDirs.scratch("graft-sd-wf")
+    // ONE id-ordered arrival file = the operator's ordering contract
+    // met by construction (ids non-decreasing across micro-batches)
+    val tmp = s"$base/tmp"
+    s.table("embeddings")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .orderBy(col("vec_id"))
+      .coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dst = new java.io.File(s"$base/in/vecs1.parquet")
+    dst.getParentFile.mkdirs()
+    java.nio.file.Files.move(part.toPath, dst.toPath)
+    val ledger = new RunLedger(() => FixedClock)
+    val wh = new Warehouse(s"$base/wh")
+    val runner = new WorkflowRunner(
+      new WorkflowManager, ledger, new Gates.ThreadCap(8),
+      new Gates.TableLocks, new Gates.ParallelLocks, clock = () => FixedClock)
+    val result = runner.run(
+      semdedupStreamWorkflowSpec(s"$base/in", s"$base/ckpt", s"$base/out", induceFailure),
+      zeitplanAusfuehrungenId = 17,
+      (m: Macros.Context, stepRunId: Option[Long], real: RealizationSpec) =>
+        StepContext(s, wh, ledger, m, schrittRunId = stepRunId,
+          konfigurationenId = real.konfigurationenId))
+    (result, ledger, wh, s"$base/out")
+  }
+
+  /** Streaming SemDeDup AS a workflow step with table-fed centroids
+    * (r14 — the last gate-only streaming family step-reachable): the
+    * COPY step seeds the codebook table, the STREAM step assigns cells
+    * through the closure path against it and runs the q96 admission
+    * chain in RocksDB state. Oracle = q96's, verbatim — a drifted
+    * assignment slot, a torn codebook read, or a broken admission chain
+    * breaks the hash exactly as it would on the gate.
+    */
+  val q118 = QueryDef(
+    "q118_streaming_semdedup_workflow",
+    (s, dir) => {
+      val (result, _, _, out) = runSemdedupStreamWorkflow(s, dir)
+      result.error.foreach(throw _)
+      s.read.schema("vec_id BIGINT, cell BIGINT").parquet(out)
+    },
+    Some("""
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+      ), n AS (
+        SELECT vec_id, e, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(e, x -> x*x)), (a,b) -> a+b)) AS nrm FROM v
+      ), cents AS (
+        SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8
+      ), dists AS (
+        SELECT n.vec_id, c.cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> (n.e[i]-c.ce[i])*(n.e[i]-c.ce[i]))),
+            (a,b) -> a+b) AS d
+        FROM n CROSS JOIN cents c
+      ), assigned AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM dists) WHERE rn = 1
+      ), an AS (
+        SELECT n.*, a.cell FROM n JOIN assigned a USING (vec_id)
+      ), dup AS (
+        SELECT DISTINCT b.vec_id
+        FROM an a JOIN an b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1,64), i -> a.e[i]*b.e[i])), (x,y) -> x+y)
+            / (a.nrm * b.nrm) >= 0.3
+      )
+      SELECT vec_id, cell FROM an WHERE vec_id NOT IN (SELECT vec_id FROM dup)"""))
+
   val all: Seq[QueryDef] = Seq(q20, q21, q36, q42, q53, q103, q106, q107, q109,
-    q110, q113, q116, q117)
+    q110, q113, q116, q117, q118)
 }

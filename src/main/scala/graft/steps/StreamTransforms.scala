@@ -50,7 +50,11 @@ object StreamTransforms {
     "sessionize_stream" -> Set("dir", "ckpt", "schema", "out", "gap",
       "watermark", "maxfiles"),
     "windowed_counts_stream" -> Set("dir", "ckpt", "schema", "out",
-      "watermark", "window", "maxfiles"))
+      "watermark", "window", "maxfiles"),
+    "semdedup_stream" -> Set("dir", "ckpt", "schema", "out", "cents",
+      "threshold", "id", "emb", "maxfiles"),
+    "dsir_score_stream" -> Set("dir", "ckpt", "schema", "out", "lm",
+      "target_lang", "buckets", "scale", "maxfiles"))
 
   /** Watched-folder parquet arrival stream shared by the event-shaped
     * transforms: declared schema (readStream requires one), oldest-
@@ -184,6 +188,90 @@ object StreamTransforms {
       val q = graft.streaming.Streams.windowedCounts(arrivalStream(ctx, p),
           watermark = p.getOrElse("watermark", "30 minutes"),
           window = p.getOrElse("window", "1 hour"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", Transforms.str(p, "ckpt"))
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination() // drained, or rethrows the stream's failure
+      sinkCount(ctx, out, outDdl) - before
+    },
+    // semdedup_stream dir=<vector drop folder> ckpt=<checkpoint dir>
+    //   schema="vec_id BIGINT, embedding ARRAY<FLOAT>" out=<sink dir>
+    //   cents=<(cid, ce) warehouse table> [threshold=0.3 id=vec_id
+    //   emb=embedding maxfiles=1] — the q96/q102 streaming admission
+    // control as a STREAM step (r14): centroids come from a TABLE a
+    // previous step wrote (a kmeans_train book or a seeded COPY —
+    // bounded by the codebook, collected driver-side) and ship via the
+    // CLOSURE assignment path, the big-C production route (assignCellLit
+    // inlines O(C·dim) expressions — q40's audit forbids that past toy
+    // C). Per-cell state lives in the RocksDB store of a cloned
+    // session (state-v2 requirement; the shared session's other streams
+    // keep their default store). The operator's ordering contract (ids
+    // non-decreasing across micro-batches) is the feed's to meet —
+    // mtime-ordered arrival files of an id-ordered corpus do, and a
+    // violation fails the query (and so the step) loudly.
+    "semdedup_stream" -> { (ctx, p) =>
+      val s2 = ctx.spark.newSession()
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      require(graft.streaming.Streams.stateV2Ready(s2),
+        "semdedup_stream needs Spark 4+ with the RocksDB state store provider")
+      import s2.implicits._
+      import graft.functions.{VectorFunctions => V}
+      val out = Transforms.str(p, "out")
+      val outDdl = "vec_id BIGINT, cell BIGINT"
+      val before = sinkCount(ctx, out, outDdl)
+      val cents = Transforms.input(ctx, p, "cents")
+        .select(col("cid").cast("long"), V.asDouble(col("ce")))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      val assign = graft.operators.SemDeDup.assignCellFunc(cents)
+      val idCol = p.getOrElse("id", "vec_id")
+      val stream = s2.readStream
+        .schema(StructType.fromDDL(Transforms.str(p, "schema")))
+        .option("maxFilesPerTrigger", Transforms.long(p, "maxfiles", Some(1L)))
+        .parquet(Transforms.str(p, "dir"))
+        .withColumn("__e", V.asDouble(col(p.getOrElse("emb", "embedding"))))
+        .withColumn("__nrm", V.norm(col("__e")))
+        .select(col(idCol).cast("long").as("vec_id"), lit(-1L).as("cell"),
+          col("__e").as("e"), col("__nrm").as("nrm"))
+        .as[graft.streaming.Streams.VecRow]
+        .map(v => v.copy(cell = assign(v.e)))
+      val q = graft.streaming.Streams.semDedupStream(stream,
+          threshold = p.get("threshold").map(_.toDouble).getOrElse(0.3))
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", Transforms.str(p, "ckpt"))
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination() // drained, or rethrows the stream's failure
+      sinkCount(ctx, out, outDdl) - before
+    },
+    // dsir_score_stream dir=<doc drop folder> ckpt=<checkpoint dir>
+    //   schema="doc_id BIGINT, text STRING, …" out=<sink dir>
+    //   lm=<docs table for the LM build> target_lang=<lang>
+    //   [buckets=8192 scale=1000000 maxfiles=1] — q98's stateless
+    // streaming DSIR scorer as a STREAM step: the bounded hashed-feature
+    // LM trains batch-side from a table/view input (≤ buckets rows at
+    // any corpus size), ships as a literal map in the streaming plan,
+    // and every arriving document scores itself map-side — no state,
+    // no watermark, no shuffle; a model refresh is the next run's plan
+    // swap, not a state migration.
+    "dsir_score_stream" -> { (ctx, p) =>
+      val out = Transforms.str(p, "out")
+      val outDdl = "doc_id BIGINT, n_feats BIGINT, dsir_weight BIGINT"
+      val before = sinkCount(ctx, out, outDdl)
+      val buckets = Transforms.long(p, "buckets", Some(8192L))
+      val scale = Transforms.long(p, "scale", Some(1000000L))
+      val weights = graft.operators.Dsir.weightMap(
+        Transforms.input(ctx, p, "lm"), "doc_id", "text",
+        targetPred = col("lang") === Transforms.str(p, "target_lang"),
+        buckets = buckets, scale = scale)
+      val q = graft.streaming.Streams
+        .dsirScoreStream(arrivalStream(ctx, p), weights, buckets, scale)
         .writeStream.format("parquet")
         .option("path", out)
         .option("checkpointLocation", Transforms.str(p, "ckpt"))

@@ -109,6 +109,91 @@ class StreamRegistrySpec extends AnyFunSuite with SparkSupport {
       s"closed windows must carry start + type + count; got $sink")
   }
 
+  test("semdedup_stream: 3-drain lifecycle — admission chain carries in RocksDB state across drains") {
+    assume(graft.streaming.Streams.stateV2Ready {
+      val probe = spark.newSession()
+      probe.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      probe
+    }, "state-v2 backend unavailable")
+    import spark.implicits._
+    val base = tmpDir("graft-sd-step")
+    val c = ctx(base)
+    // seeded codebook TABLE: two orthogonal centroids in 2-D
+    c.warehouse.overwrite(
+      Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cid", "ce"), "sdct")
+    def dropVecs(name: String, rows: Seq[(Long, Seq[Double])]): Unit = {
+      val in = new java.io.File(s"$base/in")
+      val tmp = new java.io.File(s"$base/tmp-$name")
+      rows.toDF("vec_id", "embedding").coalesce(1).write.parquet(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      in.mkdirs()
+      java.nio.file.Files.move(part.toPath, new java.io.File(in, name).toPath)
+    }
+    // v0 -> cell 0, admitted; v1 -> cell 0, cosine ~0.99 vs v0 ->
+    // rejected; v2 -> cell 1, admitted
+    dropVecs("v1.parquet", Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.99, 0.14)), (2L, Seq(0.0, 1.0))))
+    val cmd = s"semdedup_stream dir=$base/in ckpt=$base/ckpt " +
+      "schema=\"vec_id BIGINT, embedding ARRAY<DOUBLE>\" " +
+      s"out=$base/out cents=sdct threshold=0.3"
+    val spec = StepSpec(8820, CommandType.Copy, TaskType.Stream, cmd,
+      zieltabelle = Some("sd_out"), quelltabelle = Some("sdct"))
+    assert(Steps.execute(spec, c).contains(2L),
+      "drain 1 must admit the two cell representatives and reject the near-dup")
+    assert(Steps.execute(spec, c).contains(0L))
+    // v3 -> cell 1 (nearest centroid), cosine vs v2 ~0.05 < threshold:
+    // admitted against state CARRIED from drain 1
+    dropVecs("v2.parquet", Seq((3L, Seq(-1.0, 0.05))))
+    assert(Steps.execute(spec, c).contains(1L))
+    val sink = spark.read.schema("vec_id BIGINT, cell BIGINT")
+      .parquet(s"$base/out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sink == Set((0L, 0L), (2L, 1L), (3L, 1L)), s"got $sink")
+  }
+
+  test("dsir_score_stream: stateless scoring — LM from a table, every arriving doc scores map-side") {
+    import spark.implicits._
+    val base = tmpDir("graft-ds-step")
+    val c = ctx(base)
+    // LM corpus table: the target language's bigrams get high weight
+    c.warehouse.overwrite(Seq(
+      (100L, "the quick fox", "en"),
+      (101L, "der schnelle fuchs", "de")).toDF("doc_id", "text", "lang"), "ds_lm")
+    def dropDocs(name: String, rows: Seq[(Long, String)]): Unit = {
+      val in = new java.io.File(s"$base/in")
+      val tmp = new java.io.File(s"$base/tmp-$name")
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      in.mkdirs()
+      java.nio.file.Files.move(part.toPath, new java.io.File(in, name).toPath)
+    }
+    dropDocs("d1.parquet", Seq((1L, "the quick fox"), (2L, "der schnelle fuchs")))
+    val cmd = s"dsir_score_stream dir=$base/in ckpt=$base/ckpt " +
+      "schema=\"doc_id BIGINT, text STRING\" " +
+      s"out=$base/out lm=ds_lm target_lang=en"
+    val spec = StepSpec(8830, CommandType.Copy, TaskType.Stream, cmd,
+      zieltabelle = Some("ds_out"), quelltabelle = Some("ds_lm"))
+    assert(Steps.execute(spec, c).contains(2L))
+    assert(Steps.execute(spec, c).contains(0L))
+    dropDocs("d2.parquet", Seq((3L, "the quick fuchs")))
+    assert(Steps.execute(spec, c).contains(1L))
+    // scoring semantics, not just counts: the batch operator's weights
+    // applied to the same docs must reproduce the streamed scores
+    val weights = graft.operators.Dsir.weightMap(
+      c.warehouse.read(spark, "ds_lm"), "doc_id", "text",
+      targetPred = org.apache.spark.sql.functions.col("lang") === "en")
+    val expected = graft.streaming.Streams.dsirScoreStream(
+      Seq((1L, "the quick fox"), (2L, "der schnelle fuchs"), (3L, "the quick fuchs"))
+        .toDF("doc_id", "text"), weights)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sink = spark.read
+      .schema("doc_id BIGINT, n_feats BIGINT, dsir_weight BIGINT")
+      .parquet(s"$base/out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sink == expected, s"streamed scores must equal the mode-blind batch form; got $sink vs $expected")
+  }
+
   test("q117 happy path: STREAM and its batch consumer close green; consumer aggregates the sink") {
     val (result, ledger, wh) = EndToEnd.runSessionStreamWorkflow(spark, sf)
     assert(result.success && !result.fallbackRan && result.error.isEmpty)
@@ -129,6 +214,32 @@ class StreamRegistrySpec extends AnyFunSuite with SparkSupport {
     val queries = ledger.allQueries.map(_.sql)
     assert(queries.exists(_.startsWith("sessionize_stream ")))
     assert(queries.exists(q => q.contains("FROM parquet.") && q.contains("GROUP BY user_id")))
+  }
+
+  test("q118: the semdedup STREAM step accounts its admissions; a missing centroid table falls back") {
+    assume(graft.streaming.Streams.stateV2Ready {
+      val probe = spark.newSession()
+      probe.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      probe
+    }, "state-v2 backend unavailable")
+    val (result, ledger, _, out) = EndToEnd.runSemdedupStreamWorkflow(spark, sf)
+    assert(result.success && !result.fallbackRan && result.error.isEmpty)
+    val admitted = spark.read.schema("vec_id BIGINT, cell BIGINT").parquet(out).count()
+    assert(admitted > 0)
+    def step(rows: Seq[graft.model.RunRow], ref: Long) =
+      rows.find(r => r.level == RunLevel.Schritt && r.refId == ref).get
+    assert(step(ledger.current, 12200L).erwarteteDaten.contains(admitted))
+    assert(ledger.allQueries.map(_.sql).exists(q =>
+      q.startsWith("semdedup_stream ") && q.contains("cents=sd_cents")))
+
+    val (failed, ledger2, _, _) =
+      EndToEnd.runSemdedupStreamWorkflow(spark, sf, induceFailure = true)
+    assert(!failed.success && failed.fallbackRan && failed.error.isDefined)
+    assert(step(ledger2.current, 12200L).istAbgeschlossen &&
+      !step(ledger2.current, 12200L).erfolgreich)
+    assert(step(ledger2.current, 12900L).erfolgreich,
+      "the compensation step must execute after the failure")
   }
 
   test("q117 induced failure: a stream that cannot start fails the step; consumer never runs; fallback compensates") {
