@@ -84,6 +84,36 @@ object BloomProbe {
       assert(a == b, s"both directions must admit the same keys: $a vs $b")
       seen.unpersist(); bloom.unpersist(); batch.unpersist()
     }
+
+    // ---- the rewind-scrub probe at a many-file out table (r14,
+    // VERDICT r13 stretch #7): the bloom stream's phase-0 no-match
+    // probe, footer-planned (deleteWhere: a scan job over every file
+    // with executor-side row-group skip) vs manifest-planned
+    // (deleteWhereRange over a refreshed stats manifest: zero scheduled
+    // files = one small manifest read, no scan job). ----
+    locally {
+      val files = 10 * mult // 1000 part files at x100
+      val wh = new graft.catalog.Warehouse(graft.util.TempDirs.scratch("bloom-scrub"))
+      spark.range(40000L * mult)
+        .select($"id".as("doc_id"), pmod($"id", lit(200L)).as("batch"))
+        .repartition(files)
+        .write.mode("overwrite").parquet(s"${wh.dir}/out")
+      wh.refreshStats(spark, "out", Seq("batch"))
+      def med(f: => Boolean): Double = {
+        val runs = (1 to 5).map { _ =>
+          val t0 = System.nanoTime()
+          val r = f
+          assert(!r, "the probe predicate must match nothing")
+          (System.nanoTime() - t0) / 1e9
+        }
+        runs.sorted.apply(2)
+      }
+      val viaFooters = med(wh.deleteWhere(spark, "out", "batch = 9999"))
+      val viaManifest = med(wh.deleteWhereRange(spark, "out", "batch", 9999L, 9999L))
+      println(f"rewind-scrub no-match probe over $files%,d files: " +
+        f"footer-planned $viaFooters%.3f s vs manifest-planned $viaManifest%.3f s " +
+        f"(${viaFooters / viaManifest}%.1fx)")
+    }
     spark.stop()
   }
 }

@@ -122,6 +122,30 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
     rewrite
   }
 
+  /** [[deleteWhere]] for a RANGE predicate, with the no-match probe
+    * planned through the stats manifest when one exists (r14 — VERDICT
+    * r13 stretch #7, two r13 features composed): `statsPrunedScan`
+    * schedules only envelope-intersecting files, so on a manifested
+    * table a no-match probe that prunes to ZERO files is pure metadata
+    * (one small manifest read — no listing-driven scan job at all),
+    * and a pruned probe touches only the candidate files. Unmanifested
+    * tables keep exactly [[deleteWhere]]'s footer-pushdown probe
+    * (statsPrunedScan falls back to the plain filtered read), so
+    * callers lose nothing by using the range form. The repeat-
+    * until-clean callers — the streaming rewind scrub
+    * ([[graft.streaming.Streams]] bloom phase 0), retention re-probes —
+    * are exactly the class whose predicate is a range. The deleting
+    * rewrite itself is unchanged.
+    */
+  def deleteWhereRange(spark: SparkSession, table: String, column: String,
+      lo: Long, hi: Long, remanifest: Boolean = false): Boolean = {
+    if (!exists(spark, table)) return false
+    val scan = statsPrunedScan(spark, table, Seq((column, lo, hi)))
+    if (scan.scheduled == 0 || scan.frame.isEmpty) false
+    else deleteWhere(spark, table,
+      s"`$column` >= $lo AND `$column` <= $hi", remanifest)
+  }
+
   /** Compact a table's accumulated small files — the maintenance pass
     * every append-heavy table needs (each `append` and every streaming
     * micro-batch adds part files; at 100 TB thousands of tiny files
@@ -274,6 +298,53 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
     replace(statsTable(table),
       rows.toDF("file", "colname", "rows", "vmin", "vmax").coalesce(1))
     rows.size
+  }
+
+  /** INCREMENTAL manifest refresh (r14) — the append-heavy table's
+    * maintenance verb: manifest rows whose file is still live are kept
+    * VERBATIM (their footers are never re-opened), envelopes are
+    * collected only for part files the manifest has never seen, and
+    * rows for files a rewrite swapped away are dropped. Footer opens =
+    * new files — refreshing a 100k-file manifest after a 100-file
+    * append window costs 100 opens where the full refresh pays 100k.
+    * The column set comes FROM the existing manifest (it is a property
+    * of the layout, fixed by the full refresh that created it — an
+    * incremental pass must not invent or narrow it), so a table with
+    * no manifest fails loudly toward `refresh_stats cols=…` instead of
+    * silently manifesting nothing. Result is row-identical to a full
+    * refresh over the same listing (WarehouseStatsSpec pins equality,
+    * and pins kept-verbatim by perturbing a row and watching it
+    * survive). Returns (kept, added, dropped) row counts.
+    */
+  def refreshStatsIncremental(spark: SparkSession, table: String): (Int, Int, Int) = {
+    require(format == "parquet",
+      s"stats manifest reads parquet footers; table format is $format")
+    require(exists(spark, table), s"refreshStatsIncremental: table `$table` does not exist")
+    require(exists(spark, statsTable(table)),
+      s"refreshStatsIncremental: `$table` has no stats manifest — run the full " +
+        "refresh_stats cols=… first (the incremental pass derives its column " +
+        "set from the existing manifest)")
+    val manifest = read(spark, statsTable(table))
+      .select("file", "colname", "rows", "vmin", "vmax").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    require(manifest.nonEmpty,
+      s"refreshStatsIncremental: `$table`'s manifest is empty — run the full " +
+        "refresh_stats cols=… first")
+    val cols = manifest.map(_._2).distinct.sorted
+    recoverIfTorn(table)
+    val live = listPartFiles(table).toSet
+    val kept = manifest.filter(r => live.contains(r._1))
+    val known = kept.map(_._1).toSet
+    val newFiles = live -- known
+    val added =
+      if (newFiles.isEmpty) Seq.empty
+      else graft.operators.ZOrder.fileEnvelopesOf(spark, path(table), cols, Some(newFiles))
+    import spark.implicits._
+    replace(statsTable(table),
+      (kept ++ added).sortBy(r => (r._1, r._2))
+        .toDF("file", "colname", "rows", "vmin", "vmax").coalesce(1))
+    (kept.size, added.size, manifest.size - kept.size)
   }
 
   /** Manifest-backed range read (r13) — [[graft.operators.ZOrder

@@ -295,13 +295,24 @@ object ZOrder {
     * not data-sized.
     */
   def fileEnvelopesAll(spark: SparkSession, dir: String,
-      columns: Seq[String]): Seq[(String, String, Long, Long, Long)] = {
+      columns: Seq[String]): Seq[(String, String, Long, Long, Long)] =
+    fileEnvelopesOf(spark, dir, columns, only = None)
+
+  /** [[fileEnvelopesAll]] restricted to a basename subset — the
+    * incremental-manifest collector (r14): footer opens are paid for
+    * exactly the named files, so refreshing a 100k-file manifest after
+    * a 100-file append costs 100 opens, not 100k. `only = None` is the
+    * full sweep.
+    */
+  def fileEnvelopesOf(spark: SparkSession, dir: String, columns: Seq[String],
+      only: Option[Set[String]]): Seq[(String, String, Long, Long, Long)] = {
     import org.apache.hadoop.fs.Path
     require(columns.nonEmpty, "fileEnvelopesAll needs at least one column")
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
     val files = root.getFileSystem(conf).listStatus(root).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .filter(f => only.forall(_.contains(f.getPath.getName)))
       .map(_.getPath.toString).sorted
     if (files.isEmpty) return Seq.empty
     val serConf = new org.apache.spark.util.SerializableConfiguration(conf)

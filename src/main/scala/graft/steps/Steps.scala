@@ -166,7 +166,7 @@ object Steps {
     Transforms.rejectUnknown("MAINTENANCE", action, params, action match {
       case "compact" => Set("rows_per_file")
       case "optimize_zorder" => Set("cols", "bits", "rows_per_file", "quantile")
-      case "refresh_stats" => Set("cols")
+      case "refresh_stats" => Set("cols", "incremental")
       case "delete_where" => Set("predicate")
       case _ => params.keySet // unknown action fails below with the action list
     })
@@ -196,6 +196,21 @@ object Steps {
       // metadata a manifest-planned read (statsPrunedRead) prunes from
       // without re-opening footers; chained after compact/optimize_zorder
       // under the same mutex claim, so the listing can't be swapped away
+      // refresh_stats cols=a,b — full footer sweep (creates/widens the
+      // manifest); refresh_stats incremental=true — r14, the
+      // append-window verb: keep live manifest rows verbatim, open
+      // footers only for never-manifested files, drop vanished ones.
+      // cols= and incremental= are mutually exclusive: the incremental
+      // pass derives its column set from the existing manifest, and a
+      // silently ignored cols= would read as a layout change that never
+      // happened.
+      case "refresh_stats" if params.get("incremental").exists(_.toBoolean) =>
+        require(!params.contains("cols"),
+          s"refresh_stats on `$table`: incremental=true derives its columns " +
+            "from the existing manifest — drop cols= or run a full refresh")
+        val (kept, added, dropped) =
+          ctx.warehouse.refreshStatsIncremental(ctx.spark, table)
+        s"incremental: $kept envelopes kept, $added added, $dropped dropped"
       case "refresh_stats" =>
         val cols = layoutCols
         val n = ctx.warehouse.refreshStats(ctx.spark, table, cols)

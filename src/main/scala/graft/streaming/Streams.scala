@@ -334,10 +334,15 @@ object Streams {
       val bloom = bloomRaw.filter(col("w") >= 0)
       val watermark = bloomRaw.filter(col("w") === -1L)
         .agg(org.apache.spark.sql.functions.max(col("bits"))).head()
-      // phase 0: rewind any partial writes of THIS batch id
+      // phase 0: rewind any partial writes of THIS batch id. The range
+      // form (r14) plans the no-match probe through a stats manifest
+      // when the out/seen tables carry one (a maintenance workflow on
+      // them composes for free — zero scheduled files = one manifest
+      // read, no scan job); unmanifested tables keep the footer-
+      // pushdown probe unchanged.
       if (watermark.isNullAt(0) || watermark.getLong(0) >= b) {
-        warehouse.deleteWhere(spark, outTable, s"batch = $b")
-        warehouse.deleteWhere(spark, seenTable, s"batch = $b")
+        warehouse.deleteWhereRange(spark, outTable, "batch", b, b)
+        warehouse.deleteWhereRange(spark, seenTable, "batch", b, b)
       }
       induced(0)
       val seen = warehouse.read(spark, seenTable)

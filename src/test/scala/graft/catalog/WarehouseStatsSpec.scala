@@ -253,6 +253,112 @@ class WarehouseStatsSpec extends AnyFunSuite with SparkSupport {
     }
   }
 
+  test("incremental refresh: equals the full refresh, opens footers only for new files") {
+    // r14: after an append window, the full refresh re-opens EVERY
+    // footer (100k opens for 100 new files at scale); the incremental
+    // pass keeps live rows verbatim and collects only the new files
+    val (wh, _, _) = freshLayout()
+    def manifest() = wh.read(spark, wh.statsTable("t"))
+      .select($"file", $"colname", $"rows", $"vmin", $"vmax")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sorted.toSeq
+    val before = manifest()
+    val beforeFiles = before.map(_._1).toSet
+    // kept-verbatim proof: perturb one EXISTING file's manifest row; an
+    // incremental refresh must carry the perturbation through (it never
+    // re-opened that footer), where a full refresh would repair it
+    val perturbed = before.map {
+      case (f, c, n, lo, hi) if f == before.head._1 && c == "x" => (f, c, n, lo - 7, hi + 7)
+      case r => r
+    }
+    wh.replace(wh.statsTable("t"),
+      perturbed.toDF("file", "colname", "rows", "vmin", "vmax").coalesce(1))
+    wh.append(corpus().limit(500), "t")
+    wh.append(corpus().limit(300), "t")
+    val (kept, added, dropped) = wh.refreshStatsIncremental(spark, "t")
+    assert(kept == before.size && dropped == 0, s"($kept, $added, $dropped)")
+    assert(added >= 2, "each appended file must contribute envelope rows")
+    val incr = manifest()
+    assert(incr.contains(perturbed.find(_._2 == "x").get),
+      "live rows must be kept VERBATIM — the incremental pass must not re-open their footers")
+    // equality to the full refresh on everything except the perturbation
+    wh.refreshStats(spark, "t", Seq("x", "y"))
+    val full = manifest()
+    assert(incr.filterNot(r => r._1 == before.head._1 && r._2 == "x") ==
+      full.filterNot(r => r._1 == before.head._1 && r._2 == "x"),
+      "incremental must be row-identical to the full refresh over the same listing")
+    // dropped rows: a compacting rewrite swaps every file away; the next
+    // incremental sees no known files and re-collects everything
+    wh.compact(spark, "t", targetRowsPerFile = 1000000L)
+    val (kept2, added2, dropped2) = wh.refreshStatsIncremental(spark, "t")
+    assert(kept2 >= 0 && added2 >= 0 && dropped2 >= 0)
+    val afterCompact = manifest()
+    assert(afterCompact.map(_._1).toSet ==
+      wh.read(spark, "t").inputFiles.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet,
+      "after a rewrite the manifest must cover exactly the live files")
+    assert(afterCompact.map(_._1).toSet.intersect(beforeFiles).isEmpty,
+      "rows for swapped-away files must be dropped")
+  }
+
+  test("incremental refresh without a manifest fails loudly toward the full refresh") {
+    val wh = new Warehouse(TempDirs.scratch("wh-stats-incr-miss"))
+    wh.append(corpus(), "t")
+    val ex = intercept[IllegalArgumentException] {
+      wh.refreshStatsIncremental(spark, "t")
+    }
+    assert(ex.getMessage.contains("run the full"))
+  }
+
+  test("refresh_stats incremental=true as a MAINTENANCE step; cols= alongside it is rejected") {
+    val (wh, xmax, ymax) = freshLayout()
+    wh.append(corpus().limit(400), "t")
+    val ledger = new RunLedger(() => LocalDateTime.of(2026, 3, 1, 12, 0, 0))
+    val ctx = StepContext(spark, wh, ledger, Macros.Context(
+      workflowId = 1L,
+      takeoverVon = LocalDateTime.of(1995, 1, 1, 0, 0),
+      takeoverBis = LocalDateTime.of(1995, 7, 1, 0, 0)))
+    Steps.execute(StepSpec(8001, CommandType.Copy, TaskType.Maintenance,
+      "refresh_stats incremental=true", zieltabelle = Some("t")), ctx)
+    val msg = ledger.allMessages.map(_.meldungstext)
+      .find(_.startsWith("MAINTENANCE refresh_stats on t")).get
+    assert(msg.contains("incremental:") && msg.contains("kept") && msg.contains("added"))
+    // the refreshed manifest plans exactly like a fresh one (freshness
+    // rule: the appended files are now manifested, reads stay exact)
+    val viaManifest = rowSet(wh.statsPrunedRead(spark, "t", "x", 0L, xmax / 8))
+    val direct = rowSet(wh.read(spark, "t").where($"x".between(0L, xmax / 8)))
+    assert(viaManifest == direct)
+    assert(ymax > 0) // fixture sanity
+    val bad = intercept[IllegalArgumentException] {
+      Steps.execute(StepSpec(8002, CommandType.Copy, TaskType.Maintenance,
+        "refresh_stats incremental=true cols=x,y", zieltabelle = Some("t")), ctx)
+    }
+    assert(bad.getMessage.contains("drop cols="))
+  }
+
+  test("deleteWhereRange: manifest-planned no-match probe schedules nothing, matching range still deletes") {
+    val (wh, xmax, _) = freshLayout()
+    val files = wh.read(spark, "t").inputFiles.toSet
+    val rows = wh.read(spark, "t").count()
+    // no-match probe: out of every envelope -> zero files scheduled,
+    // no rewrite, files untouched
+    assert(!wh.deleteWhereRange(spark, "t", "x", xmax + 100, xmax + 200))
+    assert(wh.read(spark, "t").inputFiles.toSet == files,
+      "a no-match range delete must not rewrite the table")
+    // equivalence to the predicate form on a matching range
+    val matching = wh.read(spark, "t").filter($"x".between(0L, xmax / 16)).count()
+    assert(matching > 0)
+    assert(wh.deleteWhereRange(spark, "t", "x", 0L, xmax / 16))
+    assert(wh.read(spark, "t").count() == rows - matching)
+    assert(wh.read(spark, "t").filter($"x".between(0L, xmax / 16)).isEmpty)
+    // unmanifested table: falls back to the footer probe, same semantics
+    val wh2 = new Warehouse(TempDirs.scratch("wh-dwr-plain"))
+    wh2.append(corpus(), "t")
+    assert(!wh2.deleteWhereRange(spark, "t", "x", -50L, -10L))
+    assert(wh2.read(spark, "t").filter($"x".between(0L, 5L)).count() > 0)
+    assert(wh2.deleteWhereRange(spark, "t", "x", 0L, 5L))
+    assert(wh2.read(spark, "t").filter($"x".between(0L, 5L)).isEmpty)
+  }
+
   test("refreshStats on a missing table fails loudly") {
     val wh = new Warehouse(TempDirs.scratch("wh-stats-miss"))
     val ex = intercept[IllegalArgumentException] {
