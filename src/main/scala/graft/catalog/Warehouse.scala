@@ -116,7 +116,13 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
       remanifest: Boolean = false): Boolean = {
     val rewrite = exists(spark, table) && !read(spark, table).filter(predicate).isEmpty
     if (rewrite) {
-      rewriteInPlace(table, read(spark, table).filter(s"NOT ($predicate)"))
+      // keep every row where the predicate is NOT TRUE — a bare
+      // `NOT (pred)` evaluates NULL (and so filters OUT) for rows where
+      // the predicate is NULL, silently deleting e.g. null-keyed rows a
+      // `batch = 5` delete never matched (r14 review; SQL DELETE and
+      // Delta's DELETE both keep non-TRUE rows)
+      rewriteInPlace(table,
+        read(spark, table).filter(s"NOT coalesce(($predicate), false)"))
       if (remanifest) refreshStatsIfManifested(spark, table)
     }
     rewrite
@@ -142,8 +148,16 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
     if (!exists(spark, table)) return false
     val scan = statsPrunedScan(spark, table, Seq((column, lo, hi)))
     if (scan.scheduled == 0 || scan.frame.isEmpty) false
-    else deleteWhere(spark, table,
-      s"`$column` >= $lo AND `$column` <= $hi", remanifest)
+    else {
+      // the pruned probe already proved rows match — rewrite directly
+      // instead of delegating to deleteWhere, whose own probe would
+      // re-scan the full listing to re-learn the answer (r14 review);
+      // coalesce keeps null-valued rows, which a range never matches
+      rewriteInPlace(table, read(spark, table).filter(
+        s"NOT coalesce((`$column` >= $lo AND `$column` <= $hi), false)"))
+      if (remanifest) refreshStatsIfManifested(spark, table)
+      true
+    }
   }
 
   /** Compact a table's accumulated small files — the maintenance pass
@@ -256,7 +270,8 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
   private def refreshStatsIfManifested(spark: SparkSession, table: String): Unit =
     if (format == "parquet" && exists(spark, statsTable(table))) {
       val cols = read(spark, statsTable(table))
-        .select("colname").distinct().collect().map(_.getString(0)).toSeq.sorted
+        .select("colname").distinct().collect().map(_.getString(0)).toSeq
+        .filter(_ != NoEnvelopes).sorted
       if (cols.nonEmpty) { refreshStats(spark, table, cols); () }
     }
 
@@ -331,7 +346,10 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
     require(manifest.nonEmpty,
       s"refreshStatsIncremental: `$table`'s manifest is empty — run the full " +
         "refresh_stats cols=… first")
-    val cols = manifest.map(_._2).distinct.sorted
+    val cols = manifest.map(_._2).filter(_ != NoEnvelopes).distinct.sorted
+    require(cols.nonEmpty,
+      s"refreshStatsIncremental: `$table`'s manifest carries no column rows — " +
+        "run the full refresh_stats cols=… first")
     recoverIfTorn(table)
     val live = listPartFiles(table).toSet
     val kept = manifest.filter(r => live.contains(r._1))
@@ -340,12 +358,28 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
     val added =
       if (newFiles.isEmpty) Seq.empty
       else graft.operators.ZOrder.fileEnvelopesOf(spark, path(table), cols, Some(newFiles))
+    // a new file whose manifested columns are ALL null yields no
+    // envelope rows — without a marker it would stay outside `known`
+    // and pay its footer open on EVERY later incremental pass (r14
+    // review: the "opens = new files" contract decayed toward the full
+    // sweep). The sentinel row enters the manifest under a colname no
+    // query ever ranges on, so statsPrunedRead's freshness rule treats
+    // the file as bounds-unknown (always scanned) exactly as before.
+    val sentinels = (newFiles -- added.map(_._1).toSet).toSeq.sorted
+      .map(f => (f, NoEnvelopes, 0L, 0L, 0L))
     import spark.implicits._
     replace(statsTable(table),
-      (kept ++ added).sortBy(r => (r._1, r._2))
+      (kept ++ added ++ sentinels).sortBy(r => (r._1, r._2))
         .toDF("file", "colname", "rows", "vmin", "vmax").coalesce(1))
-    (kept.size, added.size, manifest.size - kept.size)
+    (kept.size, added.size + sentinels.size, manifest.size - kept.size)
   }
+
+  /** Sentinel colname marking a manifested file that yielded no column
+    * envelopes (all manifested columns all-null in that file) — keeps
+    * the incremental refresh from re-opening its footer forever, and is
+    * never consulted by [[statsPrunedScan]] (queries range on real
+    * columns; an absent (file, column) row means "must scan"). */
+  private val NoEnvelopes = "__none__"
 
   /** Manifest-backed range read (r13) — [[graft.operators.ZOrder
     * .prunedRead]]'s file-level skipping, but planned from the
@@ -401,6 +435,12 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
       require(lo <= hi, s"statsPrunedRead range on `$c` is empty: [$lo, $hi]")
       col(c) >= lo && col(c) <= hi
     }.reduce(_ && _)
+    // the data table's torn-swap state must recover before ANY listing
+    // here — the manifested branch had this via the later recoverIfTorn,
+    // but the fallback's partFiles() would otherwise count a torn table
+    // as 0 files and report "scheduled 0 of 0" for a scan that read()
+    // recovers and serves in full (r14 review)
+    recoverIfTorn(table)
     if (!exists(spark, statsTable(table))) {
       val total = partFiles(table)
       return PrunedScan(read(spark, table).where(residual), total, total)

@@ -87,11 +87,22 @@ object Bloom {
     * fingerprints): a service keeps the bitmap persisted, probes each
     * batch via [[newKeysAgainst]], and folds each batch's genuinely-new
     * keys in with [[merge]] — the q101 gate runs exactly that lifecycle.
+    *
+    * `broadcastConfirm` defaults FALSE here, unlike [[newKeysAgainst]]
+    * (r14 review): the one-shot form has no micro-batch contract —
+    * `incoming` may be corpus-sized (the `bloom_ingest` step accepts
+    * any table), so an unconditional broadcast hint on its candidate
+    * set would be the unguarded-broadcast class the repo rejects
+    * ([[MaxBroadcastWords]]); the flipped direction alone already keeps
+    * `seen` off the build side, and AQE broadcasts the candidates from
+    * their runtime size when they are small.
     */
   def newKeys(incoming: DataFrame, seen: DataFrame, keyCol: String,
-      mBits: Long = 1L << 20, k: Int = 5): DataFrame =
+      mBits: Long = 1L << 20, k: Int = 5,
+      broadcastConfirm: Boolean = false): DataFrame =
     newKeysAgainst(incoming, seen, keyCol,
-      build(seen.select(col(keyCol)), keyCol, mBits, k), mBits, k)
+      build(seen.select(col(keyCol)), keyCol, mBits, k), mBits, k,
+      broadcastConfirm)
 
   /** [[newKeys]] against a PREBUILT bitmap — the incremental-ingest
     * probe: the historic bitmap is built once (and persisted by the

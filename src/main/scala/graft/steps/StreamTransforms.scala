@@ -58,10 +58,12 @@ object StreamTransforms {
 
   /** Watched-folder parquet arrival stream shared by the event-shaped
     * transforms: declared schema (readStream requires one), oldest-
-    * first file delivery under `maxfiles` per micro-batch. */
-  private def arrivalStream(ctx: StepContext, p: Map[String, String])
-      : org.apache.spark.sql.DataFrame =
-    ctx.spark.readStream
+    * first file delivery under `maxfiles` per micro-batch. Session is a
+    * parameter because semdedup_stream builds its stream on a CLONED
+    * RocksDB session, not the step's. */
+  private def arrivalStream(spark: org.apache.spark.sql.SparkSession,
+      p: Map[String, String]): org.apache.spark.sql.DataFrame =
+    spark.readStream
       .schema(StructType.fromDDL(Transforms.str(p, "schema")))
       .option("maxFilesPerTrigger", Transforms.long(p, "maxfiles", Some(1L)))
       .parquet(Transforms.str(p, "dir"))
@@ -156,7 +158,7 @@ object StreamTransforms {
       val outDdl =
         "user_id BIGINT, session_start TIMESTAMP, n_events BIGINT, closed BOOLEAN"
       val before = sinkCount(ctx, out, outDdl)
-      val events = arrivalStream(ctx, p)
+      val events = arrivalStream(ctx.spark, p)
         .select(col("user_id"), col("ts"), col("event_type"), col("value"))
         .as[graft.streaming.Streams.Event]
       val q = graft.streaming.Streams.sessionize(events,
@@ -185,7 +187,7 @@ object StreamTransforms {
       val out = Transforms.str(p, "out")
       val outDdl = "window_start TIMESTAMP, event_type STRING, n BIGINT"
       val before = sinkCount(ctx, out, outDdl)
-      val q = graft.streaming.Streams.windowedCounts(arrivalStream(ctx, p),
+      val q = graft.streaming.Streams.windowedCounts(arrivalStream(ctx.spark, p),
           watermark = p.getOrElse("watermark", "30 minutes"),
           window = p.getOrElse("window", "1 hour"))
         .writeStream.format("parquet")
@@ -228,10 +230,7 @@ object StreamTransforms {
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
       val assign = graft.operators.SemDeDup.assignCellFunc(cents)
       val idCol = p.getOrElse("id", "vec_id")
-      val stream = s2.readStream
-        .schema(StructType.fromDDL(Transforms.str(p, "schema")))
-        .option("maxFilesPerTrigger", Transforms.long(p, "maxfiles", Some(1L)))
-        .parquet(Transforms.str(p, "dir"))
+      val stream = arrivalStream(s2, p)
         .withColumn("__e", V.asDouble(col(p.getOrElse("emb", "embedding"))))
         .withColumn("__nrm", V.norm(col("__e")))
         .select(col(idCol).cast("long").as("vec_id"), lit(-1L).as("cell"),
@@ -271,7 +270,7 @@ object StreamTransforms {
         targetPred = col("lang") === Transforms.str(p, "target_lang"),
         buckets = buckets, scale = scale)
       val q = graft.streaming.Streams
-        .dsirScoreStream(arrivalStream(ctx, p), weights, buckets, scale)
+        .dsirScoreStream(arrivalStream(ctx.spark, p), weights, buckets, scale)
         .writeStream.format("parquet")
         .option("path", out)
         .option("checkpointLocation", Transforms.str(p, "ckpt"))

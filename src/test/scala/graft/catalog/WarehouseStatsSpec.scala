@@ -300,6 +300,32 @@ class WarehouseStatsSpec extends AnyFunSuite with SparkSupport {
       "rows for swapped-away files must be dropped")
   }
 
+  test("incremental refresh: an all-null-column file gets a sentinel and is never re-opened") {
+    val wh = new Warehouse(TempDirs.scratch("wh-stats-sentinel"))
+    wh.append(corpus().limit(2000), "t")
+    wh.refreshStats(spark, "t", Seq("x", "y"))
+    // a file whose manifested columns are entirely null yields no
+    // envelope rows; without the sentinel it would stay outside the
+    // known set and pay its footer open on every later pass
+    wh.append(corpus().limit(50).select(
+      lit(null).cast("long").as("x"), lit(null).cast("long").as("y")), "t")
+    val (_, a1, _) = wh.refreshStatsIncremental(spark, "t")
+    assert(a1 >= 1, "the all-null file must enter the manifest (as a sentinel)")
+    val (_, a2, _) = wh.refreshStatsIncremental(spark, "t")
+    assert(a2 == 0, "the all-null file must be KNOWN on the next pass, not re-collected")
+    // reads stay exact: the sentinel is never consulted by the planner —
+    // the (file, x) lookup misses, so the file is scanned (bounds unknown)
+    val viaManifest = rowSet(wh.statsPrunedRead(spark, "t", "x", 0L, 1000000L))
+    val direct = rowSet(wh.read(spark, "t").where($"x".between(0L, 1000000L)))
+    assert(viaManifest == direct)
+    // maintenance's auto re-manifest must not treat the sentinel as a column
+    wh.compact(spark, "t", targetRowsPerFile = 1000000L)
+    val colnames = wh.read(spark, wh.statsTable("t"))
+      .select($"colname").distinct().collect().map(_.getString(0)).toSet
+    assert(colnames == Set("x", "y"),
+      s"post-compact full refresh must sweep the real columns only, got $colnames")
+  }
+
   test("incremental refresh without a manifest fails loudly toward the full refresh") {
     val wh = new Warehouse(TempDirs.scratch("wh-stats-incr-miss"))
     wh.append(corpus(), "t")
@@ -333,6 +359,23 @@ class WarehouseStatsSpec extends AnyFunSuite with SparkSupport {
         "refresh_stats incremental=true cols=x,y", zieltabelle = Some("t")), ctx)
     }
     assert(bad.getMessage.contains("drop cols="))
+  }
+
+  test("deleteWhere keeps rows where the predicate is NULL (SQL DELETE semantics, not NOT-filter semantics)") {
+    // r14 review: the rewrite kept `NOT (pred)`, which evaluates NULL —
+    // and so silently DROPPED — rows whose predicate column is null;
+    // a `batch = 5` delete must never touch a null-keyed row
+    val wh = new Warehouse(TempDirs.scratch("wh-delete-null"))
+    wh.append(Seq[(java.lang.Long, String)]((5L, "match"), (7L, "keep"), (null, "null-keep"))
+      .toDF("batch", "payload"), "t")
+    assert(wh.deleteWhere(spark, "t", "batch = 5"))
+    val left = wh.read(spark, "t").select($"payload").collect().map(_.getString(0)).toSet
+    assert(left == Set("keep", "null-keep"),
+      s"null-predicate rows must survive a delete that never matched them; got $left")
+    // same rule on the range form
+    assert(wh.deleteWhereRange(spark, "t", "batch", 7L, 7L))
+    assert(wh.read(spark, "t").select($"payload").collect().map(_.getString(0)).toSet ==
+      Set("null-keep"))
   }
 
   test("deleteWhereRange: manifest-planned no-match probe schedules nothing, matching range still deletes") {
