@@ -208,8 +208,9 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
     *
     * `quantile = true` (r13) swaps the linear min-max quantizer for
     * rank-quantile positions ([[graft.operators.ZOrder.zkeyedQuantile]]
-    * — one `approxQuantile` sketch pass per layout key instead of the
-    * min/max aggregate): the layout keeps pruning on Zipf-skewed
+    * — ONE `approxQuantile` sketch pass covering every layout key, r14,
+    * instead of the min/max aggregate): the layout keeps pruning on
+    * Zipf-skewed
     * columns where min-max collapses nearly all rows into one position
     * (measured in ZOrderSpec), and DATE/TIMESTAMP keys are accepted
     * directly. Same rewrite, same swap; prefer it whenever the key's

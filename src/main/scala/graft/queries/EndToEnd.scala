@@ -1453,6 +1453,221 @@ object EndToEnd {
       )
       SELECT vec_id, cell FROM an WHERE vec_id NOT IN (SELECT vec_id FROM dup)"""))
 
+  /** The windowed-counts-stream workflow fixture (r14 — the q54
+    * watermarked tumbling-window aggregation as a STREAM step, composed
+    * with a batch consumer): package 131 drains the event drop folder
+    * through `windowed_counts_stream` (only watermark-CLOSED windows
+    * append to the metadata-logged sink), package 132's COPY step reads
+    * the sink back batch-side and aggregates per event type into a
+    * warehouse table. `induceFailure` points the stream at a missing
+    * drop folder.
+    */
+  private[graft] def windowedCountsWorkflowSpec(inDir: String, ckptDir: String,
+      outDir: String, induceFailure: Boolean = false): WorkflowSpec = WorkflowSpec(
+    id = 18,
+    masterPackageId = 132,
+    fallbackPackageId = Some(139L),
+    packages = Map(
+      131L -> PackageSpec(131, realizations = Seq(RealizationSpec(
+        1310, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(13100, CommandType.Copy, TaskType.Stream,
+          s"windowed_counts_stream dir=${if (induceFailure) s"$inDir-missing" else inDir} " +
+            s"ckpt=$ckptDir " +
+            "schema=\"user_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE\" " +
+            s"out=$outDir",
+          zieltabelle = Some("wc_windows")))))),
+      132L -> PackageSpec(132, dependencies = Seq(131L), realizations = Seq(RealizationSpec(
+        1320, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(13200, CommandType.Copy, TaskType.Sql,
+          "SELECT event_type, count(*) AS n_windows, sum(n) AS total_events " +
+            s"FROM parquet.`$outDir` GROUP BY event_type",
+          zieltabelle = Some("wc_type_stats"),
+          quelltabelle = Some("wc_windows")))))),
+      139L -> PackageSpec(139, realizations = Seq(RealizationSpec(
+        1390, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(13900, CommandType.SqlTarget, TaskType.Sql,
+          "CREATE OR REPLACE TEMP VIEW wc_compensation AS " +
+            "SELECT 'windowed counts aborted' AS status")))))))
+
+  /** Build the single-arrival-file fixture + run the windowed-counts
+    * workflow (the q117 fixture shape on the same events corpus). */
+  private[graft] def runWindowedCountsWorkflow(s: SparkSession, dir: String,
+      induceFailure: Boolean = false): (graft.orchestrate.WorkflowResult, RunLedger, Warehouse) = {
+    Tables.registerAll(s, dir)
+    val base = graft.util.TempDirs.scratch("graft-wc-wf")
+    val tmp = s"$base/tmp"
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dst = new java.io.File(s"$base/in/events1.parquet")
+    dst.getParentFile.mkdirs()
+    java.nio.file.Files.move(part.toPath, dst.toPath)
+    val ledger = new RunLedger(() => FixedClock)
+    val wh = new Warehouse(s"$base/wh")
+    val runner = new WorkflowRunner(
+      new WorkflowManager, ledger, new Gates.ThreadCap(8),
+      new Gates.TableLocks, new Gates.ParallelLocks, clock = () => FixedClock)
+    val result = runner.run(
+      windowedCountsWorkflowSpec(s"$base/in", s"$base/ckpt", s"$base/out", induceFailure),
+      zeitplanAusfuehrungenId = 18,
+      (m: Macros.Context, stepRunId: Option[Long], real: RealizationSpec) =>
+        StepContext(s, wh, ledger, m, schrittRunId = stepRunId,
+          konfigurationenId = real.konfigurationenId))
+    (result, ledger, wh)
+  }
+
+  /** Watermarked windowed counts AS a workflow stream step with a batch
+    * consumer (r14 — closes the STREAM-transform gate coverage: every
+    * registered stream transform now carries an oracle-gated workflow).
+    * The oracle recomputes q54's closed-window subset relationally
+    * (per-window counts where `window_end <= max(ts) − watermark`, the
+    * final watermark of a drained AvailableNow run) and applies the
+    * consumer's GROUP BY — an open window leaked to the sink, a torn
+    * sink read, or a double-counted replay breaks the hash. Drain
+    * lifecycle and ledger semantics are StreamRegistrySpec's.
+    */
+  val q119 = QueryDef(
+    "q119_streaming_counts_workflow",
+    (s, dir) => {
+      val (result, _, wh) = runWindowedCountsWorkflow(s, dir)
+      result.error.foreach(throw _)
+      wh.read(s, "wc_type_stats")
+        .select(col("event_type"), col("n_windows"), col("total_events"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+      ), agg AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               event_type, COUNT(*) AS n
+        FROM e GROUP BY 1, 2
+      ), wm AS (
+        SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM e
+      ), closed AS (
+        SELECT a.event_type, a.n
+        FROM agg a, wm
+        WHERE a.window_start + INTERVAL 1 HOUR <= wm.w
+      )
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_windows,
+        CAST(SUM(n) AS BIGINT) AS total_events
+      FROM closed GROUP BY 1"""))
+
+  /** The DSIR-scoring-stream workflow fixture (r14): stateless streaming
+    * importance scoring whose LM corpus is a table a previous step wrote
+    * — package 141's COPY seeds the (doc_id, text, lang) LM table,
+    * package 142 drains the document drop folder through
+    * `dsir_score_stream` (batch-trained bounded LM shipped as a literal
+    * map, every arriving doc scores map-side), package 143's COPY step
+    * reads the sink back batch-side and takes the q108-shaped top-100 by
+    * normalized mean weight into a warehouse table. `induceFailure`
+    * points the LM build at a missing table.
+    */
+  private[graft] def dsirStreamWorkflowSpec(inDir: String, ckptDir: String,
+      outDir: String, induceFailure: Boolean = false): WorkflowSpec = WorkflowSpec(
+    id = 19,
+    masterPackageId = 143,
+    fallbackPackageId = Some(149L),
+    packages = Map(
+      141L -> PackageSpec(141, realizations = Seq(RealizationSpec(
+        1410, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(14100, CommandType.Copy, TaskType.Sql,
+          "SELECT doc_id, text, lang FROM documents",
+          zieltabelle = Some("dw_lm")))))),
+      142L -> PackageSpec(142, dependencies = Seq(141L), realizations = Seq(RealizationSpec(
+        1420, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(14200, CommandType.Copy, TaskType.Stream,
+          s"dsir_score_stream dir=$inDir ckpt=$ckptDir " +
+            "schema=\"doc_id BIGINT, text STRING\" " +
+            s"out=$outDir lm=${if (induceFailure) "dw_missing" else "dw_lm"} " +
+            "target_lang=en",
+          zieltabelle = Some("dw_scored"),
+          quelltabelle = Some("dw_lm")))))),
+      143L -> PackageSpec(143, dependencies = Seq(142L), realizations = Seq(RealizationSpec(
+        1430, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(14300, CommandType.Copy, TaskType.Sql,
+          "SELECT doc_id, n_feats, dsir_weight DIV n_feats AS w_mean, dsir_weight " +
+            s"FROM parquet.`$outDir` ORDER BY w_mean DESC, doc_id LIMIT 100",
+          zieltabelle = Some("dw_top"),
+          quelltabelle = Some("dw_scored")))))),
+      149L -> PackageSpec(149, realizations = Seq(RealizationSpec(
+        1490, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(14900, CommandType.SqlTarget, TaskType.Sql,
+          "CREATE OR REPLACE TEMP VIEW dw_compensation AS " +
+            "SELECT 'dsir scoring aborted' AS status")))))))
+
+  /** Build the single-arrival-file document fixture + run the DSIR
+    * stream workflow. */
+  private[graft] def runDsirStreamWorkflow(s: SparkSession, dir: String,
+      induceFailure: Boolean = false): (graft.orchestrate.WorkflowResult, RunLedger, Warehouse) = {
+    Tables.registerAll(s, dir)
+    val base = graft.util.TempDirs.scratch("graft-dw-wf")
+    val tmp = s"$base/tmp"
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dst = new java.io.File(s"$base/in/docs1.parquet")
+    dst.getParentFile.mkdirs()
+    java.nio.file.Files.move(part.toPath, dst.toPath)
+    val ledger = new RunLedger(() => FixedClock)
+    val wh = new Warehouse(s"$base/wh")
+    val runner = new WorkflowRunner(
+      new WorkflowManager, ledger, new Gates.ThreadCap(8),
+      new Gates.TableLocks, new Gates.ParallelLocks, clock = () => FixedClock)
+    val result = runner.run(
+      dsirStreamWorkflowSpec(s"$base/in", s"$base/ckpt", s"$base/out", induceFailure),
+      zeitplanAusfuehrungenId = 19,
+      (m: Macros.Context, stepRunId: Option[Long], real: RealizationSpec) =>
+        StepContext(s, wh, ledger, m, schrittRunId = stepRunId,
+          konfigurationenId = real.konfigurationenId))
+    (result, ledger, wh)
+  }
+
+  /** Streaming DSIR scoring AS a workflow with table-fed LM and a
+    * q108-shaped batch consumer (r14): a three-package DAG — seed LM →
+    * stream-score → top-k — whose oracle is q98's per-doc scoring CTE
+    * with the consumer's normalized-mean top-100 applied. A drifted
+    * hash slot, a weights map trained off the wrong table, or a
+    * replayed micro-batch double-scoring a doc breaks the hash.
+    */
+  val q120 = QueryDef(
+    "q120_streaming_dsir_workflow",
+    (s, dir) => {
+      val (result, _, wh) = runDsirStreamWorkflow(s, dir)
+      result.error.foreach(throw _)
+      wh.read(s, "dw_top")
+        .select(col("doc_id"), col("n_feats"), col("w_mean"), col("dsir_weight"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+      ), occ AS (
+        SELECT doc_id, lang,
+          CAST('0x' || substr(md5(f), 1, 8) AS BIGINT) % 8192 AS fb
+        FROM (
+          SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(t)-1),
+            i -> t[i] || ' ' || t[i+1])) AS f
+          FROM t WHERE len(t) >= 2)
+      ), ct AS (
+        SELECT fb, CAST(COUNT(*) AS BIGINT) AS ct FROM occ WHERE lang = 'en' GROUP BY 1
+      ), cr AS (
+        SELECT fb, CAST(COUNT(*) AS BIGINT) AS cr FROM occ GROUP BY 1
+      ), lm AS (
+        SELECT cr.fb, COALESCE(ct.ct, 0) AS ct, cr.cr FROM cr LEFT JOIN ct USING (fb)
+      ), w AS (
+        SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+          CAST(SUM((1000000 * (lm.ct + 1)) // (lm.cr + 1)) AS BIGINT) AS dsir_weight
+        FROM occ o JOIN lm USING (fb)
+        GROUP BY 1
+      )
+      SELECT doc_id, n_feats, CAST(dsir_weight // n_feats AS BIGINT) AS w_mean,
+        dsir_weight
+      FROM w ORDER BY w_mean DESC, doc_id LIMIT 100"""))
+
   val all: Seq[QueryDef] = Seq(q20, q21, q36, q42, q53, q103, q106, q107, q109,
-    q110, q113, q116, q117, q118)
+    q110, q113, q116, q117, q118, q119, q120)
 }

@@ -254,4 +254,81 @@ class StreamRegistrySpec extends AnyFunSuite with SparkSupport {
     assert(step(11900L).exists(r => r.istAbgeschlossen && r.erfolgreich),
       "the compensation step must execute after the failure")
   }
+
+  test("q119 happy path: windowed-counts STREAM accounts closed windows; consumer aggregates the sink") {
+    val (result, ledger, wh) = EndToEnd.runWindowedCountsWorkflow(spark, sf)
+    assert(result.success && !result.fallbackRan && result.error.isEmpty)
+    val rows = ledger.current
+    def step(ref: Long) = rows.find(r =>
+      r.level == RunLevel.Schritt && r.refId == ref).get
+    // the STREAM step accounts the closed windows it admitted; the
+    // consumer's per-type stats must re-aggregate exactly that set
+    val closedWindows = step(13100L).erwarteteDaten.get
+    assert(closedWindows > 0)
+    val stats = wh.read(spark, "wc_type_stats")
+    assert(stats.agg(org.apache.spark.sql.functions.sum("n_windows"))
+      .head.getLong(0) == closedWindows,
+      "the batch consumer must see exactly the stream's committed windows")
+    assert(step(13200L).erwarteteDaten.contains(stats.count()))
+    val queries = ledger.allQueries.map(_.sql)
+    assert(queries.exists(_.startsWith("windowed_counts_stream ")))
+    assert(queries.exists(q => q.contains("FROM parquet.") && q.contains("GROUP BY event_type")))
+  }
+
+  test("q119 induced failure: missing drop folder fails the step; fallback compensates") {
+    val (result, ledger, _) =
+      EndToEnd.runWindowedCountsWorkflow(spark, sf, induceFailure = true)
+    assert(!result.success && result.fallbackRan && result.error.isDefined)
+    val rows = ledger.current
+    def step(ref: Long) = rows.find(r => r.level == RunLevel.Schritt && r.refId == ref)
+    assert(step(13100L).exists(r => r.istAbgeschlossen && !r.erfolgreich))
+    assert(step(13200L).forall(r => !r.erfolgreich),
+      "the consumer must not run green after its producer failed")
+    assert(step(13900L).exists(r => r.istAbgeschlossen && r.erfolgreich),
+      "the compensation step must execute after the failure")
+  }
+
+  test("q120 happy path: DSIR stream scores against the table-fed LM; consumer takes the top-k") {
+    val (result, ledger, wh) = EndToEnd.runDsirStreamWorkflow(spark, sf)
+    assert(result.success && !result.fallbackRan && result.error.isEmpty)
+    val rows = ledger.current
+    def step(ref: Long) = rows.find(r =>
+      r.level == RunLevel.Schritt && r.refId == ref).get
+    // the stream scored every doc with >= 2 tokens; the consumer holds
+    // at most 100 of them, ordered deterministically
+    val scored = step(14200L).erwarteteDaten.get
+    assert(scored > 0)
+    val top = wh.read(spark, "dw_top")
+    assert(top.count() == math.min(scored, 100L))
+    assert(step(14300L).erwarteteDaten.contains(top.count()))
+    // scoring really used the LM table: weights trained batch-side from
+    // the same table reproduce the streamed scores for the top rows
+    val weights = graft.operators.Dsir.weightMap(
+      wh.read(spark, "dw_lm"), "doc_id", "text",
+      targetPred = org.apache.spark.sql.functions.col("lang") === "en")
+    val expected = graft.streaming.Streams.dsirScoreStream(
+        graft.catalog.Tables.load(spark, sf, "documents")
+          .select(org.apache.spark.sql.functions.col("doc_id").cast("long").as("doc_id"),
+            org.apache.spark.sql.functions.col("text")), weights)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    top.collect().foreach { r =>
+      assert(expected(r.getLong(0)) == (r.getLong(1), r.getLong(3)),
+        s"doc ${r.getLong(0)}: streamed scores must equal the mode-blind batch form")
+    }
+    val queries = ledger.allQueries.map(_.sql)
+    assert(queries.exists(q => q.startsWith("dsir_score_stream ") && q.contains("lm=dw_lm")))
+  }
+
+  test("q120 induced failure: missing LM table fails the stream step; fallback compensates") {
+    val (result, ledger, _) =
+      EndToEnd.runDsirStreamWorkflow(spark, sf, induceFailure = true)
+    assert(!result.success && result.fallbackRan && result.error.isDefined)
+    val rows = ledger.current
+    def step(ref: Long) = rows.find(r => r.level == RunLevel.Schritt && r.refId == ref)
+    assert(step(14200L).exists(r => r.istAbgeschlossen && !r.erfolgreich))
+    assert(step(14300L).forall(r => !r.erfolgreich),
+      "the consumer must not run green after its producer failed")
+    assert(step(14900L).exists(r => r.istAbgeschlossen && r.erfolgreich),
+      "the compensation step must execute after the failure")
+  }
 }
