@@ -1,6 +1,6 @@
 package graft.steps
 
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, count, lit}
 import org.apache.spark.sql.types.StructType
 
 /** Named STREAMING transforms executable as workflow steps (r13,
@@ -68,15 +68,54 @@ object StreamTransforms {
       .option("maxFilesPerTrigger", Transforms.long(p, "maxfiles", Some(1L)))
       .parquet(Transforms.str(p, "dir"))
 
-  /** Sink-dir row count via the parquet sink's own `_spark_metadata`
-    * commit log — the exactly-once read of what the stream committed
-    * (see `file_ingest_stream` on why stream sinks are dirs, not
-    * warehouse tables). Explicit schema so an empty drain reads as
-    * zero rows instead of failing inference. */
-  private def sinkCount(ctx: StepContext, out: String, ddl: String): Long =
-    if (new java.io.File(out).exists)
-      ctx.spark.read.schema(StructType.fromDDL(ddl)).parquet(out).count()
-    else 0L
+  /** Start a streaming query, drain it, and return the sum of the
+    * [[graft.streaming.Streams.AdmittedMetric]] observed metric over
+    * the run's micro-batches — the drain's admitted-row count for
+    * `ErwarteteDaten`, computed from per-batch progress instead of a
+    * before/after `count()` over the sink (r14 review: the
+    * before/after form re-listed and footer-opened the sink's ENTIRE
+    * history on every drain — per-run work growing with the table's
+    * past, the same genus as the r13 bloom confirm join; this form is
+    * proportional to the drain alone). Progress events ride the async
+    * listener bus, but the bus is FIFO per query: the terminated event
+    * posts after the last batch's progress, so awaiting it flushes
+    * every count before the sum is read. Sums are keyed by query id —
+    * concurrent STREAM steps sharing a session cannot cross-pollute. */
+  private def drainObserved(spark: org.apache.spark.sql.SparkSession,
+      start: () => org.apache.spark.sql.streaming.StreamingQuery): Long = {
+    import java.util.concurrent.{ConcurrentHashMap, CountDownLatch, TimeUnit}
+    import java.util.concurrent.atomic.AtomicLong
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val sums = new ConcurrentHashMap[java.util.UUID, AtomicLong]()
+    val done = new ConcurrentHashMap[java.util.UUID, CountDownLatch]()
+    def latchOf(id: java.util.UUID): CountDownLatch =
+      done.computeIfAbsent(id, _ => new CountDownLatch(1))
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val m = e.progress.observedMetrics.get(graft.streaming.Streams.AdmittedMetric)
+        if (m != null) {
+          sums.computeIfAbsent(e.progress.id, _ => new AtomicLong)
+            .addAndGet(m.getLong(0))
+          ()
+        }
+      }
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        latchOf(e.id).countDown()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val q = start()
+      q.awaitTermination() // drained, or rethrows the stream's failure
+      if (!latchOf(q.id).await(60, TimeUnit.SECONDS))
+        throw new IllegalStateException(
+          "stream drained but its progress events did not flush within 60s")
+      Option(sums.get(q.id)).fold(0L)(_.get)
+    } finally { spark.streams.removeListener(listener); () }
+  }
 
   val registry: Map[String, StreamRun] = Map(
     // bloom_ingest_stream dir=<watch dir> ckpt=<checkpoint dir>
@@ -101,18 +140,21 @@ object StreamTransforms {
       if (!ctx.warehouse.exists(spark, bloomT))
         ctx.warehouse.overwrite(graft.operators.Bloom.build(
           ctx.warehouse.read(spark, seenT), key, mBits, k), bloomT)
-      val before =
-        if (ctx.warehouse.exists(spark, outT)) ctx.warehouse.read(spark, outT).count()
-        else 0L
       val stream = spark.readStream
         .schema(StructType.fromDDL(Transforms.str(p, "schema")))
         .option("maxFilesPerTrigger", Transforms.long(p, "maxfiles", Some(1L)))
         .parquet(Transforms.str(p, "dir"))
+      // completed-batch admitted counter (driver-side — foreachBatch
+      // bodies run on the driver): per-run accounting that never
+      // re-counts the out table's history (r14 review; a rewound batch
+      // recounts on its replay, matching what this run actually landed)
+      val admitted = new java.util.concurrent.atomic.AtomicLong(0L)
       val q = graft.streaming.Streams.bloomDedupStream(
         stream, key, ctx.warehouse, seenT, bloomT, outT,
-        checkpointDir = Transforms.str(p, "ckpt"), mBits = mBits, k = k)
+        checkpointDir = Transforms.str(p, "ckpt"), mBits = mBits, k = k,
+        admittedRows = Some(admitted))
       q.awaitTermination() // AvailableNow: returns drained, rethrows failure
-      ctx.warehouse.read(spark, outT).count() - before
+      admitted.get
     },
     // file_ingest_stream dir=<csv drop folder> ckpt=<checkpoint dir>
     //   archive=<processed-file dir> schema="<arrival DDL>"
@@ -123,24 +165,17 @@ object StreamTransforms {
     // transaction log), which is also why `out` is a plain directory
     // and NOT a warehouse table: a metadata-logged sink dir has ONE
     // writer — the stream — and warehouse rewrites would invalidate
-    // its log. Rows counted for ErwarteteDaten by reading the sink
-    // back (the log makes that read exactly the committed set).
+    // its log. Rows counted for ErwarteteDaten from the per-batch
+    // observed metric ([[graft.streaming.Streams.AdmittedMetric]]).
     "file_ingest_stream" -> { (ctx, p) =>
-      val spark = ctx.spark
-      val out = Transforms.str(p, "out")
-      def countOut(): Long =
-        if (new java.io.File(out).exists) spark.read.parquet(out).count() else 0L
-      val before = countOut()
-      val q = graft.streaming.Streams.fileIngest(spark,
+      drainObserved(ctx.spark, () => graft.streaming.Streams.fileIngest(ctx.spark,
         inDir = Transforms.str(p, "dir"),
         schema = StructType.fromDDL(Transforms.str(p, "schema")),
-        outDir = out,
+        outDir = Transforms.str(p, "out"),
         checkpointDir = Transforms.str(p, "ckpt"),
         archiveDir = Transforms.str(p, "archive"),
         datenproduzent = p.getOrElse("producer", "graft"),
-        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
-      q.awaitTermination() // drained, or rethrows the stream's failure
-      countOut() - before
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow())))
     },
     // sessionize_stream dir=<event drop folder> ckpt=<checkpoint dir>
     //   schema="user_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE"
@@ -154,26 +189,21 @@ object StreamTransforms {
     // drain admitted (ErwarteteDaten).
     "sessionize_stream" -> { (ctx, p) =>
       import ctx.spark.implicits._
-      val out = Transforms.str(p, "out")
-      val outDdl =
-        "user_id BIGINT, session_start TIMESTAMP, n_events BIGINT, closed BOOLEAN"
-      val before = sinkCount(ctx, out, outDdl)
       val events = arrivalStream(ctx.spark, p)
         .select(col("user_id"), col("ts"), col("event_type"), col("value"))
         .as[graft.streaming.Streams.Event]
-      val q = graft.streaming.Streams.sessionize(events,
+      drainObserved(ctx.spark, () => graft.streaming.Streams.sessionize(events,
           gapSeconds = Transforms.long(p, "gap", Some(1800L)),
           watermark = p.getOrElse("watermark", "30 minutes"))
         .filter(_.closed)
         .toDF()
+        .observe(graft.streaming.Streams.AdmittedMetric, count(lit(1)))
         .writeStream.format("parquet")
-        .option("path", out)
+        .option("path", Transforms.str(p, "out"))
         .option("checkpointLocation", Transforms.str(p, "ckpt"))
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination() // drained, or rethrows the stream's failure
-      sinkCount(ctx, out, outDdl) - before
+        .start())
     },
     // windowed_counts_stream dir=<event drop folder> ckpt=<checkpoint dir>
     //   schema="user_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE"
@@ -184,20 +214,17 @@ object StreamTransforms {
     // still-open windows carry in the checkpoint across drains. Rows =
     // closed windows this drain emitted.
     "windowed_counts_stream" -> { (ctx, p) =>
-      val out = Transforms.str(p, "out")
-      val outDdl = "window_start TIMESTAMP, event_type STRING, n BIGINT"
-      val before = sinkCount(ctx, out, outDdl)
-      val q = graft.streaming.Streams.windowedCounts(arrivalStream(ctx.spark, p),
+      drainObserved(ctx.spark, () =>
+        graft.streaming.Streams.windowedCounts(arrivalStream(ctx.spark, p),
           watermark = p.getOrElse("watermark", "30 minutes"),
           window = p.getOrElse("window", "1 hour"))
+        .observe(graft.streaming.Streams.AdmittedMetric, count(lit(1)))
         .writeStream.format("parquet")
-        .option("path", out)
+        .option("path", Transforms.str(p, "out"))
         .option("checkpointLocation", Transforms.str(p, "ckpt"))
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination() // drained, or rethrows the stream's failure
-      sinkCount(ctx, out, outDdl) - before
+        .start())
     },
     // semdedup_stream dir=<vector drop folder> ckpt=<checkpoint dir>
     //   schema="vec_id BIGINT, embedding ARRAY<FLOAT>" out=<sink dir>
@@ -222,9 +249,6 @@ object StreamTransforms {
         "semdedup_stream needs Spark 4+ with the RocksDB state store provider")
       import s2.implicits._
       import graft.functions.{VectorFunctions => V}
-      val out = Transforms.str(p, "out")
-      val outDdl = "vec_id BIGINT, cell BIGINT"
-      val before = sinkCount(ctx, out, outDdl)
       val cents = Transforms.input(ctx, p, "cents")
         .select(col("cid").cast("long"), V.asDouble(col("ce")))
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
@@ -237,17 +261,16 @@ object StreamTransforms {
           col("__e").as("e"), col("__nrm").as("nrm"))
         .as[graft.streaming.Streams.VecRow]
         .map(v => v.copy(cell = assign(v.e)))
-      val q = graft.streaming.Streams.semDedupStream(stream,
+      drainObserved(s2, () => graft.streaming.Streams.semDedupStream(stream,
           threshold = p.get("threshold").map(_.toDouble).getOrElse(0.3))
         .toDF()
+        .observe(graft.streaming.Streams.AdmittedMetric, count(lit(1)))
         .writeStream.format("parquet")
-        .option("path", out)
+        .option("path", Transforms.str(p, "out"))
         .option("checkpointLocation", Transforms.str(p, "ckpt"))
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination() // drained, or rethrows the stream's failure
-      sinkCount(ctx, out, outDdl) - before
+        .start())
     },
     // dsir_score_stream dir=<doc drop folder> ckpt=<checkpoint dir>
     //   schema="doc_id BIGINT, text STRING, …" out=<sink dir>
@@ -260,24 +283,20 @@ object StreamTransforms {
     // no watermark, no shuffle; a model refresh is the next run's plan
     // swap, not a state migration.
     "dsir_score_stream" -> { (ctx, p) =>
-      val out = Transforms.str(p, "out")
-      val outDdl = "doc_id BIGINT, n_feats BIGINT, dsir_weight BIGINT"
-      val before = sinkCount(ctx, out, outDdl)
       val buckets = Transforms.long(p, "buckets", Some(8192L))
       val scale = Transforms.long(p, "scale", Some(1000000L))
       val weights = graft.operators.Dsir.weightMap(
         Transforms.input(ctx, p, "lm"), "doc_id", "text",
         targetPred = col("lang") === Transforms.str(p, "target_lang"),
         buckets = buckets, scale = scale)
-      val q = graft.streaming.Streams
+      drainObserved(ctx.spark, () => graft.streaming.Streams
         .dsirScoreStream(arrivalStream(ctx.spark, p), weights, buckets, scale)
+        .observe(graft.streaming.Streams.AdmittedMetric, count(lit(1)))
         .writeStream.format("parquet")
-        .option("path", out)
+        .option("path", Transforms.str(p, "out"))
         .option("checkpointLocation", Transforms.str(p, "ckpt"))
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination() // drained, or rethrows the stream's failure
-      sinkCount(ctx, out, outDdl) - before
+        .start())
     })
 }

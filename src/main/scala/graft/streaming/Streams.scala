@@ -16,6 +16,17 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateT
   */
 object Streams {
 
+  /** Observed-metric name counting rows a stream delivered to its sink
+    * — attached via `df.observe(AdmittedMetric, count(lit(1)))` so a
+    * drain's admitted-row accounting sums per-batch metrics from
+    * `StreamingQueryProgress.observedMetrics` instead of a before/after
+    * `count()` over the sink (r14 review: the before/after form
+    * re-priced the sink's whole history — listing + a footer per file —
+    * on EVERY drain, the same grows-with-history genus as the r13 bloom
+    * confirm join). [[fileIngest]] attaches it itself; other streams
+    * attach it at the call site (see `steps.StreamTransforms`). */
+  val AdmittedMetric = "graft_admitted"
+
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
 
   final case class SessionUpdate(
@@ -76,6 +87,9 @@ object Streams {
         element_at(split(input_file_name(), "/"), -1), lit("\\+"), lit("%2B"))))
       .withColumn("exportdatum", current_timestamp())
       .withColumn("datenproduzent", lit(datenproduzent))
+      // per-batch sink-row metric: drain accounting without re-reading
+      // the sink's history (see AdmittedMetric)
+      .observe(AdmittedMetric, count(lit(1)))
       .writeStream
       .format("parquet")
       .option("path", outDir)
@@ -134,6 +148,9 @@ object Streams {
           col("_1").as("dateiname")): _*)
       .withColumn("exportdatum", current_timestamp())
       .withColumn("datenproduzent", lit(datenproduzent))
+      // per-batch sink-row metric: drain accounting without re-reading
+      // the sink's history (see AdmittedMetric)
+      .observe(AdmittedMetric, count(lit(1)))
       .writeStream
       .format("parquet")
       .option("path", outDir)
@@ -289,13 +306,16 @@ object Streams {
       mBits: Long = 1L << 16,
       k: Int = 5,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      admittedRows: Option[java.util.concurrent.atomic.AtomicLong] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         bloomDedupBatch(batch, id, keyCol, warehouse,
-          seenTable, bloomTable, outTable, mBits, k)
+          seenTable, bloomTable, outTable, mBits, k,
+          admittedRows = admittedRows)
       }
       .start()
 
@@ -308,7 +328,8 @@ object Streams {
       batch: DataFrame, id: Long, keyCol: String,
       warehouse: graft.catalog.Warehouse,
       seenTable: String, bloomTable: String, outTable: String,
-      mBits: Long, k: Int, failAfterPhase: Int = Int.MaxValue): Unit = {
+      mBits: Long, k: Int, failAfterPhase: Int = Int.MaxValue,
+      admittedRows: Option[java.util.concurrent.atomic.AtomicLong] = None): Unit = {
     require(!batch.columns.contains("batch") && keyCol != "batch",
       "bloomDedupStream reserves the `batch` column for its replay-rewind " +
         "tag — rename the incoming column")
@@ -351,6 +372,13 @@ object Streams {
         .persist() // consumed three times: bitmap build, out, seen keys
       try {
         import spark.implicits._
+        // materialize the persisted set BEFORE phase 1's swap deletes
+        // the old bitmap files its lineage reads — a later recompute
+        // (cache eviction, an extra consumer) would hit the swapped-
+        // away listing and fail FILE_NOT_EXIST (r14: latent for
+        // phases 2/3, exposed by the admitted-row count). Batch-sized
+        // work; doubles as the count the caller accounts per run.
+        val nAdmitted = admitted.count()
         // phase 1: bitmap first — bloom ⊇ seen holds at every crash point
         warehouse.replace(bloomTable, graft.operators.Bloom
           .merge(bloom, graft.operators.Bloom.build(
@@ -364,6 +392,11 @@ object Streams {
         warehouse.append(
           admitted.select(col(keyCol)).withColumn("batch", lit(b)), seenTable)
         induced(3)
+        // count only COMPLETED batches — a crashed batch's rows are
+        // rewound and recounted on replay, so the caller's per-run
+        // accounting matches what this run actually landed without
+        // ever re-pricing the out table's history (r14 review)
+        admittedRows.foreach(_.addAndGet(nAdmitted))
       } finally { admitted.unpersist(); () }
     }
   }
