@@ -105,6 +105,7 @@ object Bench {
         // reads these dirs; the one cross-gate memo — q20's warehouse,
         // re-read by nothing after its own reps — is sweep-safe).
         graft.util.TempDirs.sweep()
+        streamingResidueSweep(spark)
         (name, old, median(runs), runs)
       } catch {
         case e: Throwable =>
@@ -112,6 +113,7 @@ object Bench {
           spark.catalog.clearCache()
           graft.operators.BookCache.clear()
           graft.util.TempDirs.sweep()
+          streamingResidueSweep(spark)
           (name, -1.0, -1.0, Seq.empty[Double])
       }
     }
@@ -187,6 +189,39 @@ object Bench {
     * Naming contract: every gate that runs a StreamingQuery lifecycle
     * carries "streaming" in its name (q48/q49/q54/q55/q66 today). */
   def isStreaming(name: String): Boolean = name.contains("streaming")
+
+  /** Per-gate IN-JVM streaming residue sweep (r14, the second half of
+    * VERDICT r13 wrong #2 — TempDirs.sweep covers only the on-disk
+    * half): a drained streaming gate leaves its state-store providers
+    * LOADED in the shared bench JVM, and the per-JVM maintenance task
+    * then snapshots/cleans every accumulated provider (HDFS-backed and
+    * RocksDB alike, RocksDB also pinning native memory) once a minute
+    * UNDER all later gates' reps — background work that grows with how
+    * many stateful gates already ran, exactly the in-suite interference
+    * class the r13 verdict flagged. `StateStore.stop()` unloads the
+    * providers and parks the maintenance pool; the next streaming gate
+    * restarts both on demand. Reflection because the object is
+    * private[sql] — bench tooling only, and a failed sweep must never
+    * fail a measurement (stderr-logged once, not swallowed silently).
+    */
+  private var residueSweepFailed = false
+  private def streamingResidueSweep(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.streams.resetTerminated()
+    try {
+      val cls = Class.forName(
+        "org.apache.spark.sql.execution.streaming.state.StateStore$")
+      cls.getMethod("stop").invoke(cls.getField("MODULE$").get(null))
+      ()
+    } catch {
+      case e: Throwable if !residueSweepFailed =>
+        residueSweepFailed = true
+        System.err.println(
+          s"[bench] state-store residue sweep unavailable (${e.getClass.getSimpleName}: " +
+            s"${e.getMessage}) — in-suite interference from accumulated providers " +
+            "will not be cleaned this run")
+      case _: Throwable => ()
+    }
+  }
 
   /** Machine-context marker embedded in every bench JSON line: the 1-min
     * system load average at measurement time plus the JVM's CPU count.

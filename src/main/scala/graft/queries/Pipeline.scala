@@ -903,9 +903,7 @@ object Pipeline {
   val q66 = QueryDef(
     "q66_streaming_sessions_v2",
     (s, dir) => {
-      val s2 = s.newSession()
-      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val s2 = graft.streaming.Streams.rocksDbSession(s)
       require(graft.streaming.Streams.stateV2Ready(s2),
         "state-v2 gate needs Spark 4+ with the RocksDB state store provider")
       import s2.implicits._

@@ -304,9 +304,7 @@ object Selection {
   val q96 = QueryDef(
     "q96_semdedup_streaming",
     (s, dir) => {
-      val s2 = s.newSession()
-      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val s2 = graft.streaming.Streams.rocksDbSession(s)
       require(graft.streaming.Streams.stateV2Ready(s2),
         "streaming semdedup needs Spark 4+ with the RocksDB state store provider")
       import s2.implicits._
@@ -383,9 +381,7 @@ object Selection {
   val q102 = QueryDef(
     "q102_semdedup_streaming_bigc",
     (s, dir) => {
-      val s2 = s.newSession()
-      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val s2 = graft.streaming.Streams.rocksDbSession(s)
       require(graft.streaming.Streams.stateV2Ready(s2),
         "streaming semdedup needs Spark 4+ with the RocksDB state store provider")
       import s2.implicits._

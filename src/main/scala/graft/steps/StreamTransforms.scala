@@ -52,7 +52,7 @@ object StreamTransforms {
     "windowed_counts_stream" -> Set("dir", "ckpt", "schema", "out",
       "watermark", "window", "maxfiles"),
     "semdedup_stream" -> Set("dir", "ckpt", "schema", "out", "cents",
-      "threshold", "id", "emb", "maxfiles"),
+      "threshold", "id", "emb", "maxfiles", "statepartitions"),
     "dsir_score_stream" -> Set("dir", "ckpt", "schema", "out", "lm",
       "target_lang", "buckets", "scale", "maxfiles"))
 
@@ -229,7 +229,8 @@ object StreamTransforms {
     // semdedup_stream dir=<vector drop folder> ckpt=<checkpoint dir>
     //   schema="vec_id BIGINT, embedding ARRAY<FLOAT>" out=<sink dir>
     //   cents=<(cid, ce) warehouse table> [threshold=0.3 id=vec_id
-    //   emb=embedding maxfiles=1] — the q96/q102 streaming admission
+    //   emb=embedding maxfiles=1 statepartitions=N] — the q96/q102
+    // streaming admission
     // control as a STREAM step (r14): centroids come from a TABLE a
     // previous step wrote (a kmeans_train book or a seeded COPY —
     // bounded by the codebook, collected driver-side) and ship via the
@@ -237,14 +238,15 @@ object StreamTransforms {
     // inlines O(C·dim) expressions — q40's audit forbids that past toy
     // C). Per-cell state lives in the RocksDB store of a cloned
     // session (state-v2 requirement; the shared session's other streams
-    // keep their default store). The operator's ordering contract (ids
+    // keep their default store) with changelog checkpointing and an
+    // optional state-partition count sized at stream birth — see
+    // [[graft.streaming.Streams.rocksDbSession]]. The operator's ordering contract (ids
     // non-decreasing across micro-batches) is the feed's to meet —
     // mtime-ordered arrival files of an id-ordered corpus do, and a
     // violation fails the query (and so the step) loudly.
     "semdedup_stream" -> { (ctx, p) =>
-      val s2 = ctx.spark.newSession()
-      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val s2 = graft.streaming.Streams.rocksDbSession(ctx.spark,
+        statePartitions = p.get("statepartitions").map(_.toInt))
       require(graft.streaming.Streams.stateV2Ready(s2),
         "semdedup_stream needs Spark 4+ with the RocksDB state store provider")
       import s2.implicits._

@@ -520,6 +520,40 @@ object Streams {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** A session clone configured for RocksDB-backed streaming state —
+    * the one way every RocksDB stream here gets its session (r14;
+    * previously each call site duplicated the provider wiring). The
+    * clone keeps the parent's catalog/conf but scopes streaming-state
+    * settings away from the parent's other streams:
+    *
+    *  - provider = RocksDB (the state-v2 backend requirement, and the
+    *    disk-backed store an unbounded-corpus admission state needs —
+    *    heap stores OOM at 100 TB keyset sizes);
+    *  - changelog checkpointing ON: each micro-batch uploads the
+    *    batch's CHANGES instead of a full snapshot of every store
+    *    instance (snapshots still happen, async and infrequent) — at
+    *    production state sizes per-batch checkpoint cost tracks the
+    *    batch, not the accumulated state; exactly the contract the
+    *    rest of this file's per-batch-work arguments assume;
+    *  - `statePartitions`: stateful-operator parallelism is FIXED at
+    *    the stream's first checkpoint by the then-current shuffle
+    *    partition count — size it to expected state volume/throughput
+    *    here (the session-wide default is a batch-join setting, not a
+    *    state-layout decision). Changing it later needs a fresh
+    *    checkpoint, so the knob matters at stream BIRTH.
+    */
+  def rocksDbSession(spark: SparkSession,
+      statePartitions: Option[Int] = None): SparkSession = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s2.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    statePartitions.foreach(n => s2.conf.set("spark.sql.shuffle.partitions", n.toString))
+    s2
+  }
+
   /** The activation probe: arbitrary-state v2 needs Spark 4+ AND the
     * session configured for the RocksDB state store (its 4.x backend
     * requirement). Both shipping paths stay oracle-equivalent, so the

@@ -152,6 +152,41 @@ class StreamRegistrySpec extends AnyFunSuite with SparkSupport {
     assert(sink == Set((0L, 0L), (2L, 1L), (3L, 1L)), s"got $sink")
   }
 
+  test("semdedup_stream: statepartitions sizes the state layout at stream birth; parent session untouched") {
+    assume(graft.streaming.Streams.stateV2Ready(
+      graft.streaming.Streams.rocksDbSession(spark)), "state-v2 backend unavailable")
+    import spark.implicits._
+    val base = tmpDir("graft-sd-parts")
+    val c = ctx(base)
+    c.warehouse.overwrite(
+      Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cid", "ce"), "sdct2")
+    val in = new java.io.File(s"$base/in")
+    val tmp = new java.io.File(s"$base/tmp-v1")
+    Seq((0L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(tmp.toString)
+    in.mkdirs()
+    java.nio.file.Files.move(
+      tmp.listFiles().find(_.getName.endsWith(".parquet")).get.toPath,
+      new java.io.File(in, "v1.parquet").toPath)
+    val parentShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    assert(parentShuffle != "2", "fixture needs a knob value ≠ the session default")
+    val cmd = s"semdedup_stream dir=$base/in ckpt=$base/ckpt " +
+      "schema=\"vec_id BIGINT, embedding ARRAY<DOUBLE>\" " +
+      s"out=$base/out cents=sdct2 threshold=0.3 statepartitions=2"
+    val spec = StepSpec(8821, CommandType.Copy, TaskType.Stream, cmd,
+      zieltabelle = Some("sdp_out"), quelltabelle = Some("sdct2"))
+    assert(Steps.execute(spec, c).contains(2L))
+    // stateful-operator parallelism is FIXED at the first checkpoint by
+    // the shuffle-partition count at stream birth — the knob must land
+    // there (2 state partition dirs, not the session default)…
+    val parts = new java.io.File(s"$base/ckpt/state/0").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.forall(_.isDigit))
+      .map(_.toInt).sorted.toSeq
+    assert(parts == (0 until 2), s"state partition dirs: $parts")
+    // …and must NOT leak into the parent session's batch setting
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == parentShuffle)
+  }
+
   test("dsir_score_stream: stateless scoring — LM from a table, every arriving doc scores map-side") {
     import spark.implicits._
     val base = tmpDir("graft-ds-step")
