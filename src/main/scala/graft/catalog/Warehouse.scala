@@ -145,6 +145,7 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
     */
   def deleteWhereRange(spark: SparkSession, table: String, column: String,
       lo: Long, hi: Long, remanifest: Boolean = false): Boolean = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     if (!exists(spark, table)) return false
     val scan = statsPrunedScan(spark, table, Seq((column, lo, hi)))
     if (scan.scheduled == 0 || scan.frame.isEmpty) false
@@ -152,11 +153,86 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
       // the pruned probe already proved rows match — rewrite directly
       // instead of delegating to deleteWhere, whose own probe would
       // re-scan the full listing to re-learn the answer (r14 review);
-      // coalesce keeps null-valued rows, which a range never matches
-      rewriteInPlace(table, read(spark, table).filter(
-        s"NOT coalesce((`$column` >= $lo AND `$column` <= $hi), false)"))
+      // coalesce keeps null-valued rows, which a range never matches.
+      // Bounds go through typedBound so temporal retention windows
+      // (DATE / TIMESTAMP columns, r14) compare in the column's type.
+      val data = read(spark, table)
+      val range = col(column) >= typedBound(data.schema, column, lo) &&
+        col(column) <= typedBound(data.schema, column, hi)
+      rewriteInPlace(table, data.filter(not(coalesce(range, lit(false)))))
       if (remanifest) refreshStatsIfManifested(spark, table)
       true
+    }
+  }
+
+  /** The manifest speaks epoch LONGS — parquet footer stats for INT64
+    * timestamp[us] and INT32 date columns flow through
+    * [[graft.operators.ZOrder.fileEnvelopesOf]] as epoch micros / days
+    * verbatim — but a RESIDUAL predicate must compare in the column's
+    * own type: a bare `col >= <long>` against a temporal column either
+    * fails analysis or casts the COLUMN (killing parquet pushdown).
+    * Maps an epoch bound into a literal of the column's type, so the
+    * residual analyzes, folds to a constant, and pushes down. (A
+    * TimestampType column written as INT96 — pre-standard parquet —
+    * carries no usable footer stats: it simply never enters a manifest,
+    * and the freshness rule keeps such files always-scanned.)
+    */
+  private def typedBound(schema: org.apache.spark.sql.types.StructType,
+      column: String, v: Long): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.types._
+    fieldType(schema, column) match {
+      case ByteType | ShortType | IntegerType | LongType => lit(v)
+      case DateType => lit(java.time.LocalDate.ofEpochDay(v))
+      case TimestampType => lit(java.time.Instant.EPOCH.plus(
+        v, java.time.temporal.ChronoUnit.MICROS))
+      case TimestampNTZType => lit(java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(v, 1000000L),
+        (Math.floorMod(v, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC))
+      case other => throw new IllegalArgumentException(
+        s"range column `$column` has unsupported type ${other.simpleString} " +
+          "(integral, DATE or TIMESTAMP)")
+    }
+  }
+
+  private def fieldType(schema: org.apache.spark.sql.types.StructType,
+      column: String): org.apache.spark.sql.types.DataType =
+    schema.find(_.name == column).getOrElse(throw new IllegalArgumentException(
+      s"range column `$column` is not in the table's schema " +
+        s"(${schema.fieldNames.mkString(", ")})")).dataType
+
+  /** Parse a step-surface range bound into the manifest's epoch-Long
+    * space for `column`'s type (r14 — the grammar behind `pruned_read
+    * ranges=` and `delete_where range=`): integral literals verbatim;
+    * DATE as `yyyy-MM-dd` → epoch days; TIMESTAMP (tz or ntz) as
+    * `yyyy-MM-dd[THH:mm:ss[.SSS…]]` → epoch micros, a bare date reading
+    * as midnight; `*` = unbounded on that side, clamped to the widest
+    * value the column's type carries through [[typedBound]] without
+    * overflow. Loud on any other shape — a typo'd bound must not
+    * silently become a different window.
+    */
+  def boundEpoch(schema: org.apache.spark.sql.types.StructType,
+      column: String, token: String, isLower: Boolean): Long = {
+    import org.apache.spark.sql.types._
+    val t = fieldType(schema, column)
+    if (token == "*") t match {
+      case DateType =>
+        if (isLower) java.time.LocalDate.MIN.toEpochDay
+        else java.time.LocalDate.MAX.toEpochDay
+      case _ => if (isLower) Long.MinValue else Long.MaxValue
+    } else t match {
+      case ByteType | ShortType | IntegerType | LongType => token.toLong
+      case DateType => java.time.LocalDate.parse(token).toEpochDay
+      case TimestampType | TimestampNTZType =>
+        val ldt =
+          if (token.contains("T")) java.time.LocalDateTime.parse(token)
+          else java.time.LocalDate.parse(token).atStartOfDay()
+        Math.addExact(Math.multiplyExact(
+          ldt.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L),
+          ldt.getNano / 1000L)
+      case other => throw new IllegalArgumentException(
+        s"range column `$column` has unsupported type ${other.simpleString} " +
+          "(integral, DATE or TIMESTAMP)")
     }
   }
 
@@ -432,16 +508,19 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
     require(ranges.nonEmpty, "statsPrunedRead needs at least one range")
     require(ranges.map(_._1).distinct.size == ranges.size,
       s"duplicate range columns: ${ranges.map(_._1).mkString(", ")}")
-    val residual = ranges.map { case (c, lo, hi) =>
-      require(lo <= hi, s"statsPrunedRead range on `$c` is empty: [$lo, $hi]")
-      col(c) >= lo && col(c) <= hi
-    }.reduce(_ && _)
     // the data table's torn-swap state must recover before ANY listing
     // here — the manifested branch had this via the later recoverIfTorn,
     // but the fallback's partFiles() would otherwise count a torn table
     // as 0 files and report "scheduled 0 of 0" for a scan that read()
     // recovers and serves in full (r14 review)
     recoverIfTorn(table)
+    // epoch-Long bounds compare against the manifest verbatim; the
+    // residual compares in each column's OWN type (temporal ranges, r14)
+    val schema = read(spark, table).schema
+    val residual = ranges.map { case (c, lo, hi) =>
+      require(lo <= hi, s"statsPrunedRead range on `$c` is empty: [$lo, $hi]")
+      col(c) >= typedBound(schema, c, lo) && col(c) <= typedBound(schema, c, hi)
+    }.reduce(_ && _)
     if (!exists(spark, statsTable(table))) {
       val total = partFiles(table)
       return PrunedScan(read(spark, table).where(residual), total, total)

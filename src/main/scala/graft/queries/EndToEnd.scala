@@ -1668,6 +1668,85 @@ object EndToEnd {
         dsir_weight
       FROM w ORDER BY w_mean DESC, doc_id LIMIT 100"""))
 
+  /** The retention-window workflow fixture (r14 — temporal ranges
+    * through the stats-manifest path, end to end): package 65 appends
+    * an 18-month slice of `lineitem` and collects a `l_shipdate`
+    * manifest; package 66 runs the retention cut as `delete_where
+    * range="l_shipdate=*..<horizon>"` — the MANIFEST-PLANNED form whose
+    * match probe schedules only envelope-intersecting files and whose
+    * bounds are typed per the column (`*` = the open side every
+    * "drop everything before the horizon" window has). The deleting
+    * rewrite re-manifests, so the follow-up probe in
+    * WarehouseStatsSpec's unit twin is metadata-sized.
+    */
+  private[graft] def retentionWorkflowSpec(): WorkflowSpec = {
+    WorkflowSpec(
+      id = 17,
+      masterPackageId = 66,
+      fallbackPackageId = Some(68L),
+      packages = Map(
+        65L -> PackageSpec(65, realizations = Seq(RealizationSpec(
+          650, anzahlParalleleSchritte = 1,
+          steps = Seq(
+            StepSpec(6500, CommandType.Copy, TaskType.Sql,
+              "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, " +
+                "l_quantity, l_extendedprice, l_shipdate FROM lineitem " +
+                "WHERE l_shipdate < TIMESTAMP '1996-07-01 00:00:00'",
+              zieltabelle = Some("rt_lineitem"), schrittReihenfolge = 0),
+            StepSpec(6510, CommandType.Copy, TaskType.Maintenance,
+              "refresh_stats cols=l_shipdate",
+              zieltabelle = Some("rt_lineitem"), schrittReihenfolge = 1))))),
+        66L -> PackageSpec(66, dependencies = Seq(65L), realizations = Seq(RealizationSpec(
+          660, anzahlParalleleSchritte = 1,
+          steps = Seq(StepSpec(6600, CommandType.Copy, TaskType.Maintenance,
+            "delete_where range=\"l_shipdate=*..1995-09-30T23:59:59\"",
+            zieltabelle = Some("rt_lineitem")))))),
+        68L -> PackageSpec(68, realizations = Seq(RealizationSpec(
+          680, anzahlParalleleSchritte = 1,
+          steps = Seq(StepSpec(6800, CommandType.SqlTarget, TaskType.Sql,
+            "CREATE OR REPLACE TEMP VIEW rt_compensation AS " +
+              "SELECT 'retention aborted' AS status")))))))
+  }
+
+  /** Temporal retention AS a workflow (r14): the canonical "drop
+    * everything before the horizon" maintenance pass on a manifested
+    * TIMESTAMP column, run as MAINTENANCE steps under the orchestrator
+    * — `refresh_stats cols=l_shipdate`, then `delete_where
+    * range="l_shipdate=*..horizon"` (manifest-planned probe, typed
+    * bounds, open lower side). The readback must hash-match DuckDB
+    * evaluating the COPY slice minus the retention window directly —
+    * an over-deleted survivor (inclusive-hi off-by-one), an
+    * under-deleted straggler, or a unit slip between the manifest's
+    * epoch-micros and the column's type breaks the gate. The
+    * scheduling/null-keep/re-manifest claims are WarehouseStatsSpec's.
+    */
+  val q121 = QueryDef(
+    "q121_retention_workflow",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      val ledger = new RunLedger(() => FixedClock)
+      val wh = new Warehouse(graft.util.TempDirs.scratch("graft-rt-wf"))
+      val runner = new WorkflowRunner(
+        new WorkflowManager, ledger, new Gates.ThreadCap(8),
+        new Gates.TableLocks, new Gates.ParallelLocks, clock = () => FixedClock)
+      val result = runner.run(retentionWorkflowSpec(),
+        zeitplanAusfuehrungenId = 17,
+        (m: Macros.Context, stepRunId: Option[Long], real: RealizationSpec) =>
+          StepContext(s, wh, ledger, m, schrittRunId = stepRunId,
+            konfigurationenId = real.konfigurationenId))
+      result.error.foreach(throw _)
+      wh.read(s, "rt_lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+          col("l_shipdate"))
+    },
+    Some("""
+      SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        l_extendedprice, l_shipdate
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-10-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'"""))
+
   val all: Seq[QueryDef] = Seq(q20, q21, q36, q42, q53, q103, q106, q107, q109,
-    q110, q113, q116, q117, q118, q119, q120)
+    q110, q113, q116, q117, q118, q119, q120, q121)
 }

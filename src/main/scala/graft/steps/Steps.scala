@@ -167,7 +167,7 @@ object Steps {
       case "compact" => Set("rows_per_file")
       case "optimize_zorder" => Set("cols", "bits", "rows_per_file", "quantile")
       case "refresh_stats" => Set("cols", "incremental")
-      case "delete_where" => Set("predicate")
+      case "delete_where" => Set("predicate", "range")
       case _ => params.keySet // unknown action fails below with the action list
     })
     val table = targetTable(spec)
@@ -222,13 +222,38 @@ object Steps {
       // (Warehouse.deleteWhere remanifest=true) so pruned reads keep
       // their quality. The one maintenance action that changes CONTENTS
       // by design; a no-match predicate is a metadata-sized probe.
+      //
+      // delete_where range="col=lo..hi" (r14) — the MANIFEST-PLANNED
+      // retention form (Warehouse.deleteWhereRange): on a manifested
+      // table the match probe schedules only envelope-intersecting
+      // files (a no-match probe is one small manifest read, no scan job
+      // at all — the shape retention re-runs hit every time), and
+      // bounds are typed per the column — integral, `yyyy-MM-dd` dates,
+      // `yyyy-MM-ddTHH:mm:ss` timestamps, `*` for an open side — so
+      // the canonical "drop everything before the horizon" window is
+      // range="ts_col=*..<horizon>". Exactly one of predicate=/range=.
       case "delete_where" =>
-        val predicate = Transforms.str(params, "predicate")
-        require(predicate.trim.nonEmpty,
-          s"delete_where on `$table` needs a non-empty predicate=")
-        if (ctx.warehouse.deleteWhere(ctx.spark, table, predicate, remanifest = true))
-          s"deleted rows matching [$predicate]"
-        else s"no rows match [$predicate] — probe only, no rewrite"
+        require(params.contains("predicate") ^ params.contains("range"),
+          s"delete_where on `$table` needs exactly one of predicate= or range=")
+        params.get("range") match {
+          case Some(spec) =>
+            val ranges = Transforms.parseRanges(ctx, table, "delete_where", spec)
+            require(ranges.size == 1,
+              s"delete_where on `$table` deletes one column range per step " +
+                s"(got ${ranges.size}: $spec)")
+            val (c, lo, hi) = ranges.head
+            if (ctx.warehouse.deleteWhereRange(ctx.spark, table, c, lo, hi,
+                remanifest = true))
+              s"deleted rows with `$c` in [$spec]"
+            else s"no rows match [$spec] — manifest-planned probe only, no rewrite"
+          case None =>
+            val predicate = Transforms.str(params, "predicate")
+            require(predicate.trim.nonEmpty,
+              s"delete_where on `$table` needs a non-empty predicate=")
+            if (ctx.warehouse.deleteWhere(ctx.spark, table, predicate, remanifest = true))
+              s"deleted rows matching [$predicate]"
+            else s"no rows match [$predicate] — probe only, no rewrite"
+        }
       case other => throw new IllegalArgumentException(
         s"unknown MAINTENANCE action '$other' (known: compact, optimize_zorder, " +
           "refresh_stats, delete_where)")

@@ -123,6 +123,30 @@ object Transforms {
     params.getOrElse(key,
       throw new IllegalArgumentException(s"step command needs parameter '$key'"))
 
+  /** `col=lo..hi[,col=lo..hi…]` → manifest-epoch ranges, typed per the
+    * table's schema (r14 — shared by `pruned_read ranges=` and the
+    * MAINTENANCE `delete_where range=`): bounds are integral literals,
+    * `yyyy-MM-dd` dates, `yyyy-MM-ddTHH:mm:ss` timestamps (a bare date
+    * on a TIMESTAMP column reads as midnight), or `*` for unbounded on
+    * that side — see [[graft.catalog.Warehouse.boundEpoch]]. */
+  private[steps] def parseRanges(ctx: StepContext, table: String,
+      verb: String, rangeSpec: String): Seq[(String, Long, Long)] = {
+    val schema = ctx.warehouse.read(ctx.spark, table).schema
+    val ranges = rangeSpec.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { r =>
+      (r.split("=", 2), r) match {
+        case (Array(c, span), _) if span.contains("..") =>
+          val Array(lo, hi) = span.split("\\.\\.", 2)
+          (c.trim,
+            ctx.warehouse.boundEpoch(schema, c.trim, lo.trim, isLower = true),
+            ctx.warehouse.boundEpoch(schema, c.trim, hi.trim, isLower = false))
+        case (_, bad) => throw new IllegalArgumentException(
+          s"$verb range '$bad' is not col=lo..hi (ranges: $rangeSpec)")
+      }
+    }
+    require(ranges.nonEmpty, s"$verb needs at least one col=lo..hi range")
+    ranges
+  }
+
   private def unstaged(df: DataFrame): Curation.Staged = Curation.Staged(df, () => ())
 
   val registry: Map[String, Transform] = Map(
@@ -211,7 +235,9 @@ object Transforms {
         mBits = long(p, "mbits", Some(1L << 16)),
         k = long(p, "k", Some(5L)).toInt))),
     // pruned_read in=<warehouse table> ranges="col=lo..hi,col=lo..hi"
-    // — the READ-side twin of the refresh_stats maintenance verb (r14,
+    // — bounds integral, yyyy-MM-dd, yyyy-MM-ddTHH:mm:ss or `*` per the
+    // column's type (parseRanges, r14 temporal widening) —
+    // the READ-side twin of the refresh_stats maintenance verb (r14,
     // VERDICT r13 missing #1): plans the range scan through the
     // table's persisted stats manifest (Warehouse.statsPrunedScan), so
     // a workflow-authored query on a z-ordered, manifested table
@@ -227,17 +253,7 @@ object Transforms {
       val table = str(p, "in")
       require(ctx.warehouse.exists(ctx.spark, table),
         s"pruned_read: `$table` is not a warehouse table (views have no file manifest)")
-      val rangeSpec = str(p, "ranges")
-      val ranges = rangeSpec.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { r =>
-        (r.split("=", 2), r) match {
-          case (Array(c, span), _) if span.contains("..") =>
-            val Array(lo, hi) = span.split("\\.\\.", 2)
-            (c.trim, lo.trim.toLong, hi.trim.toLong)
-          case (_, bad) => throw new IllegalArgumentException(
-            s"pruned_read range '$bad' is not col=lo..hi (ranges: $rangeSpec)")
-        }
-      }
-      require(ranges.nonEmpty, s"pruned_read needs at least one col=lo..hi range")
+      val ranges = parseRanges(ctx, table, "pruned_read", str(p, "ranges"))
       val scan = ctx.warehouse.statsPrunedScan(ctx.spark, table, ranges)
       ctx.ledger.message(
         s"pruned_read on $table: scheduled ${scan.scheduled} of ${scan.total} files",

@@ -402,6 +402,111 @@ class WarehouseStatsSpec extends AnyFunSuite with SparkSupport {
     assert(wh2.read(spark, "t").filter($"x".between(0L, 5L)).isEmpty)
   }
 
+  /** Timestamp corpus laid out as ~8 range-disjoint files — the
+    * retention shape every time-partitioned 100 TB table has. */
+  private def temporalLayout(): (Warehouse, DataFrame) = {
+    val wh = new Warehouse(TempDirs.scratch("wh-stats-ts"))
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .select(col("l_orderkey").cast("long").as("k"), col("l_shipdate").as("ts"))
+    wh.append(li.repartitionByRange(8, col("ts")).sortWithinPartitions("ts"), "t")
+    wh.refreshStats(spark, "t", Seq("ts"))
+    (wh, li)
+  }
+
+  test("temporal manifest: TIMESTAMP envelopes prune files; pruned read equals the typed filter") {
+    val (wh, _) = temporalLayout()
+    val schema = wh.read(spark, "t").schema
+    val lo = wh.boundEpoch(schema, "ts", "1995-03-01", isLower = true)
+    val hi = wh.boundEpoch(schema, "ts", "1995-09-30T23:59:59", isLower = false)
+    val scan = wh.statsPrunedScan(spark, "t", Seq(("ts", lo, hi)))
+    assert(scan.scheduled < scan.total,
+      s"a half-year window over a range-partitioned multi-year corpus must prune " +
+        s"(scheduled ${scan.scheduled} of ${scan.total})")
+    val tsType = schema.apply("ts").dataType
+    val expect = wh.read(spark, "t").filter(
+      col("ts") >= lit("1995-03-01").cast(tsType) &&
+        col("ts") <= lit("1995-09-30 23:59:59").cast(tsType))
+    assert(scan.frame.select($"k").collect().map(_.getLong(0)).sorted.toSeq ==
+      expect.select($"k").collect().map(_.getLong(0)).sorted.toSeq,
+      "manifest-pruned temporal read must equal the typed filter row-for-row")
+  }
+
+  test("boundEpoch: dates, timestamps, bare-date midnight, open sides, loud on junk") {
+    val (wh, _) = temporalLayout()
+    val schema = wh.read(spark, "t").schema
+    // a bare date on a TIMESTAMP column is midnight
+    assert(wh.boundEpoch(schema, "ts", "1995-03-01", isLower = true) ==
+      wh.boundEpoch(schema, "ts", "1995-03-01T00:00:00", isLower = true))
+    // micros arithmetic: one second past midnight
+    assert(wh.boundEpoch(schema, "ts", "1995-03-01T00:00:01", isLower = true) -
+      wh.boundEpoch(schema, "ts", "1995-03-01T00:00:00", isLower = true) == 1000000L)
+    // open sides clamp without overflow and stay usable in a scan
+    val loStar = wh.boundEpoch(schema, "ts", "*", isLower = true)
+    val hiStar = wh.boundEpoch(schema, "ts", "*", isLower = false)
+    assert(loStar < 0 && hiStar > 0)
+    val all = wh.statsPrunedScan(spark, "t", Seq(("ts", loStar, hiStar)))
+    assert(all.frame.count() == wh.read(spark, "t").count(),
+      "a fully open range must scan everything and keep every row")
+    // integral columns take literals verbatim
+    assert(wh.boundEpoch(schema, "k", "42", isLower = true) == 42L)
+    // junk fails loudly, never a silently different window
+    intercept[java.time.format.DateTimeParseException] {
+      wh.boundEpoch(schema, "ts", "1995-13-01", isLower = true)
+    }
+    intercept[IllegalArgumentException] {
+      wh.boundEpoch(schema, "nope", "1", isLower = true)
+    }
+  }
+
+  test("delete_where range= MAINTENANCE step: temporal retention is manifest-planned, keeps nulls, re-manifests") {
+    val (wh, li) = temporalLayout()
+    val tsType = wh.read(spark, "t").schema.apply("ts").dataType
+    // a null-keyed row the retention window must NEVER delete (SQL
+    // DELETE semantics: predicate NULL = keep); cast through the
+    // table's own timestamp flavor so the append does not fork schemas
+    wh.append(Seq((-1L, None: Option[String])).toDF("k", "s")
+      .select($"k", $"s".cast(tsType).as("ts")), "t")
+    val ledger = new RunLedger(() => LocalDateTime.of(2026, 3, 1, 12, 0, 0))
+    val ctx = StepContext(spark, wh, ledger, Macros.Context(
+      workflowId = 1L,
+      takeoverVon = LocalDateTime.of(1995, 1, 1, 0, 0),
+      takeoverBis = LocalDateTime.of(1995, 7, 1, 0, 0)))
+    val horizon = "1996-01-01T00:00:00"
+    // the range's hi is INCLUSIVE: rows AT the horizon die with the
+    // window, survivors are strictly past it (or null-keyed)
+    val keep = wh.read(spark, "t")
+      .filter(col("ts").isNull || col("ts") > lit("1996-01-01").cast(tsType))
+      .count()
+    val drop = wh.read(spark, "t").count() - keep
+    assert(drop > 0, "fixture needs rows before the horizon")
+    Steps.execute(StepSpec(8001, CommandType.Copy, TaskType.Maintenance,
+      s"""delete_where range="ts=*..$horizon"""", zieltabelle = Some("t")), ctx)
+    assert(wh.read(spark, "t").count() == keep,
+      "retention must drop exactly the pre-horizon window")
+    assert(wh.read(spark, "t").filter($"k" === -1L).count() == 1,
+      "a null-timestamp row survives any retention window")
+    // the deleting rewrite re-manifested: a pruned probe on the dropped
+    // window schedules (almost) nothing — at most the one file whose
+    // ts stats are all-null (the kept null row; a full refresh writes
+    // no row for it, and an absent (file, column) row means must-scan)
+    val schema = wh.read(spark, "t").schema
+    val probe = wh.statsPrunedScan(spark, "t", Seq(("ts",
+      wh.boundEpoch(schema, "ts", "*", isLower = true),
+      wh.boundEpoch(schema, "ts", "1995-12-31T23:59:59", isLower = false))))
+    assert(probe.scheduled <= 1 && probe.total > 1,
+      s"post-retention manifest must prune the dropped window " +
+        s"(scheduled ${probe.scheduled} of ${probe.total})")
+    assert(probe.frame.isEmpty, "no row of the dropped window may survive the probe")
+    // boundary exactness: hi is inclusive, so nothing at or before the
+    // horizon survives (null rows fall out of the <= filter by SQL rules)
+    assert(wh.read(spark, "t")
+      .filter(col("ts") <= lit("1996-01-01 00:00:00").cast(tsType)).isEmpty,
+      "no surviving ts may be at or before the inclusive horizon")
+    val msg = ledger.allMessages.map(_.meldungstext)
+      .find(_.startsWith("MAINTENANCE delete_where on t")).get
+    assert(msg.contains("deleted rows"))
+  }
+
   test("refreshStats on a missing table fails loudly") {
     val wh = new Warehouse(TempDirs.scratch("wh-stats-miss"))
     val ex = intercept[IllegalArgumentException] {
