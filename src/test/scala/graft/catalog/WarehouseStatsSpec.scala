@@ -507,6 +507,33 @@ class WarehouseStatsSpec extends AnyFunSuite with SparkSupport {
     assert(msg.contains("deleted rows"))
   }
 
+  test("temporal manifest: DATE columns manifest as epoch days and prune like timestamps") {
+    val wh = new Warehouse(TempDirs.scratch("wh-stats-date"))
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .select(col("l_orderkey").cast("long").as("k"),
+        col("l_shipdate").cast("date").as("d"))
+    wh.append(li.repartitionByRange(8, col("d")).sortWithinPartitions("d"), "t")
+    wh.refreshStats(spark, "t", Seq("d"))
+    val schema = wh.read(spark, "t").schema
+    val lo = wh.boundEpoch(schema, "d", "1995-03-01", isLower = true)
+    val hi = wh.boundEpoch(schema, "d", "1995-09-30", isLower = false)
+    assert(lo == java.time.LocalDate.parse("1995-03-01").toEpochDay)
+    val scan = wh.statsPrunedScan(spark, "t", Seq(("d", lo, hi)))
+    assert(scan.scheduled < scan.total,
+      s"a half-year DATE window must prune (scheduled ${scan.scheduled} of ${scan.total})")
+    val expect = wh.read(spark, "t").filter(
+      col("d").between(lit("1995-03-01").cast("date"), lit("1995-09-30").cast("date")))
+    assert(scan.frame.select($"k").collect().map(_.getLong(0)).sorted.toSeq ==
+      expect.select($"k").collect().map(_.getLong(0)).sorted.toSeq,
+      "manifest-pruned DATE read must equal the typed filter row-for-row")
+    // open sides on DATE clamp to LocalDate's own domain (epoch-day
+    // Long extremes would overflow the literal conversion)
+    val all = wh.statsPrunedScan(spark, "t", Seq(("d",
+      wh.boundEpoch(schema, "d", "*", isLower = true),
+      wh.boundEpoch(schema, "d", "*", isLower = false))))
+    assert(all.frame.count() == wh.read(spark, "t").count())
+  }
+
   test("refreshStats on a missing table fails loudly") {
     val wh = new Warehouse(TempDirs.scratch("wh-stats-miss"))
     val ex = intercept[IllegalArgumentException] {
