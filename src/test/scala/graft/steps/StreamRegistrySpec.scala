@@ -187,6 +187,37 @@ class StreamRegistrySpec extends AnyFunSuite with SparkSupport {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == parentShuffle)
   }
 
+  test("drain accounting is per-query: two concurrent STREAM steps on one session never cross-pollute") {
+    // both steps share ctx.spark, so both progress listeners see BOTH
+    // queries' events — the query-id keying in drainObserved is what
+    // keeps each step's ErwarteteDaten its own (the claim this pins)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val base = tmpDir("graft-wc-conc")
+    def fixture(tag: String, nClosable: Int): StepSpec = {
+      val in = new java.io.File(s"$base/$tag/in")
+      // nClosable one-event windows at hours 0..n-1, plus a late event
+      // far enough out that its watermark closes all of them
+      val rows = (0 until nClosable).map { h =>
+        (h.toLong, f"2026-01-01 $h%02d:05:00", "click", 1.0)
+      } :+ ((99L, "2026-01-02 12:00:00", "view", 1.0))
+      dropEvents(in, "w.parquet", rows)
+      StepSpec(8830 + nClosable, CommandType.Copy, TaskType.Stream,
+        s"windowed_counts_stream dir=$in ckpt=$base/$tag/ckpt " +
+          "schema=\"user_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE\" " +
+          s"out=$base/$tag/out maxfiles=2",
+        zieltabelle = Some(s"wc_$tag"))
+    }
+    val c = ctx(base)
+    val (specA, specB) = (fixture("a", 1), fixture("b", 3))
+    val (a, b) = Await.result(
+      Future(Steps.execute(specA, c)).zip(Future(Steps.execute(specB, c))),
+      5.minutes)
+    assert(a.contains(1L), s"stream A must account exactly its 1 closed window, got $a")
+    assert(b.contains(3L), s"stream B must account exactly its 3 closed windows, got $b")
+  }
+
   test("dsir_score_stream: stateless scoring — LM from a table, every arriving doc scores map-side") {
     import spark.implicits._
     val base = tmpDir("graft-ds-step")
