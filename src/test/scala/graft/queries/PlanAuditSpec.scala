@@ -45,6 +45,29 @@ class PlanAuditSpec extends AnyFunSuite with SparkSupport
       s"expected pruned ReadSchema, got: $readSchema")
   }
 
+  test("temporal manifest residual pushes down: typed literal bounds, never a cast on the column") {
+    import org.apache.spark.sql.functions.col
+    val wh = new graft.catalog.Warehouse(graft.util.TempDirs.scratch("plan-ts"))
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("k"), col("l_shipdate").as("ts"))
+    wh.append(li.repartitionByRange(4, col("ts")), "t")
+    wh.refreshStats(spark, "t", Seq("ts"))
+    val schema = wh.read(spark, "t").schema
+    val scan = wh.statsPrunedScan(spark, "t", Seq(("ts",
+      wh.boundEpoch(schema, "ts", "1995-03-01", isLower = true),
+      wh.boundEpoch(schema, "ts", "1995-09-30T23:59:59", isLower = false))))
+    scan.frame.collect()
+    val plan = scan.frame.queryExecution.executedPlan.toString()
+    // the epoch bound became a literal of the column's own type, so the
+    // range reaches the parquet scan as a pushable filter…
+    assert(plan.contains("PushedFilters:") && plan.contains("GreaterThanOrEqual(ts,"),
+      s"expected the temporal range pushed to the scan in:\n$plan")
+    // …and the COLUMN is never cast to meet a mistyped bound (a cast
+    // wraps the attribute and kills both pushdown and row-group skipping)
+    assert(!plan.toLowerCase.contains("cast(ts"),
+      s"the scanned column must not be cast in:\n$plan")
+  }
+
   test("q05: dimension joins broadcast; fact join is hash-based, never nested-loop") {
     val plan = physicalPlan("q05_revenue_by_region")
     assert(plan.contains("BroadcastHashJoin"), "customer/nation/region must broadcast")
