@@ -243,10 +243,26 @@ object Bench {
     */
   private val startLoad: Double = loadNow
 
+  /** Boot identity (r14): two quiet-box sidecars from DIFFERENT boots
+    * of the same guest are not comparable — this round's forensics
+    * found untouched many-small-jobs gates drifting 1.16–2.2× across a
+    * reboot with load_avg_start ≈ 0 on both sides (FANIN "reboot
+    * boundary"; r11 saw the same class intra-boot). Recording the boot
+    * id makes the drift class mechanically attributable: same boot_id
+    * ⇒ a shared-set swing is contention or code; different ⇒ read the
+    * r11/r14 host-drift playbook before reading any gate as a
+    * regression. "-" where the platform has no boot id.
+    */
+  private val bootId: String =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/sys/kernel/random/boot_id")).trim.take(8)
+    catch { case _: Throwable => "-" }
+
   def machineContext: String =
     s""""load_avg":${math.rint(loadNow * 100) / 100},""" +
       s""""load_avg_start":${math.rint(startLoad * 100) / 100},""" +
-      s""""cpus":${Runtime.getRuntime.availableProcessors}"""
+      s""""cpus":${Runtime.getRuntime.availableProcessors},""" +
+      s""""boot_id":"$bootId""""
 
   /** The driver-parseable record: the last stdout line. Totals only — its
     * length is independent of how many queries the registry holds, so it
