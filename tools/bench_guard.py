@@ -146,6 +146,18 @@ def check(cur, history, log=lambda *a: None):
             f"over {len(ratios)} committed sidecars "
             f"(load_avg now {cur.get('load_avg')})")
         ok = ok and 1 / 1.5 <= best[label] <= 1.5
+    # boot-boundary advisory (r14): quiet-box readings from DIFFERENT
+    # boots drift 1.16-2.2x on many-small-jobs gates with no code change
+    # (FANIN "reboot boundary"; r11 saw the intra-boot variant). Not a
+    # gate -- a cross-boot inflation still trips the ratio and re-runs --
+    # but the explanation belongs IN the log the re-run decision reads.
+    cur_boot = cur.get("boot_id")
+    anchor_boots = {prev.get("boot_id") for _, prev in history} - {None}
+    if cur_boot and anchor_boots and cur_boot not in anchor_boots:
+        log(f"[bench-guard] NOTE: this reading is from boot {cur_boot}; every "
+            f"committed anchor is from {sorted(anchor_boots)} -- a uniform "
+            "many-small-jobs drift here is likely the host, not code "
+            "(see FANIN host-drift playbook before reading per-gate regressions)")
     return ok, best
 
 
