@@ -1249,6 +1249,55 @@ object Pipeline {
              'graft' AS datenproduzent
       FROM nation"""))
 
+  /** JSONL drop-folder ingest (r14) — q78's TRANSFER pipeline over the
+    * interchange format raw training-data drops actually arrive in:
+    * one JSON object per line, declared schema (inference stays off —
+    * a malformed drop must not widen the table), same audit columns,
+    * archive lifecycle, and exactly-once sink commit log. Fixture: the
+    * `documents` corpus split across three `.jsonl` files by
+    * `doc_id % 3`; the oracle recomputes every column INCLUDING the
+    * audit `dateiname` from the parquet table, so a row ingested from
+    * the wrong file, twice, or with JSON-mangled text breaks the hash
+    * (the synthetic corpus has no chars needing JSON escapes beyond
+    * the quote/backslash the fixture writer handles).
+    */
+  val q122 = QueryDef(
+    "q122_jsonl_ingest",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      val base = java.nio.file.Paths.get(graft.util.TempDirs.scratch("q122stream"))
+      val in = base.resolve("Insert")
+      java.nio.file.Files.createDirectories(in)
+      def js(v: String): String =
+        "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      val rows = s.table("documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+        .collect().toSeq // sf0.01 fixture generation, not a data path
+      (0 until 3).foreach { b =>
+        val body = rows.filter(_.getLong(0) % 3 == b)
+          .sortBy(_.getLong(0))
+          .map(r => s"""{"doc_id":${r.getLong(0)},"lang":${js(r.getString(1))},"text":${js(r.getString(2))}}""")
+          .mkString("", "\n", "\n")
+        java.nio.file.Files.writeString(in.resolve(s"docs$b.jsonl"), body)
+      }
+      val q = graft.streaming.Streams.fileIngest(
+        s, in.toString,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, lang STRING, text STRING"),
+        s"$base/out", s"$base/ckpt", s"$base/archive",
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+        sourceFormat = "jsonl")
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select(col("doc_id"), col("lang"), col("text"),
+          col("dateiname"), col("datenproduzent"))
+    },
+    Some("""
+      SELECT doc_id, lang, text,
+             'docs' || CAST(doc_id % 3 AS VARCHAR) || '.jsonl' AS dateiname,
+             'graft' AS datenproduzent
+      FROM documents"""))
+
   /** Benchmark decontamination — the n-gram-overlap removal every LLM
     * training corpus runs against its eval sets (the GPT-3 appendix's
     * 13-gram procedure): a corpus document is contaminated if it shares
@@ -2304,5 +2353,5 @@ object Pipeline {
     Seq(q13, q14, q15, q16, q17, q18, q19, q29, q39, q41, q43, q44, q46,
       q48, q49, q54, q55, q57, q58, q59, q60, q61, q66, q78, q79, q80,
       q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q95, q97, q100, q101,
-      q104, q105, q115)
+      q104, q105, q115, q122)
 }

@@ -46,7 +46,7 @@ object StreamTransforms {
     "bloom_ingest_stream" -> Set("dir", "ckpt", "schema", "key", "seed",
       "seen", "bloom", "out", "mbits", "k", "maxfiles"),
     "file_ingest_stream" -> Set("dir", "ckpt", "archive", "schema", "out",
-      "producer"),
+      "producer", "format"),
     "sessionize_stream" -> Set("dir", "ckpt", "schema", "out", "gap",
       "watermark", "maxfiles"),
     "windowed_counts_stream" -> Set("dir", "ckpt", "schema", "out",
@@ -175,7 +175,8 @@ object StreamTransforms {
         checkpointDir = Transforms.str(p, "ckpt"),
         archiveDir = Transforms.str(p, "archive"),
         datenproduzent = p.getOrElse("producer", "graft"),
-        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow())))
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+        sourceFormat = p.getOrElse("format", "csv")))
     },
     // sessionize_stream dir=<event drop folder> ckpt=<checkpoint dir>
     //   schema="user_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE"

@@ -68,14 +68,25 @@ object Streams {
       checkpointDir: String,
       archiveDir: String,
       datenproduzent: String = "graft",
-      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      sourceFormat: String = "csv")
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val writer = spark.readStream
+    val base = spark.readStream
       .schema(schema)
-      .option("header", "true")
       .option("cleanSource", "archive")
       .option("sourceArchiveDir", archiveDir)
-      .csv(inDir)
+    // jsonl (r14): one JSON object per line — the interchange format
+    // most raw training-data drops actually arrive in; Spark's json
+    // source is line-delimited by default, so the same audit/archive
+    // lifecycle applies unchanged. The declared schema stays mandatory
+    // for BOTH formats: drop folders must not let a malformed file
+    // widen the table by schema inference.
+    val writer = (sourceFormat match {
+      case "csv" => base.option("header", "true").csv(inDir)
+      case "jsonl" => base.json(inDir)
+      case other => throw new IllegalArgumentException(
+        s"fileIngest: unknown source format '$other' (csv, jsonl)")
+    })
       // url_decode: input_file_name() returns a percent-encoded URI, so
       // a file named "Umsätze 2026.csv" would audit as
       // "Ums%C3%A4tze%202026.csv" and the idempotent delete keyed on the

@@ -187,6 +187,37 @@ class StreamRegistrySpec extends AnyFunSuite with SparkSupport {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == parentShuffle)
   }
 
+  test("file_ingest_stream format=jsonl: the drop-folder step ingests line-delimited JSON with audit columns") {
+    val base = tmpDir("graft-jsonl-step")
+    val in = new java.io.File(s"$base/in")
+    in.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(in, "d0.jsonl").toPath,
+      """{"doc_id":1,"lang":"en","text":"alpha beta"}
+        |{"doc_id":2,"lang":"de","text":"gamma"}
+        |""".stripMargin)
+    val c = ctx(base)
+    val cmd = s"file_ingest_stream dir=$in ckpt=$base/ckpt archive=$base/arch " +
+      "schema=\"doc_id BIGINT, lang STRING, text STRING\" " +
+      s"out=$base/out format=jsonl"
+    val spec = StepSpec(8840, CommandType.Copy, TaskType.Stream, cmd,
+      zieltabelle = Some("jl_out"))
+    assert(Steps.execute(spec, c).contains(2L))
+    assert(Steps.execute(spec, c).contains(0L), "empty re-drain admits zero")
+    val sink = spark.read.parquet(s"$base/out")
+      .selectExpr("doc_id", "lang", "text", "dateiname")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(sink == Set((1L, "en", "alpha beta", "d0.jsonl"),
+      (2L, "de", "gamma", "d0.jsonl")), s"got $sink")
+    // a junk format fails loudly — never silent CSV fallback
+    val bad = cmd.replace("format=jsonl", "format=xml")
+    val e = intercept[Exception] {
+      Steps.execute(StepSpec(8841, CommandType.Copy, TaskType.Stream, bad,
+        zieltabelle = Some("jl_out")), c)
+    }
+    assert(e.getMessage.contains("unknown source format"))
+  }
+
   test("drain accounting is per-query: two concurrent STREAM steps on one session never cross-pollute") {
     // both steps share ctx.spark, so both progress listeners see BOTH
     // queries' events — the query-id keying in drainObserved is what
