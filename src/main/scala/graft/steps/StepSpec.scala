@@ -53,6 +53,12 @@ object TaskType {
     * stripped, [[Transforms.parse]]).
     */
   val Pipeline = "PIPELINE"
+  /** TRANSFER ingest over line-delimited JSON (r14) — the interchange
+    * format raw training-data drops arrive in; same per-file lifecycle,
+    * mapping rename, audit columns and idempotent rollback as the CSV
+    * path (the [[graft.steps.Steps.FileReader]] slot is the only
+    * difference, like EXCEL). */
+  val Jsonl = "JSONL"
   /** A COPY whose Befehl names a registered [[StreamTransforms]]
     * streaming transform (r13): the step starts a Structured Streaming
     * query, drains it (`Trigger.AvailableNow` — the scheduler-tick

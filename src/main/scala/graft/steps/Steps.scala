@@ -83,6 +83,8 @@ object Steps {
     case CommandType.Transfer if spec.aufgabentyp == TaskType.Csv => Some(csvExport(spec, ctx))
     case CommandType.Transfer if spec.aufgabentyp == TaskType.Excel =>
       Some(ingest(spec, ctx, reader = xlsxReader))
+    case CommandType.Transfer if spec.aufgabentyp == TaskType.Jsonl =>
+      Some(ingest(spec, ctx, reader = jsonlReader))
     case CommandType.Transfer => Some(ingest(spec, ctx))
     case CommandType.SqlTarget | CommandType.SqlSource => sqlExec(spec, ctx); None
     case CommandType.Test => testStep(spec, ctx); None
@@ -535,6 +537,17 @@ object Steps {
 
   val xlsxReader: FileReader = (spark, file) =>
     graft.sources.Xlsx.toDataFrame(spark, file)
+
+  /** Line-delimited JSON (r14): Spark's json source infers per-file
+    * types, so every column is cast back to string to meet the ingest
+    * contract — alignment to the target schema is `writeAligned`'s
+    * try_cast job, same as CSV, and a file must not shape the table by
+    * its own inference. */
+  val jsonlReader: FileReader = (spark, file) => {
+    val df = spark.read.json(file)
+    df.select(df.columns.map(c => org.apache.spark.sql.functions.col(c)
+      .cast("string").as(c)): _*)
+  }
 
   /** S3 TRANSFER ingest (`CommandExecuter.cs:1335-1640`): every file in
     * `{dir}/Insert` is moved to `{dir}/TMP`, read, columns renamed via

@@ -221,6 +221,30 @@ class StepsSpec extends AnyFunSuite with SparkSupport {
     assert(wh.read(spark, "ingested").filter("dateiname = 'a.csv'").count() == 2)
   }
 
+  test("ingest JSONL: same lifecycle/mapping/audit as CSV over line-delimited JSON drops") {
+    val (ctx, _, wh) = freshCtx()
+    val base = Paths.get(tmpDir("ingest-jsonl"))
+    Files.createDirectories(base.resolve("Insert"))
+    Files.writeString(base.resolve("Insert/a.jsonl"),
+      "{\"id\":1,\"val\":\"x\"}\n{\"id\":2,\"val\":\"y\"}\n")
+    Files.writeString(base.resolve("Insert/b.jsonl"), "{\"id\":3,\"val\":\"z\"}\n")
+    Files.writeString(base.resolve("mapping.csv"), "from,to\nval,wert\n")
+    val spec = StepSpec(51, CommandType.Transfer, TaskType.Jsonl,
+      base.toString, zieltabelle = Some("ingested_jl"))
+    assert(Steps.execute(spec, ctx).get == 3)
+    val t = wh.read(spark, "ingested_jl")
+    assert(t.columns.contains("wert") && !t.columns.contains("val"))
+    // inferred types land as strings: the file must not shape the table
+    assert(t.schema("id").dataType == org.apache.spark.sql.types.StringType)
+    assert(t.filter("dateiname = 'a.jsonl' AND id = '1' AND wert = 'x'").count() == 1)
+    assert(!Files.exists(base.resolve("Insert/a.jsonl")), "files consumed")
+    // idempotent retry: the same drop again must not duplicate
+    Files.writeString(base.resolve("Insert/a.jsonl"),
+      "{\"id\":1,\"val\":\"x\"}\n{\"id\":2,\"val\":\"y\"}\n")
+    Steps.execute(spec, ctx)
+    assert(wh.read(spark, "ingested_jl").filter("dateiname = 'a.jsonl'").count() == 2)
+  }
+
   test("ingest rollback: a failing file is moved back and its rows removed (CommandExecuter.cs:1130-1283)") {
     val (ctx, _, wh) = freshCtx()
     val base = Paths.get(tmpDir("ingest2"))
