@@ -82,6 +82,106 @@ object NearDup {
       algo: String = "auto"): DataFrame =
     componentLabelsWithRelease(docs, k, bands, algo).frame
 
+  /** (doc_id, shingles, sig) — the persisted signature artifact an
+    * incremental admission keeps as its HISTORIC table: computed once
+    * per corpus snapshot (the q15 scaladoc's checkpointed-signature-
+    * table reading, now a first-class frame a workflow materializes),
+    * appended to as batches are admitted. Docs with no shingles carry
+    * nothing to collide on and are excluded — they can never be
+    * near-dups, so an admission checks them against nothing.
+    *
+    * The hash array is MATERIALIZED (persist) before the minhash runs —
+    * higher-order array expressions are CodegenFallback, and fusing
+    * `minhash(transform(shingles, hash32))` into one projection leaves
+    * the whole per-shingle hash pass inside a deep interpreted subtree
+    * (measured 8× slower warm than the two shallow cached projections
+    * q14's pipeline uses; Q123 probe, r14). Same staging discipline as
+    * [[componentLabelsWithRelease]].
+    */
+  def signaturesWithRelease(docs: DataFrame, k: Int = 12): Staged = {
+    val toks = docs.select(col("doc_id"), T.tokens(col("text")).as("t")).persist()
+    val sh = toks
+      .select(col("doc_id"), T.shingles("t").as("shingles"))
+      .withColumn("hashes", transform(col("shingles"), x => T.hash32(x)))
+      .persist()
+    val out = sh.filter(size(col("shingles")) > 0)
+      .withColumn("sig", T.minhashFromHashes(col("hashes"), k))
+      .select(col("doc_id"), col("shingles"), col("sig"))
+    Staged(out, () => { sh.unpersist(); toks.unpersist(); () })
+  }
+
+  /** Raw gate form — persists released by the registry runner's
+    * `clearCache()`; services use the Staged surface. */
+  private[graft] def signatures(docs: DataFrame, k: Int = 12): DataFrame =
+    signaturesWithRelease(docs, k).frame
+
+  /** Band frame from a signature frame — shared by the components path
+    * and the incremental admission so the banding scheme cannot drift. */
+  private def bandsOf(sig: DataFrame, bands: Int, rows: Int): DataFrame =
+    sig.select(
+      col("doc_id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("b"), T.bandKey(col("sig"), b, rows).as("key"))): _*)).as("band"))
+      .select(col("doc_id"), col("band.b"), col("band.key"))
+
+  /** Incremental near-dup ADMISSION (r14) — the MinHash twin of the
+    * bloom incremental dedup ([[Bloom.newKeysAgainst]]): admit each
+    * batch doc iff NO document of the historic signature table shares
+    * an LSH band with it AND confirms exact shingle-Jaccard ≥
+    * `threshold`. Batch-internal near-dups are deliberately NOT the
+    * admission's concern (run the batch dedup family first); this
+    * operator answers "is it new vs everything already kept" without
+    * ever recomputing the history.
+    *
+    * Scale shape (the r14 bloom-confirm direction, applied twice): the
+    * batch is small by the operator's contract and `histSig` is
+    * corpus-scale, so the band probe streams the historic table past a
+    * BROADCAST of the batch's bands, and the shingle-confirm streams it
+    * once more past a broadcast of the candidate ids — two historic
+    * scans, zero historic shuffles, per-batch shuffle bytes independent
+    * of the history's size. Returns the ADMITTED batch docs as
+    * (doc_id, n_hist_candidates) — candidates that failed the exact
+    * confirm count toward the telemetry column; docs with no shingles
+    * admit with 0 candidates.
+    */
+  def admitAgainstWithRelease(batch: DataFrame, histSig: DataFrame, k: Int = 12,
+      bands: Int = 4, threshold: Double = 0.6): Staged = {
+    require(k % bands == 0, s"minhash length $k must divide into $bands bands")
+    val rows = k / bands
+    val bstage = signaturesWithRelease(batch, k)
+    val bsig = bstage.frame.persist() // batch-sized; 3 consumers
+    val bBands = bandsOf(bsig, bands, rows)
+      .withColumnRenamed("doc_id", "new_id")
+    val cand = bandsOf(histSig, bands, rows)
+      .withColumnRenamed("doc_id", "hist_id")
+      .join(broadcast(bBands), Seq("b", "key"))
+      .select(col("hist_id"), col("new_id"))
+      .distinct()
+      .persist() // candidate-sized; 2 consumers (confirm + telemetry count)
+    val confirmed = histSig
+      .select(col("doc_id").as("hist_id"), col("shingles").as("sh_h"))
+      .join(broadcast(cand), Seq("hist_id"))
+      .join(broadcast(bsig.select(col("doc_id").as("new_id"),
+        col("shingles").as("sh_n"))), Seq("new_id"))
+      .filter(T.jaccard(col("sh_n"), col("sh_h")) >= threshold)
+      .select(col("new_id"))
+      .distinct()
+    val nCand = cand.groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_hist_candidates"))
+    val out = batch.select(col("doc_id"))
+      .join(confirmed.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left_anti")
+      .join(nCand.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hist_candidates"), lit(0L)).as("n_hist_candidates"))
+    Staged(out, () => { cand.unpersist(); bsig.unpersist(); bstage.release(); () })
+  }
+
+  /** Raw gate form — persists released by the registry runner's
+    * `clearCache()`; services use the Staged surface. */
+  private[graft] def admitAgainst(batch: DataFrame, histSig: DataFrame, k: Int = 12,
+      bands: Int = 4, threshold: Double = 0.6): DataFrame =
+    admitAgainstWithRelease(batch, histSig, k, bands, threshold).frame
+
   /** The prune ACTION on a complete labeling (the q95 body): one row
     * per surviving document (the cluster representative = the min-id
     * member, which IS the label), with member count and the character

@@ -1298,6 +1298,69 @@ object Pipeline {
              'graft' AS datenproduzent
       FROM documents"""))
 
+  /** Incremental near-dup admission (r14) — the MinHash twin of q89's
+    * bloom incremental dedup: a new batch (`doc_id % 4 = 0`) is
+    * admitted against the HISTORIC corpus's persisted signature table
+    * (`NearDup.signatures` over the other residues) without ever
+    * recomputing the history — band probe + exact shingle-Jaccard
+    * confirm at τ = 0.6, candidates only. At sf0.01 the fixture rejects
+    * 6 of 125 batch docs through 9 cross-split candidates (DuckDB
+    * probe), so the admit rule, the confirm threshold, and the
+    * candidate telemetry are all load-bearing in the hash. Scale shape:
+    * the historic table is scanned twice (bands, confirm shingles) past
+    * broadcasts of batch-sized frames — zero historic shuffles, the
+    * bloom-confirm direction applied to text near-dup.
+    */
+  val q123 = QueryDef(
+    "q123_incremental_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      // the historic side is a PERSISTED table in production (the
+      // operator scans it twice — bands, confirm shingles); the gate
+      // persists its live computation to model that, or both scans
+      // would recompute the corpus minhash (registry clearCache releases)
+      graft.operators.NearDup.admitAgainst(
+        d.filter($"doc_id" % 4 === 0),
+        graft.operators.NearDup.signatures(d.filter($"doc_id" % 4 =!= 0)).persist())
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      ), sig AS (
+        SELECT doc_id, shingles,
+          list_transform(generate_series(0, 11), k ->
+            list_min(list_transform(
+              list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)),
+              h -> ((2*k+1)*h + k*12582917) % 4294967311))) AS sig
+        FROM (
+          SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+              list_distinct(list_transform(generate_series(1, len(t)-2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+            ELSE [] END AS shingles
+          FROM toks) WHERE len(shingles) > 0
+      ), bands AS (
+        SELECT doc_id, shingles, b,
+          md5(array_to_string(sig[(3*b+1):(3*b+3)], ',')) AS band_key
+        FROM sig, (SELECT unnest(generate_series(0,3)) AS b)
+      ), cand AS (
+        SELECT n.doc_id AS nd, h.doc_id AS hd,
+          any_value(n.shingles) AS sh_n, any_value(h.shingles) AS sh_h
+        FROM bands n JOIN bands h ON n.b = h.b AND n.band_key = h.band_key
+        WHERE n.doc_id % 4 = 0 AND h.doc_id % 4 <> 0
+        GROUP BY 1, 2
+      ), rej AS (
+        SELECT DISTINCT nd FROM cand
+        WHERE CAST(len(list_intersect(sh_n, sh_h)) AS DOUBLE) /
+          CAST(len(list_distinct(list_concat(sh_n, sh_h))) AS DOUBLE) >= 0.6
+      ), nc AS (
+        SELECT nd, count(*) AS n FROM cand GROUP BY 1
+      )
+      SELECT d.doc_id, CAST(COALESCE(nc.n, 0) AS BIGINT) AS n_hist_candidates
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
+      LEFT JOIN nc ON nc.nd = d.doc_id
+      WHERE d.doc_id NOT IN (SELECT nd FROM rej)"""))
+
   /** Benchmark decontamination — the n-gram-overlap removal every LLM
     * training corpus runs against its eval sets (the GPT-3 appendix's
     * 13-gram procedure): a corpus document is contaminated if it shares
@@ -2353,5 +2416,5 @@ object Pipeline {
     Seq(q13, q14, q15, q16, q17, q18, q19, q29, q39, q41, q43, q44, q46,
       q48, q49, q54, q55, q57, q58, q59, q60, q61, q66, q78, q79, q80,
       q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q95, q97, q100, q101,
-      q104, q105, q115, q122)
+      q104, q105, q115, q122, q123)
 }

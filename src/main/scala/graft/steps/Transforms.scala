@@ -93,6 +93,8 @@ object Transforms {
     "paragraph_dedup" -> Set("in", "chunk"),
     "neardup_components" -> Set("in", "k", "bands", "stars"),
     "neardup_prune" -> Set("docs", "labels"),
+    "neardup_signatures" -> Set("in", "k"),
+    "neardup_admit" -> Set("in", "hist", "k", "bands", "threshold"),
     "bloom_ingest" -> Set("in", "seen", "key", "mbits", "k"),
     "pruned_read" -> Set("in", "ranges"),
     "semdedup" -> Set("in", "id", "emb", "threshold", "seed_k", "cents"),
@@ -226,6 +228,27 @@ object Transforms {
     "neardup_prune" -> ((ctx, p) =>
       unstaged(graft.operators.NearDup.pruneManifest(
         input(ctx, p, "docs"), input(ctx, p, "labels")))),
+    // neardup_signatures in=<docs table> [k=12] — the persisted
+    // (doc_id, shingles, sig) artifact incremental admission keeps as
+    // its historic table (computed once per snapshot, appended as
+    // batches admit)
+    "neardup_signatures" -> { (ctx, p) =>
+      val staged = graft.operators.NearDup.signaturesWithRelease(
+        input(ctx, p, "in"), k = long(p, "k", Some(12L)).toInt)
+      Curation.Staged(staged.frame, staged.release)
+    },
+    // neardup_admit in=<batch docs> hist=<signature table>
+    //   [k=12 bands=4 threshold=0.6] — admit batch docs with no
+    // confirmed historic near-dup; the MinHash twin of bloom_ingest
+    // (two historic scans, zero historic shuffles)
+    "neardup_admit" -> { (ctx, p) =>
+      val staged = graft.operators.NearDup.admitAgainstWithRelease(
+        input(ctx, p, "in"), input(ctx, p, "hist"),
+        k = long(p, "k", Some(12L)).toInt,
+        bands = long(p, "bands", Some(4L)).toInt,
+        threshold = p.get("threshold").map(_.toDouble).getOrElse(0.6))
+      Curation.Staged(staged.frame, staged.release)
+    },
     // bloom_ingest in=<incoming table> seen=<historic keys table>
     //   key=<column> [mbits=65536 k=5] — admitted (definitely-new) rows;
     // the batch half of the q89/q101 lifecycle as a step

@@ -59,6 +59,34 @@ class NearDupWorkflowSpec extends AnyFunSuite with SparkSupport {
       s"auto dispatch must be message-logged; messages: ${msgs.mkString("; ")}")
   }
 
+  test("incremental admission as steps: neardup_signatures builds the historic table, neardup_admit chains off it") {
+    val wh = new graft.catalog.Warehouse(graft.util.TempDirs.scratch("nd-admit"))
+    val ledger = new graft.ledger.RunLedger()
+    val ctx = StepContext(spark, wh, ledger, graft.macros.Macros.Context(1L,
+      java.time.LocalDateTime.of(2026, 1, 1, 0, 0),
+      java.time.LocalDateTime.of(2026, 1, 2, 0, 0)))
+    graft.catalog.Tables.registerAll(spark, sf)
+    spark.sql("CREATE OR REPLACE TEMP VIEW nd_hist_src AS " +
+      "SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0")
+    spark.sql("CREATE OR REPLACE TEMP VIEW nd_batch_src AS " +
+      "SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0")
+    Steps.execute(StepSpec(9100, CommandType.Copy, TaskType.Pipeline,
+      "neardup_signatures in=nd_hist_src", zieltabelle = Some("nd_hist_sig")), ctx)
+    val admitted = Steps.execute(StepSpec(9110, CommandType.Copy, TaskType.Pipeline,
+      "neardup_admit in=nd_batch_src hist=nd_hist_sig",
+      zieltabelle = Some("nd_admitted"), quelltabelle = Some("nd_hist_sig")), ctx).get
+    val batchN = spark.table("nd_batch_src").count()
+    assert(admitted > 0 && admitted <= batchN,
+      s"admitted $admitted of $batchN batch docs")
+    // the step really consumed the WAREHOUSE signature table, and the
+    // admitted set equals the operator run directly on the same split
+    val direct = graft.operators.NearDup.admitAgainst(
+      spark.table("nd_batch_src"),
+      wh.read(spark, "nd_hist_sig")).count()
+    assert(wh.read(spark, "nd_admitted").count() == direct)
+    spark.catalog.clearCache()
+  }
+
   test("induced failure: prune against a missing label table aborts, fallback compensates") {
     val (result, ledger, _) = EndToEnd.runNeardupWorkflow(spark, sf, induceFailure = true)
     assert(!result.success && result.fallbackRan && result.error.isDefined)
