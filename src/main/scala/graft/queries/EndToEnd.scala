@@ -1747,6 +1747,141 @@ object EndToEnd {
       WHERE l_shipdate >= TIMESTAMP '1995-10-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'"""))
 
+  /** The incremental near-dup LIFECYCLE fixture (r14): build the
+    * historic signature table, admit batch 1 against it, APPEND the
+    * admitted docs' signatures (the `neardup_signatures ids=` step —
+    * history grows only by what was kept), then admit batch 2 against
+    * the EXTENDED history — the full production loop of
+    * [[graft.operators.NearDup.admitAgainstWithRelease]], each stage a
+    * PIPELINE step chained through warehouse tables under the
+    * orchestrator (the q101/q105 bloom-lifecycle shape on text).
+    */
+  private[graft] def neardupLifecycleSpec(hist: String, b1: String,
+      b2: String): WorkflowSpec = WorkflowSpec(
+    id = 18,
+    masterPackageId = 79,
+    fallbackPackageId = Some(74L),
+    packages = Map(
+      75L -> PackageSpec(75, realizations = Seq(RealizationSpec(
+        750, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(7500, CommandType.Copy, TaskType.Pipeline,
+          s"neardup_signatures in=$hist",
+          zieltabelle = Some("nd2_hist")))))),
+      76L -> PackageSpec(76, dependencies = Seq(75L), realizations = Seq(RealizationSpec(
+        760, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(7600, CommandType.Copy, TaskType.Pipeline,
+          s"neardup_admit in=$b1 hist=nd2_hist",
+          zieltabelle = Some("nd2_adm1"), quelltabelle = Some("nd2_hist")))))),
+      77L -> PackageSpec(77, dependencies = Seq(76L), realizations = Seq(RealizationSpec(
+        770, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(7700, CommandType.Copy, TaskType.Pipeline,
+          s"neardup_signatures in=$b1 ids=nd2_adm1",
+          zieltabelle = Some("nd2_hist"), // APPEND: history grows by the admitted docs
+          quelltabelle = Some("nd2_adm1")))))),
+      79L -> PackageSpec(79, dependencies = Seq(77L), realizations = Seq(RealizationSpec(
+        790, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(7900, CommandType.Copy, TaskType.Pipeline,
+          s"neardup_admit in=$b2 hist=nd2_hist",
+          zieltabelle = Some("nd2_adm2"), quelltabelle = Some("nd2_hist")))))),
+      74L -> PackageSpec(74, realizations = Seq(RealizationSpec(
+        740, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(7400, CommandType.SqlTarget, TaskType.Sql,
+          "CREATE OR REPLACE TEMP VIEW nd2_compensation AS " +
+            "SELECT 'admission aborted' AS status")))))))
+
+  /** Two sequential batches through the incremental near-dup loop AS a
+    * workflow. The oracle recomputes BOTH admissions in DuckDB — batch
+    * 2's history includes exactly the batch-1 docs the first admission
+    * kept, so a wrong append (missing, duplicated, or including a
+    * rejected doc) shifts batch 2's candidate counts and admit set (at
+    * sf0.01 three batch-2 docs are rejected ONLY via appended batch-1
+    * docs — the append is load-bearing, not decorative).
+    */
+  val q124 = QueryDef(
+    "q124_neardup_lifecycle",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      val ledger = new RunLedger(() => FixedClock)
+      val wh = new Warehouse(graft.util.TempDirs.scratch("graft-nd2-wf"))
+      val runner = new WorkflowRunner(
+        new WorkflowManager, ledger, new Gates.ThreadCap(8),
+        new Gates.TableLocks, new Gates.ParallelLocks, clock = () => FixedClock)
+      val tag = s"nd2_${System.nanoTime()}"
+      s.sql(s"CREATE OR REPLACE TEMP VIEW ${tag}_hist AS " +
+        "SELECT doc_id, text FROM documents WHERE doc_id % 4 IN (2, 3)")
+      s.sql(s"CREATE OR REPLACE TEMP VIEW ${tag}_b1 AS " +
+        "SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1")
+      s.sql(s"CREATE OR REPLACE TEMP VIEW ${tag}_b2 AS " +
+        "SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0")
+      val result = runner.run(
+        neardupLifecycleSpec(s"${tag}_hist", s"${tag}_b1", s"${tag}_b2"),
+        zeitplanAusfuehrungenId = 18,
+        (m: Macros.Context, stepRunId: Option[Long], real: RealizationSpec) =>
+          StepContext(s, wh, ledger, m, schrittRunId = stepRunId,
+            konfigurationenId = real.konfigurationenId))
+      result.error.foreach(throw _)
+      wh.read(s, "nd2_adm1")
+        .select(lit(1L).as("batch"), col("doc_id"), col("n_hist_candidates"))
+        .unionByName(wh.read(s, "nd2_adm2")
+          .select(lit(2L).as("batch"), col("doc_id"), col("n_hist_candidates")))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      ), sig AS (
+        SELECT doc_id, shingles,
+          list_transform(generate_series(0, 11), k ->
+            list_min(list_transform(
+              list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)),
+              h -> ((2*k+1)*h + k*12582917) % 4294967311))) AS sig
+        FROM (
+          SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+              list_distinct(list_transform(generate_series(1, len(t)-2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+            ELSE [] END AS shingles
+          FROM toks) WHERE len(shingles) > 0
+      ), bands AS (
+        SELECT doc_id, shingles, b,
+          md5(array_to_string(sig[(3*b+1):(3*b+3)], ',')) AS band_key
+        FROM sig, (SELECT unnest(generate_series(0,3)) AS b)
+      ), cand1 AS (
+        SELECT n.doc_id AS nd, h.doc_id AS hd,
+          any_value(n.shingles) AS sh_n, any_value(h.shingles) AS sh_h
+        FROM bands n JOIN bands h ON n.b = h.b AND n.band_key = h.band_key
+        WHERE n.doc_id % 4 = 1 AND h.doc_id % 4 IN (2, 3)
+        GROUP BY 1, 2
+      ), rej1 AS (
+        SELECT DISTINCT nd FROM cand1
+        WHERE CAST(len(list_intersect(sh_n, sh_h)) AS DOUBLE) /
+          CAST(len(list_distinct(list_concat(sh_n, sh_h))) AS DOUBLE) >= 0.6
+      ), nc1 AS (
+        SELECT nd, count(*) AS n FROM cand1 GROUP BY 1
+      ), cand2 AS (
+        SELECT n.doc_id AS nd, h.doc_id AS hd,
+          any_value(n.shingles) AS sh_n, any_value(h.shingles) AS sh_h
+        FROM bands n JOIN bands h ON n.b = h.b AND n.band_key = h.band_key
+        WHERE n.doc_id % 4 = 0 AND (h.doc_id % 4 IN (2, 3) OR
+          (h.doc_id % 4 = 1 AND h.doc_id NOT IN (SELECT nd FROM rej1)))
+        GROUP BY 1, 2
+      ), rej2 AS (
+        SELECT DISTINCT nd FROM cand2
+        WHERE CAST(len(list_intersect(sh_n, sh_h)) AS DOUBLE) /
+          CAST(len(list_distinct(list_concat(sh_n, sh_h))) AS DOUBLE) >= 0.6
+      ), nc2 AS (
+        SELECT nd, count(*) AS n FROM cand2 GROUP BY 1
+      )
+      SELECT CAST(1 AS BIGINT) AS batch, d.doc_id,
+             CAST(COALESCE(nc1.n, 0) AS BIGINT) AS n_hist_candidates
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 1) d
+      LEFT JOIN nc1 ON nc1.nd = d.doc_id
+      WHERE d.doc_id NOT IN (SELECT nd FROM rej1)
+      UNION ALL
+      SELECT CAST(2 AS BIGINT) AS batch, d.doc_id,
+             CAST(COALESCE(nc2.n, 0) AS BIGINT) AS n_hist_candidates
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
+      LEFT JOIN nc2 ON nc2.nd = d.doc_id
+      WHERE d.doc_id NOT IN (SELECT nd FROM rej2)"""))
+
   val all: Seq[QueryDef] = Seq(q20, q21, q36, q42, q53, q103, q106, q107, q109,
-    q110, q113, q116, q117, q118, q119, q120, q121)
+    q110, q113, q116, q117, q118, q119, q120, q121, q124)
 }

@@ -93,7 +93,7 @@ object Transforms {
     "paragraph_dedup" -> Set("in", "chunk"),
     "neardup_components" -> Set("in", "k", "bands", "stars"),
     "neardup_prune" -> Set("docs", "labels"),
-    "neardup_signatures" -> Set("in", "k"),
+    "neardup_signatures" -> Set("in", "k", "ids"),
     "neardup_admit" -> Set("in", "hist", "k", "bands", "threshold"),
     "bloom_ingest" -> Set("in", "seen", "key", "mbits", "k"),
     "pruned_read" -> Set("in", "ranges"),
@@ -228,13 +228,21 @@ object Transforms {
     "neardup_prune" -> ((ctx, p) =>
       unstaged(graft.operators.NearDup.pruneManifest(
         input(ctx, p, "docs"), input(ctx, p, "labels")))),
-    // neardup_signatures in=<docs table> [k=12] — the persisted
-    // (doc_id, shingles, sig) artifact incremental admission keeps as
-    // its historic table (computed once per snapshot, appended as
-    // batches admit)
+    // neardup_signatures in=<docs table> [k=12 ids=<doc_id table>] —
+    // the persisted (doc_id, shingles, sig) artifact incremental
+    // admission keeps as its historic table (computed once per
+    // snapshot, appended as batches admit). `ids` restricts to a
+    // doc_id subset (semi-join) — the append-the-ADMITTED-docs step of
+    // the incremental lifecycle, chaining off a neardup_admit table.
     "neardup_signatures" -> { (ctx, p) =>
+      val docsIn = p.get("ids") match {
+        case Some(_) => input(ctx, p, "in").join(
+          input(ctx, p, "ids").select(org.apache.spark.sql.functions.col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        case None => input(ctx, p, "in")
+      }
       val staged = graft.operators.NearDup.signaturesWithRelease(
-        input(ctx, p, "in"), k = long(p, "k", Some(12L)).toInt)
+        docsIn, k = long(p, "k", Some(12L)).toInt)
       Curation.Staged(staged.frame, staged.release)
     },
     // neardup_admit in=<batch docs> hist=<signature table>
