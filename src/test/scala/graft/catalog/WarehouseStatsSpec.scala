@@ -534,6 +534,27 @@ class WarehouseStatsSpec extends AnyFunSuite with SparkSupport {
     assert(all.frame.count() == wh.read(spark, "t").count())
   }
 
+  test("boundEpoch ↔ typedBound round trip: any second-resolution wall time parses to the micros the literal carries") {
+    // pure property — one tiny schema, no IO: for any LocalDateTime in
+    // the corpus's working range, the grammar's micros equal
+    // java.time's, and re-formatting parses back to the same bound
+    // (the inclusive-hi retention arithmetic rests on this exactness)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "ts TIMESTAMP_NTZ, d DATE, k BIGINT")
+    val wh = new Warehouse(TempDirs.scratch("wh-prop"))
+    new graft.testkit.PropSupport {}.forAllSamples(
+      org.scalacheck.Gen.choose(-30610224000L, 32503680000L), n = 300) { sec =>
+      val ldt = java.time.LocalDateTime.ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC)
+      val token = ldt.format(java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME)
+      val micros = wh.boundEpoch(schema, "ts", token, isLower = true)
+      assert(micros == sec * 1000000L, s"$token -> $micros")
+      val days = wh.boundEpoch(schema, "d",
+        ldt.toLocalDate.format(java.time.format.DateTimeFormatter.ISO_LOCAL_DATE),
+        isLower = false)
+      assert(days == ldt.toLocalDate.toEpochDay)
+    }
+  }
+
   test("refreshStats on a missing table fails loudly") {
     val wh = new Warehouse(TempDirs.scratch("wh-stats-miss"))
     val ex = intercept[IllegalArgumentException] {
