@@ -1882,6 +1882,87 @@ object EndToEnd {
       LEFT JOIN nc2 ON nc2.nd = d.doc_id
       WHERE d.doc_id NOT IN (SELECT nd FROM rej2)"""))
 
+  /** q116's flow with a TEMPORAL layout key (r14 — the last temporal
+    * seam composed): append-heavy table → `optimize_zorder
+    * cols=l_shipdate,l_partkey quantile=true` (zkeyedQuantile accepts
+    * DATE/TIMESTAMP directly) → `refresh_stats` on both keys → a
+    * stale-manifest append → a `pruned_read` whose RECTANGLE mixes a
+    * wall-clock range with an integral one. The oracle evaluates the
+    * mixed rectangle over the COPY slices directly — inclusive-hi
+    * wall-time arithmetic, the freshness rule over the stale append,
+    * and the epoch-micros↔column-type mapping are all in the hash.
+    */
+  private[graft] def temporalLayoutWorkflowSpec(): WorkflowSpec = {
+    def slice(from: String, to: String): String =
+      "SELECT l_orderkey, l_partkey, l_quantity, l_shipdate FROM lineitem " +
+        s"WHERE l_shipdate >= TIMESTAMP '$from' AND l_shipdate < TIMESTAMP '$to'"
+    WorkflowSpec(
+      id = 19,
+      masterPackageId = 83,
+      fallbackPackageId = Some(89L),
+      packages = Map(
+        81L -> PackageSpec(81, realizations = Seq(RealizationSpec(
+          810, anzahlParalleleSchritte = 1,
+          steps = Seq(
+            StepSpec(8100, CommandType.Copy, TaskType.Sql,
+              slice("1995-01-01 00:00:00", "1995-04-01 00:00:00"),
+              zieltabelle = Some("pr2_lineitem"), schrittReihenfolge = 0),
+            StepSpec(8110, CommandType.Copy, TaskType.Sql,
+              slice("1995-04-01 00:00:00", "1995-07-01 00:00:00"),
+              zieltabelle = Some("pr2_lineitem"), schrittReihenfolge = 1))))),
+        82L -> PackageSpec(82, dependencies = Seq(81L), realizations = Seq(RealizationSpec(
+          820, anzahlParalleleSchritte = 1,
+          steps = Seq(
+            StepSpec(8200, CommandType.Copy, TaskType.Maintenance,
+              "optimize_zorder cols=l_shipdate,l_partkey bits=6 rows_per_file=128 quantile=true",
+              zieltabelle = Some("pr2_lineitem"), schrittReihenfolge = 0),
+            StepSpec(8210, CommandType.Copy, TaskType.Maintenance,
+              "refresh_stats cols=l_shipdate,l_partkey",
+              zieltabelle = Some("pr2_lineitem"), schrittReihenfolge = 1))))),
+        83L -> PackageSpec(83, dependencies = Seq(82L), realizations = Seq(RealizationSpec(
+          830, anzahlParalleleSchritte = 1,
+          steps = Seq(
+            StepSpec(8300, CommandType.Copy, TaskType.Sql,
+              slice("1995-07-01 00:00:00", "1995-10-01 00:00:00"),
+              zieltabelle = Some("pr2_lineitem"), schrittReihenfolge = 0),
+            StepSpec(8310, CommandType.Copy, TaskType.Pipeline,
+              "pruned_read in=pr2_lineitem " +
+                "ranges=\"l_shipdate=1995-02-01..1995-08-31T23:59:59,l_partkey=10..120\"",
+              zieltabelle = Some("pr2_slice"),
+              quelltabelle = Some("pr2_lineitem"), schrittReihenfolge = 1))))),
+        89L -> PackageSpec(89, realizations = Seq(RealizationSpec(
+          890, anzahlParalleleSchritte = 1,
+          steps = Seq(StepSpec(8900, CommandType.SqlTarget, TaskType.Sql,
+            "CREATE OR REPLACE TEMP VIEW pr2_compensation AS " +
+              "SELECT 'temporal pruned read aborted' AS status")))))))
+  }
+
+  val q125 = QueryDef(
+    "q125_temporal_layout_workflow",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      val ledger = new RunLedger(() => FixedClock)
+      val wh = new Warehouse(graft.util.TempDirs.scratch("graft-pr2-wf"))
+      val runner = new WorkflowRunner(
+        new WorkflowManager, ledger, new Gates.ThreadCap(8),
+        new Gates.TableLocks, new Gates.ParallelLocks, clock = () => FixedClock)
+      val result = runner.run(temporalLayoutWorkflowSpec(),
+        zeitplanAusfuehrungenId = 19,
+        (m: Macros.Context, stepRunId: Option[Long], real: RealizationSpec) =>
+          StepContext(s, wh, ledger, m, schrittRunId = stepRunId,
+            konfigurationenId = real.konfigurationenId))
+      result.error.foreach(throw _)
+      wh.read(s, "pr2_slice")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          col("l_shipdate"))
+    },
+    Some("""
+      SELECT l_orderkey, l_partkey, l_quantity, l_shipdate
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-02-01 00:00:00'
+        AND l_shipdate <= TIMESTAMP '1995-08-31 23:59:59'
+        AND l_partkey BETWEEN 10 AND 120"""))
+
   val all: Seq[QueryDef] = Seq(q20, q21, q36, q42, q53, q103, q106, q107, q109,
-    q110, q113, q116, q117, q118, q119, q120, q121, q124)
+    q110, q113, q116, q117, q118, q119, q120, q121, q124, q125)
 }
