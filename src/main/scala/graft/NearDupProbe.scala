@@ -55,7 +55,7 @@ object NearDupProbe {
     val batch = docs.filter($"doc_id" % 4 === 0).persist()
     batch.count()
 
-    println("| |hist| docs | admit wall_s | admit shuffle_MiB | admitted | relabel wall_s | relabel shuffle_MiB |")
+    println("| n_hist docs | admit wall_s | admit shuffle_MiB | admitted | relabel wall_s | relabel shuffle_MiB |")
     println("|---|---|---|---|---|---|")
     for (m <- Seq(mult / 4, mult)) {
       // replica 0 = the real historic split; replicas 1..m-1 = token-

@@ -1758,7 +1758,7 @@ object EndToEnd {
     */
   private[graft] def neardupLifecycleSpec(hist: String, b1: String,
       b2: String): WorkflowSpec = WorkflowSpec(
-    id = 18,
+    id = 20,
     masterPackageId = 79,
     fallbackPackageId = Some(74L),
     packages = Map(
@@ -1815,7 +1815,7 @@ object EndToEnd {
         "SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0")
       val result = runner.run(
         neardupLifecycleSpec(s"${tag}_hist", s"${tag}_b1", s"${tag}_b2"),
-        zeitplanAusfuehrungenId = 18,
+        zeitplanAusfuehrungenId = 20,
         (m: Macros.Context, stepRunId: Option[Long], real: RealizationSpec) =>
           StepContext(s, wh, ledger, m, schrittRunId = stepRunId,
             konfigurationenId = real.konfigurationenId))
@@ -1897,7 +1897,7 @@ object EndToEnd {
       "SELECT l_orderkey, l_partkey, l_quantity, l_shipdate FROM lineitem " +
         s"WHERE l_shipdate >= TIMESTAMP '$from' AND l_shipdate < TIMESTAMP '$to'"
     WorkflowSpec(
-      id = 19,
+      id = 21,
       masterPackageId = 83,
       fallbackPackageId = Some(89L),
       packages = Map(
@@ -1947,7 +1947,7 @@ object EndToEnd {
         new WorkflowManager, ledger, new Gates.ThreadCap(8),
         new Gates.TableLocks, new Gates.ParallelLocks, clock = () => FixedClock)
       val result = runner.run(temporalLayoutWorkflowSpec(),
-        zeitplanAusfuehrungenId = 19,
+        zeitplanAusfuehrungenId = 21,
         (m: Macros.Context, stepRunId: Option[Long], real: RealizationSpec) =>
           StepContext(s, wh, ledger, m, schrittRunId = stepRunId,
             konfigurationenId = real.konfigurationenId))

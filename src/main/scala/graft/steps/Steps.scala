@@ -614,6 +614,22 @@ object Steps {
         val renamed = mapping.foldLeft(raw) { case (df, (from, to)) =>
           if (df.columns.contains(from)) df.withColumnRenamed(from, to) else df
         }
+        // a file must not RESHAPE the table (r15, ADVICE r14): once the
+        // target exists, this file's column set must equal the table's
+        // non-audit columns — CSV can only trip this with a changed
+        // header, but JSONL infers its schema from the file's own keys,
+        // so a column that is absent/all-null in one drop would silently
+        // narrow the append (mixed-schema parquet dir) instead of
+        // failing the file toward the rollback path
+        if (ctx.warehouse.exists(ctx.spark, target)) {
+          val expected = ctx.warehouse.read(ctx.spark, target)
+            .columns.toSet -- auditColumns
+          val got = renamed.columns.toSet
+          require(got == expected,
+            s"file $name does not match table $target's ingest schema " +
+              s"(missing: ${(expected -- got).toSeq.sorted.mkString(", ")}; " +
+              s"unexpected: ${(got -- expected).toSeq.sorted.mkString(", ")})")
+        }
         val audited = renamed
           .withColumn("dateiname", lit(name))
           .withColumn("exportdatum", lit(ctx.abfragezeitpunkt.format(
@@ -639,6 +655,11 @@ object Steps {
     ctx.schrittRunId.foreach(ctx.ledger.recordExpectedRows(_, total))
     total
   }
+
+  /** The audit columns [[ingest]] appends beside every file's own —
+    * excluded from the per-file schema check above. */
+  private val auditColumns = Set("dateiname", "exportdatum", "loeschdatum",
+    "datenproduzent", "abfragezeitpunkt")
 
   private def readMapping(spark: SparkSession, baseDir: Path): Seq[(String, String)] = {
     val mappingFile = baseDir.resolve("mapping.csv")

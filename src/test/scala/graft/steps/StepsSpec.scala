@@ -245,6 +245,26 @@ class StepsSpec extends AnyFunSuite with SparkSupport {
     assert(wh.read(spark, "ingested_jl").filter("dateiname = 'a.jsonl'").count() == 2)
   }
 
+  test("ingest JSONL: a drop missing a column fails LOUDLY and rolls back (r15, ADVICE r14: inference must not narrow the table)") {
+    val (ctx, _, wh) = freshCtx()
+    val base = Paths.get(tmpDir("ingest-jsonl-narrow"))
+    Files.createDirectories(base.resolve("Insert"))
+    Files.writeString(base.resolve("Insert/a.jsonl"),
+      "{\"id\":1,\"val\":\"x\"}\n{\"id\":2,\"val\":\"y\"}\n")
+    val spec = StepSpec(52, CommandType.Transfer, TaskType.Jsonl,
+      base.toString, zieltabelle = Some("ingested_jn"))
+    assert(Steps.execute(spec, ctx).get == 2)
+    // `val` omitted on every line of the next drop — json inference
+    // cannot see the column, so without the check the append would
+    // silently narrow the table (CSV's header would have carried it)
+    Files.writeString(base.resolve("Insert/c.jsonl"), "{\"id\":3}\n")
+    val e = intercept[IllegalArgumentException] { Steps.execute(spec, ctx).get }
+    assert(e.getMessage.contains("val"), e.getMessage)
+    // rollback contract: no partial rows, file back in Insert for a fix
+    assert(wh.read(spark, "ingested_jn").filter("dateiname = 'c.jsonl'").count() == 0)
+    assert(Files.exists(base.resolve("Insert/c.jsonl")))
+  }
+
   test("ingest rollback: a failing file is moved back and its rows removed (CommandExecuter.cs:1130-1283)") {
     val (ctx, _, wh) = freshCtx()
     val base = Paths.get(tmpDir("ingest2"))
