@@ -55,8 +55,8 @@ object NearDupProbe {
     val batch = docs.filter($"doc_id" % 4 === 0).persist()
     batch.count()
 
-    println("| n_hist docs | admit wall_s | admit shuffle_MiB | admitted | relabel wall_s | relabel shuffle_MiB |")
-    println("|---|---|---|---|---|---|")
+    println("| n_hist docs | admit wall_s | admit shuffle_MiB | pruned wall_s | pruned shuffle_MiB | bands sched/total | sig sched/total | admitted | relabel wall_s | relabel shuffle_MiB |")
+    println("|---|---|---|---|---|---|---|---|---|---|")
     for (m <- Seq(mult / 4, mult)) {
       // replica 0 = the real historic split; replicas 1..m-1 = token-
       // prefixed (disjoint shingles), id-shifted
@@ -74,13 +74,43 @@ object NearDupProbe {
       val adm = graft.operators.NearDup.admitAgainstWithRelease(batch, histSig)
       val (admitted, aSecs, aMiB) = measure(adm.frame.count())
       adm.release()
+      // MANIFEST-PRUNED path (r15): the history as a laid-out warehouse
+      // table — band table z-ordered on key64, signatures on doc_id,
+      // both manifested. Setup (the maintenance pass) is OUTSIDE the
+      // measured admission, exactly as in production where OPTIMIZE
+      // runs on its own schedule. rows_per_file fixed, so file count
+      // GROWS with history while the point-probe schedules ~|batch
+      // bands| files — wall and scheduled files go sublinear.
+      val wh = new graft.catalog.Warehouse(graft.util.TempDirs.scratch("ndprobe-wh"))
+      wh.overwrite(histSig, "hist")
+      wh.overwrite(graft.operators.NearDup.bandTable(histSig), "bands")
+      // bits=14: a single-column quantile layout has 2^bits distinct
+      // range positions, which CAPS the file count — at bits=6 every
+      // history size collapses to ≤64 files and the point probe cannot
+      // show its shape (observed here before the raise)
+      wh.optimizeZOrder(spark, "bands", Seq("key64"), bits = 14,
+        targetRowsPerFile = 64L, quantile = true)
+      wh.refreshStats(spark, "bands", Seq("key64"))
+      wh.optimizeZOrder(spark, "hist", Seq("doc_id"), bits = 14,
+        targetRowsPerFile = 64L, quantile = true)
+      wh.refreshStats(spark, "hist", Seq("doc_id"))
+      val sched = scala.collection.mutable.Map[String, (Int, Int)]()
+      val padm = graft.operators.NearDup.admitAgainstPrunedWithRelease(
+        spark, wh, batch, "hist", "bands",
+        onPrune = (scan, s, t) => { sched(scan) = (s, t); () })
+      val (pAdmitted, pSecs, pMiB) = measure(padm.frame.count())
+      padm.release()
+      require(pAdmitted == admitted,
+        s"pruned admission must match: $pAdmitted vs $admitted")
+      val (bS, bT) = sched.getOrElse("bands", (-1, -1))
+      val (sS, sT) = sched.getOrElse("signatures", (-1, -1))
       // the non-incremental alternative: relabel history ∪ batch
       val cc = graft.operators.NearDup.componentLabelsWithRelease(
         hist.unionByName(batch))
       val (_, rSecs, rMiB) = measure(cc.frame.queryExecution.toRdd.count())
       cc.release()
       histSig.unpersist(); sigStage.release()
-      println(f"| $histN | $aSecs%.2f | $aMiB%.1f | $admitted | $rSecs%.2f | $rMiB%.1f |")
+      println(f"| $histN | $aSecs%.2f | $aMiB%.1f | $pSecs%.2f | $pMiB%.1f | $bS/$bT | $sS/$sT | $admitted | $rSecs%.2f | $rMiB%.1f |")
     }
     spark.stop()
   }

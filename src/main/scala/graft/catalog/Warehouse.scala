@@ -547,6 +547,64 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
     PrunedScan(frame, keep.size, all.size)
   }
 
+  /** POINT-SET pruned scan (r15, VERDICT r14 next #2): schedule only the
+    * part files whose manifested `[vmin, vmax]` envelope contains AT
+    * LEAST ONE of `keys` — the planning shape of an incremental
+    * admission probing a corpus-scale history with a batch-sized key
+    * set. A range planner cannot express this: hash-valued probe keys
+    * (LSH band keys, candidate doc ids) scatter uniformly, so their
+    * min..max rectangle covers essentially every file, while the
+    * per-file interval-membership test schedules ≈ `|keys|` files out
+    * of any number — the sublinear-in-history term the admission
+    * operators need. Same freshness rule as [[statsPrunedScan]]
+    * (unmanifested file ⇒ scanned; membership is the live listing), and
+    * the residual `IN`-filter keeps the result row-identical to
+    * filtering [[read]] under any append interleaving. Keys are epoch
+    * Longs like every manifest bound ([[boundEpoch]]); the residual
+    * compares in the column's own type. Driver cost is
+    * O(|files| · log |keys|) over sorted keys — metadata-sized by the
+    * same argument as the manifest itself.
+    */
+  def statsPrunedScanKeys(spark: SparkSession, table: String, column: String,
+      keys: Seq[Long]): PrunedScan = {
+    import org.apache.spark.sql.functions.{col, lit}
+    recoverIfTorn(table)
+    if (keys.isEmpty)
+      return PrunedScan(read(spark, table).where(lit(false)), 0, partFiles(table))
+    val schema = read(spark, table).schema
+    val sorted = keys.distinct.sorted.toIndexedSeq
+    val residual = col(column).isin(sorted.map(typedBound(schema, column, _)): _*)
+    if (!exists(spark, statsTable(table))) {
+      val total = partFiles(table)
+      return PrunedScan(read(spark, table).where(residual), total, total)
+    }
+    val manifest = read(spark, statsTable(table))
+      .filter(col("colname") === column)
+      .select("file", "rows", "vmin", "vmax").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    recoverIfTorn(table)
+    val all = listPartFiles(table)
+    // binary search: the smallest key >= vmin exists and is <= vmax
+    def anyKeyIn(vmin: Long, vmax: Long): Boolean = {
+      var lo = 0; var hi = sorted.size
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (sorted(mid) < vmin) lo = mid + 1 else hi = mid
+      }
+      lo < sorted.size && sorted(lo) <= vmax
+    }
+    val keep = all.filter { f =>
+      manifest.get(f) match {
+        case Some((rows, vmin, vmax)) => rows > 0 && anyKeyIn(vmin, vmax)
+        case None => true // unknown bounds (post-refresh append): must scan
+      }
+    }
+    val frame =
+      if (keep.isEmpty) read(spark, table).where(lit(false))
+      else spark.read.parquet(keep.map(f => s"${path(table)}/$f"): _*).where(residual)
+    PrunedScan(frame, keep.size, all.size)
+  }
+
   /** Keyed upsert (SCD-1 merge): rows in `batch` REPLACE existing rows
     * with the same key; everything else appends. Parquet has no row
     * updates, so this is delete-matching + union + the crash-safe swap —

@@ -176,6 +176,19 @@ object TextFunctions {
   def bandKey(sig: Column, b: Int, rows: Int): Column =
     md5(concat_ws(",", transform(slice(sig, b * rows + 1, rows), _.cast("string"))))
 
+  /** 64-bit numeric twin of [[bandKey]] (r15) — the PERSISTED band-table
+    * key: a LONG the stats manifest can envelope (md5 strings cannot be
+    * range-manifested), so an incremental admission's band probe can be
+    * planned through [[graft.catalog.Warehouse.statsPrunedScanKeys]].
+    * Same band-slice string, hashed with xxhash64 seeded by the band
+    * index. A 64-bit collision across DIFFERENT slices only adds a
+    * candidate pair, which the exact shingle-Jaccard confirm rejects —
+    * the Bloom "the probe never decides the final answer" argument.
+    */
+  def bandKey64(sig: Column, b: Int, rows: Int): Column =
+    xxhash64(lit(b),
+      concat_ws(",", transform(slice(sig, b * rows + 1, rows), _.cast("string"))))
+
   /** Estimated Jaccard from two equal-length minhash signatures: fraction
     * of agreeing components.
     */

@@ -107,11 +107,12 @@ object ExactSubstr {
     *
     * Distributed shape: spans explode once and are persisted (df agg +
     * hot-join both consume them); hot starts run gaps-and-islands under
-    * a per-doc window (one shuffle on doc_id); covered positions come
-    * from the MERGED cuts (disjoint by construction, no distinct); the
-    * kept stream is computed map-side on the intact doc row via an
-    * indexed array filter against the doc's own covered-position array —
-    * the corpus is never exploded to per-token rows and rebuilt.
+    * a per-doc window (one shuffle on doc_id); the kept stream is
+    * computed map-side on the intact doc row via an indexed array
+    * filter probing the doc's MERGED CUT INTERVALS (disjoint and sorted
+    * by construction — O(n_cuts) carried per row, never a
+    * per-position cover array; r15) — the corpus is never exploded to
+    * per-token rows and rebuilt.
     */
   def removalWithRelease(docs: DataFrame, n: Int = 8, minDf: Long = 2L,
       stringKeys: Boolean = false): Staged = {
@@ -154,18 +155,26 @@ object ExactSubstr {
     val cutAgg = cuts.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_cuts"),
       sum(col("cut_end") - col("cut_start") + 1).as("tokens_removed"),
-      array_join(
-        transform(array_sort(collect_list(struct(col("cut_start"), col("cut_end")))),
+      array_sort(collect_list(struct(col("cut_start"), col("cut_end"))))
+        .as("cuts"))
+      .withColumn("cut_list", array_join(
+        transform(col("cuts"),
           c => concat_ws("-", c.getField("cut_start").cast("string"),
             c.getField("cut_end").cast("string"))),
-        ";").as("cut_list"),
-      sort_array(flatten(collect_list(sequence(col("cut_start"), col("cut_end")))))
-        .as("cov"))
+        ";"))
+    // the kept filter probes the MERGED CUT INTERVALS, not a
+    // materialized per-position cover array (r15, VERDICT r14 next #6):
+    // `cov` put every covered position of a doc into one row — a
+    // pathological fully-duplicated long doc made a len-sized array —
+    // where the interval probe carries O(n_cuts) per row and costs
+    // O(n_cuts) per token; cuts are disjoint and sorted by construction
+    // (gaps-and-islands), so membership is a plain exists
     val out = toked
       .join(cutAgg, Seq("doc_id"), "left")
       .withColumn("kept", expr(
-        "CASE WHEN cov IS NULL THEN t " +
-          "ELSE filter(t, (x, i) -> NOT array_contains(cov, i + 1)) END"))
+        "CASE WHEN cuts IS NULL THEN t " +
+          "ELSE filter(t, (x, i) -> NOT exists(cuts, " +
+          "c -> i + 1 >= c.cut_start AND i + 1 <= c.cut_end)) END"))
       .select(
         col("doc_id"),
         coalesce(col("n_cuts"), lit(0L)).as("n_cuts"),

@@ -124,6 +124,30 @@ object NearDup {
         struct(lit(b).as("b"), T.bandKey(col("sig"), b, rows).as("key"))): _*)).as("band"))
       .select(col("doc_id"), col("band.b"), col("band.key"))
 
+  /** [[bandsOf]] with the NUMERIC 64-bit band key ([[graft.functions
+    * .TextFunctions.bandKey64]]) — the layout of the PERSISTED band
+    * table a manifest-pruned admission probes: (doc_id, b, key64). */
+  private def bands64Of(sig: DataFrame, bands: Int, rows: Int): DataFrame =
+    sig.select(
+      col("doc_id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("b"), T.bandKey64(col("sig"), b, rows).as("key64"))): _*)).as("band"))
+      .select(col("doc_id"), col("band.b"), col("band.key64"))
+
+  /** The persisted BAND-TABLE artifact of a signature frame (r15,
+    * VERDICT r14 next #2): one (doc_id, b, key64) row per LSH band,
+    * with the numeric key a stats manifest can envelope. A workflow
+    * materializes this beside the signature table, lays it out with
+    * `optimize_zorder cols=key64` + `refresh_stats cols=key64`, and
+    * appends to it with `ids=` exactly as it appends admitted
+    * signatures — the band table must COVER the signature table
+    * (a history doc missing its band rows is invisible to the probe).
+    */
+  def bandTable(sig: DataFrame, k: Int = 12, bands: Int = 4): DataFrame = {
+    require(k % bands == 0, s"minhash length $k must divide into $bands bands")
+    bands64Of(sig, bands, k / bands)
+  }
+
   /** Incremental near-dup ADMISSION (r14) — the MinHash twin of the
     * bloom incremental dedup ([[Bloom.newKeysAgainst]]): admit each
     * batch doc iff NO document of the historic signature table shares
@@ -143,25 +167,40 @@ object NearDup {
     * (doc_id, n_hist_candidates) — candidates that failed the exact
     * confirm count toward the telemetry column; docs with no shingles
     * admit with 0 candidates.
+    *
+    * `broadcastBatch` (r15, VERDICT r14 wrong #1 — the Bloom
+    * `broadcastConfirm` discipline applied here): the three broadcast
+    * hints hold ONLY under the micro-batch contract. The step surface
+    * (`neardup_admit`) accepts any warehouse table as the batch, and a
+    * corpus-sized batch under unconditional hints would pin
+    * corpus-scale band/candidate frames on every executor. With
+    * `broadcastBatch = false` no hint is planted — the join DIRECTION
+    * stays flipped (the history still streams, never builds a hash
+    * table by hint) and AQE picks broadcast-vs-shuffle from the
+    * frames' runtime sizes, so a corpus-sized one-shot degrades to a
+    * shuffle instead of an executor OOM. Row-identical either way
+    * (OperatorsSpec pins it).
     */
   def admitAgainstWithRelease(batch: DataFrame, histSig: DataFrame, k: Int = 12,
-      bands: Int = 4, threshold: Double = 0.6): Staged = {
+      bands: Int = 4, threshold: Double = 0.6,
+      broadcastBatch: Boolean = true): Staged = {
     require(k % bands == 0, s"minhash length $k must divide into $bands bands")
     val rows = k / bands
+    def hinted(df: DataFrame): DataFrame = if (broadcastBatch) broadcast(df) else df
     val bstage = signaturesWithRelease(batch, k)
     val bsig = bstage.frame.persist() // batch-sized; 3 consumers
     val bBands = bandsOf(bsig, bands, rows)
       .withColumnRenamed("doc_id", "new_id")
     val cand = bandsOf(histSig, bands, rows)
       .withColumnRenamed("doc_id", "hist_id")
-      .join(broadcast(bBands), Seq("b", "key"))
+      .join(hinted(bBands), Seq("b", "key"))
       .select(col("hist_id"), col("new_id"))
       .distinct()
       .persist() // candidate-sized; 2 consumers (confirm + telemetry count)
     val confirmed = histSig
       .select(col("doc_id").as("hist_id"), col("shingles").as("sh_h"))
-      .join(broadcast(cand), Seq("hist_id"))
-      .join(broadcast(bsig.select(col("doc_id").as("new_id"),
+      .join(hinted(cand), Seq("hist_id"))
+      .join(hinted(bsig.select(col("doc_id").as("new_id"),
         col("shingles").as("sh_n"))), Seq("new_id"))
       .filter(T.jaccard(col("sh_n"), col("sh_h")) >= threshold)
       .select(col("new_id"))
@@ -179,8 +218,97 @@ object NearDup {
   /** Raw gate form — persists released by the registry runner's
     * `clearCache()`; services use the Staged surface. */
   private[graft] def admitAgainst(batch: DataFrame, histSig: DataFrame, k: Int = 12,
-      bands: Int = 4, threshold: Double = 0.6): DataFrame =
-    admitAgainstWithRelease(batch, histSig, k, bands, threshold).frame
+      bands: Int = 4, threshold: Double = 0.6,
+      broadcastBatch: Boolean = true): DataFrame =
+    admitAgainstWithRelease(batch, histSig, k, bands, threshold, broadcastBatch).frame
+
+  /** MANIFEST-PRUNED incremental admission (r15, VERDICT r14 next #2) —
+    * [[admitAgainstWithRelease]] with both historic scans planned
+    * through the warehouse stats manifests, so per-batch admission WALL
+    * is sublinear in the history instead of paying two full scans:
+    *
+    *   - the band probe reads only the `bandsTable` part files whose
+    *     key64 envelope contains at least one of the batch's band keys
+    *     ([[graft.catalog.Warehouse.statsPrunedScanKeys]] — a z-ordered
+    *     band table schedules ≈ |batch·bands| files out of any history);
+    *   - the shingle confirm reads only the `histTable` part files whose
+    *     doc_id envelope contains a surviving candidate id.
+    *
+    * Both probe-key sets are driver-collected under the batch-sized
+    * contract; if either exceeds `maxProbeKeys` the corresponding scan
+    * falls back to the FULL table read (correct, just unpruned — the
+    * same degrade-not-OOM posture as `broadcastBatch = false`).
+    * Freshness: files appended since the last `refresh_stats` have no
+    * manifest row and are always scanned, so staleness costs pruning
+    * quality, never rows. `bandsTable` must cover `histTable` — it is
+    * appended to by the same `ids=`-chained lifecycle step that appends
+    * admitted signatures. Results are row-identical to the unpruned
+    * admission (OperatorsSpec pins equality; a 64-bit band-key
+    * collision can only add a candidate, which the exact confirm
+    * rejects). `onPrune` observes (scan, scheduled, total) per historic
+    * scan — the step surface's message-log/telemetry hook.
+    */
+  def admitAgainstPrunedWithRelease(spark: SparkSession,
+      warehouse: graft.catalog.Warehouse, batch: DataFrame,
+      histTable: String, bandsTable: String, k: Int = 12, bands: Int = 4,
+      threshold: Double = 0.6, broadcastBatch: Boolean = true,
+      maxProbeKeys: Int = 1 << 16,
+      onPrune: (String, Int, Int) => Unit = (_, _, _) => ()): Staged = {
+    require(k % bands == 0, s"minhash length $k must divide into $bands bands")
+    val rows = k / bands
+    def hinted(df: DataFrame): DataFrame = if (broadcastBatch) broadcast(df) else df
+    val bstage = signaturesWithRelease(batch, k)
+    val bsig = bstage.frame.persist() // batch-sized; 3 consumers
+    val bBands = bands64Of(bsig, bands, rows)
+      .withColumnRenamed("doc_id", "new_id")
+      .persist() // batch-sized; 2 consumers (probe-key collect + join)
+    // batch band keys, driver-collected (≤ |batch|·bands by contract)
+    val probeKeys = bBands.select(col("key64")).distinct()
+      .limit(maxProbeKeys + 1).collect().map(_.getLong(0)).toSeq
+    val histBands =
+      if (probeKeys.size > maxProbeKeys) {
+        onPrune("bands", -1, -1) // over cap: full scan, no pruning claimed
+        warehouse.read(spark, bandsTable)
+      } else {
+        val scan = warehouse.statsPrunedScanKeys(spark, bandsTable, "key64", probeKeys)
+        onPrune("bands", scan.scheduled, scan.total)
+        scan.frame
+      }
+    val cand = histBands
+      .withColumnRenamed("doc_id", "hist_id")
+      .join(hinted(bBands), Seq("b", "key64"))
+      .select(col("hist_id"), col("new_id"))
+      .distinct()
+      .persist() // candidate-sized; 3 consumers (id collect, confirm, telemetry)
+    val candIds = cand.select(col("hist_id")).distinct()
+      .limit(maxProbeKeys + 1).collect().map(_.getLong(0)).toSeq
+    val histShingles =
+      if (candIds.size > maxProbeKeys) {
+        onPrune("signatures", -1, -1)
+        warehouse.read(spark, histTable)
+      } else {
+        val scan = warehouse.statsPrunedScanKeys(spark, histTable, "doc_id", candIds)
+        onPrune("signatures", scan.scheduled, scan.total)
+        scan.frame
+      }
+    val confirmed = histShingles
+      .select(col("doc_id").as("hist_id"), col("shingles").as("sh_h"))
+      .join(hinted(cand), Seq("hist_id"))
+      .join(hinted(bsig.select(col("doc_id").as("new_id"),
+        col("shingles").as("sh_n"))), Seq("new_id"))
+      .filter(T.jaccard(col("sh_n"), col("sh_h")) >= threshold)
+      .select(col("new_id"))
+      .distinct()
+    val nCand = cand.groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_hist_candidates"))
+    val out = batch.select(col("doc_id"))
+      .join(confirmed.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left_anti")
+      .join(nCand.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hist_candidates"), lit(0L)).as("n_hist_candidates"))
+    Staged(out, () => { cand.unpersist(); bBands.unpersist(); bsig.unpersist();
+      bstage.release(); () })
+  }
 
   /** The prune ACTION on a complete labeling (the q95 body): one row
     * per surviving document (the cluster representative = the min-id

@@ -1963,6 +1963,251 @@ object EndToEnd {
         AND l_shipdate <= TIMESTAMP '1995-08-31 23:59:59'
         AND l_partkey BETWEEN 10 AND 120"""))
 
+  /** The MANIFEST-PRUNED admission lifecycle fixture (r15, VERDICT r14
+    * next #2): build the historic signature table AND its band-table
+    * sibling, lay both out for point-set pruning (`optimize_zorder` +
+    * `refresh_stats` — key64 on the bands, doc_id on the signatures),
+    * then admit the batch with `hist_bands=` so BOTH historic scans are
+    * planned through the stats manifests. Same admission semantics as
+    * q123 (the oracle is identical) — what this workflow adds is the
+    * layout chain and the pruned planning path executing under the
+    * orchestrator.
+    */
+  private[graft] def prunedAdmissionWorkflowSpec(hist: String,
+      batch: String): WorkflowSpec = WorkflowSpec(
+    id = 22,
+    masterPackageId = 153,
+    fallbackPackageId = Some(159L),
+    packages = Map(
+      151L -> PackageSpec(151, realizations = Seq(RealizationSpec(
+        1510, anzahlParalleleSchritte = 1,
+        steps = Seq(
+          StepSpec(15100, CommandType.Copy, TaskType.Pipeline,
+            s"neardup_signatures in=$hist",
+            zieltabelle = Some("nd4_hist"), schrittReihenfolge = 0),
+          StepSpec(15110, CommandType.Copy, TaskType.Pipeline,
+            "neardup_bands in=nd4_hist",
+            zieltabelle = Some("nd4_bands"),
+            quelltabelle = Some("nd4_hist"), schrittReihenfolge = 1))))),
+      152L -> PackageSpec(152, dependencies = Seq(151L), realizations = Seq(RealizationSpec(
+        1520, anzahlParalleleSchritte = 1,
+        steps = Seq(
+          StepSpec(15200, CommandType.Copy, TaskType.Maintenance,
+            "optimize_zorder cols=key64 rows_per_file=64 quantile=true",
+            zieltabelle = Some("nd4_bands"), schrittReihenfolge = 0),
+          StepSpec(15210, CommandType.Copy, TaskType.Maintenance,
+            "refresh_stats cols=key64",
+            zieltabelle = Some("nd4_bands"), schrittReihenfolge = 1),
+          StepSpec(15220, CommandType.Copy, TaskType.Maintenance,
+            "optimize_zorder cols=doc_id rows_per_file=64 quantile=true",
+            zieltabelle = Some("nd4_hist"), schrittReihenfolge = 2),
+          StepSpec(15230, CommandType.Copy, TaskType.Maintenance,
+            "refresh_stats cols=doc_id",
+            zieltabelle = Some("nd4_hist"), schrittReihenfolge = 3))))),
+      153L -> PackageSpec(153, dependencies = Seq(152L), realizations = Seq(RealizationSpec(
+        1530, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(15300, CommandType.Copy, TaskType.Pipeline,
+          s"neardup_admit in=$batch hist=nd4_hist hist_bands=nd4_bands",
+          zieltabelle = Some("nd4_adm"), quelltabelle = Some("nd4_hist")))))),
+      159L -> PackageSpec(159, realizations = Seq(RealizationSpec(
+        1590, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(15900, CommandType.SqlTarget, TaskType.Sql,
+          "CREATE OR REPLACE TEMP VIEW nd4_compensation AS " +
+            "SELECT 'pruned admission aborted' AS status")))))))
+
+  val q126 = QueryDef(
+    "q126_pruned_admission_workflow",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      val ledger = new RunLedger(() => FixedClock)
+      val wh = new Warehouse(graft.util.TempDirs.scratch("graft-nd4-wf"))
+      val runner = new WorkflowRunner(
+        new WorkflowManager, ledger, new Gates.ThreadCap(8),
+        new Gates.TableLocks, new Gates.ParallelLocks, clock = () => FixedClock)
+      val tag = s"nd4_${System.nanoTime()}"
+      s.sql(s"CREATE OR REPLACE TEMP VIEW ${tag}_hist AS " +
+        "SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0")
+      s.sql(s"CREATE OR REPLACE TEMP VIEW ${tag}_batch AS " +
+        "SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0")
+      val result = runner.run(
+        prunedAdmissionWorkflowSpec(s"${tag}_hist", s"${tag}_batch"),
+        zeitplanAusfuehrungenId = 22,
+        (m: Macros.Context, stepRunId: Option[Long], real: RealizationSpec) =>
+          StepContext(s, wh, ledger, m, schrittRunId = stepRunId,
+            konfigurationenId = real.konfigurationenId))
+      result.error.foreach(throw _)
+      wh.read(s, "nd4_adm").select(col("doc_id"), col("n_hist_candidates"))
+    },
+    // identical admission semantics to q123 — the workflow adds the
+    // layout + manifest-pruned planning path, which must not move a row
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      ), sig AS (
+        SELECT doc_id, shingles,
+          list_transform(generate_series(0, 11), k ->
+            list_min(list_transform(
+              list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)),
+              h -> ((2*k+1)*h + k*12582917) % 4294967311))) AS sig
+        FROM (
+          SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+              list_distinct(list_transform(generate_series(1, len(t)-2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+            ELSE [] END AS shingles
+          FROM toks) WHERE len(shingles) > 0
+      ), bands AS (
+        SELECT doc_id, shingles, b,
+          md5(array_to_string(sig[(3*b+1):(3*b+3)], ',')) AS band_key
+        FROM sig, (SELECT unnest(generate_series(0,3)) AS b)
+      ), cand AS (
+        SELECT n.doc_id AS nd, h.doc_id AS hd,
+          any_value(n.shingles) AS sh_n, any_value(h.shingles) AS sh_h
+        FROM bands n JOIN bands h ON n.b = h.b AND n.band_key = h.band_key
+        WHERE n.doc_id % 4 = 0 AND h.doc_id % 4 <> 0
+        GROUP BY 1, 2
+      ), rej AS (
+        SELECT DISTINCT nd FROM cand
+        WHERE CAST(len(list_intersect(sh_n, sh_h)) AS DOUBLE) /
+          CAST(len(list_distinct(list_concat(sh_n, sh_h))) AS DOUBLE) >= 0.6
+      ), nc AS (
+        SELECT nd, count(*) AS n FROM cand GROUP BY 1
+      )
+      SELECT d.doc_id, CAST(COALESCE(nc.n, 0) AS BIGINT) AS n_hist_candidates
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
+      LEFT JOIN nc ON nc.nd = d.doc_id
+      WHERE d.doc_id NOT IN (SELECT nd FROM rej)"""))
+
+  /** The STREAMING near-dup admission workflow fixture (r15, VERDICT
+    * r14 next #3): one STREAM step bootstraps the historic signature
+    * table from a seed view, then drains two mtime-ordered arrival
+    * files through `neardup_admit_stream` — batch 2 admits against
+    * historic ∪ batch 1's appended signatures, the q124 lifecycle as
+    * micro-batches of one always-on query instead of chained PIPELINE
+    * steps. Crash-replay exactness is StreamsSpec's; the ledger
+    * lifecycle is StreamRegistrySpec's.
+    */
+  private[graft] def neardupStreamWorkflowSpec(seedView: String, inDir: String,
+      ckptDir: String): WorkflowSpec = WorkflowSpec(
+    id = 23,
+    masterPackageId = 161,
+    fallbackPackageId = Some(169L),
+    packages = Map(
+      161L -> PackageSpec(161, realizations = Seq(RealizationSpec(
+        1610, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(16100, CommandType.Copy, TaskType.Stream,
+          s"neardup_admit_stream dir=$inDir ckpt=$ckptDir " +
+            "schema=\"doc_id BIGINT, text STRING\" " +
+            s"seed=$seedView hist=nd5_hist out=nd5_admitted wm=nd5_wm maxfiles=1",
+          zieltabelle = Some("nd5_admitted"),
+          quelltabelle = Some("nd5_hist,nd5_wm")))))),
+      169L -> PackageSpec(169, realizations = Seq(RealizationSpec(
+        1690, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(16900, CommandType.SqlTarget, TaskType.Sql,
+          "CREATE OR REPLACE TEMP VIEW nd5_compensation AS " +
+            "SELECT 'stream admission aborted' AS status")))))))
+
+  /** Two sequential micro-batches through the streaming near-dup
+    * admission — same two-round oracle as q124 (batch 2's history
+    * includes exactly the batch-1 docs the stream admitted, so a wrong
+    * signature append, a mis-ordered drain, or a broken bootstrap
+    * shifts batch 2's candidate counts and admit set).
+    */
+  val q127 = QueryDef(
+    "q127_neardup_streaming",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      val base = graft.util.TempDirs.scratch("graft-nd5-wf")
+      val docs = s.table("documents").select(col("doc_id"), col("text"))
+      val seedView = s"nd5_seed_${System.nanoTime()}"
+      docs.filter(col("doc_id") % 4 === 2 || col("doc_id") % 4 === 3)
+        .createOrReplaceTempView(seedView)
+      // two arrival files, strictly increasing mtimes (oldest-first drain)
+      def writeArrival(n: Int, residue: Long, mtime: Long): Unit = {
+        val tmp = s"$base/tmp$n"
+        docs.filter(col("doc_id") % 4 === residue).coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(s"$base/in/batch$n.parquet")
+        dst.getParentFile.mkdirs()
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        require(dst.setLastModified(mtime), s"could not order arrival file $n")
+      }
+      writeArrival(1, 1L, 1700000000000L)
+      writeArrival(2, 0L, 1700000100000L)
+      val ledger = new RunLedger(() => FixedClock)
+      val wh = new Warehouse(s"$base/wh")
+      val runner = new WorkflowRunner(
+        new WorkflowManager, ledger, new Gates.ThreadCap(8),
+        new Gates.TableLocks, new Gates.ParallelLocks, clock = () => FixedClock)
+      val result = runner.run(
+        neardupStreamWorkflowSpec(seedView, s"$base/in", s"$base/ckpt"),
+        zeitplanAusfuehrungenId = 23,
+        (m: Macros.Context, stepRunId: Option[Long], real: RealizationSpec) =>
+          StepContext(s, wh, ledger, m, schrittRunId = stepRunId,
+            konfigurationenId = real.konfigurationenId))
+      result.error.foreach(throw _)
+      wh.read(s, "nd5_admitted")
+        .select(col("batch"), col("doc_id"), col("n_hist_candidates"))
+    },
+    // q124's two-round oracle verbatim: batch 1 = doc_id%4=1 vs the
+    // %4∈(2,3) history, batch 2 = %4=0 vs history ∪ admitted batch 1
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      ), sig AS (
+        SELECT doc_id, shingles,
+          list_transform(generate_series(0, 11), k ->
+            list_min(list_transform(
+              list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)),
+              h -> ((2*k+1)*h + k*12582917) % 4294967311))) AS sig
+        FROM (
+          SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+              list_distinct(list_transform(generate_series(1, len(t)-2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+            ELSE [] END AS shingles
+          FROM toks) WHERE len(shingles) > 0
+      ), bands AS (
+        SELECT doc_id, shingles, b,
+          md5(array_to_string(sig[(3*b+1):(3*b+3)], ',')) AS band_key
+        FROM sig, (SELECT unnest(generate_series(0,3)) AS b)
+      ), cand1 AS (
+        SELECT n.doc_id AS nd, h.doc_id AS hd,
+          any_value(n.shingles) AS sh_n, any_value(h.shingles) AS sh_h
+        FROM bands n JOIN bands h ON n.b = h.b AND n.band_key = h.band_key
+        WHERE n.doc_id % 4 = 1 AND h.doc_id % 4 IN (2, 3)
+        GROUP BY 1, 2
+      ), rej1 AS (
+        SELECT DISTINCT nd FROM cand1
+        WHERE CAST(len(list_intersect(sh_n, sh_h)) AS DOUBLE) /
+          CAST(len(list_distinct(list_concat(sh_n, sh_h))) AS DOUBLE) >= 0.6
+      ), nc1 AS (
+        SELECT nd, count(*) AS n FROM cand1 GROUP BY 1
+      ), cand2 AS (
+        SELECT n.doc_id AS nd, h.doc_id AS hd,
+          any_value(n.shingles) AS sh_n, any_value(h.shingles) AS sh_h
+        FROM bands n JOIN bands h ON n.b = h.b AND n.band_key = h.band_key
+        WHERE n.doc_id % 4 = 0 AND (h.doc_id % 4 IN (2, 3) OR
+          (h.doc_id % 4 = 1 AND h.doc_id NOT IN (SELECT nd FROM rej1)))
+        GROUP BY 1, 2
+      ), rej2 AS (
+        SELECT DISTINCT nd FROM cand2
+        WHERE CAST(len(list_intersect(sh_n, sh_h)) AS DOUBLE) /
+          CAST(len(list_distinct(list_concat(sh_n, sh_h))) AS DOUBLE) >= 0.6
+      ), nc2 AS (
+        SELECT nd, count(*) AS n FROM cand2 GROUP BY 1
+      )
+      SELECT CAST(1 AS BIGINT) AS batch, d.doc_id,
+             CAST(COALESCE(nc1.n, 0) AS BIGINT) AS n_hist_candidates
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 1) d
+      LEFT JOIN nc1 ON nc1.nd = d.doc_id
+      WHERE d.doc_id NOT IN (SELECT nd FROM rej1)
+      UNION ALL
+      SELECT CAST(2 AS BIGINT) AS batch, d.doc_id,
+             CAST(COALESCE(nc2.n, 0) AS BIGINT) AS n_hist_candidates
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
+      LEFT JOIN nc2 ON nc2.nd = d.doc_id
+      WHERE d.doc_id NOT IN (SELECT nd FROM rej2)"""))
+
   val all: Seq[QueryDef] = Seq(q20, q21, q36, q42, q53, q103, q106, q107, q109,
-    q110, q113, q116, q117, q118, q119, q120, q121, q124, q125)
+    q110, q113, q116, q117, q118, q119, q120, q121, q124, q125, q126, q127)
 }

@@ -45,6 +45,8 @@ object StreamTransforms {
   private[steps] val allowedKeys: Map[String, Set[String]] = Map(
     "bloom_ingest_stream" -> Set("dir", "ckpt", "schema", "key", "seed",
       "seen", "bloom", "out", "mbits", "k", "maxfiles"),
+    "neardup_admit_stream" -> Set("dir", "ckpt", "schema", "seed", "hist",
+      "out", "wm", "k", "bands", "threshold", "maxfiles"),
     "file_ingest_stream" -> Set("dir", "ckpt", "archive", "schema", "out",
       "producer", "format"),
     "sessionize_stream" -> Set("dir", "ckpt", "schema", "out", "gap",
@@ -152,6 +154,42 @@ object StreamTransforms {
       val q = graft.streaming.Streams.bloomDedupStream(
         stream, key, ctx.warehouse, seenT, bloomT, outT,
         checkpointDir = Transforms.str(p, "ckpt"), mBits = mBits, k = k,
+        admittedRows = Some(admitted))
+      q.awaitTermination() // AvailableNow: returns drained, rethrows failure
+      admitted.get
+    },
+    // neardup_admit_stream dir=<doc drop folder> ckpt=<checkpoint dir>
+    //   schema="doc_id BIGINT, text STRING" seed=<historic docs table>
+    //   hist=<signature state> out=<admitted target> wm=<watermark state>
+    //   [k=12 bands=4 threshold=0.6 maxfiles=1]
+    // — the MinHash twin of bloom_ingest_stream (r15, VERDICT r14 next
+    // #3): bootstrap the historic signature table from `seed` when
+    // absent (batch=0 tag — the stream's rewind column), then drain the
+    // drop folder through the crash-safe incremental admission
+    // (graft.streaming.Streams.neardupAdmitStream). Each drained
+    // micro-batch admits against historic ∪ earlier batches; admitted
+    // docs land batch-tagged in `out`, their signatures grow `hist`.
+    "neardup_admit_stream" -> { (ctx, p) =>
+      val spark = ctx.spark
+      val histT = Transforms.str(p, "hist")
+      if (!ctx.warehouse.exists(spark, histT)) {
+        val sigStage = graft.operators.NearDup.signaturesWithRelease(
+          Transforms.input(ctx, p, "seed"),
+          k = Transforms.long(p, "k", Some(12L)).toInt)
+        try ctx.warehouse.append(
+          sigStage.frame.withColumn("batch", lit(0L)), histT)
+        finally sigStage.release()
+      }
+      val admitted = new java.util.concurrent.atomic.AtomicLong(0L)
+      val q = graft.streaming.Streams.neardupAdmitStream(
+        arrivalStream(spark, p), ctx.warehouse,
+        histTable = histT,
+        outTable = Transforms.str(p, "out"),
+        wmTable = Transforms.str(p, "wm"),
+        checkpointDir = Transforms.str(p, "ckpt"),
+        k = Transforms.long(p, "k", Some(12L)).toInt,
+        bands = Transforms.long(p, "bands", Some(4L)).toInt,
+        threshold = p.get("threshold").map(_.toDouble).getOrElse(0.6),
         admittedRows = Some(admitted))
       q.awaitTermination() // AvailableNow: returns drained, rethrows failure
       admitted.get

@@ -94,7 +94,9 @@ object Transforms {
     "neardup_components" -> Set("in", "k", "bands", "stars"),
     "neardup_prune" -> Set("docs", "labels"),
     "neardup_signatures" -> Set("in", "k", "ids"),
-    "neardup_admit" -> Set("in", "hist", "k", "bands", "threshold"),
+    "neardup_bands" -> Set("in", "k", "bands", "ids"),
+    "neardup_admit" -> Set("in", "hist", "k", "bands", "threshold",
+      "broadcast_batch", "hist_bands", "max_probe_keys"),
     "bloom_ingest" -> Set("in", "seen", "key", "mbits", "k"),
     "pruned_read" -> Set("in", "ranges"),
     "semdedup" -> Set("in", "id", "emb", "threshold", "seed_k", "cents"),
@@ -245,16 +247,60 @@ object Transforms {
         docsIn, k = long(p, "k", Some(12L)).toInt)
       Curation.Staged(staged.frame, staged.release)
     },
-    // neardup_admit in=<batch docs> hist=<signature table>
-    //   [k=12 bands=4 threshold=0.6] — admit batch docs with no
-    // confirmed historic near-dup; the MinHash twin of bloom_ingest
-    // (two historic scans, zero historic shuffles)
-    "neardup_admit" -> { (ctx, p) =>
-      val staged = graft.operators.NearDup.admitAgainstWithRelease(
-        input(ctx, p, "in"), input(ctx, p, "hist"),
+    // neardup_bands in=<signature table> [k=12 bands=4 ids=<doc_id table>]
+    // — the (doc_id, b, key64) band-table artifact beside a signature
+    // table (r15): z-order + refresh_stats on key64 make the admission's
+    // band probe manifest-prunable; `ids=` appends the admitted subset,
+    // mirroring `neardup_signatures ids=` so the band table always
+    // covers the signature table through the lifecycle.
+    "neardup_bands" -> { (ctx, p) =>
+      val sigIn = p.get("ids") match {
+        case Some(_) => input(ctx, p, "in").join(
+          input(ctx, p, "ids").select(org.apache.spark.sql.functions.col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        case None => input(ctx, p, "in")
+      }
+      unstaged(graft.operators.NearDup.bandTable(sigIn,
         k = long(p, "k", Some(12L)).toInt,
-        bands = long(p, "bands", Some(4L)).toInt,
-        threshold = p.get("threshold").map(_.toDouble).getOrElse(0.6))
+        bands = long(p, "bands", Some(4L)).toInt))
+    },
+    // neardup_admit in=<batch docs> hist=<signature table>
+    //   [k=12 bands=4 threshold=0.6 broadcast_batch=true|false
+    //    hist_bands=<band table> max_probe_keys=65536] — admit batch
+    // docs with no confirmed historic near-dup; the MinHash twin of
+    // bloom_ingest (two historic scans, zero historic shuffles).
+    // `broadcast_batch=false` drops the batch-side broadcast hints for
+    // a corpus-sized one-shot `in=` (r15, VERDICT r14 wrong #1 — AQE
+    // degrades to shuffle instead of executor OOM). `hist_bands=` makes
+    // BOTH historic scans manifest-pruned (sublinear wall in history);
+    // both tables must then be warehouse tables, laid out and
+    // manifested by MAINTENANCE steps. Scheduling evidence lands in the
+    // message log like pruned_read's.
+    "neardup_admit" -> { (ctx, p) =>
+      val k = long(p, "k", Some(12L)).toInt
+      val nb = long(p, "bands", Some(4L)).toInt
+      val thr = p.get("threshold").map(_.toDouble).getOrElse(0.6)
+      val bcast = p.get("broadcast_batch").forall(_.toBoolean)
+      val staged = p.get("hist_bands") match {
+        case Some(bandsTable) =>
+          val hist = str(p, "hist")
+          require(ctx.warehouse.exists(ctx.spark, hist) &&
+            ctx.warehouse.exists(ctx.spark, bandsTable),
+            "neardup_admit hist_bands=: `hist` and `hist_bands` must both be " +
+              "warehouse tables (views have no file manifest to prune)")
+          graft.operators.NearDup.admitAgainstPrunedWithRelease(
+            ctx.spark, ctx.warehouse, input(ctx, p, "in"), hist, bandsTable,
+            k = k, bands = nb, threshold = thr, broadcastBatch = bcast,
+            maxProbeKeys = long(p, "max_probe_keys", Some(1L << 16)).toInt,
+            onPrune = (scan, sched, total) => ctx.ledger.message(
+              if (sched < 0) s"neardup_admit $scan probe over max_probe_keys: full scan"
+              else s"neardup_admit $scan scan: scheduled $sched of $total files",
+              schrittRunId = ctx.schrittRunId))
+        case None =>
+          graft.operators.NearDup.admitAgainstWithRelease(
+            input(ctx, p, "in"), input(ctx, p, "hist"),
+            k = k, bands = nb, threshold = thr, broadcastBatch = bcast)
+      }
       Curation.Staged(staged.frame, staged.release)
     },
     // bloom_ingest in=<incoming table> seen=<historic keys table>

@@ -412,6 +412,114 @@ object Streams {
     }
   }
 
+  /** Streaming incremental NEAR-DUP admission (r15, VERDICT r14 next
+    * #3) — the MinHash twin of [[bloomDedupStream]]: each arriving
+    * micro-batch of (doc_id, text) documents is admitted against the
+    * PERSISTED historic signature table
+    * ([[graft.operators.NearDup.admitAgainstWithRelease]] — band probe
+    * + exact shingle-Jaccard confirm, two historic scans, zero historic
+    * shuffles), admitted docs append to `outTable` and their signatures
+    * append to `histTable`, so batch N+1 admits against historic ∪
+    * batches 1..N — the always-on form of the q123/q124 lifecycle.
+    *
+    * **Exactly-once on checkpoint replay** (the bloom stream's r13
+    * treatment): `foreachBatch` re-invokes the same (batch, id) after a
+    * crash, so the body is replay-idempotent via a rewind watermark —
+    * a single-row `wmTable` advanced by crash-safe [[graft.catalog
+    * .Warehouse.replace]] BEFORE any batch-tagged append, so "partial
+    * batch-b rows may exist in out/hist" ⟺ "watermark ≥ b". Phase 0
+    * scrubs this batch id's rows from both tables when the watermark
+    * says they may exist (bitmap-sized decision; the scrub itself is a
+    * manifest-plannable range delete), then the admission recomputes
+    * against the PRE-batch history — identical rows at every crash
+    * point (StreamsSpec replays each phase). An absent watermark table
+    * (bootstrap) reads as watermark-unknown and keeps the conservative
+    * scrub.
+    */
+  def neardupAdmitStream(
+      incoming: DataFrame,
+      warehouse: graft.catalog.Warehouse,
+      histTable: String,
+      outTable: String,
+      wmTable: String,
+      checkpointDir: String,
+      k: Int = 12,
+      bands: Int = 4,
+      threshold: Double = 0.6,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      admittedRows: Option[java.util.concurrent.atomic.AtomicLong] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        neardupAdmitBatch(batch, id, warehouse, histTable, outTable, wmTable,
+          k, bands, threshold, admittedRows = admittedRows)
+      }
+      .start()
+
+  /** One micro-batch of [[neardupAdmitStream]] — separated so the spec
+    * can invoke it like `foreachBatch` does on checkpoint replay.
+    * `failAfterPhase` (test-only) throws after the numbered phase. */
+  private[graft] def neardupAdmitBatch(
+      batch: DataFrame, id: Long,
+      warehouse: graft.catalog.Warehouse,
+      histTable: String, outTable: String, wmTable: String,
+      k: Int, bands: Int, threshold: Double,
+      failAfterPhase: Int = Int.MaxValue,
+      admittedRows: Option[java.util.concurrent.atomic.AtomicLong] = None): Unit = {
+    require(!batch.columns.contains("batch"),
+      "neardupAdmitStream reserves the `batch` column for its replay-rewind " +
+        "tag — rename the incoming column")
+    if (!batch.isEmpty) {
+      import org.apache.spark.sql.functions.lit
+      val spark = batch.sparkSession
+      val b = id + 1
+      def induced(p: Int): Unit = if (failAfterPhase == p)
+        throw new IllegalStateException(s"induced crash after phase $p")
+      // phase 0: rewind any partial writes of THIS batch id — only when
+      // the watermark says they may exist (absent table = bootstrap =
+      // unknown = conservative scrub; no-match probes are metadata-sized)
+      val wm =
+        if (!warehouse.exists(spark, wmTable)) None
+        else Some(warehouse.read(spark, wmTable)
+          .agg(org.apache.spark.sql.functions.max(col("wm"))).head().getLong(0))
+      if (wm.forall(_ >= b)) {
+        warehouse.deleteWhereRange(spark, outTable, "batch", b, b)
+        warehouse.deleteWhereRange(spark, histTable, "batch", b, b)
+      }
+      induced(0)
+      val histSig = warehouse.read(spark, histTable)
+      val adm = graft.operators.NearDup.admitAgainstWithRelease(
+        batch, histSig, k, bands, threshold)
+      val admitted = adm.frame.persist() // consumed twice: out + signature append
+      try {
+        import spark.implicits._
+        // materialize BEFORE the watermark swap/appends so no later
+        // recompute reads tables this body is about to mutate
+        // (bloomDedupBatch's r14 lesson); doubles as the drain count
+        val nAdmitted = admitted.count()
+        // phase 1: advance the watermark FIRST — from here on, partial
+        // batch-b rows are scrubbable on replay
+        warehouse.replace(wmTable, Seq(b).toDF("wm"))
+        induced(1)
+        // phase 2: admitted docs, batch-tagged for the rewind
+        warehouse.append(admitted.withColumn("batch", lit(b)), outTable)
+        induced(2)
+        // phase 3: admitted docs' signatures grow the history, tagged too
+        val sigStage = graft.operators.NearDup.signaturesWithRelease(
+          batch.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi"), k)
+        try warehouse.append(
+          sigStage.frame.withColumn("batch", lit(b)), histTable)
+        finally sigStage.release()
+        induced(3)
+        // count only COMPLETED batches (crashed ones rewind + recount)
+        admittedRows.foreach(_.addAndGet(nAdmitted))
+      } finally { admitted.unpersist(); adm.release(); () }
+    }
+  }
+
   /** Stateful sessionization — gap > `gapSeconds` closes a session
     * (q12's batch semantics) via `flatMapGroupsWithState` with an
     * event-time timeout: per-user state is (start, last, count); a

@@ -555,6 +555,44 @@ class WarehouseStatsSpec extends AnyFunSuite with SparkSupport {
     }
   }
 
+  test("point-set pruned scan: schedules only envelope-hit files, rows equal the IN filter, freshness holds") {
+    // r15 (VERDICT r14 next #2): the admission probe's planning verb —
+    // scattered keys against a z-ordered layout must schedule ~|keys|
+    // files, not min..max's near-everything rectangle
+    val (wh, xmax, _) = freshLayout()
+    val total = wh.read(spark, "t").inputFiles.length
+    assert(total > 10, s"fixture needs many files, got $total")
+    // 3 scattered keys across the x domain (z-ordered on x: tight envelopes)
+    val keys = Seq(1L, xmax / 2, xmax)
+    val scan = wh.statsPrunedScanKeys(spark, "t", "x", keys)
+    assert(scan.total == total)
+    assert(scan.scheduled < total,
+      s"point probe must prune (scheduled ${scan.scheduled} of ${scan.total})")
+    val expect = rowSet(wh.read(spark, "t").filter($"x".isin(keys: _*)))
+    assert(rowSet(scan.frame) == expect)
+    // a range planner over the same keys' min..max CANNOT prune this
+    // probe down — the point planner must beat it
+    val asRange = wh.statsPrunedScan(spark, "t", Seq(("x", keys.min, keys.max)))
+    assert(scan.scheduled <= asRange.scheduled)
+    // freshness: an appended (unmanifested) file is always scanned and
+    // its rows show up even for keys outside every manifested envelope
+    wh.append(Seq((xmax + 77L, 1L)).toDF("x", "y"), "t")
+    val fresh = wh.statsPrunedScanKeys(spark, "t", "x", Seq(xmax + 77L))
+    assert(rowSet(fresh.frame) == Seq((xmax + 77L, 1L)))
+    // empty key set: nothing scheduled, empty result, schema intact
+    val none = wh.statsPrunedScanKeys(spark, "t", "x", Seq.empty)
+    assert(none.scheduled == 0 && none.frame.isEmpty)
+    assert(none.frame.columns.toSeq == wh.read(spark, "t").columns.toSeq)
+  }
+
+  test("point-set pruned scan without a manifest: plain filtered read, scheduled == total") {
+    val wh = new Warehouse(TempDirs.scratch("wh-stats-keys-nomani"))
+    wh.append(corpus().limit(500), "t")
+    val scan = wh.statsPrunedScanKeys(spark, "t", "x", Seq(3L, 9L))
+    assert(scan.scheduled == scan.total)
+    assert(rowSet(scan.frame) == rowSet(wh.read(spark, "t").filter($"x".isin(3L, 9L))))
+  }
+
   test("refreshStats on a missing table fails loudly") {
     val wh = new Warehouse(TempDirs.scratch("wh-stats-miss"))
     val ex = intercept[IllegalArgumentException] {

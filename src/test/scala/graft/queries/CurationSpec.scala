@@ -190,6 +190,26 @@ class CurationSpec extends AnyFunSuite with SparkSupport with BeforeAndAfterEach
       s"a doc shorter than the span length passes through whole, got ${got(6L)}")
   }
 
+  test("q84: one fully-duplicated doc far longer than average costs O(cuts), not a len-sized cover array (r15)") {
+    // the monster doc is one 8-token span repeated 2000 times — every
+    // position is covered but the merged cut list is a SINGLE interval,
+    // so the per-row state the kept-filter probes is 1 struct, not a
+    // 16000-element position array (the r14 cov shape)
+    val A = (1 to 8).map(i => s"a$i").mkString(" ")
+    val monster = Seq.fill(2000)(A).mkString(" ")
+    val dir = docsDir(Seq(
+      1L -> monster,
+      2L -> s"f21 $A f22",   // shares the span so it goes hot
+      3L -> "just some filler here"))
+    val got = Registry.byName("q84_span_removal").run(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(got(1L) == ((1L, 16000L, 0L, "1-16000", "")),
+      s"the monster doc must merge to ONE cut and empty out, got ${got(1L)}")
+    assert(got(2L) == ((1L, 8L, 2L, "2-9", "f21 f22")), s"got ${got(2L)}")
+    assert(got(3L)._1 == 0L && got(3L)._5 == "just some filler here")
+  }
+
   test("q80: the sorted-runs top-bigram fold matches a naive reference on random corpora") {
     // the fold tracks runs over sort_array(bg) in one pass (the gate's
     // O(len log len) rewrite of the naive count-max); random tiny-vocab

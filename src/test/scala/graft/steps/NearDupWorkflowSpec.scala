@@ -87,6 +87,94 @@ class NearDupWorkflowSpec extends AnyFunSuite with SparkSupport {
     spark.catalog.clearCache()
   }
 
+  test("manifest-pruned admission: identical rows to the full-scan path, both historic scans scheduled < total (r15)") {
+    val wh = new graft.catalog.Warehouse(graft.util.TempDirs.scratch("nd-admit-pruned"))
+    val ledger = new graft.ledger.RunLedger()
+    val ctx = StepContext(spark, wh, ledger, graft.macros.Macros.Context(1L,
+      java.time.LocalDateTime.of(2026, 1, 1, 0, 0),
+      java.time.LocalDateTime.of(2026, 1, 2, 0, 0)))
+    // sf0.01, a SMALL batch against a history laid out into many files —
+    // the pruning win is |probe keys| ≪ |files| (the production shape:
+    // a micro-batch against a 100k-file history); at |keys| ≳ |files|
+    // every envelope is hit and the planner correctly schedules all
+    graft.catalog.Tables.registerAll(spark, "/root/testdata/sf0.01")
+    spark.sql("CREATE OR REPLACE TEMP VIEW ndp_hist_src AS " +
+      "SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0")
+    spark.sql("CREATE OR REPLACE TEMP VIEW ndp_batch_src AS " +
+      "SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0")
+    def run(id: Long, cmd: String, out: String): Unit = {
+      Steps.execute(StepSpec(id, CommandType.Copy, TaskType.Pipeline, cmd,
+        zieltabelle = Some(out)), ctx); ()
+    }
+    run(9200, "neardup_signatures in=ndp_hist_src", "ndp_hist")
+    run(9210, "neardup_bands in=ndp_hist", "ndp_bands")
+    // MAINTENANCE layout: band table by key64, signature table by doc_id
+    def maint(id: Long, cmd: String, table: String): Unit = {
+      Steps.execute(StepSpec(id, CommandType.Copy, TaskType.Maintenance, cmd,
+        zieltabelle = Some(table)), ctx); ()
+    }
+    maint(9220, "optimize_zorder cols=key64 rows_per_file=8 quantile=true", "ndp_bands")
+    maint(9230, "refresh_stats cols=key64", "ndp_bands")
+    maint(9240, "optimize_zorder cols=doc_id rows_per_file=8 quantile=true", "ndp_hist")
+    maint(9250, "refresh_stats cols=doc_id", "ndp_hist")
+    val admitted = Steps.execute(StepSpec(9260, CommandType.Copy, TaskType.Pipeline,
+      "neardup_admit in=ndp_batch_src hist=ndp_hist hist_bands=ndp_bands",
+      zieltabelle = Some("ndp_admitted"), quelltabelle = Some("ndp_hist")), ctx).get
+    // row-identical to the unpruned operator on the same split (incl.
+    // the candidate-telemetry column — a missed candidate would differ)
+    val full = graft.operators.NearDup.admitAgainst(
+      spark.table("ndp_batch_src"), wh.read(spark, "ndp_hist").persist())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val pruned = wh.read(spark, "ndp_admitted")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("n_hist_candidates"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(pruned == full)
+    assert(admitted == full.size.toLong)
+    // and the PRUNING is real: both historic scans scheduled < total,
+    // message-logged the way pruned_read logs its accounting
+    val msgs = ledger.allMessages.map(_.meldungstext)
+    def schedOf(scan: String): (Int, Int) = {
+      val re = s"neardup_admit $scan scan: scheduled (\\d+) of (\\d+) files".r
+      msgs.collectFirst { case re(s, t) => (s.toInt, t.toInt) }
+        .getOrElse(fail(s"no $scan scheduling message; messages: ${msgs.mkString("; ")}"))
+    }
+    val (bandSched, bandTotal) = schedOf("bands")
+    assert(bandTotal > 3 && bandSched < bandTotal,
+      s"band probe must prune: $bandSched of $bandTotal")
+    val (sigSched, sigTotal) = schedOf("signatures")
+    assert(sigTotal > 3 && sigSched < sigTotal,
+      s"confirm scan must prune: $sigSched of $sigTotal")
+    spark.catalog.clearCache()
+  }
+
+  test("broadcast_batch=false: identical admission rows with no operator-planted broadcast (r15, VERDICT r14 wrong #1)") {
+    val wh = new graft.catalog.Warehouse(graft.util.TempDirs.scratch("nd-admit-nobc"))
+    val ledger = new graft.ledger.RunLedger()
+    val ctx = StepContext(spark, wh, ledger, graft.macros.Macros.Context(1L,
+      java.time.LocalDateTime.of(2026, 1, 1, 0, 0),
+      java.time.LocalDateTime.of(2026, 1, 2, 0, 0)))
+    graft.catalog.Tables.registerAll(spark, sf)
+    spark.sql("CREATE OR REPLACE TEMP VIEW ndg_hist_src AS " +
+      "SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0")
+    spark.sql("CREATE OR REPLACE TEMP VIEW ndg_batch_src AS " +
+      "SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0")
+    Steps.execute(StepSpec(9300, CommandType.Copy, TaskType.Pipeline,
+      "neardup_signatures in=ndg_hist_src", zieltabelle = Some("ndg_hist")), ctx)
+    Steps.execute(StepSpec(9310, CommandType.Copy, TaskType.Pipeline,
+      "neardup_admit in=ndg_batch_src hist=ndg_hist broadcast_batch=false",
+      zieltabelle = Some("ndg_admitted"), quelltabelle = Some("ndg_hist")), ctx)
+    val guarded = wh.read(spark, "ndg_admitted")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("n_hist_candidates"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val hinted = graft.operators.NearDup.admitAgainst(
+      spark.table("ndg_batch_src"), wh.read(spark, "ndg_hist").persist())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(guarded == hinted)
+    spark.catalog.clearCache()
+  }
+
   test("induced failure: prune against a missing label table aborts, fallback compensates") {
     val (result, ledger, _) = EndToEnd.runNeardupWorkflow(spark, sf, induceFailure = true)
     assert(!result.success && result.fallbackRan && result.error.isDefined)

@@ -109,6 +109,164 @@ class StreamRegistrySpec extends AnyFunSuite with SparkSupport {
       s"closed windows must carry start + type + count; got $sink")
   }
 
+  /** One parquet arrival file of (doc_id, text). */
+  private def dropDocsFile(inDir: java.io.File, name: String,
+      rows: Seq[(Long, String)]): Unit = {
+    import spark.implicits._
+    val tmp = new java.io.File(inDir.getParentFile, s"tmp-$name")
+    rows.toDF("doc_id", "text").coalesce(1).write.parquet(tmp.toString)
+    val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+    inDir.mkdirs()
+    java.nio.file.Files.move(part.toPath, new java.io.File(inDir, name).toPath)
+  }
+
+  test("neardup_admit_stream: 3-drain lifecycle — bootstrap, history growth across drains, empty re-drain") {
+    import spark.implicits._
+    val base = tmpDir("graft-nda-step")
+    val in = new java.io.File(s"$base/in")
+    val c = ctx(base)
+    Seq((100L, "x1 x2 x3 x4 x5")).toDF("doc_id", "text")
+      .createOrReplaceTempView("nda_seed")
+    val cmd = s"neardup_admit_stream dir=$in ckpt=$base/ckpt " +
+      "schema=\"doc_id BIGINT, text STRING\" " +
+      "seed=nda_seed hist=nda_hist out=nda_out wm=nda_wm maxfiles=1"
+    val spec = StepSpec(8820, CommandType.Copy, TaskType.Stream, cmd,
+      zieltabelle = Some("nda_out"), quelltabelle = Some("nda_hist,nda_wm"))
+    // drain 1: doc 1 duplicates the SEED doc (rejected), doc 2 admits
+    dropDocsFile(in, "d1.parquet",
+      Seq((1L, "x1 x2 x3 x4 x5"), (2L, "y1 y2 y3 y4")))
+    assert(Steps.execute(spec, c).contains(1L),
+      "drain 1 must admit exactly doc 2 (doc 1 duplicates the seed)")
+    // bootstrap happened once: the seed doc is batch-0 history
+    assert(c.warehouse.read(spark, "nda_hist").filter("batch = 0").count() == 1)
+    // empty re-drain: the checkpoint is the dedup boundary
+    assert(Steps.execute(spec, c).contains(0L))
+    // drain 2: doc 3 duplicates ADMITTED doc 2 — history growth across
+    // drains is load-bearing; doc 4 admits
+    dropDocsFile(in, "d2.parquet",
+      Seq((3L, "y1 y2 y3 y4"), (4L, "z1 z2 z3")))
+    assert(Steps.execute(spec, c).contains(1L),
+      "drain 2 must reject the near-dup of an admitted doc from drain 1")
+    // batch tags are 1 and 2: the empty drain consumed no batch id
+    val out = c.warehouse.read(spark, "nda_out")
+      .select("batch", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L), (2L, 4L)), s"got $out")
+    assert(c.warehouse.read(spark, "nda_hist")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(100L, 2L, 4L),
+      "history must hold seed + admitted docs only")
+  }
+
+  test("neardup_admit_stream: a mid-drain crash replays exactly-once on the next run (poisoned file, then fixed)") {
+    import spark.implicits._
+    val base = tmpDir("graft-nda-crash")
+    val in = new java.io.File(s"$base/in")
+    val c = ctx(base)
+    Seq((100L, "x1 x2 x3 x4 x5")).toDF("doc_id", "text")
+      .createOrReplaceTempView("ndac_seed")
+    val cmd = s"neardup_admit_stream dir=$in ckpt=$base/ckpt " +
+      "schema=\"doc_id BIGINT, text STRING\" " +
+      "seed=ndac_seed hist=ndac_hist out=ndac_out wm=ndac_wm maxfiles=1"
+    val spec = StepSpec(8830, CommandType.Copy, TaskType.Stream, cmd,
+      zieltabelle = Some("ndac_out"), quelltabelle = Some("ndac_hist,ndac_wm"))
+    dropDocsFile(in, "d1.parquet", Seq((2L, "y1 y2 y3 y4")))
+    // file 2 is garbage bytes under a .parquet name: batch 1 commits,
+    // batch 2 CRASHES mid-drain, the step fails loudly
+    in.mkdirs()
+    java.nio.file.Files.write(new java.io.File(in, "d2.parquet").toPath,
+      "not a parquet file".getBytes)
+    intercept[Exception] { Steps.execute(spec, c) }
+    // batch 1's work committed before the crash
+    assert(c.warehouse.read(spark, "ndac_out").count() == 1)
+    // operator fixes the file in place (same name — the source re-reads
+    // an uncommitted file on restart) and re-runs the step on the SAME
+    // checkpoint: doc 3 near-dups admitted doc 2, doc 4 admits
+    new java.io.File(in, "d2.parquet").delete()
+    dropDocsFile(in, "d2.parquet",
+      Seq((3L, "y1 y2 y3 y4"), (4L, "z1 z2 z3")))
+    assert(Steps.execute(spec, c).contains(1L))
+    val out = c.warehouse.read(spark, "ndac_out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L, 4L),
+      s"replay must neither duplicate batch 1 nor re-admit the near-dup; got $out")
+    assert(c.warehouse.read(spark, "ndac_hist")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(100L, 2L, 4L))
+  }
+
+  test("sessionize_stream: a mid-drain crash replays exactly-once on the next run (r15, VERDICT r14 next #7)") {
+    // the whole STREAM family must pin exactly-once, not just the
+    // foreachBatch streams: for sink-writing streams the guarantee is
+    // the parquet sink's _spark_metadata log + the state store — a
+    // crashed drain must neither re-emit batch 1's closed sessions nor
+    // lose the open state that batch 2 closes
+    val base = tmpDir("graft-ss-crash")
+    val in = new java.io.File(s"$base/in")
+    val c = ctx(base)
+    val cmd = s"sessionize_stream dir=$in ckpt=$base/ckpt " +
+      "schema=\"user_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE\" " +
+      s"out=$base/out maxfiles=1"
+    val spec = StepSpec(8840, CommandType.Copy, TaskType.Stream, cmd,
+      zieltabelle = Some("ssc_out"))
+    // u1's session closes by timeout inside batch 1 (watermark from the
+    // 03:00 event); u2's stays open in state
+    dropEvents(in, "e1.parquet", Seq(
+      (1L, "2026-01-01 00:00:00", "click", 1.0),
+      (1L, "2026-01-01 00:10:00", "click", 1.0),
+      (2L, "2026-01-01 03:00:00", "view", 1.0)))
+    in.mkdirs()
+    java.nio.file.Files.write(new java.io.File(in, "e2.parquet").toPath,
+      "not a parquet file".getBytes)
+    intercept[Exception] { Steps.execute(spec, c) }
+    // fix the poisoned file in place; its 06:00 event closes u2 by gap
+    new java.io.File(in, "e2.parquet").delete()
+    dropEvents(in, "e2.parquet", Seq((2L, "2026-01-01 06:00:00", "view", 1.0)))
+    // the crashed drain died before its no-data flush batch, so u1's
+    // timeout close AND u2's gap close both land in the replayed drain
+    assert(Steps.execute(spec, c).contains(2L),
+      "the replayed drain must close u1 (timeout) and u2's old session (gap)")
+    val sink = spark.read
+      .schema("user_id BIGINT, session_start TIMESTAMP, n_events BIGINT, closed BOOLEAN")
+      .parquet(s"$base/out")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2))).toSeq
+    assert(sink.sorted == Seq(
+      (1L, "2026-01-01 00:00:00.0", 2L),
+      (2L, "2026-01-01 03:00:00.0", 1L)),
+      s"exactly-once across the crash: no duplicate or lost sessions; got $sink")
+  }
+
+  test("windowed_counts_stream: a mid-drain crash replays exactly-once on the next run (r15, VERDICT r14 next #7)") {
+    val base = tmpDir("graft-wc-crash")
+    val in = new java.io.File(s"$base/in")
+    val c = ctx(base)
+    val cmd = s"windowed_counts_stream dir=$in ckpt=$base/ckpt " +
+      "schema=\"user_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE\" " +
+      s"out=$base/out maxfiles=1"
+    val spec = StepSpec(8850, CommandType.Copy, TaskType.Stream, cmd,
+      zieltabelle = Some("wcc_out"))
+    dropEvents(in, "w1.parquet", Seq(
+      (1L, "2026-01-01 00:05:00", "click", 1.0),
+      (1L, "2026-01-01 00:15:00", "click", 1.0),
+      (2L, "2026-01-01 03:00:00", "view", 1.0)))
+    in.mkdirs()
+    java.nio.file.Files.write(new java.io.File(in, "w2.parquet").toPath,
+      "not a parquet file".getBytes)
+    intercept[Exception] { Steps.execute(spec, c) }
+    new java.io.File(in, "w2.parquet").delete()
+    dropEvents(in, "w2.parquet", Seq((1L, "2026-01-01 06:00:00", "click", 1.0)))
+    // the crashed drain died before the watermark-advance flush, so
+    // both windows close in the replayed drain
+    assert(Steps.execute(spec, c).contains(2L),
+      "the replayed drain must close the [00:00,01:00) and [03:00,04:00) windows")
+    val sink = spark.read
+      .schema("window_start TIMESTAMP, event_type STRING, n BIGINT")
+      .parquet(s"$base/out")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSeq
+    assert(sink.sorted == Seq(
+      ("2026-01-01 00:00:00.0", "click", 2L),
+      ("2026-01-01 03:00:00.0", "view", 1L)),
+      s"exactly-once across the crash: no duplicate or lost windows; got $sink")
+  }
+
   test("semdedup_stream: 3-drain lifecycle — admission chain carries in RocksDB state across drains") {
     assume(graft.streaming.Streams.stateV2Ready {
       val probe = spark.newSession()

@@ -173,6 +173,87 @@ class StreamsSpec extends AnyFunSuite with SparkSupport {
       Seq("a", "b", "c"))
   }
 
+  test("neardupAdmitBatch: checkpoint replay after a crash at EVERY phase is exactly-once") {
+    // r15 (VERDICT r14 next #3): the MinHash admission stream gets the
+    // bloom stream's replay treatment — for each induced crash point
+    // (after the rewind, the watermark advance, the out append, the
+    // signature append) replaying the batch must converge to exactly
+    // the clean run's out/hist/watermark state.
+    import spark.implicits._
+    def freshWh(tag: String): graft.catalog.Warehouse = {
+      val wh = new graft.catalog.Warehouse(tmpDir(s"ndadmit-replay-$tag"))
+      val sig = graft.operators.NearDup.signaturesWithRelease(
+        Seq((100L, "x1 x2 x3 x4 x5")).toDF("doc_id", "text"))
+      try wh.append(sig.frame.withColumn("batch",
+        org.apache.spark.sql.functions.lit(0L)), "hist")
+      finally sig.release()
+      wh
+    }
+    // doc 1 duplicates the historic doc (rejected), doc 2 is new
+    val batch1 = Seq((1L, "x1 x2 x3 x4 x5"), (2L, "y1 y2 y3 y4"))
+      .toDF("doc_id", "text")
+    // doc 3 duplicates ADMITTED doc 2 — the history growth is
+    // load-bearing; doc 4 is new
+    val batch2 = Seq((3L, "y1 y2 y3 y4"), (4L, "z1 z2 z3"))
+      .toDF("doc_id", "text")
+    def state(wh: graft.catalog.Warehouse) = (
+      wh.read(spark, "out").collect()
+        .map(r => (r.getAs[Long]("batch"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("n_hist_candidates"))).toSeq.sorted,
+      wh.read(spark, "hist").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("batch"))).toSeq.sorted,
+      wh.read(spark, "wm").collect().map(_.getLong(0)).toSeq)
+    def run(wh: graft.catalog.Warehouse, df: org.apache.spark.sql.DataFrame,
+        id: Long, failAt: Int = Int.MaxValue): Unit =
+      Streams.neardupAdmitBatch(df, id, wh, "hist", "out", "wm",
+        k = 12, bands = 4, threshold = 0.6, failAfterPhase = failAt)
+    val clean = freshWh("clean")
+    run(clean, batch1, 0L); run(clean, batch2, 1L)
+    val want = state(clean)
+    assert(want._1 == Seq((1L, 2L, 0L), (2L, 4L, 0L)),
+      s"clean run: dup of history and dup of an admitted doc must both reject, got ${want._1}")
+    assert(want._2 == Seq((2L, 1L), (4L, 2L), (100L, 0L)),
+      s"history must grow by exactly the admitted docs, got ${want._2}")
+    val reserved = intercept[IllegalArgumentException](
+      run(freshWh("rsv"), batch1.withColumn("batch",
+        org.apache.spark.sql.functions.lit(9L)), 0L))
+    assert(reserved.getMessage.contains("reserves the `batch` column"))
+    for (failAt <- 0 to 3) {
+      val wh = freshWh(s"f$failAt")
+      val e = intercept[IllegalStateException](run(wh, batch1, 0L, failAt))
+      assert(e.getMessage.contains(s"after phase $failAt"))
+      run(wh, batch1, 0L) // the replay foreachBatch would issue
+      run(wh, batch2, 1L)
+      assert(state(wh) == want, s"replay after phase-$failAt crash diverged")
+    }
+  }
+
+  test("neardupAdmitBatch: a non-replay batch never rewrites out/hist (watermark fast path)") {
+    import spark.implicits._
+    val wh = new graft.catalog.Warehouse(tmpDir("ndadmit-fastpath"))
+    val sig = graft.operators.NearDup.signaturesWithRelease(
+      Seq((100L, "x1 x2 x3 x4 x5")).toDF("doc_id", "text"))
+    try wh.append(sig.frame.withColumn("batch",
+      org.apache.spark.sql.functions.lit(0L)), "hist")
+    finally sig.release()
+    def run(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      Streams.neardupAdmitBatch(df, id, wh, "hist", "out", "wm",
+        k = 12, bands = 4, threshold = 0.6)
+    run(Seq((1L, "y1 y2 y3 y4")).toDF("doc_id", "text"), 0L)
+    assert(wh.read(spark, "wm").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val outFiles = wh.read(spark, "out").inputFiles.toSet
+    val histFiles = wh.read(spark, "hist").inputFiles.toSet
+    run(Seq((2L, "z1 z2 z3")).toDF("doc_id", "text"), 1L)
+    assert(outFiles.subsetOf(wh.read(spark, "out").inputFiles.toSet),
+      "a non-replay batch must append to out, never rewrite it")
+    assert(histFiles.subsetOf(wh.read(spark, "hist").inputFiles.toSet),
+      "a non-replay batch must append to hist, never rewrite it")
+    assert(wh.read(spark, "wm").collect().map(_.getLong(0)).toSeq == Seq(2L),
+      "the watermark must advance with each batch")
+    assert(wh.read(spark, "out").select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L))
+  }
+
   test("windowedCounts: watermark closes windows, counts per type") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
