@@ -2208,6 +2208,224 @@ object EndToEnd {
       LEFT JOIN nc2 ON nc2.nd = d.doc_id
       WHERE d.doc_id NOT IN (SELECT nd FROM rej2)"""))
 
+  /** Signature-history RETENTION fixture (r15, VERDICT r14 next #5):
+    * the incremental admission's historic signature table grows
+    * forever by design — retention is the q121 machinery applied to it:
+    * `delete_where range="doc_id=300..*"` cuts the high half of the
+    * history between two admissions of the SAME batch. At sf0.01 the
+    * first admission rejects 6 docs through blockers at hist ids
+    * {178, 245, 377, 393, 446, 450}; the cut removes four of those, so
+    * the second admission re-admits exactly their four victims and
+    * keeps rejecting the two whose blockers survive — the cut is
+    * load-bearing in both directions, and candidate counts shift too.
+    */
+  private[graft] def neardupRetentionWorkflowSpec(hist: String,
+      batch: String): WorkflowSpec = WorkflowSpec(
+    id = 24,
+    masterPackageId = 174,
+    fallbackPackageId = Some(179L),
+    packages = Map(
+      171L -> PackageSpec(171, realizations = Seq(RealizationSpec(
+        1710, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(17100, CommandType.Copy, TaskType.Pipeline,
+          s"neardup_signatures in=$hist",
+          zieltabelle = Some("nd6_hist")))))),
+      172L -> PackageSpec(172, dependencies = Seq(171L), realizations = Seq(RealizationSpec(
+        1720, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(17200, CommandType.Copy, TaskType.Pipeline,
+          s"neardup_admit in=$batch hist=nd6_hist",
+          zieltabelle = Some("nd6_adm1"), quelltabelle = Some("nd6_hist")))))),
+      173L -> PackageSpec(173, dependencies = Seq(172L), realizations = Seq(RealizationSpec(
+        1730, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(17300, CommandType.Copy, TaskType.Maintenance,
+          "delete_where range=\"doc_id=300..*\"",
+          zieltabelle = Some("nd6_hist")))))),
+      174L -> PackageSpec(174, dependencies = Seq(173L), realizations = Seq(RealizationSpec(
+        1740, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(17400, CommandType.Copy, TaskType.Pipeline,
+          s"neardup_admit in=$batch hist=nd6_hist",
+          zieltabelle = Some("nd6_adm2"), quelltabelle = Some("nd6_hist")))))),
+      179L -> PackageSpec(179, realizations = Seq(RealizationSpec(
+        1790, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(17900, CommandType.SqlTarget, TaskType.Sql,
+          "CREATE OR REPLACE TEMP VIEW nd6_compensation AS " +
+            "SELECT 'retention aborted' AS status")))))))
+
+  val q128 = QueryDef(
+    "q128_neardup_retention",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      val ledger = new RunLedger(() => FixedClock)
+      val wh = new Warehouse(graft.util.TempDirs.scratch("graft-nd6-wf"))
+      val runner = new WorkflowRunner(
+        new WorkflowManager, ledger, new Gates.ThreadCap(8),
+        new Gates.TableLocks, new Gates.ParallelLocks, clock = () => FixedClock)
+      val tag = s"nd6_${System.nanoTime()}"
+      s.sql(s"CREATE OR REPLACE TEMP VIEW ${tag}_hist AS " +
+        "SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0")
+      s.sql(s"CREATE OR REPLACE TEMP VIEW ${tag}_batch AS " +
+        "SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0")
+      val result = runner.run(
+        neardupRetentionWorkflowSpec(s"${tag}_hist", s"${tag}_batch"),
+        zeitplanAusfuehrungenId = 24,
+        (m: Macros.Context, stepRunId: Option[Long], real: RealizationSpec) =>
+          StepContext(s, wh, ledger, m, schrittRunId = stepRunId,
+            konfigurationenId = real.konfigurationenId))
+      result.error.foreach(throw _)
+      wh.read(s, "nd6_adm1")
+        .select(lit(1L).as("round"), col("doc_id"), col("n_hist_candidates"))
+        .unionByName(wh.read(s, "nd6_adm2")
+          .select(lit(2L).as("round"), col("doc_id"), col("n_hist_candidates")))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      ), sig AS (
+        SELECT doc_id, shingles,
+          list_transform(generate_series(0, 11), k ->
+            list_min(list_transform(
+              list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)),
+              h -> ((2*k+1)*h + k*12582917) % 4294967311))) AS sig
+        FROM (
+          SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+              list_distinct(list_transform(generate_series(1, len(t)-2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+            ELSE [] END AS shingles
+          FROM toks) WHERE len(shingles) > 0
+      ), bands AS (
+        SELECT doc_id, shingles, b,
+          md5(array_to_string(sig[(3*b+1):(3*b+3)], ',')) AS band_key
+        FROM sig, (SELECT unnest(generate_series(0,3)) AS b)
+      ), cand1 AS (
+        SELECT n.doc_id AS nd, h.doc_id AS hd,
+          any_value(n.shingles) AS sh_n, any_value(h.shingles) AS sh_h
+        FROM bands n JOIN bands h ON n.b = h.b AND n.band_key = h.band_key
+        WHERE n.doc_id % 4 = 0 AND h.doc_id % 4 <> 0
+        GROUP BY 1, 2
+      ), rej1 AS (
+        SELECT DISTINCT nd FROM cand1
+        WHERE CAST(len(list_intersect(sh_n, sh_h)) AS DOUBLE) /
+          CAST(len(list_distinct(list_concat(sh_n, sh_h))) AS DOUBLE) >= 0.6
+      ), nc1 AS (
+        SELECT nd, count(*) AS n FROM cand1 GROUP BY 1
+      ), cand2 AS (
+        SELECT nd, hd, sh_n, sh_h FROM cand1 WHERE hd < 300
+      ), rej2 AS (
+        SELECT DISTINCT nd FROM cand2
+        WHERE CAST(len(list_intersect(sh_n, sh_h)) AS DOUBLE) /
+          CAST(len(list_distinct(list_concat(sh_n, sh_h))) AS DOUBLE) >= 0.6
+      ), nc2 AS (
+        SELECT nd, count(*) AS n FROM cand2 GROUP BY 1
+      )
+      SELECT CAST(1 AS BIGINT) AS round, d.doc_id,
+             CAST(COALESCE(nc1.n, 0) AS BIGINT) AS n_hist_candidates
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
+      LEFT JOIN nc1 ON nc1.nd = d.doc_id
+      WHERE d.doc_id NOT IN (SELECT nd FROM rej1)
+      UNION ALL
+      SELECT CAST(2 AS BIGINT) AS round, d.doc_id,
+             CAST(COALESCE(nc2.n, 0) AS BIGINT) AS n_hist_candidates
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
+      LEFT JOIN nc2 ON nc2.nd = d.doc_id
+      WHERE d.doc_id NOT IN (SELECT nd FROM rej2)"""))
+
+  /** Bloom-history RETENTION fixture (r15, VERDICT r14 next #5): a
+    * bloom bitmap cannot unlearn, so keyset retention is delete_where
+    * on the SEEN table plus a whole-bitmap REBUILD (`bloom_build`) —
+    * the rebuilt bitmap lands in a fresh table (step writes append; a
+    * bitmap must never be appended to by a rebuild). Keys are
+    * `l_partkey` across shipping windows: the late-1996+ batch re-ships
+    * 1672 parts already seen before 1996 and introduces 20 new ones;
+    * cutting partkeys ≤ 400 from the seen table re-admits exactly the
+    * 332 cut keys the batch carries.
+    */
+  private[graft] def bloomRetentionWorkflowSpec(): WorkflowSpec = {
+    val seenSql = "SELECT DISTINCT l_partkey FROM lineitem " +
+      "WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'"
+    val batchSql = "SELECT DISTINCT l_partkey FROM lineitem " +
+      "WHERE l_shipdate >= TIMESTAMP '2001-06-01 00:00:00'"
+    WorkflowSpec(
+      id = 25,
+      masterPackageId = 186,
+      fallbackPackageId = Some(189L),
+      packages = Map(
+        181L -> PackageSpec(181, realizations = Seq(RealizationSpec(
+          1810, anzahlParalleleSchritte = 1,
+          steps = Seq(
+            StepSpec(18100, CommandType.Copy, TaskType.Sql, seenSql,
+              zieltabelle = Some("nd7_seen"), schrittReihenfolge = 0),
+            StepSpec(18110, CommandType.Copy, TaskType.Sql, batchSql,
+              zieltabelle = Some("nd7_batch"), schrittReihenfolge = 1),
+            StepSpec(18120, CommandType.Copy, TaskType.Pipeline,
+              "bloom_build in=nd7_seen key=l_partkey mbits=65536 k=5",
+              zieltabelle = Some("nd7_bloom"),
+              quelltabelle = Some("nd7_seen"), schrittReihenfolge = 2))))),
+        182L -> PackageSpec(182, dependencies = Seq(181L), realizations = Seq(RealizationSpec(
+          1820, anzahlParalleleSchritte = 1,
+          steps = Seq(StepSpec(18200, CommandType.Copy, TaskType.Pipeline,
+            "bloom_ingest in=nd7_batch seen=nd7_seen key=l_partkey " +
+              "bloom=nd7_bloom mbits=65536 k=5",
+            zieltabelle = Some("nd7_adm1"),
+            quelltabelle = Some("nd7_seen,nd7_bloom,nd7_batch")))))),
+        183L -> PackageSpec(183, dependencies = Seq(182L), realizations = Seq(RealizationSpec(
+          1830, anzahlParalleleSchritte = 1,
+          steps = Seq(
+            StepSpec(18300, CommandType.Copy, TaskType.Maintenance,
+              "delete_where range=\"l_partkey=*..400\"",
+              zieltabelle = Some("nd7_seen"), schrittReihenfolge = 0),
+            StepSpec(18310, CommandType.Copy, TaskType.Pipeline,
+              "bloom_build in=nd7_seen key=l_partkey mbits=65536 k=5",
+              zieltabelle = Some("nd7_bloom2"),
+              quelltabelle = Some("nd7_seen"), schrittReihenfolge = 1))))),
+        186L -> PackageSpec(186, dependencies = Seq(183L), realizations = Seq(RealizationSpec(
+          1860, anzahlParalleleSchritte = 1,
+          steps = Seq(StepSpec(18600, CommandType.Copy, TaskType.Pipeline,
+            "bloom_ingest in=nd7_batch seen=nd7_seen key=l_partkey " +
+              "bloom=nd7_bloom2 mbits=65536 k=5",
+            zieltabelle = Some("nd7_adm2"),
+            quelltabelle = Some("nd7_seen,nd7_bloom2,nd7_batch")))))),
+        189L -> PackageSpec(189, realizations = Seq(RealizationSpec(
+          1890, anzahlParalleleSchritte = 1,
+          steps = Seq(StepSpec(18900, CommandType.SqlTarget, TaskType.Sql,
+            "CREATE OR REPLACE TEMP VIEW nd7_compensation AS " +
+              "SELECT 'bloom retention aborted' AS status")))))))
+  }
+
+  val q129 = QueryDef(
+    "q129_bloom_retention",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      val ledger = new RunLedger(() => FixedClock)
+      val wh = new Warehouse(graft.util.TempDirs.scratch("graft-nd7-wf"))
+      val runner = new WorkflowRunner(
+        new WorkflowManager, ledger, new Gates.ThreadCap(8),
+        new Gates.TableLocks, new Gates.ParallelLocks, clock = () => FixedClock)
+      val result = runner.run(bloomRetentionWorkflowSpec(),
+        zeitplanAusfuehrungenId = 25,
+        (m: Macros.Context, stepRunId: Option[Long], real: RealizationSpec) =>
+          StepContext(s, wh, ledger, m, schrittRunId = stepRunId,
+            konfigurationenId = real.konfigurationenId))
+      result.error.foreach(throw _)
+      wh.read(s, "nd7_adm1")
+        .select(lit(1L).as("round"), col("l_partkey"))
+        .unionByName(wh.read(s, "nd7_adm2")
+          .select(lit(2L).as("round"), col("l_partkey")))
+    },
+    Some("""
+      WITH seen AS (
+        SELECT DISTINCT l_partkey FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      ), batch AS (
+        SELECT DISTINCT l_partkey FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '2001-06-01 00:00:00'
+      )
+      SELECT CAST(1 AS BIGINT) AS round, l_partkey FROM batch
+      WHERE l_partkey NOT IN (SELECT l_partkey FROM seen)
+      UNION ALL
+      SELECT CAST(2 AS BIGINT) AS round, l_partkey FROM batch
+      WHERE l_partkey NOT IN (SELECT l_partkey FROM seen WHERE l_partkey > 400)"""))
+
   val all: Seq[QueryDef] = Seq(q20, q21, q36, q42, q53, q103, q106, q107, q109,
-    q110, q113, q116, q117, q118, q119, q120, q121, q124, q125, q126, q127)
+    q110, q113, q116, q117, q118, q119, q120, q121, q124, q125, q126, q127,
+    q128, q129)
 }

@@ -154,7 +154,10 @@ object StreamTransforms {
       val q = graft.streaming.Streams.bloomDedupStream(
         stream, key, ctx.warehouse, seenT, bloomT, outT,
         checkpointDir = Transforms.str(p, "ckpt"), mBits = mBits, k = k,
-        admittedRows = Some(admitted))
+        admittedRows = Some(admitted),
+        onBatchStats = (b, nBatch, nAdmitted) => ctx.ledger.message(
+          s"bloom_ingest_stream batch $b: admitted $nAdmitted of $nBatch rows",
+          schrittRunId = ctx.schrittRunId))
       q.awaitTermination() // AvailableNow: returns drained, rethrows failure
       admitted.get
     },
@@ -190,7 +193,13 @@ object StreamTransforms {
         k = Transforms.long(p, "k", Some(12L)).toInt,
         bands = Transforms.long(p, "bands", Some(4L)).toInt,
         threshold = p.get("threshold").map(_.toDouble).getOrElse(0.6),
-        admittedRows = Some(admitted))
+        admittedRows = Some(admitted),
+        // admission health per tick into the run ledger (r15 stretch):
+        // a rising rejected share on a stable feed means the corpus is
+        // re-crawling itself — visible per batch, not per drain
+        onBatchStats = (b, nBatch, nAdmitted) => ctx.ledger.message(
+          s"neardup_admit_stream batch $b: admitted $nAdmitted of $nBatch docs",
+          schrittRunId = ctx.schrittRunId))
       q.awaitTermination() // AvailableNow: returns drained, rethrows failure
       admitted.get
     },

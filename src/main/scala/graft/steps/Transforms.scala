@@ -97,7 +97,8 @@ object Transforms {
     "neardup_bands" -> Set("in", "k", "bands", "ids"),
     "neardup_admit" -> Set("in", "hist", "k", "bands", "threshold",
       "broadcast_batch", "hist_bands", "max_probe_keys"),
-    "bloom_ingest" -> Set("in", "seen", "key", "mbits", "k"),
+    "bloom_ingest" -> Set("in", "seen", "key", "mbits", "k", "bloom"),
+    "bloom_build" -> Set("in", "key", "mbits", "k"),
     "pruned_read" -> Set("in", "ranges"),
     "semdedup" -> Set("in", "id", "emb", "threshold", "seed_k", "cents"),
     "budget_take" -> Set("in", "budget"),
@@ -304,11 +305,35 @@ object Transforms {
       Curation.Staged(staged.frame, staged.release)
     },
     // bloom_ingest in=<incoming table> seen=<historic keys table>
-    //   key=<column> [mbits=65536 k=5] — admitted (definitely-new) rows;
-    // the batch half of the q89/q101 lifecycle as a step
-    "bloom_ingest" -> ((ctx, p) =>
-      unstaged(graft.operators.Bloom.newKeys(
-        input(ctx, p, "in"), input(ctx, p, "seen"), str(p, "key"),
+    //   key=<column> [mbits=65536 k=5 bloom=<prebuilt bitmap table>] —
+    // admitted (definitely-new) rows; the batch half of the q89/q101
+    // lifecycle as a step. `bloom=` probes a PREBUILT persisted bitmap
+    // (Bloom.newKeysAgainst) instead of rebuilding from `seen` — the
+    // incremental shape, and the one a retention workflow rebuilds
+    // after cutting `seen` (r15: a bloom cannot unlearn, so retention =
+    // delete_where on seen + bloom_build rebuild). broadcastConfirm
+    // stays off either way: a step's in= is an unguarded surface.
+    "bloom_ingest" -> { (ctx, p) =>
+      val in = input(ctx, p, "in")
+      val seen = input(ctx, p, "seen")
+      val key = str(p, "key")
+      val mBits = long(p, "mbits", Some(1L << 16))
+      val k = long(p, "k", Some(5L)).toInt
+      unstaged(p.get("bloom") match {
+        case Some(_) => graft.operators.Bloom.newKeysAgainst(
+          in, seen, key, input(ctx, p, "bloom"), mBits, k,
+          broadcastConfirm = false)
+        case None => graft.operators.Bloom.newKeys(in, seen, key, mBits, k)
+      })
+    },
+    // bloom_build in=<keys table> key=<column> [mbits=65536 k=5] — the
+    // persisted (w, bits) bitmap artifact of a keyset (Bloom.build):
+    // built once at lifecycle start, maintained incrementally with
+    // merge inside the streams, and REBUILT whole after a retention cut
+    // on the keyset (the r15 retention workflows, q129)
+    "bloom_build" -> ((ctx, p) =>
+      unstaged(graft.operators.Bloom.build(
+        input(ctx, p, "in"), str(p, "key"),
         mBits = long(p, "mbits", Some(1L << 16)),
         k = long(p, "k", Some(5L)).toInt))),
     // pruned_read in=<warehouse table> ranges="col=lo..hi,col=lo..hi"

@@ -318,7 +318,8 @@ object Streams {
       k: Int = 5,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-      admittedRows: Option[java.util.concurrent.atomic.AtomicLong] = None)
+      admittedRows: Option[java.util.concurrent.atomic.AtomicLong] = None,
+      onBatchStats: (Long, Long, Long) => Unit = (_, _, _) => ())
       : org.apache.spark.sql.streaming.StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -326,7 +327,7 @@ object Streams {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         bloomDedupBatch(batch, id, keyCol, warehouse,
           seenTable, bloomTable, outTable, mBits, k,
-          admittedRows = admittedRows)
+          admittedRows = admittedRows, onBatchStats = onBatchStats)
       }
       .start()
 
@@ -340,7 +341,8 @@ object Streams {
       warehouse: graft.catalog.Warehouse,
       seenTable: String, bloomTable: String, outTable: String,
       mBits: Long, k: Int, failAfterPhase: Int = Int.MaxValue,
-      admittedRows: Option[java.util.concurrent.atomic.AtomicLong] = None): Unit = {
+      admittedRows: Option[java.util.concurrent.atomic.AtomicLong] = None,
+      onBatchStats: (Long, Long, Long) => Unit = (_, _, _) => ()): Unit = {
     require(!batch.columns.contains("batch") && keyCol != "batch",
       "bloomDedupStream reserves the `batch` column for its replay-rewind " +
         "tag — rename the incoming column")
@@ -408,6 +410,7 @@ object Streams {
         // accounting matches what this run actually landed without
         // ever re-pricing the out table's history (r14 review)
         admittedRows.foreach(_.addAndGet(nAdmitted))
+        onBatchStats(b, batch.count(), nAdmitted)
       } finally { admitted.unpersist(); () }
     }
   }
@@ -448,27 +451,34 @@ object Streams {
       threshold: Double = 0.6,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-      admittedRows: Option[java.util.concurrent.atomic.AtomicLong] = None)
+      admittedRows: Option[java.util.concurrent.atomic.AtomicLong] = None,
+      onBatchStats: (Long, Long, Long) => Unit = (_, _, _) => ())
       : org.apache.spark.sql.streaming.StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         neardupAdmitBatch(batch, id, warehouse, histTable, outTable, wmTable,
-          k, bands, threshold, admittedRows = admittedRows)
+          k, bands, threshold, admittedRows = admittedRows,
+          onBatchStats = onBatchStats)
       }
       .start()
 
   /** One micro-batch of [[neardupAdmitStream]] — separated so the spec
     * can invoke it like `foreachBatch` does on checkpoint replay.
-    * `failAfterPhase` (test-only) throws after the numbered phase. */
+    * `failAfterPhase` (test-only) throws after the numbered phase.
+    * `onBatchStats` observes (batch id, batch docs, admitted docs) per
+    * COMPLETED batch — the step surface's admission-health telemetry
+    * hook (r15 stretch: a production operator reads admission rates per
+    * tick from the run ledger, the reference's ledger-first identity). */
   private[graft] def neardupAdmitBatch(
       batch: DataFrame, id: Long,
       warehouse: graft.catalog.Warehouse,
       histTable: String, outTable: String, wmTable: String,
       k: Int, bands: Int, threshold: Double,
       failAfterPhase: Int = Int.MaxValue,
-      admittedRows: Option[java.util.concurrent.atomic.AtomicLong] = None): Unit = {
+      admittedRows: Option[java.util.concurrent.atomic.AtomicLong] = None,
+      onBatchStats: (Long, Long, Long) => Unit = (_, _, _) => ()): Unit = {
     require(!batch.columns.contains("batch"),
       "neardupAdmitStream reserves the `batch` column for its replay-rewind " +
         "tag — rename the incoming column")
@@ -516,6 +526,7 @@ object Streams {
         induced(3)
         // count only COMPLETED batches (crashed ones rewind + recount)
         admittedRows.foreach(_.addAndGet(nAdmitted))
+        onBatchStats(b, batch.count(), nAdmitted)
       } finally { admitted.unpersist(); adm.release(); () }
     }
   }
