@@ -2425,7 +2425,133 @@ object EndToEnd {
       SELECT CAST(2 AS BIGINT) AS round, l_partkey FROM batch
       WHERE l_partkey NOT IN (SELECT l_partkey FROM seen WHERE l_partkey > 400)"""))
 
+  /** The PRUNED streaming admission fixture (r15 — the round's two
+    * headline features composed): q127's stream with `hist_bands=`, so
+    * every micro-batch admits through the manifest-pruned path while
+    * the stream itself maintains the band table beside the signatures
+    * (bands ⊇ hist at every crash point — StreamsSpec pins the covering
+    * invariant). Unmanifested bootstrap tables make the pruned planner
+    * fall back to full filtered scans, so rows are identical to q127 by
+    * construction — which is exactly what the shared oracle pins; the
+    * manifested-pruning evidence is q126's and NearDupProbe's.
+    */
+  private[graft] def neardupPrunedStreamWorkflowSpec(seedView: String,
+      inDir: String, ckptDir: String): WorkflowSpec = WorkflowSpec(
+    id = 26,
+    masterPackageId = 191,
+    fallbackPackageId = Some(199L),
+    packages = Map(
+      191L -> PackageSpec(191, realizations = Seq(RealizationSpec(
+        1910, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(19100, CommandType.Copy, TaskType.Stream,
+          s"neardup_admit_stream dir=$inDir ckpt=$ckptDir " +
+            "schema=\"doc_id BIGINT, text STRING\" " +
+            s"seed=$seedView hist=nd8_hist hist_bands=nd8_bands " +
+            "out=nd8_admitted wm=nd8_wm maxfiles=1",
+          zieltabelle = Some("nd8_admitted"),
+          quelltabelle = Some("nd8_hist,nd8_bands,nd8_wm")))))),
+      199L -> PackageSpec(199, realizations = Seq(RealizationSpec(
+        1990, anzahlParalleleSchritte = 1,
+        steps = Seq(StepSpec(19900, CommandType.SqlTarget, TaskType.Sql,
+          "CREATE OR REPLACE TEMP VIEW nd8_compensation AS " +
+            "SELECT 'pruned stream admission aborted' AS status")))))))
+
+  val q130 = QueryDef(
+    "q130_neardup_pruned_streaming",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      val base = graft.util.TempDirs.scratch("graft-nd8-wf")
+      val docs = s.table("documents").select(col("doc_id"), col("text"))
+      val seedView = s"nd8_seed_${System.nanoTime()}"
+      docs.filter(col("doc_id") % 4 === 2 || col("doc_id") % 4 === 3)
+        .createOrReplaceTempView(seedView)
+      def writeArrival(n: Int, residue: Long, mtime: Long): Unit = {
+        val tmp = s"$base/tmp$n"
+        docs.filter(col("doc_id") % 4 === residue).coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(s"$base/in/batch$n.parquet")
+        dst.getParentFile.mkdirs()
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        require(dst.setLastModified(mtime), s"could not order arrival file $n")
+      }
+      writeArrival(1, 1L, 1700000000000L)
+      writeArrival(2, 0L, 1700000100000L)
+      val ledger = new RunLedger(() => FixedClock)
+      val wh = new Warehouse(s"$base/wh")
+      val runner = new WorkflowRunner(
+        new WorkflowManager, ledger, new Gates.ThreadCap(8),
+        new Gates.TableLocks, new Gates.ParallelLocks, clock = () => FixedClock)
+      val result = runner.run(
+        neardupPrunedStreamWorkflowSpec(seedView, s"$base/in", s"$base/ckpt"),
+        zeitplanAusfuehrungenId = 26,
+        (m: Macros.Context, stepRunId: Option[Long], real: RealizationSpec) =>
+          StepContext(s, wh, ledger, m, schrittRunId = stepRunId,
+            konfigurationenId = real.konfigurationenId))
+      result.error.foreach(throw _)
+      wh.read(s, "nd8_admitted")
+        .select(col("batch"), col("doc_id"), col("n_hist_candidates"))
+    },
+    // the pruned path must not move a row vs the full-scan stream —
+    // q127's two-round oracle verbatim
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      ), sig AS (
+        SELECT doc_id, shingles,
+          list_transform(generate_series(0, 11), k ->
+            list_min(list_transform(
+              list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)),
+              h -> ((2*k+1)*h + k*12582917) % 4294967311))) AS sig
+        FROM (
+          SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+              list_distinct(list_transform(generate_series(1, len(t)-2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+            ELSE [] END AS shingles
+          FROM toks) WHERE len(shingles) > 0
+      ), bands AS (
+        SELECT doc_id, shingles, b,
+          md5(array_to_string(sig[(3*b+1):(3*b+3)], ',')) AS band_key
+        FROM sig, (SELECT unnest(generate_series(0,3)) AS b)
+      ), cand1 AS (
+        SELECT n.doc_id AS nd, h.doc_id AS hd,
+          any_value(n.shingles) AS sh_n, any_value(h.shingles) AS sh_h
+        FROM bands n JOIN bands h ON n.b = h.b AND n.band_key = h.band_key
+        WHERE n.doc_id % 4 = 1 AND h.doc_id % 4 IN (2, 3)
+        GROUP BY 1, 2
+      ), rej1 AS (
+        SELECT DISTINCT nd FROM cand1
+        WHERE CAST(len(list_intersect(sh_n, sh_h)) AS DOUBLE) /
+          CAST(len(list_distinct(list_concat(sh_n, sh_h))) AS DOUBLE) >= 0.6
+      ), nc1 AS (
+        SELECT nd, count(*) AS n FROM cand1 GROUP BY 1
+      ), cand2 AS (
+        SELECT n.doc_id AS nd, h.doc_id AS hd,
+          any_value(n.shingles) AS sh_n, any_value(h.shingles) AS sh_h
+        FROM bands n JOIN bands h ON n.b = h.b AND n.band_key = h.band_key
+        WHERE n.doc_id % 4 = 0 AND (h.doc_id % 4 IN (2, 3) OR
+          (h.doc_id % 4 = 1 AND h.doc_id NOT IN (SELECT nd FROM rej1)))
+        GROUP BY 1, 2
+      ), rej2 AS (
+        SELECT DISTINCT nd FROM cand2
+        WHERE CAST(len(list_intersect(sh_n, sh_h)) AS DOUBLE) /
+          CAST(len(list_distinct(list_concat(sh_n, sh_h))) AS DOUBLE) >= 0.6
+      ), nc2 AS (
+        SELECT nd, count(*) AS n FROM cand2 GROUP BY 1
+      )
+      SELECT CAST(1 AS BIGINT) AS batch, d.doc_id,
+             CAST(COALESCE(nc1.n, 0) AS BIGINT) AS n_hist_candidates
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 1) d
+      LEFT JOIN nc1 ON nc1.nd = d.doc_id
+      WHERE d.doc_id NOT IN (SELECT nd FROM rej1)
+      UNION ALL
+      SELECT CAST(2 AS BIGINT) AS batch, d.doc_id,
+             CAST(COALESCE(nc2.n, 0) AS BIGINT) AS n_hist_candidates
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
+      LEFT JOIN nc2 ON nc2.nd = d.doc_id
+      WHERE d.doc_id NOT IN (SELECT nd FROM rej2)"""))
+
   val all: Seq[QueryDef] = Seq(q20, q21, q36, q42, q53, q103, q106, q107, q109,
     q110, q113, q116, q117, q118, q119, q120, q121, q124, q125, q126, q127,
-    q128, q129)
+    q128, q129, q130)
 }

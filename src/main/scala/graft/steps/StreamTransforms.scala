@@ -46,7 +46,8 @@ object StreamTransforms {
     "bloom_ingest_stream" -> Set("dir", "ckpt", "schema", "key", "seed",
       "seen", "bloom", "out", "mbits", "k", "maxfiles"),
     "neardup_admit_stream" -> Set("dir", "ckpt", "schema", "seed", "hist",
-      "out", "wm", "k", "bands", "threshold", "maxfiles"),
+      "out", "wm", "k", "bands", "threshold", "maxfiles", "hist_bands",
+      "max_probe_keys"),
     "file_ingest_stream" -> Set("dir", "ckpt", "archive", "schema", "out",
       "producer", "format"),
     "sessionize_stream" -> Set("dir", "ckpt", "schema", "out", "gap",
@@ -164,7 +165,8 @@ object StreamTransforms {
     // neardup_admit_stream dir=<doc drop folder> ckpt=<checkpoint dir>
     //   schema="doc_id BIGINT, text STRING" seed=<historic docs table>
     //   hist=<signature state> out=<admitted target> wm=<watermark state>
-    //   [k=12 bands=4 threshold=0.6 maxfiles=1]
+    //   [k=12 bands=4 threshold=0.6 maxfiles=1 hist_bands=<band state>
+    //    max_probe_keys=65536]
     // — the MinHash twin of bloom_ingest_stream (r15, VERDICT r14 next
     // #3): bootstrap the historic signature table from `seed` when
     // absent (batch=0 tag — the stream's rewind column), then drain the
@@ -172,16 +174,29 @@ object StreamTransforms {
     // (graft.streaming.Streams.neardupAdmitStream). Each drained
     // micro-batch admits against historic ∪ earlier batches; admitted
     // docs land batch-tagged in `out`, their signatures grow `hist`.
+    // `hist_bands=` maintains the persisted band table beside the
+    // signatures and admits through the MANIFEST-PRUNED path — the
+    // always-on surface of the q126 machinery: per-batch scans
+    // sublinear in history, with a scheduled MAINTENANCE
+    // `refresh_stats incremental=true` keeping pruning quality as the
+    // stream's (always-scanned) appends accumulate.
     "neardup_admit_stream" -> { (ctx, p) =>
       val spark = ctx.spark
       val histT = Transforms.str(p, "hist")
+      val k = Transforms.long(p, "k", Some(12L)).toInt
+      val nb = Transforms.long(p, "bands", Some(4L)).toInt
       if (!ctx.warehouse.exists(spark, histT)) {
         val sigStage = graft.operators.NearDup.signaturesWithRelease(
-          Transforms.input(ctx, p, "seed"),
-          k = Transforms.long(p, "k", Some(12L)).toInt)
+          Transforms.input(ctx, p, "seed"), k = k)
         try ctx.warehouse.append(
           sigStage.frame.withColumn("batch", lit(0L)), histT)
         finally sigStage.release()
+      }
+      p.get("hist_bands").foreach { bt =>
+        if (!ctx.warehouse.exists(spark, bt))
+          ctx.warehouse.append(graft.operators.NearDup.bandTable(
+            ctx.warehouse.read(spark, histT), k, nb)
+            .withColumn("batch", lit(0L)), bt)
       }
       val admitted = new java.util.concurrent.atomic.AtomicLong(0L)
       val q = graft.streaming.Streams.neardupAdmitStream(
@@ -190,8 +205,7 @@ object StreamTransforms {
         outTable = Transforms.str(p, "out"),
         wmTable = Transforms.str(p, "wm"),
         checkpointDir = Transforms.str(p, "ckpt"),
-        k = Transforms.long(p, "k", Some(12L)).toInt,
-        bands = Transforms.long(p, "bands", Some(4L)).toInt,
+        k = k, bands = nb,
         threshold = p.get("threshold").map(_.toDouble).getOrElse(0.6),
         admittedRows = Some(admitted),
         // admission health per tick into the run ledger (r15 stretch):
@@ -199,7 +213,9 @@ object StreamTransforms {
         // re-crawling itself — visible per batch, not per drain
         onBatchStats = (b, nBatch, nAdmitted) => ctx.ledger.message(
           s"neardup_admit_stream batch $b: admitted $nAdmitted of $nBatch docs",
-          schrittRunId = ctx.schrittRunId))
+          schrittRunId = ctx.schrittRunId),
+        bandsTable = p.get("hist_bands"),
+        maxProbeKeys = Transforms.long(p, "max_probe_keys", Some(1L << 16)).toInt)
       q.awaitTermination() // AvailableNow: returns drained, rethrows failure
       admitted.get
     },

@@ -438,6 +438,19 @@ object Streams {
     * point (StreamsSpec replays each phase). An absent watermark table
     * (bootstrap) reads as watermark-unknown and keeps the conservative
     * scrub.
+    *
+    * `bandsTable` (r15 — the round's two headline features composed):
+    * when set, the stream maintains the persisted (doc_id, b, key64)
+    * band table BESIDE the signature table — admitted docs' bands
+    * append batch-tagged BEFORE the signatures (bands ⊇ hist at every
+    * crash point: under-covering is the direction that silently
+    * re-admits) — and each micro-batch admits through the
+    * MANIFEST-PRUNED path ([[graft.operators.NearDup
+    * .admitAgainstPrunedWithRelease]]), so the always-on surface pays
+    * per-batch scans sublinear in the history, not two full passes.
+    * Stream appends are unmanifested (always scanned — freshness rule),
+    * so pruning quality decays between the scheduled MAINTENANCE
+    * `refresh_stats incremental=true` passes and rows never move.
     */
   def neardupAdmitStream(
       incoming: DataFrame,
@@ -452,7 +465,9 @@ object Streams {
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
       admittedRows: Option[java.util.concurrent.atomic.AtomicLong] = None,
-      onBatchStats: (Long, Long, Long) => Unit = (_, _, _) => ())
+      onBatchStats: (Long, Long, Long) => Unit = (_, _, _) => (),
+      bandsTable: Option[String] = None,
+      maxProbeKeys: Int = 1 << 16)
       : org.apache.spark.sql.streaming.StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -460,7 +475,8 @@ object Streams {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         neardupAdmitBatch(batch, id, warehouse, histTable, outTable, wmTable,
           k, bands, threshold, admittedRows = admittedRows,
-          onBatchStats = onBatchStats)
+          onBatchStats = onBatchStats, bandsTable = bandsTable,
+          maxProbeKeys = maxProbeKeys)
       }
       .start()
 
@@ -478,7 +494,9 @@ object Streams {
       k: Int, bands: Int, threshold: Double,
       failAfterPhase: Int = Int.MaxValue,
       admittedRows: Option[java.util.concurrent.atomic.AtomicLong] = None,
-      onBatchStats: (Long, Long, Long) => Unit = (_, _, _) => ()): Unit = {
+      onBatchStats: (Long, Long, Long) => Unit = (_, _, _) => (),
+      bandsTable: Option[String] = None,
+      maxProbeKeys: Int = 1 << 16): Unit = {
     require(!batch.columns.contains("batch"),
       "neardupAdmitStream reserves the `batch` column for its replay-rewind " +
         "tag — rename the incoming column")
@@ -497,12 +515,17 @@ object Streams {
           .agg(org.apache.spark.sql.functions.max(col("wm"))).head().getLong(0))
       if (wm.forall(_ >= b)) {
         warehouse.deleteWhereRange(spark, outTable, "batch", b, b)
+        bandsTable.foreach(bt => warehouse.deleteWhereRange(spark, bt, "batch", b, b))
         warehouse.deleteWhereRange(spark, histTable, "batch", b, b)
       }
       induced(0)
-      val histSig = warehouse.read(spark, histTable)
-      val adm = graft.operators.NearDup.admitAgainstWithRelease(
-        batch, histSig, k, bands, threshold)
+      val adm = bandsTable match {
+        case Some(bt) => graft.operators.NearDup.admitAgainstPrunedWithRelease(
+          spark, warehouse, batch, histTable, bt, k, bands, threshold,
+          maxProbeKeys = maxProbeKeys)
+        case None => graft.operators.NearDup.admitAgainstWithRelease(
+          batch, warehouse.read(spark, histTable), k, bands, threshold)
+      }
       val admitted = adm.frame.persist() // consumed twice: out + signature append
       try {
         import spark.implicits._
@@ -517,13 +540,25 @@ object Streams {
         // phase 2: admitted docs, batch-tagged for the rewind
         warehouse.append(admitted.withColumn("batch", lit(b)), outTable)
         induced(2)
-        // phase 3: admitted docs' signatures grow the history, tagged too
+        // phases 3+4: the admitted docs' bands FIRST, then their
+        // signatures — bands ⊇ hist at every crash point, because
+        // under-covering (a hist doc the band probe cannot see) is the
+        // direction that silently re-admits near-dups; over-covering
+        // only costs an unconfirmable candidate until the rewind
         val sigStage = graft.operators.NearDup.signaturesWithRelease(
           batch.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi"), k)
-        try warehouse.append(
-          sigStage.frame.withColumn("batch", lit(b)), histTable)
-        finally sigStage.release()
-        induced(3)
+        try {
+          val sig = sigStage.frame.persist() // 2 consumers when bands maintained
+          try {
+            bandsTable.foreach { bt =>
+              warehouse.append(graft.operators.NearDup.bandTable(sig, k, bands)
+                .withColumn("batch", lit(b)), bt)
+            }
+            induced(3)
+            warehouse.append(sig.withColumn("batch", lit(b)), histTable)
+          } finally { sig.unpersist(); () }
+        } finally sigStage.release()
+        induced(4)
         // count only COMPLETED batches (crashed ones rewind + recount)
         admittedRows.foreach(_.addAndGet(nAdmitted))
         onBatchStats(b, batch.count(), nAdmitted)

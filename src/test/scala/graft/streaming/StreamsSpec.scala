@@ -218,11 +218,69 @@ class StreamsSpec extends AnyFunSuite with SparkSupport {
       run(freshWh("rsv"), batch1.withColumn("batch",
         org.apache.spark.sql.functions.lit(9L)), 0L))
     assert(reserved.getMessage.contains("reserves the `batch` column"))
-    for (failAt <- 0 to 3) {
+    for (failAt <- 0 to 4) {
       val wh = freshWh(s"f$failAt")
       val e = intercept[IllegalStateException](run(wh, batch1, 0L, failAt))
       assert(e.getMessage.contains(s"after phase $failAt"))
       run(wh, batch1, 0L) // the replay foreachBatch would issue
+      run(wh, batch2, 1L)
+      assert(state(wh) == want, s"replay after phase-$failAt crash diverged")
+    }
+  }
+
+  test("neardupAdmitBatch with a band table (pruned path): crash replay at EVERY phase is exactly-once, bands cover hist") {
+    // r15: the pruned streaming admission maintains the band table
+    // beside the signatures — replay must converge out/hist/BANDS to
+    // the clean run's, and at every crash point the band table must
+    // cover the signature table (under-covering silently re-admits)
+    import spark.implicits._
+    def freshWh(tag: String): graft.catalog.Warehouse = {
+      val wh = new graft.catalog.Warehouse(tmpDir(s"ndadmit-pr-$tag"))
+      val sig = graft.operators.NearDup.signaturesWithRelease(
+        Seq((100L, "x1 x2 x3 x4 x5")).toDF("doc_id", "text"))
+      try {
+        val s0 = sig.frame.persist()
+        wh.append(s0.withColumn("batch",
+          org.apache.spark.sql.functions.lit(0L)), "hist")
+        wh.append(graft.operators.NearDup.bandTable(s0).withColumn("batch",
+          org.apache.spark.sql.functions.lit(0L)), "hbands")
+        s0.unpersist()
+      } finally sig.release()
+      wh
+    }
+    val batch1 = Seq((1L, "x1 x2 x3 x4 x5"), (2L, "y1 y2 y3 y4"))
+      .toDF("doc_id", "text")
+    val batch2 = Seq((3L, "y1 y2 y3 y4"), (4L, "z1 z2 z3"))
+      .toDF("doc_id", "text")
+    def state(wh: graft.catalog.Warehouse) = (
+      wh.read(spark, "out").collect()
+        .map(r => (r.getAs[Long]("batch"), r.getAs[Long]("doc_id"))).toSeq.sorted,
+      wh.read(spark, "hist").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("batch"))).toSeq.sorted,
+      wh.read(spark, "hbands").select("doc_id", "b", "key64", "batch").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq.sorted)
+    def run(wh: graft.catalog.Warehouse, df: org.apache.spark.sql.DataFrame,
+        id: Long, failAt: Int = Int.MaxValue): Unit =
+      Streams.neardupAdmitBatch(df, id, wh, "hist", "out", "wm",
+        k = 12, bands = 4, threshold = 0.6, failAfterPhase = failAt,
+        bandsTable = Some("hbands"))
+    val clean = freshWh("clean")
+    run(clean, batch1, 0L); run(clean, batch2, 1L)
+    val want = state(clean)
+    assert(want._1 == Seq((1L, 2L), (2L, 4L)),
+      s"pruned path must admit/reject exactly as the full path, got ${want._1}")
+    for (failAt <- 0 to 4) {
+      val wh = freshWh(s"f$failAt")
+      val e = intercept[IllegalStateException](run(wh, batch1, 0L, failAt))
+      assert(e.getMessage.contains(s"after phase $failAt"))
+      // the covering invariant mid-crash: every hist doc has band rows
+      val histIds = wh.read(spark, "hist").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      val bandIds = wh.read(spark, "hbands").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(histIds.subsetOf(bandIds),
+        s"crash after phase $failAt left hist docs the band probe cannot see")
+      run(wh, batch1, 0L)
       run(wh, batch2, 1L)
       assert(state(wh) == want, s"replay after phase-$failAt crash diverged")
     }
