@@ -565,6 +565,46 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
     * O(|files| · log |keys|) over sorted keys — metadata-sized by the
     * same argument as the manifest itself.
     */
+  /** Membership filter for a point-set scan: a literal `IN` for small
+    * key sets (stays inside the scan's data filters — parquet row-group
+    * skip applies), a BROADCAST SEMI-JOIN against the key set past
+    * that — an `In` with thousands of literal children is an
+    * expression-tree/analysis cost paid once per query (measured
+    * seconds at a 5k-key micro-batch, and it grows with the batch),
+    * where the semi-join ships the same keys once as a hashed
+    * broadcast and keeps codegen. Rows are identical by construction
+    * (left-semi keeps every left row with a match, duplicates
+    * included).
+    */
+  private def keyMembership(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType, c: String,
+      sorted: IndexedSeq[Long]): DataFrame => DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    if (sorted.size <= 64) {
+      val lits = sorted.map(typedBound(schema, c, _))
+      df => df.where(col(c).isin(lits: _*))
+    } else {
+      import spark.implicits._
+      val raw = sorted.toDF(c)
+      val keysDf = fieldType(schema, c) match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          raw.select(col(c).cast(fieldType(schema, c)).as(c))
+        case DateType =>
+          raw.select(date_from_unix_date(col(c).cast("int")).as(c))
+        case TimestampType =>
+          raw.select(timestamp_micros(col(c)).as(c))
+        case TimestampNTZType =>
+          raw.select(timestamp_micros(col(c))
+            .cast(TimestampNTZType).as(c)) // session TZ is UTC: identity
+        case other => throw new IllegalArgumentException(
+          s"point-set column `$c` has unsupported type ${other.simpleString} " +
+            "(integral, DATE or TIMESTAMP)")
+      }
+      df => df.join(broadcast(keysDf), Seq(c), "left_semi")
+    }
+  }
+
   def statsPrunedScanKeys(spark: SparkSession, table: String, column: String,
       keys: Seq[Long]): PrunedScan = {
     import org.apache.spark.sql.functions.{col, lit}
@@ -573,10 +613,10 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
       return PrunedScan(read(spark, table).where(lit(false)), 0, partFiles(table))
     val schema = read(spark, table).schema
     val sorted = keys.distinct.sorted.toIndexedSeq
-    val residual = col(column).isin(sorted.map(typedBound(schema, column, _)): _*)
+    val residual = keyMembership(spark, schema, column, sorted)
     if (!exists(spark, statsTable(table))) {
       val total = partFiles(table)
-      return PrunedScan(read(spark, table).where(residual), total, total)
+      return PrunedScan(residual(read(spark, table)), total, total)
     }
     val manifest = read(spark, statsTable(table))
       .filter(col("colname") === column)
@@ -601,7 +641,7 @@ final class Warehouse(val dir: String, val format: String = "parquet") {
     }
     val frame =
       if (keep.isEmpty) read(spark, table).where(lit(false))
-      else spark.read.parquet(keep.map(f => s"${path(table)}/$f"): _*).where(residual)
+      else residual(spark.read.parquet(keep.map(f => s"${path(table)}/$f"): _*))
     PrunedScan(frame, keep.size, all.size)
   }
 

@@ -26,6 +26,14 @@ object NearDup {
     * (idempotent; call after the terminal action on `frame`). */
   final case class Staged(frame: DataFrame, release: () => Unit)
 
+  /** An admission's result plus the BATCH SIGNATURE frame it computed
+    * on the way (persisted until `release`) — the streaming lifecycle
+    * appends the admitted docs' signatures/bands to the history, and
+    * recomputing them from text would pay the whole tokenize → shingle
+    * → minhash pass a second time per micro-batch (r15). */
+  final case class Admission(frame: DataFrame, batchSig: DataFrame,
+      release: () => Unit)
+
   /** (doc_id, cluster_id) for EVERY input doc — cluster_id is the
     * minimum doc_id reachable through band-key collisions; docs with no
     * shingles or no collisions label themselves.
@@ -184,6 +192,15 @@ object NearDup {
   def admitAgainstWithRelease(batch: DataFrame, histSig: DataFrame, k: Int = 12,
       bands: Int = 4, threshold: Double = 0.6,
       broadcastBatch: Boolean = true): Staged = {
+    val a = admissionAgainst(batch, histSig, k, bands, threshold, broadcastBatch)
+    Staged(a.frame, a.release)
+  }
+
+  /** [[admitAgainstWithRelease]] returning the [[Admission]] surface
+    * (result + the batch signature frame, for history appends). */
+  def admissionAgainst(batch: DataFrame, histSig: DataFrame, k: Int = 12,
+      bands: Int = 4, threshold: Double = 0.6,
+      broadcastBatch: Boolean = true): Admission = {
     require(k % bands == 0, s"minhash length $k must divide into $bands bands")
     val rows = k / bands
     def hinted(df: DataFrame): DataFrame = if (broadcastBatch) broadcast(df) else df
@@ -212,7 +229,8 @@ object NearDup {
       .join(nCand.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_hist_candidates"), lit(0L)).as("n_hist_candidates"))
-    Staged(out, () => { cand.unpersist(); bsig.unpersist(); bstage.release(); () })
+    Admission(out, bsig,
+      () => { cand.unpersist(); bsig.unpersist(); bstage.release(); () })
   }
 
   /** Raw gate form — persists released by the registry runner's
@@ -254,6 +272,19 @@ object NearDup {
       threshold: Double = 0.6, broadcastBatch: Boolean = true,
       maxProbeKeys: Int = 1 << 16,
       onPrune: (String, Int, Int) => Unit = (_, _, _) => ()): Staged = {
+    val a = admissionPruned(spark, warehouse, batch, histTable, bandsTable,
+      k, bands, threshold, broadcastBatch, maxProbeKeys, onPrune)
+    Staged(a.frame, a.release)
+  }
+
+  /** [[admitAgainstPrunedWithRelease]] returning the [[Admission]]
+    * surface (result + the batch signature frame, for history appends). */
+  def admissionPruned(spark: SparkSession,
+      warehouse: graft.catalog.Warehouse, batch: DataFrame,
+      histTable: String, bandsTable: String, k: Int = 12, bands: Int = 4,
+      threshold: Double = 0.6, broadcastBatch: Boolean = true,
+      maxProbeKeys: Int = 1 << 16,
+      onPrune: (String, Int, Int) => Unit = (_, _, _) => ()): Admission = {
     require(k % bands == 0, s"minhash length $k must divide into $bands bands")
     val rows = k / bands
     def hinted(df: DataFrame): DataFrame = if (broadcastBatch) broadcast(df) else df
@@ -306,8 +337,8 @@ object NearDup {
       .join(nCand.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_hist_candidates"), lit(0L)).as("n_hist_candidates"))
-    Staged(out, () => { cand.unpersist(); bBands.unpersist(); bsig.unpersist();
-      bstage.release(); () })
+    Admission(out, bsig, () => { cand.unpersist(); bBands.unpersist();
+      bsig.unpersist(); bstage.release(); () })
   }
 
   /** The prune ACTION on a complete labeling (the q95 body): one row

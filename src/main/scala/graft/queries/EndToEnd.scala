@@ -1993,13 +1993,13 @@ object EndToEnd {
         1520, anzahlParalleleSchritte = 1,
         steps = Seq(
           StepSpec(15200, CommandType.Copy, TaskType.Maintenance,
-            "optimize_zorder cols=key64 rows_per_file=64 quantile=true",
+            "optimize_zorder cols=key64 rows_per_file=256 quantile=true",
             zieltabelle = Some("nd4_bands"), schrittReihenfolge = 0),
           StepSpec(15210, CommandType.Copy, TaskType.Maintenance,
             "refresh_stats cols=key64",
             zieltabelle = Some("nd4_bands"), schrittReihenfolge = 1),
           StepSpec(15220, CommandType.Copy, TaskType.Maintenance,
-            "optimize_zorder cols=doc_id rows_per_file=64 quantile=true",
+            "optimize_zorder cols=doc_id rows_per_file=256 quantile=true",
             zieltabelle = Some("nd4_hist"), schrittReihenfolge = 2),
           StepSpec(15230, CommandType.Copy, TaskType.Maintenance,
             "refresh_stats cols=doc_id",

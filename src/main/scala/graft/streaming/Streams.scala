@@ -520,10 +520,10 @@ object Streams {
       }
       induced(0)
       val adm = bandsTable match {
-        case Some(bt) => graft.operators.NearDup.admitAgainstPrunedWithRelease(
+        case Some(bt) => graft.operators.NearDup.admissionPruned(
           spark, warehouse, batch, histTable, bt, k, bands, threshold,
           maxProbeKeys = maxProbeKeys)
-        case None => graft.operators.NearDup.admitAgainstWithRelease(
+        case None => graft.operators.NearDup.admissionAgainst(
           batch, warehouse.read(spark, histTable), k, bands, threshold)
       }
       val admitted = adm.frame.persist() // consumed twice: out + signature append
@@ -544,20 +544,22 @@ object Streams {
         // signatures — bands ⊇ hist at every crash point, because
         // under-covering (a hist doc the band probe cannot see) is the
         // direction that silently re-admits near-dups; over-covering
-        // only costs an unconfirmable candidate until the rewind
-        val sigStage = graft.operators.NearDup.signaturesWithRelease(
-          batch.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi"), k)
+        // only costs an unconfirmable candidate until the rewind.
+        // Signatures come from the admission's OWN batch-signature
+        // frame (semi-joined to the admitted ids) — recomputing them
+        // from text would pay the tokenize → shingle → minhash pass a
+        // second time per micro-batch (r15)
+        val sig = adm.batchSig
+          .join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .persist() // ≤2 consumers (bands append + hist append)
         try {
-          val sig = sigStage.frame.persist() // 2 consumers when bands maintained
-          try {
-            bandsTable.foreach { bt =>
-              warehouse.append(graft.operators.NearDup.bandTable(sig, k, bands)
-                .withColumn("batch", lit(b)), bt)
-            }
-            induced(3)
-            warehouse.append(sig.withColumn("batch", lit(b)), histTable)
-          } finally { sig.unpersist(); () }
-        } finally sigStage.release()
+          bandsTable.foreach { bt =>
+            warehouse.append(graft.operators.NearDup.bandTable(sig, k, bands)
+              .withColumn("batch", lit(b)), bt)
+          }
+          induced(3)
+          warehouse.append(sig.withColumn("batch", lit(b)), histTable)
+        } finally { sig.unpersist(); () }
         induced(4)
         // count only COMPLETED batches (crashed ones rewind + recount)
         admittedRows.foreach(_.addAndGet(nAdmitted))
