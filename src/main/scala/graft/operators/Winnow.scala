@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T}
+
+/** Winnowing document fingerprints — the local document-fingerprinting
+  * algorithm of Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms
+  * for Document Fingerprinting" (SIGMOD 2003; the MOSS recipe): hash
+  * every k-token gram, slide a window of `w` consecutive gram hashes,
+  * and keep the MINIMUM of each window. Guarantee: any shared run of at
+  * least w+k-1 tokens between two documents yields at least one shared
+  * fingerprint, while the selected set is ~2/(w+1) of the grams — the
+  * partial-overlap detector that full-document fingerprints
+  * ([[graft.functions.TextFunctions.fingerprintMd5]]/`fingerprintRolling`)
+  * cannot be and MinHash only approximates globally.
+  *
+  * Scale shape (the q83 span-profile shape — never all-pairs): the
+  * per-doc selection is MAP-SIDE array math on the intact doc row (one
+  * materialized gram-hash array per doc — the r14 CodegenFallback
+  * staging lesson from [[NearDup.signaturesWithRelease]]); overlap
+  * statistics are one explode of the selected fingerprints, one
+  * groupBy(fp) for document frequency, one equi-join back. A hot
+  * fingerprint costs its membership, not its square.
+  *
+  * Tie rule: `array_min` keeps the minimum VALUE per window (ties by
+  * value collapse — robust winnowing's rightmost-position rule matters
+  * for positional fingerprints, which [[fingerprints]] deliberately
+  * drops: the selected set is position-free, so value-equal ties are
+  * one fingerprint anyway after the distinct).
+  */
+object Winnow {
+
+  /** Result frame + explicit release of the operator's staged persists
+    * (idempotent; call after the terminal action on `frame`). */
+  final case class Staged(frame: DataFrame, release: () => Unit)
+
+  /** One (doc_id, fp) row per DISTINCT selected fingerprint of each
+    * document. Docs with fewer than k tokens carry no grams and are
+    * absent (they can never share a k-gram); docs with fewer than w
+    * grams winnow to the minimum of what exists (the algorithm's
+    * short-document rule — the doc still fingerprints).
+    */
+  def fingerprintsWithRelease(docs: DataFrame, k: Int = 5, w: Int = 4): Staged = {
+    require(k >= 2, s"gram length k must be >= 2, got $k")
+    require(w >= 1, s"window length w must be >= 1, got $w")
+    val toks = docs
+      .select(col("doc_id"), T.tokens(coalesce(col("text"), lit(""))).as("t"))
+      .persist()
+    // gram hashes MATERIALIZED before the window pass: higher-order
+    // array expressions are CodegenFallback, and fusing the per-gram
+    // hash under the per-window min leaves the whole O(len·w) pass in
+    // one deep interpreted subtree (NearDup's measured 8× lesson)
+    val grams = toks
+      .filter(size(col("t")) >= k)
+      .withColumn("gh", expr(
+        s"transform(sequence(1, size(t) - ${k - 1}), " +
+          s"i -> cast(conv(substring(md5(concat_ws(' ', slice(t, i, $k))), 1, 8), 16, 10) as bigint))"))
+      .persist()
+    val out = grams
+      .withColumn("fp", array_distinct(expr(
+        s"transform(sequence(1, greatest(1, size(gh) - ${w - 1})), " +
+          s"i -> array_min(slice(gh, i, $w)))")))
+      .select(col("doc_id"), explode(col("fp")).as("fp"))
+    Staged(out, () => { grams.unpersist(); toks.unpersist(); () })
+  }
+
+  /** Raw gate form — persists are released by the registry runner's
+    * `clearCache()`; services use the Staged surface. */
+  private[graft] def fingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame =
+    fingerprintsWithRelease(docs, k, w).frame
+
+  /** Corpus overlap profile over the winnowed fingerprints (the q83
+    * span-profile shape): per doc its selected-fingerprint count, how
+    * many of those recur in OTHER documents, and the hottest
+    * fingerprint's document frequency. The detector's triage surface —
+    * a doc whose shared share is high overlaps something, found without
+    * ever enumerating pairs.
+    */
+  def profileWithRelease(docs: DataFrame, k: Int = 5, w: Int = 4): Staged = {
+    val staged = fingerprintsWithRelease(docs, k, w)
+    val fps = staged.frame.persist() // 2 consumers: df agg + join probe
+    val dfreq = fps.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val out = fps.join(dfreq, "fp")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_fps"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared_fps"),
+        max(col("df")).as("max_fp_df"))
+    Staged(out, () => { fps.unpersist(); staged.release(); () })
+  }
+
+  /** Raw gate form — persists released by the registry runner. */
+  private[graft] def profile(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame =
+    profileWithRelease(docs, k, w).frame
+}

@@ -2412,9 +2412,46 @@ object Pipeline {
           AS shard
       FROM reps WHERE n_repeats > 0"""))
 
+  /** Winnowing fingerprint overlap profile (r15 — the
+    * document-fingerprinting slot of the training-pipeline brief,
+    * Schleimer et al. SIGMOD 2003): per doc the selected-fingerprint
+    * count, how many recur in other docs, and the hottest fingerprint's
+    * document frequency. k=5 grams, w=4 windows — any shared 8-token
+    * run guarantees a shared fingerprint while selecting ~2/(w+1) of
+    * the grams; at the fixture corpus the shared mass is meaningfully
+    * between q83's exact-span profile (n=8) and the MinHash gates.
+    * Shape: map-side winnowing on the intact doc row, one explode +
+    * df-groupBy + join back — the q83 shape, never all-pairs.
+    */
+  val q131 = QueryDef(
+    "q131_winnow_profile",
+    (s, dir) => graft.operators.Winnow.profile(docs(s, dir)),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      ), gh AS (
+        SELECT doc_id,
+          list_transform(generate_series(1, len(t) - 4),
+            i -> CAST('0x' || substr(md5(list_aggregate(t[i:i+4], 'string_agg', ' ')), 1, 8) AS BIGINT)) AS gh
+        FROM toks WHERE len(t) >= 5
+      ), fps AS (
+        SELECT doc_id, unnest(list_distinct(
+          list_transform(generate_series(1, greatest(1, len(gh) - 3)),
+            i -> list_min(gh[i:i+3])))) AS fp
+        FROM gh
+      ), dfreq AS (
+        SELECT fp, count(DISTINCT doc_id) AS df FROM fps GROUP BY 1
+      )
+      SELECT f.doc_id,
+        count(*) AS n_fps,
+        CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_fps,
+        max(d.df) AS max_fp_df
+      FROM fps f JOIN dfreq d USING (fp)
+      GROUP BY 1"""))
+
   val all: Seq[QueryDef] =
     Seq(q13, q14, q15, q16, q17, q18, q19, q29, q39, q41, q43, q44, q46,
       q48, q49, q54, q55, q57, q58, q59, q60, q61, q66, q78, q79, q80,
       q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q95, q97, q100, q101,
-      q104, q105, q115, q122, q123)
+      q104, q105, q115, q122, q123, q131)
 }

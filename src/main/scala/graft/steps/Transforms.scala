@@ -91,6 +91,7 @@ object Transforms {
     "dsir_weight" -> Set("in", "target_lang", "buckets", "scale"),
     "dsir_select" -> Set("in", "target_lang", "k", "buckets", "scale"),
     "paragraph_dedup" -> Set("in", "chunk"),
+    "winnow_profile" -> Set("in", "k", "w"),
     "neardup_components" -> Set("in", "k", "bands", "stars"),
     "neardup_prune" -> Set("docs", "labels"),
     "neardup_signatures" -> Set("in", "k", "ids"),
@@ -206,6 +207,18 @@ object Transforms {
     "paragraph_dedup" -> { (ctx, p) =>
       val staged = graft.operators.ParagraphDedup.dedupWithRelease(
         input(ctx, p, "in"), chunk = long(p, "chunk", Some(20L)).toInt)
+      Curation.Staged(staged.frame, staged.release)
+    },
+    // winnow_profile in=<docs table> [k=5 w=4] — the winnowing
+    // fingerprint overlap profile (q131): per doc its selected
+    // fingerprints, the share recurring in other docs, and the hottest
+    // fingerprint's document frequency — the partial-overlap triage
+    // step of a curation pipeline
+    "winnow_profile" -> { (ctx, p) =>
+      val staged = graft.operators.Winnow.profileWithRelease(
+        input(ctx, p, "in"),
+        k = long(p, "k", Some(5L)).toInt,
+        w = long(p, "w", Some(4L)).toInt)
       Curation.Staged(staged.frame, staged.release)
     },
     // neardup_components in=<docs table> [k=12 bands=4 stars=true|false]

@@ -210,6 +210,71 @@ class CurationSpec extends AnyFunSuite with SparkSupport with BeforeAndAfterEach
     assert(got(3L)._1 == 0L && got(3L)._5 == "just some filler here")
   }
 
+  test("q131: winnowing — shared-run guarantee, short-doc rule, selection sparser than the gram set") {
+    // k=5, w=4: any shared run of >= k+w-1 = 8 tokens guarantees a
+    // shared fingerprint (the winnowing theorem); fillers are unique
+    // per doc so nothing else collides
+    val run = (1 to 8).map(i => s"s$i").mkString(" ")
+    val dir = docsDir(Seq(
+      1L -> s"a1 a2 a3 $run a4 a5",
+      2L -> s"b1 $run b2 b3 b4",
+      // doc 3: 6 tokens (>= k, < k+w-1): winnows the min of its 2 grams
+      3L -> "c1 c2 c3 c4 c5 c6",
+      // doc 4: 4 tokens < k: no grams, absent from the profile
+      4L -> "d1 d2 d3 d4"))
+    val got = Registry.byName("q131_winnow_profile").run(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), "sub-k docs carry no fingerprints")
+    // the guarantee: docs 1 and 2 share >= 1 fingerprint from the run
+    assert(got(1L)._2 >= 1 && got(2L)._2 >= 1,
+      s"a shared 8-token run must yield a shared fingerprint: ${got(1L)}, ${got(2L)}")
+    assert(got(1L)._3 == 2L && got(2L)._3 == 2L, "the hot fingerprint has df 2")
+    // doc 3 fingerprints alone (one window over its 2 grams -> 1 fp)
+    assert(got(3L) == ((1L, 0L, 1L)), s"short-doc rule: ${got(3L)}")
+    // sparsity: the selection is a strict subset of the grams for a
+    // long-enough doc (doc 1 has 13 tokens -> 9 grams; w=4 selects ~2/5)
+    assert(got(1L)._1 < 9L, s"winnowing must select fewer fps than grams: ${got(1L)}")
+  }
+
+  test("q131: winnowing matches a plain-Scala reference on random small-vocab corpora") {
+    val rnd = new scala.util.Random(37)
+    def hash32Ref(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    for (trial <- 1 to 3) {
+      val docs = (0L until 12L).map { id =>
+        id -> Seq.fill(3 + rnd.nextInt(18))(s"w${rnd.nextInt(6)}").mkString(" ")
+      }
+      val (k, w) = (3, 2)
+      // reference winnowing per doc
+      val ref = docs.flatMap { case (id, text) =>
+        val t = text.trim.toLowerCase.split("\\s+").toSeq
+        if (t.size < k) None
+        else {
+          val gh = (0 to t.size - k).map(i => hash32Ref(t.slice(i, i + k).mkString(" ")))
+          val wins = (0 until math.max(1, gh.size - w + 1)).map(i =>
+            gh.slice(i, math.min(i + w, gh.size)).min)
+          Some(id -> wins.distinct.toSet)
+        }
+      }.toMap
+      val dfreq = ref.values.flatten.groupBy(identity).map { case (fp, xs) => fp -> xs.size }
+      val want = ref.map { case (id, fps) =>
+        id -> ((fps.size.toLong,
+          fps.count(fp => dfreq(fp) >= 2).toLong,
+          fps.map(dfreq(_)).max.toLong))
+      }
+      val dir = docsDir(docs)
+      val got = graft.operators.Winnow.profileWithRelease(
+        spark.read.parquet(s"$dir/documents.parquet"), k = k, w = w)
+      val gotMap = got.frame.collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      got.release()
+      assert(gotMap == want, s"trial $trial")
+    }
+  }
+
   test("q80: the sorted-runs top-bigram fold matches a naive reference on random corpora") {
     // the fold tracks runs over sort_array(bg) in one pass (the gate's
     // O(len log len) rewrite of the naive count-max); random tiny-vocab
