@@ -215,7 +215,16 @@ object StreamTransforms {
           s"neardup_admit_stream batch $b: admitted $nAdmitted of $nBatch docs",
           schrittRunId = ctx.schrittRunId),
         bandsTable = p.get("hist_bands"),
-        maxProbeKeys = Transforms.long(p, "max_probe_keys", Some(1L << 16)).toInt)
+        maxProbeKeys = Transforms.long(p, "max_probe_keys", Some(1L << 16)).toInt,
+        // per-batch scheduling evidence into the run ledger (parity
+        // with the batch step's pruned_read-style accounting): whether
+        // the maintenance cadence is keeping the history prunable is
+        // visible per tick, not per incident
+        onPrune = (b, scan, sched, total) => ctx.ledger.message(
+          if (sched < 0)
+            s"neardup_admit_stream batch $b $scan probe over max_probe_keys: full scan"
+          else s"neardup_admit_stream batch $b $scan scan: scheduled $sched of $total files",
+          schrittRunId = ctx.schrittRunId))
       q.awaitTermination() // AvailableNow: returns drained, rethrows failure
       admitted.get
     },

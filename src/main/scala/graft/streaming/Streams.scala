@@ -467,7 +467,8 @@ object Streams {
       admittedRows: Option[java.util.concurrent.atomic.AtomicLong] = None,
       onBatchStats: (Long, Long, Long) => Unit = (_, _, _) => (),
       bandsTable: Option[String] = None,
-      maxProbeKeys: Int = 1 << 16)
+      maxProbeKeys: Int = 1 << 16,
+      onPrune: (Long, String, Int, Int) => Unit = (_, _, _, _) => ())
       : org.apache.spark.sql.streaming.StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -476,7 +477,7 @@ object Streams {
         neardupAdmitBatch(batch, id, warehouse, histTable, outTable, wmTable,
           k, bands, threshold, admittedRows = admittedRows,
           onBatchStats = onBatchStats, bandsTable = bandsTable,
-          maxProbeKeys = maxProbeKeys)
+          maxProbeKeys = maxProbeKeys, onPrune = onPrune)
       }
       .start()
 
@@ -496,7 +497,8 @@ object Streams {
       admittedRows: Option[java.util.concurrent.atomic.AtomicLong] = None,
       onBatchStats: (Long, Long, Long) => Unit = (_, _, _) => (),
       bandsTable: Option[String] = None,
-      maxProbeKeys: Int = 1 << 16): Unit = {
+      maxProbeKeys: Int = 1 << 16,
+      onPrune: (Long, String, Int, Int) => Unit = (_, _, _, _) => ()): Unit = {
     require(!batch.columns.contains("batch"),
       "neardupAdmitStream reserves the `batch` column for its replay-rewind " +
         "tag — rename the incoming column")
@@ -522,7 +524,8 @@ object Streams {
       val adm = bandsTable match {
         case Some(bt) => graft.operators.NearDup.admissionPruned(
           spark, warehouse, batch, histTable, bt, k, bands, threshold,
-          maxProbeKeys = maxProbeKeys)
+          maxProbeKeys = maxProbeKeys,
+          onPrune = (scan, sched, total) => onPrune(b, scan, sched, total))
         case None => graft.operators.NearDup.admissionAgainst(
           batch, warehouse.read(spark, histTable), k, bands, threshold)
       }

@@ -353,6 +353,43 @@ class PlanAuditSpec extends AnyFunSuite with SparkSupport
     }
   }
 
+  test("point-set scan: >64 keys plan as a broadcast semi-join with no shuffle on the scanned side") {
+    // r15 tail: the membership residual past 64 keys must be a
+    // BroadcastHashJoin(LeftSemi) with the KEY SET on the build side —
+    // a literal IN with thousands of children is an analysis-time cost
+    // per query, and a shuffle on the scanned side would defeat the
+    // point-pruned read's whole shape
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val restoreAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val wh = new graft.catalog.Warehouse(graft.util.TempDirs.scratch("plan-keys"))
+      import spark.implicits._
+      wh.append((0L until 5000L).map(i => (i, i % 7)).toDF("k", "v"), "t")
+      val keys = (0L until 200L).map(_ * 13L)
+      val scan = wh.statsPrunedScanKeys(spark, "t", "k", keys)
+      scan.frame.collect()
+      val plan = scan.frame.queryExecution.executedPlan
+      val semis = plan.collect {
+        case j: BroadcastHashJoinExec if j.joinType == LeftSemi => j
+      }
+      assert(semis.nonEmpty, s"expected a broadcast semi-join membership:\n$plan")
+      semis.foreach { j =>
+        val scannedSideShuffles = j.left.collect { case e: ShuffleExchangeLike => e }
+        assert(scannedSideShuffles.isEmpty,
+          s"no Exchange may land on the scanned side of the membership:\n$j")
+      }
+      // and the small-set form stays a data filter (parquet-pushable IN)
+      val small = wh.statsPrunedScanKeys(spark, "t", "k", Seq(3L, 9L, 27L))
+      small.frame.collect()
+      assert(small.frame.queryExecution.executedPlan.collect {
+        case j: BroadcastHashJoinExec => j }.isEmpty,
+        "small key sets must stay a literal IN, not a join")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", restoreAqe)
+  }
+
   test("neardup admission: broadcastBatch=false plants NO broadcast; the default plants only batch-side ones") {
     // r15 (VERDICT r14 wrong #1): the admission's three broadcast hints
     // hold only under the micro-batch contract — the opt-out must leave

@@ -193,6 +193,54 @@ class StreamRegistrySpec extends AnyFunSuite with SparkSupport {
       .select("doc_id").collect().map(_.getLong(0)).toSet == Set(100L, 2L, 4L))
   }
 
+  test("neardup_admit_stream + maintenance tick: the next drain's scans are manifest-pruned, ledger shows it per batch") {
+    // the metadata lifecycle closed in executed code: bootstrap drains
+    // run on unmanifested tables (full-scan fallback, rows exact), a
+    // MAINTENANCE optimize_zorder + refresh_stats tick between drains
+    // makes the NEXT drain's band/confirm scans scheduled < total —
+    // read straight from the per-batch ledger messages
+    import spark.implicits._
+    val base = tmpDir("graft-nda-maint")
+    val in = new java.io.File(s"$base/in")
+    val c = ctx(base)
+    // 60 unique-vocab seed docs so the band table spans many files
+    (0L until 60L).map(i =>
+      (100L + i, s"s${i}a s${i}b s${i}c s${i}d s${i}e"))
+      .toDF("doc_id", "text").createOrReplaceTempView("nda2_seed")
+    val cmd = s"neardup_admit_stream dir=$in ckpt=$base/ckpt " +
+      "schema=\"doc_id BIGINT, text STRING\" " +
+      "seed=nda2_seed hist=nda2_hist hist_bands=nda2_bands " +
+      "out=nda2_out wm=nda2_wm maxfiles=1"
+    val spec = StepSpec(8860, CommandType.Copy, TaskType.Stream, cmd,
+      zieltabelle = Some("nda2_out"), quelltabelle = Some("nda2_hist,nda2_bands,nda2_wm"))
+    dropDocsFile(in, "d1.parquet", Seq((1L, "y1 y2 y3 y4")))
+    assert(Steps.execute(spec, c).contains(1L))
+    val msgs1 = c.ledger.allMessages.map(_.meldungstext)
+    assert(msgs1.exists(_.contains("batch 1 bands scan")),
+      s"bootstrap drain must log its (unpruned) scheduling; messages: ${msgs1.mkString("; ")}")
+    // the maintenance tick: lay out + manifest both historic tables
+    def maint(id: Long, cmdM: String, table: String): Unit = {
+      Steps.execute(StepSpec(id, CommandType.Copy, TaskType.Maintenance, cmdM,
+        zieltabelle = Some(table)), c); ()
+    }
+    maint(8861, "optimize_zorder cols=key64 bits=14 rows_per_file=4 quantile=true", "nda2_bands")
+    maint(8862, "refresh_stats cols=key64", "nda2_bands")
+    maint(8863, "optimize_zorder cols=doc_id bits=14 rows_per_file=4 quantile=true", "nda2_hist")
+    maint(8864, "refresh_stats cols=doc_id", "nda2_hist")
+    // next drain: a 1-doc batch probes ~4 band keys against ~60 files
+    dropDocsFile(in, "d2.parquet", Seq((2L, "z1 z2 z3 z4")))
+    assert(Steps.execute(spec, c).contains(1L))
+    val re = "neardup_admit_stream batch 2 bands scan: scheduled (\\d+) of (\\d+) files".r
+    val (sched, total) = c.ledger.allMessages.map(_.meldungstext)
+      .collectFirst { case re(s, t) => (s.toInt, t.toInt) }
+      .getOrElse(fail("no batch-2 bands scheduling message"))
+    assert(total > 10 && sched < total,
+      s"post-maintenance drain must prune the band scan: $sched of $total")
+    // rows stayed exact through the layout rewrite + manifest
+    assert(c.warehouse.read(spark, "nda2_out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
   test("sessionize_stream: a mid-drain crash replays exactly-once on the next run (r15, VERDICT r14 next #7)") {
     // the whole STREAM family must pin exactly-once, not just the
     // foreachBatch streams: for sink-writing streams the guarantee is
