@@ -95,4 +95,40 @@ object Winnow {
   /** Raw gate form — persists released by the registry runner. */
   private[graft] def profile(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame =
     profileWithRelease(docs, k, w).frame
+
+  /** The PAIR action on the winnowed fingerprints: document pairs
+    * sharing at least `minShared` non-hot fingerprints, with the shared
+    * count as the overlap score (the MOSS match list). `maxDf` caps the
+    * fingerprints that may pair: a fingerprint in more than `maxDf`
+    * documents is boilerplate (license headers, templates) whose
+    * within-group pairing is |df|² — the standard winnowing practice of
+    * dropping ubiquitous fingerprints, and the same hot-bucket cap
+    * discipline as [[CosineNearDup]]. Shape: one self-join restricted
+    * to the df-capped fingerprints (never uncapped all-pairs — a hot
+    * fingerprint costs nothing, not its square), one groupBy(pair).
+    */
+  def pairsWithRelease(docs: DataFrame, k: Int = 5, w: Int = 4,
+      minShared: Long = 2L, maxDf: Long = 8L): Staged = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxDf >= 2, s"maxDf must be >= 2 (df < 2 cannot pair), got $maxDf")
+    val staged = fingerprintsWithRelease(docs, k, w)
+    val fps = staged.frame.persist() // 2 consumers: df agg + both join sides
+    val pairable = fps.join(
+      fps.groupBy(col("fp")).agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2 && col("df") <= maxDf)
+        .select(col("fp")),
+      "fp")
+    val out = pairable.as("l")
+      .join(pairable.as("r"),
+        col("l.fp") === col("r.fp") && col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    Staged(out, () => { fps.unpersist(); staged.release(); () })
+  }
+
+  /** Raw gate form — persists released by the registry runner. */
+  private[graft] def pairs(docs: DataFrame, k: Int = 5, w: Int = 4,
+      minShared: Long = 2L, maxDf: Long = 8L): DataFrame =
+    pairsWithRelease(docs, k, w, minShared, maxDf).frame
 }

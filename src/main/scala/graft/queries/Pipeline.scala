@@ -2449,9 +2449,46 @@ object Pipeline {
       FROM fps f JOIN dfreq d USING (fp)
       GROUP BY 1"""))
 
+  /** The winnowing PAIR action (the MOSS match list): doc pairs sharing
+    * at least 2 non-hot fingerprints, overlap score = the shared count.
+    * maxDf=8 drops ubiquitous (boilerplate) fingerprints BEFORE the
+    * self-join, so a hot fingerprint costs nothing rather than its
+    * square — the cap is load-bearing at the fixture (the synthetic
+    * vocabulary makes several fingerprints corpus-hot; uncapped they
+    * would both blow the pair count and pair everything with
+    * everything). Signal (q131) → action, like the rest of the dedup
+    * family.
+    */
+  val q132 = QueryDef(
+    "q132_winnow_pairs",
+    (s, dir) => graft.operators.Winnow.pairs(docs(s, dir)),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+      ), gh AS (
+        SELECT doc_id,
+          list_transform(generate_series(1, len(t) - 4),
+            i -> CAST('0x' || substr(md5(list_aggregate(t[i:i+4], 'string_agg', ' ')), 1, 8) AS BIGINT)) AS gh
+        FROM toks WHERE len(t) >= 5
+      ), fps AS (
+        SELECT doc_id, unnest(list_distinct(
+          list_transform(generate_series(1, greatest(1, len(gh) - 3)),
+            i -> list_min(gh[i:i+3])))) AS fp
+        FROM gh
+      ), pairable AS (
+        SELECT doc_id, fp FROM fps
+        WHERE fp IN (SELECT fp FROM fps GROUP BY fp
+                     HAVING count(DISTINCT doc_id) BETWEEN 2 AND 8)
+      )
+      SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_shared
+      FROM pairable l JOIN pairable r
+        ON l.fp = r.fp AND l.doc_id < r.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= 2"""))
+
   val all: Seq[QueryDef] =
     Seq(q13, q14, q15, q16, q17, q18, q19, q29, q39, q41, q43, q44, q46,
       q48, q49, q54, q55, q57, q58, q59, q60, q61, q66, q78, q79, q80,
       q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q95, q97, q100, q101,
-      q104, q105, q115, q122, q123, q131)
+      q104, q105, q115, q122, q123, q131, q132)
 }

@@ -92,6 +92,7 @@ object Transforms {
     "dsir_select" -> Set("in", "target_lang", "k", "buckets", "scale"),
     "paragraph_dedup" -> Set("in", "chunk"),
     "winnow_profile" -> Set("in", "k", "w"),
+    "winnow_pairs" -> Set("in", "k", "w", "min_shared", "max_df"),
     "neardup_components" -> Set("in", "k", "bands", "stars"),
     "neardup_prune" -> Set("docs", "labels"),
     "neardup_signatures" -> Set("in", "k", "ids"),
@@ -219,6 +220,20 @@ object Transforms {
         input(ctx, p, "in"),
         k = long(p, "k", Some(5L)).toInt,
         w = long(p, "w", Some(4L)).toInt)
+      Curation.Staged(staged.frame, staged.release)
+    },
+    // winnow_pairs in=<docs table> [k=5 w=4 min_shared=2 max_df=8] —
+    // the PAIR action on the winnowed fingerprints (q132): doc pairs
+    // sharing >= min_shared non-hot fingerprints; max_df drops
+    // boilerplate fingerprints before the self-join (a hot fingerprint
+    // costs nothing, never its square)
+    "winnow_pairs" -> { (ctx, p) =>
+      val staged = graft.operators.Winnow.pairsWithRelease(
+        input(ctx, p, "in"),
+        k = long(p, "k", Some(5L)).toInt,
+        w = long(p, "w", Some(4L)).toInt,
+        minShared = long(p, "min_shared", Some(2L)),
+        maxDf = long(p, "max_df", Some(8L)))
       Curation.Staged(staged.frame, staged.release)
     },
     // neardup_components in=<docs table> [k=12 bands=4 stars=true|false]

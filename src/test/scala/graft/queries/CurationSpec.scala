@@ -275,6 +275,29 @@ class CurationSpec extends AnyFunSuite with SparkSupport with BeforeAndAfterEach
     }
   }
 
+  test("q132: winnow pairs — shared count scores the pair, a hot fingerprint pairs nobody (max_df cap)") {
+    val runA = (1 to 8).map(i => s"a$i").mkString(" ")   // shared by docs 1,2
+    val runB = (1 to 8).map(i => s"b$i").mkString(" ")   // shared by docs 1,2 too
+    val hot = (1 to 8).map(i => s"h$i").mkString(" ")    // in EVERY doc: boilerplate
+    val dir = docsDir(Seq(
+      1L -> s"$hot f11 $runA f12 $runB",
+      2L -> s"$hot f21 $runA f22 $runB",
+      3L -> s"$hot f31 f32 f33 f34 f35 f36 f37 f38",
+      4L -> s"$hot f41 f42 f43 f44 f45 f46 f47 f48",
+      5L -> s"$hot f51 f52 f53 f54 f55 f56 f57 f58"))
+    // max_df=2: the boilerplate run (df 5) may not pair; the two shared
+    // runs give (1,2) a multi-fingerprint score
+    val got = graft.operators.Winnow.pairsWithRelease(
+      spark.read.parquet(s"$dir/documents.parquet"), maxDf = 2L)
+    val pairs = got.frame.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    got.release()
+    assert(pairs.keySet == Set((1L, 2L)),
+      s"only the genuinely-overlapping pair may survive the cap: $pairs")
+    assert(pairs((1L, 2L)) >= 2L,
+      s"two shared 8-token runs must score >= 2 shared fingerprints: $pairs")
+  }
+
   test("q80: the sorted-runs top-bigram fold matches a naive reference on random corpora") {
     // the fold tracks runs over sort_array(bg) in one pass (the gate's
     // O(len log len) rewrite of the naive count-max); random tiny-vocab
