@@ -91,8 +91,18 @@ object SemDeDup {
     val scored = ordered.map { case (cid, ce) =>
       struct(IvfIndex.sqDist(emb, lit(ce)).as("d"), lit(cid).as("cid"))
     }
-    scored.reduceLeft((acc, x) =>
-      when(x.getField("d") < acc.getField("d"), x).otherwise(acc)).getField("cid")
+    // argmin as ONE lexicographic array_min over (d, cid) structs — the
+    // `ORDER BY d, cid` rule both oracles pin, with each distance
+    // evaluated exactly once. The previous `reduceLeft(when(_ < _, x)
+    // .otherwise(acc))` duplicated the accumulator per level (condition
+    // + else branch), doubling the expression TREE per centroid — 2^C
+    // interpreted evaluations wherever the plan falls back from codegen
+    // (r15 GateProbe: the q96 stream's warm drain carried ~1.3 s of
+    // pure assignment overhead vs the closure twin q102 at C = 8).
+    // Tie semantics unchanged: struct comparison is lexicographic, so
+    // equal distances resolve to the LOWER cid, exactly like the strict
+    // `<` fold over ascending cids.
+    array_min(array(scored: _*)).getField("cid")
   }
 
   /** Map-side cell assignment for codebooks too LARGE to inline —

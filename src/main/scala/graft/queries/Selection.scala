@@ -304,16 +304,24 @@ object Selection {
   val q96 = QueryDef(
     "q96_semdedup_streaming",
     (s, dir) => {
-      val s2 = graft.streaming.Streams.rocksDbSession(s)
+      val cents = {
+        import s.implicits._
+        s.read.parquet(s"$dir/embeddings.parquet")
+          .filter($"vec_id" < 8)
+          .select($"vec_id".cast("long"), V.asDouble($"embedding"))
+          .as[(Long, Seq[Double])].collect()
+          .map { case (cid, ce) => (cid, ce.toArray) }.toSeq
+      }
+      // state key = cell, cardinality ≤ |codebook| — size the state
+      // layout to the DATA bound, not the session's batch-join
+      // parallelism (r15: 32 RocksDB instances booted per drain for ≤8
+      // populated cells; the store boot, not the state, was the cost)
+      val s2 = graft.streaming.Streams.rocksDbSession(s,
+        statePartitions = Some(cents.size))
       require(graft.streaming.Streams.stateV2Ready(s2),
         "streaming semdedup needs Spark 4+ with the RocksDB state store provider")
       import s2.implicits._
       val base = graft.util.TempDirs.scratch("q96stream")
-      val cents = s2.read.parquet(s"$dir/embeddings.parquet")
-        .filter($"vec_id" < 8)
-        .select($"vec_id".cast("long"), V.asDouble($"embedding"))
-        .as[(Long, Seq[Double])].collect()
-        .map { case (cid, ce) => (cid, ce.toArray) }.toSeq
       val schema = s2.read.parquet(s"$dir/embeddings.parquet").schema
       val stream = s2.readStream.schema(schema)
         .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
@@ -381,16 +389,21 @@ object Selection {
   val q102 = QueryDef(
     "q102_semdedup_streaming_bigc",
     (s, dir) => {
-      val s2 = graft.streaming.Streams.rocksDbSession(s)
+      val cents = {
+        import s.implicits._
+        s.read.parquet(s"$dir/embeddings.parquet")
+          .filter($"vec_id" < 8)
+          .select($"vec_id".cast("long"), V.asDouble($"embedding"))
+          .as[(Long, Seq[Double])].collect()
+          .map { case (cid, ce) => (cid, ce.toArray) }.toSeq
+      }
+      // state partitions from the codebook bound, as in q96 (r15)
+      val s2 = graft.streaming.Streams.rocksDbSession(s,
+        statePartitions = Some(cents.size))
       require(graft.streaming.Streams.stateV2Ready(s2),
         "streaming semdedup needs Spark 4+ with the RocksDB state store provider")
       import s2.implicits._
       val base = graft.util.TempDirs.scratch("q102stream")
-      val cents = s2.read.parquet(s"$dir/embeddings.parquet")
-        .filter($"vec_id" < 8)
-        .select($"vec_id".cast("long"), V.asDouble($"embedding"))
-        .as[(Long, Seq[Double])].collect()
-        .map { case (cid, ce) => (cid, ce.toArray) }.toSeq
       val assign = graft.operators.SemDeDup.assignCellFunc(cents)
       val schema = s2.read.parquet(s"$dir/embeddings.parquet").schema
       val stream = s2.readStream.schema(schema)

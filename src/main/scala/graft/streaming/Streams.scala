@@ -346,9 +346,16 @@ object Streams {
     require(!batch.columns.contains("batch") && keyCol != "batch",
       "bloomDedupStream reserves the `batch` column for its replay-rewind " +
         "tag — rename the incoming column")
-    if (!batch.isEmpty) {
+    // one source read per micro-batch (r15, guide §2.3/§5): `batch`
+    // appears TWICE in the admission plan (bloom probe + exact-confirm
+    // anti-join) and once more in the telemetry count — unpersisted,
+    // each consumer re-reads the micro-batch's source files. Batch-sized
+    // by the stream's contract, released in the finally.
+    val bt = batch.persist()
+    try {
+    if (!bt.isEmpty) {
       import org.apache.spark.sql.functions.lit
-      val spark = batch.sparkSession
+      val spark = bt.sparkSession
       val b = id + 1
       def induced(p: Int): Unit = if (failAfterPhase == p)
         throw new IllegalStateException(s"induced crash after phase $p")
@@ -381,7 +388,7 @@ object Streams {
       induced(0)
       val seen = warehouse.read(spark, seenTable)
       val admitted = graft.operators.Bloom
-        .newKeysAgainst(batch, seen, keyCol, bloom, mBits, k)
+        .newKeysAgainst(bt, seen, keyCol, bloom, mBits, k)
         .persist() // consumed three times: bitmap build, out, seen keys
       try {
         import spark.implicits._
@@ -410,9 +417,10 @@ object Streams {
         // accounting matches what this run actually landed without
         // ever re-pricing the out table's history (r14 review)
         admittedRows.foreach(_.addAndGet(nAdmitted))
-        onBatchStats(b, batch.count(), nAdmitted)
+        onBatchStats(b, bt.count(), nAdmitted)
       } finally { admitted.unpersist(); () }
     }
+    } finally { bt.unpersist(); () }
   }
 
   /** Streaming incremental NEAR-DUP admission (r15, VERDICT r14 next
@@ -502,32 +510,44 @@ object Streams {
     require(!batch.columns.contains("batch"),
       "neardupAdmitStream reserves the `batch` column for its replay-rewind " +
         "tag — rename the incoming column")
-    if (!batch.isEmpty) {
+    val spark0 = batch.sparkSession
+    def phase[A](name: String)(body: => A): A =
+      graft.util.Jobs.labeled(spark0, s"nd-admit b=${id + 1}: $name")(body)
+    // one source read per micro-batch (r15, guide §2.3/§5): the batch
+    // feeds the signature pass, the admitted-out join AND the telemetry
+    // count — unpersisted, each re-reads the micro-batch's source files.
+    // Batch-sized by contract, released in the finally.
+    val bt = batch.persist()
+    try {
+    if (!phase("empty probe")(bt.isEmpty)) {
       import org.apache.spark.sql.functions.lit
-      val spark = batch.sparkSession
+      val spark = spark0
       val b = id + 1
       def induced(p: Int): Unit = if (failAfterPhase == p)
         throw new IllegalStateException(s"induced crash after phase $p")
       // phase 0: rewind any partial writes of THIS batch id — only when
       // the watermark says they may exist (absent table = bootstrap =
       // unknown = conservative scrub; no-match probes are metadata-sized)
-      val wm =
+      val wm = phase("wm read") {
         if (!warehouse.exists(spark, wmTable)) None
         else Some(warehouse.read(spark, wmTable)
           .agg(org.apache.spark.sql.functions.max(col("wm"))).head().getLong(0))
-      if (wm.forall(_ >= b)) {
+      }
+      if (wm.forall(_ >= b)) phase("rewind scrub") {
         warehouse.deleteWhereRange(spark, outTable, "batch", b, b)
         bandsTable.foreach(bt => warehouse.deleteWhereRange(spark, bt, "batch", b, b))
         warehouse.deleteWhereRange(spark, histTable, "batch", b, b)
       }
       induced(0)
-      val adm = bandsTable match {
-        case Some(bt) => graft.operators.NearDup.admissionPruned(
-          spark, warehouse, batch, histTable, bt, k, bands, threshold,
-          maxProbeKeys = maxProbeKeys,
-          onPrune = (scan, sched, total) => onPrune(b, scan, sched, total))
-        case None => graft.operators.NearDup.admissionAgainst(
-          batch, warehouse.read(spark, histTable), k, bands, threshold)
+      val adm = phase("admission plan") {
+        bandsTable match {
+          case Some(bands64) => graft.operators.NearDup.admissionPruned(
+            spark, warehouse, bt, histTable, bands64, k, bands, threshold,
+            maxProbeKeys = maxProbeKeys,
+            onPrune = (scan, sched, total) => onPrune(b, scan, sched, total))
+          case None => graft.operators.NearDup.admissionAgainst(
+            bt, warehouse.read(spark, histTable), k, bands, threshold)
+        }
       }
       val admitted = adm.frame.persist() // consumed twice: out + signature append
       try {
@@ -535,13 +555,14 @@ object Streams {
         // materialize BEFORE the watermark swap/appends so no later
         // recompute reads tables this body is about to mutate
         // (bloomDedupBatch's r14 lesson); doubles as the drain count
-        val nAdmitted = admitted.count()
+        val nAdmitted = phase("confirm+count")(admitted.count())
         // phase 1: advance the watermark FIRST — from here on, partial
         // batch-b rows are scrubbable on replay
-        warehouse.replace(wmTable, Seq(b).toDF("wm"))
+        phase("wm advance")(warehouse.replace(wmTable, Seq(b).toDF("wm")))
         induced(1)
         // phase 2: admitted docs, batch-tagged for the rewind
-        warehouse.append(admitted.withColumn("batch", lit(b)), outTable)
+        phase("append out")(
+          warehouse.append(admitted.withColumn("batch", lit(b)), outTable))
         induced(2)
         // phases 3+4: the admitted docs' bands FIRST, then their
         // signatures — bands ⊇ hist at every crash point, because
@@ -557,18 +578,21 @@ object Streams {
           .persist() // ≤2 consumers (bands append + hist append)
         try {
           bandsTable.foreach { bt =>
-            warehouse.append(graft.operators.NearDup.bandTable(sig, k, bands)
-              .withColumn("batch", lit(b)), bt)
+            phase("append bands")(
+              warehouse.append(graft.operators.NearDup.bandTable(sig, k, bands)
+                .withColumn("batch", lit(b)), bt))
           }
           induced(3)
-          warehouse.append(sig.withColumn("batch", lit(b)), histTable)
+          phase("append hist")(
+            warehouse.append(sig.withColumn("batch", lit(b)), histTable))
         } finally { sig.unpersist(); () }
         induced(4)
         // count only COMPLETED batches (crashed ones rewind + recount)
         admittedRows.foreach(_.addAndGet(nAdmitted))
-        onBatchStats(b, batch.count(), nAdmitted)
+        onBatchStats(b, phase("telemetry batch count")(bt.count()), nAdmitted)
       } finally { admitted.unpersist(); adm.release(); () }
     }
+    } finally { bt.unpersist(); () }
   }
 
   /** Stateful sessionization — gap > `gapSeconds` closes a session
@@ -715,6 +739,15 @@ object Streams {
   def rocksDbSession(spark: SparkSession,
       statePartitions: Option[Int] = None): SparkSession = {
     val s2 = spark.newSession()
+    // newSession() builds a FRESH SessionState, which silently drops the
+    // parent's `experimental.extraOptimizations` — the engine's native
+    // rewrites (md5→graft_hash32, composed vector folds→graft_dot/
+    // graft_sqdist). Every RocksDB stream was paying interpreted
+    // higher-order folds per element (r15 GateProbe: q96's warm drain
+    // ~1.6 s slower than the closure twin q102 on identical work).
+    // Re-register on the clone so streaming plans get the same fused
+    // expressions as batch plans.
+    graft.functions.GraftExtensions.register(s2)
     s2.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     s2.conf.set(
