@@ -69,24 +69,12 @@ object ConnectedComponents {
     require(bucketCols.nonEmpty, "bucketCols must be non-empty")
     require(maxRounds >= 1, s"maxIters must be >= 1, got $maxRounds")
     val bCols = bucketCols.map(col)
-    // The membership frame is consumed on BOTH join keys every round
-    // (by node for bucketMin, by bucket for the step), and a single
-    // persisted copy partitioned by neither paid two m-sized exchanges
-    // per round (r15, guide §2.4 "share one exchange"). Keep two cached
-    // copies, each pre-partitioned on its join key: hash(n) ⊆ the
-    // distinct's grouping keys, so the dedup itself rides the same
-    // exchange (no extra shuffle), and every round's m-side exchanges
-    // disappear — per-round shuffle drops to the two aggregation
-    // outputs. Memory is 2× membership, the price of halving per-round
-    // network at any scale.
-    val mByN = memberships
+    val m = memberships
       .select(col(nodeCol).as("n") +: bCols: _*)
-      .repartition(col("n"))
       .distinct()
       .persist()
-    val mByBucket = mByN.repartition(bCols: _*).persist()
     try {
-      var labels = mByN.select(col("n")).distinct()
+      var labels = m.select(col("n")).distinct()
         .withColumn("lbl", col("n"))
         .localCheckpoint(true)
       var round = 0
@@ -94,9 +82,9 @@ object ConnectedComponents {
       while (moved > 0) {
         round += 1
         if (round > maxRounds) return None
-        val bucketMin = mByN.join(labels, "n")
+        val bucketMin = m.join(labels, "n")
           .groupBy(bCols: _*).agg(min(col("lbl")).as("bm"))
-        val stepped = mByBucket.join(bucketMin, bucketCols)
+        val stepped = m.join(bucketMin, bucketCols)
           .groupBy(col("n")).agg(min(col("bm")).as("cand"))
           .join(labels, "n")
           .select(col("n"), col("lbl"), least(col("cand"), col("lbl")).as("nxt"))
@@ -107,8 +95,7 @@ object ConnectedComponents {
       }
       Some(labels.select(col("n").as(nodeCol), col("lbl").as("component")))
     } finally {
-      mByN.unpersist()
-      mByBucket.unpersist()
+      m.unpersist()
       ()
     }
   }
@@ -178,14 +165,8 @@ object ConnectedComponents {
     require(bucketCols.nonEmpty, "bucketCols must be non-empty")
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
     val bCols = bucketCols.map(col)
-    // pre-partition on the bucket key (r15, guide §2.4): the star
-    // contraction consumes m only bucket-keyed (hub aggregation + hub
-    // join), and hash(buckets) ⊆ the distinct's grouping keys, so the
-    // dedup rides the same exchange and both consumers read the cache
-    // exchange-free
     val m = memberships
       .select(col(nodeCol).as("n") +: bCols: _*)
-      .repartition(bCols: _*)
       .distinct()
       .persist()
     try {
