@@ -104,6 +104,65 @@ case class MinHashAffine(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Distinct word n-gram shingles in ONE pass — the native fast path of
+  * `TextFunctions.shingles` (r15). The composed form is
+  * `array_distinct(transform(sequence(0, size-n), i -> concat(t[i], ' ',
+  * …)))`: the transform lambda is interpreted per window (n array gets +
+  * a concat each), the sequence materializes an index array per doc, and
+  * array_distinct re-walks the result — the signature pass runs this for
+  * EVERY document of every batch, making it the tokenize→shingle→minhash
+  * pipeline's widest interpreted span. This kernel slides one window,
+  * joins with one `UTF8String.concatWs`, and dedups order-preserving in
+  * the same pass.
+  *
+  * Parity with the composed form (asserted in SignatureExpressionsSpec):
+  * output order is first-occurrence (array_distinct's rule) over windows
+  * in position order; a NULL token nullifies its shingle (`concat`'s
+  * NULL propagation), deduped to one NULL like array_distinct; a doc
+  * shorter than n (or a NULL token array — `size(NULL) >= n` is NULL →
+  * `otherwise`) yields the EMPTY array, so `nullable = false`.
+  */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, "shingle width must be positive")
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StringType, containsNull = true)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles expects array<string>, got ${other.sql}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val arr = child.eval(input)
+    if (arr == null) new GenericArrayData(Array.empty[Any])
+    else SignatureKernels.wordShingles(arr.asInstanceOf[ArrayData], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value};
+        if (${c.isNull}) {
+          ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new Object[0]);
+        } else {
+          ${ev.value} = graft.functions.SignatureKernels.wordShingles(${c.value}, $n);
+        }
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
 /** Static single-pass kernels (Scala object = static forwarders for the
   * generated Java).
   */
@@ -137,6 +196,34 @@ object SignatureKernels {
       b += 1
     }
     acc
+  }
+
+  /** One sliding window pass, dedup order-preserving; composed-form
+    * parity documented on [[WordShingles]].
+    */
+  def wordShingles(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val seen = new java.util.LinkedHashSet[Any]()
+    val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    while (i <= m - n) {
+      var nul = false
+      var j = 0
+      while (j < n && !nul) {
+        if (arr.isNullAt(i + j)) nul = true
+        else parts(j) = arr.getUTF8String(i + j)
+        j += 1
+      }
+      // concat's NULL propagation: any NULL token → NULL shingle (do NOT
+      // use concatWs semantics, which would skip the NULL part)
+      if (nul) seen.add(null)
+      else seen.add(
+        org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
   }
 
   /** One pass over the hashes, k running minima. */

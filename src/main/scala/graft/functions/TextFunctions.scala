@@ -41,10 +41,23 @@ object TextFunctions {
 
   /** Distinct word n-gram shingles (the unit of minhash/simhash/jaccard
     * document similarity) over an existing token-array column named
-    * `colName`. Sliding window via transform(sequence(...)); empty array
-    * when the doc is shorter than n.
+    * `colName`; empty array when the doc is shorter than n. Uses the
+    * native single-pass [[WordShingles]] kernel (r15): the composed
+    * sliding window ran one interpreted lambda per window (n element
+    * gets + a concat) plus an index-array materialization and an
+    * array_distinct re-walk — per document of EVERY signature pass.
+    * Asserted element- and order-exact against [[composedShingles]] in
+    * SignatureExpressionsSpec.
     */
-  def shingles(colName: String, n: Int = 3): Column = {
+  def shingles(colName: String, n: Int = 3): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      WordShingles(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(col(colName)), n))
+
+  /** The portable composed form of [[shingles]] — the semantics
+    * reference the DuckDB oracle mirrors.
+    */
+  private[functions] def composedShingles(colName: String, n: Int = 3): Column = {
     val parts = (0 until n).map(j => s"$colName[i+$j]").mkString(", ' ', ")
     when(size(col(colName)) >= n,
       expr(s"array_distinct(transform(sequence(0, size($colName) - $n), i -> concat($parts)))"))

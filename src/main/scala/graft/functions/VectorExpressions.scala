@@ -200,6 +200,131 @@ case class SquaredL2(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** ADC distance fold `Σ_s table[s][codes_s + 1]` (1-based element_at
+  * indexing) — the codegen'd fast path of `PqIndex.adcScore`'s composed
+  * `aggregate(zip_with(table, codes, (t,c) => element_at(t, (c+1)::int)))`.
+  * That shape's lambda is not one of [[VectorFoldRewrite]]'s fusable
+  * patterns, so the ADC inner loop — evaluated once per (query,
+  * candidate) pair, the hot multiply of any PQ search — ran per-element
+  * through interpreted `NamedLambdaVariable` slots. This emits one fused
+  * loop over the m subspaces.
+  *
+  * Bit/NULL parity with the composed form (asserted in
+  * VectorExpressionsSpec): strict left fold in IEEE order; a NULL code,
+  * NULL sub-table or NULL table cell poisons the sum to NULL;
+  * length-mismatched arrays zip with NULL padding → NULL; a negative
+  * index reads from the end exactly like `element_at`; an out-of-range
+  * index throws under ANSI (`failOnError`, captured at construction
+  * like ElementAt) and yields NULL otherwise; index 0 throws.
+  */
+case class AdcFold(left: Expression, right: Expression,
+    failOnError: Boolean =
+      org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_adc"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ArrayType(DoubleType, _), _),
+            ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_adc expects (array<array<double>>, array<bigint>), got " +
+          s"${left.dataType.sql}, ${right.dataType.sql}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val t = a.asInstanceOf[ArrayData]
+    val c = b.asInstanceOf[ArrayData]
+    val nt = t.numElements()
+    val nc = c.numElements()
+    val n = math.max(nt, nc)
+    var acc = 0.0
+    var poisoned = false
+    var i = 0
+    while (i < n) {
+      // zip_with pads the shorter side with NULL; element_at(NULL, _) and
+      // element_at(_, NULL) are NULL — but the index-0 check still fires
+      // for every element the composed ZipWith materializes, so keep
+      // scanning after a poison instead of returning early
+      if (i >= nt || t.isNullAt(i) || i >= nc || c.isNullAt(i)) poisoned = true
+      else {
+        val inner = t.getArray(i)
+        val idx = (c.getLong(i) + 1L).toInt
+        if (idx == 0) throw new IllegalArgumentException(
+          "element_at: SQL array indices start at 1")
+        val m = inner.numElements()
+        val pos = if (idx > 0) idx - 1 else m + idx
+        if (pos < 0 || pos >= m) {
+          // element_at semantics: ANSI (failOnError) throws on an
+          // out-of-bounds index, non-ANSI yields NULL
+          if (failOnError) throw new ArrayIndexOutOfBoundsException(
+            s"element_at: The index $idx is out of bounds. " +
+              s"The array has $m elements.")
+          poisoned = true
+        }
+        else if (inner.isNullAt(pos)) poisoned = true
+        else if (!poisoned) acc += inner.getDouble(pos)
+      }
+      i += 1
+    }
+    if (poisoned) null else acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, c) => {
+      val i = ctx.freshName("i")
+      val nt = ctx.freshName("nt")
+      val nc = ctx.freshName("nc")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val poisoned = ctx.freshName("poisoned")
+      val inner = ctx.freshName("inner")
+      val idx = ctx.freshName("idx")
+      val m = ctx.freshName("m")
+      val pos = ctx.freshName("pos")
+      s"""
+         |final int $nt = $t.numElements();
+         |final int $nc = $c.numElements();
+         |final int $n = java.lang.Math.max($nt, $nc);
+         |double $acc = 0.0;
+         |boolean $poisoned = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($i >= $nt || $t.isNullAt($i) || $i >= $nc || $c.isNullAt($i)) {
+         |    $poisoned = true;
+         |  } else {
+         |    org.apache.spark.sql.catalyst.util.ArrayData $inner = $t.getArray($i);
+         |    final int $idx = (int) ($c.getLong($i) + 1L);
+         |    if ($idx == 0) {
+         |      throw new IllegalArgumentException("element_at: SQL array indices start at 1");
+         |    }
+         |    final int $m = $inner.numElements();
+         |    final int $pos = $idx > 0 ? $idx - 1 : $m + $idx;
+         |    if ($pos < 0 || $pos >= $m) {
+         |      if ($failOnError) {
+         |        throw new ArrayIndexOutOfBoundsException(
+         |          "element_at: The index " + $idx + " is out of bounds. The array has " + $m + " elements.");
+         |      }
+         |      $poisoned = true;
+         |    } else if ($inner.isNullAt($pos)) {
+         |      $poisoned = true;
+         |    } else if (!$poisoned) {
+         |      $acc += $inner.getDouble($pos);
+         |    }
+         |  }
+         |}
+         |if ($poisoned) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcFold =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Optimizer rule fusing the composed vector folds:
   *
   *   aggregate(zip_with(a, b, (x,y) => x*y), 0.0, (acc,x) => acc+x) → graft_dot(a, b)

@@ -160,9 +160,24 @@ object PqIndex {
   /** ADC distance `Σ_s table[s][codes_s]` where `table` is the query's
     * lookup tables as an array-of-arrays (sub-major, cid-minor — the
     * shape `collect_list` + `array_sort` over [[adcTables]] yields) and
-    * `codes` a corpus row's PQ codes. Strict left fold, codegen'd.
+    * `codes` a corpus row's PQ codes. Uses the native single-pass
+    * [[graft.functions.AdcFold]] kernel (r15): the composed
+    * `aggregate(zip_with(…, element_at))` lambda is none of the fusable
+    * fold shapes, so the ADC inner loop — once per (query, candidate)
+    * pair, the hot multiply of PQ search — ran interpreted per element.
+    * Asserted value/NULL-exact against [[composedAdcScore]] in
+    * VectorExpressionsSpec.
     */
   def adcScore(table: Column, codes: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.AdcFold(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(table),
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(codes)))
+
+  /** The portable composed form of [[adcScore]] — the semantics
+    * reference (what the DuckDB oracles mirror as list_reduce).
+    */
+  private[graft] def composedAdcScore(table: Column, codes: Column): Column =
     aggregate(
       zip_with(table, codes, (t, c) => element_at(t, (c + 1).cast("int"))),
       lit(0.0), (acc, x) => acc + x)

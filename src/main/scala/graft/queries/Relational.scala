@@ -160,17 +160,29 @@ object Relational {
       val cust = Tables.load(s, dir, "customer")
       val nat = Tables.load(s, dir, "nation")
       val reg = Tables.load(s, dir, "region")
-      li(s, dir)
+      // Aggregate lineitem to one row per order BEFORE the join (r15,
+      // guide §2.3 "aggregate before you shuffle"): the fact side
+      // reaches the orderkey exchange already combined map-side, the
+      // join probes order-sized rows, and countDistinct(o_orderkey)
+      // degenerates to count(*) — no Expand doubling the aggregation
+      // input. Equivalent because o_orderkey is unique in orders (one
+      // joined row per surviving order) and the decimal sum-of-sums is
+      // exact, so the final double is bit-identical; the DuckDB oracle
+      // is unchanged and pins it.
+      val perOrder = li(s, dir)
+        .groupBy($"l_orderkey")
+        .agg(sum($"l_extendedprice".cast("decimal(12,2)") *
+          (lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(4,2)")))
+          .as("order_rev"))
+      perOrder
         .join(orders, $"l_orderkey" === $"o_orderkey")
         .join(broadcast(cust), $"o_custkey" === $"c_custkey")
         .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
         .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
         .groupBy($"r_name".as("region"))
         .agg(
-          sum(($"l_extendedprice".cast("decimal(12,2)") *
-            (lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(4,2)"))))
-            .cast("double").as("revenue"),
-          countDistinct($"o_orderkey").as("n_orders"))
+          sum($"order_rev").cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
         .orderBy($"region")
     },
     Some("""

@@ -59,6 +59,35 @@ class SignatureExpressionsSpec extends AnyFunSuite with SparkSupport with PropSu
     assert(r.getSeq[Any](2) == r.getSeq[Any](3))
   }
 
+  private val tokenGen: Gen[Seq[Option[String]]] =
+    Gen.listOf(Gen.frequency(
+      12 -> Gen.oneOf("a", "bb", "ccc", "dd d", "", "ü", "the", "of").map(Option(_)),
+      1 -> Gen.const(Option.empty[String])))
+
+  test("shingles: native single-pass equals composed window+distinct, order included (r15)") {
+    import spark.implicits._
+    val samples = scala.collection.mutable.ArrayBuffer.empty[Seq[Option[String]]]
+    forAllSamples(tokenGen, 120)(samples += _)
+    samples += Seq.empty                       // shorter than n
+    samples += Seq(Some("a"), Some("b"))       // exactly n-1
+    samples += Seq(Some("a"), Some("a"), Some("a"), Some("a")) // heavy dup
+    val df = samples.toSeq.toDF("t")
+    for (n <- Seq(3, 4, 8)) {
+      val out = df.select(
+        TextFunctions.shingles("t", n).as("native"),
+        TextFunctions.composedShingles("t", n).as("composed")).collect()
+      out.foreach { r =>
+        assert(r.getSeq[Any](0) == r.getSeq[Any](1),
+          s"shingles n=$n diverged: ${r.getSeq[Any](0)} vs ${r.getSeq[Any](1)}")
+      }
+    }
+    // NULL token array: both paths yield the EMPTY array
+    val nl = Seq(Option.empty[Seq[String]]).toDF("t").select(
+      TextFunctions.shingles("t", 3).as("native"),
+      TextFunctions.composedShingles("t", 3).as("composed")).head()
+    assert(nl.getSeq[Any](0) == Seq.empty && nl.getSeq[Any](1) == Seq.empty)
+  }
+
   test("codegen smoke: kernels execute inside a filtered projection over range data") {
     import spark.implicits._
     val df = spark.range(1, 200).select(

@@ -126,6 +126,63 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSupport {
     })
   }
 
+  test("AdcFold: value- and NULL-exact vs the composed adcScore fold (r15)") {
+    import ext.implicits._
+    import graft.operators.PqIndex
+    // value parity on dense tables, bit-exact (same IEEE fold order)
+    val df = Seq.tabulate(100) { i =>
+      (Seq.tabulate(8)(s => Seq.tabulate(16)(c => math.sin(i + s * 16 + c))),
+        Seq.tabulate(8)(s => ((i + s) % 16).toLong))
+    }.toDF("table", "codes")
+    val rows = df.select(
+      PqIndex.composedAdcScore($"table", $"codes").as("composed"),
+      PqIndex.adcScore($"table", $"codes").as("fused")).collect()
+    assert(rows.forall(r => java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+      java.lang.Double.doubleToLongBits(r.getDouble(1))))
+
+    // NULL parity: null code, length mismatch in either direction
+    // (zip_with pads the shorter side with NULL)
+    val edge = Seq(
+      (Some(Seq(Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0)))), Some(Seq(Some(0L), None))),
+      (Some(Seq(Some(Seq(1.0, 2.0)))), Some(Seq(Some(0L), Some(0L)))),
+      (Some(Seq(Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0)))), Some(Seq(Some(0L)))))
+      .toDF("table", "codes")
+    val e = edge.select(
+      PqIndex.composedAdcScore($"table", $"codes").as("composed"),
+      PqIndex.adcScore($"table", $"codes").as("fused")).collect()
+    e.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null parity: ${r.mkString(",")}")
+      if (!r.isNullAt(0))
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)), r.mkString(","))
+    }
+
+    // ANSI (Spark 4 default): an out-of-range code THROWS on both paths
+    // — ElementAt's failOnError semantics, which AdcFold captures at
+    // construction
+    val oob = Seq(
+      (Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)), Seq(0L, 9L))).toDF("table", "codes")
+    intercept[Exception](
+      oob.select(PqIndex.composedAdcScore($"table", $"codes")).collect())
+    intercept[Exception](
+      oob.select(PqIndex.adcScore($"table", $"codes")).collect())
+  }
+
+  test("newSession() drops experimental.extraOptimizations (the rocksDbSession re-register rationale)") {
+    // Sessions register the rewrites via experimental.extraOptimizations;
+    // a plain newSession() builds a FRESH SessionState with no parent, so
+    // the rules are gone unless the clone re-registers (r15 —
+    // Streams.rocksDbSession does). Pin the Spark behavior this relies
+    // on so an upgrade that changes it surfaces here, not as a silent
+    // perf cliff (or a redundant register call).
+    val parent = ext
+    assert(parent.experimental.extraOptimizations.contains(VectorFoldRewrite))
+    val clone = parent.newSession()
+    assert(!clone.experimental.extraOptimizations.contains(VectorFoldRewrite),
+      "newSession() now inherits extraOptimizations — rocksDbSession's " +
+        "re-register is redundant (harmless), update the r15 comments")
+  }
+
   test("codegen: the fused expressions stay in whole-stage codegen") {
     import ext.implicits._
     val q = rangeVecs(ext).select(V.norm($"a").as("n"), V.dot($"a", $"b").as("d"))
