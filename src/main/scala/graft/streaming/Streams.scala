@@ -346,12 +346,17 @@ object Streams {
     require(!batch.columns.contains("batch") && keyCol != "batch",
       "bloomDedupStream reserves the `batch` column for its replay-rewind " +
         "tag — rename the incoming column")
-    // one source read per micro-batch (r15, guide §2.3/§5): `batch`
-    // appears TWICE in the admission plan (bloom probe + exact-confirm
-    // anti-join) and once more in the telemetry count — unpersisted,
-    // each consumer re-reads the micro-batch's source files. Batch-sized
-    // by the stream's contract, released in the finally.
-    val bt = batch.persist()
+    // Deliberately NOT persisted (r15): `batch` does appear twice in the
+    // admission plan (bloom probe + exact-confirm anti-join) plus the
+    // telemetry count, but its recompute is a narrow KEY projection of
+    // the micro-batch source — the interleaved RAAR A/B measured the
+    // persist as a net loss (+0.3-0.6 s per gate at sf0.1: cache write +
+    // memory-manager traffic exceeds three cheap column scans). Contrast
+    // neardupAdmitBatch, whose batch recompute is the full tokenize →
+    // shingle → minhash text pipeline and IS persisted. Guide §5's rule
+    // verbatim: cache only when recompute is more expensive than the
+    // caching pressure.
+    val bt = batch
     try {
     if (!bt.isEmpty) {
       import org.apache.spark.sql.functions.lit
@@ -420,7 +425,7 @@ object Streams {
         onBatchStats(b, bt.count(), nAdmitted)
       } finally { admitted.unpersist(); () }
     }
-    } finally { bt.unpersist(); () }
+    } finally { () } // bt not persisted (see above)
   }
 
   /** Streaming incremental NEAR-DUP admission (r15, VERDICT r14 next
