@@ -163,10 +163,122 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Gopher repetition-filter statistics in ONE pass (r15) — the native
+  * fast path of the q80 body's bigram fold: build the bigram list, sort
+  * it, and run the sorted-runs maximum, all in tight Java instead of an
+  * interpreted `transform` lambda per bigram plus an `aggregate` fold
+  * that allocates a 4-field named_struct per element. The repetition
+  * filter is a full-corpus map pass in every curation pipeline, so its
+  * per-row constant is a corpus-scan constant.
+  *
+  * Output struct (n_bg, c, g): bigram count, the highest run length of
+  * the ASCENDING-sorted bigrams, and its gram. Parity with the composed
+  * fold (asserted in SignatureExpressionsSpec): strict `>` keeps the
+  * lexicographically smallest gram on ties (sorted ascending + strict
+  * update = the relational `ORDER BY c DESC, g` verdict); a NULL token
+  * nullifies its bigrams (`concat`), NULLs sort FIRST (sort_array asc)
+  * and never equal anything (`x = prev` is NULL → run restarts at 1);
+  * fewer than 2 tokens (or a NULL token array — `size(NULL) >= 2` is
+  * NULL → ELSE) yields (0, 0, ''), the fold's init.
+  */
+case class BigramRunTop(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_bg", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("c", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("g",
+      org.apache.spark.sql.types.StringType, nullable = true)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_bigram_top"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_bigram_top expects array<string>, got ${other.sql}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val arr = child.eval(input)
+    if (arr == null) SignatureKernels.emptyBigramTop
+    else SignatureKernels.bigramRunTop(arr.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        InternalRow ${ev.value};
+        if (${c.isNull}) {
+          ${ev.value} = graft.functions.SignatureKernels.emptyBigramTop();
+        } else {
+          ${ev.value} = graft.functions.SignatureKernels.bigramRunTop(${c.value});
+        }
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BigramRunTop =
+    copy(child = newChild)
+}
+
 /** Static single-pass kernels (Scala object = static forwarders for the
   * generated Java).
   */
 object SignatureKernels {
+
+  private val Empty = org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+
+  /** The fold's init struct: (0 bigrams, run 0, gram ''). */
+  def emptyBigramTop: InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](0L, 0L, Empty))
+
+  /** Bigrams → sort ascending (NULLs first, binary UTF8 order — exactly
+    * sort_array) → sorted-runs maximum with strict `>` update; composed
+    * parity documented on [[BigramRunTop]].
+    */
+  def bigramRunTop(toks: ArrayData): InternalRow = {
+    val m = toks.numElements()
+    if (m < 2) return emptyBigramTop
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val bg = new Array[org.apache.spark.unsafe.types.UTF8String](m - 1)
+    var i = 0
+    while (i < m - 1) {
+      // concat's NULL propagation: either token NULL → NULL bigram
+      bg(i) =
+        if (toks.isNullAt(i) || toks.isNullAt(i + 1)) null
+        else org.apache.spark.unsafe.types.UTF8String.concatWs(sep,
+          toks.getUTF8String(i), toks.getUTF8String(i + 1))
+      i += 1
+    }
+    // sort_array ascending: NULLs first, then binary order
+    java.util.Arrays.sort(bg,
+      new java.util.Comparator[org.apache.spark.unsafe.types.UTF8String] {
+        override def compare(a: org.apache.spark.unsafe.types.UTF8String,
+            b: org.apache.spark.unsafe.types.UTF8String): Int =
+          if (a == null && b == null) 0
+          else if (a == null) -1
+          else if (b == null) 1
+          else a.compareTo(b)
+      })
+    var prev: org.apache.spark.unsafe.types.UTF8String = Empty
+    var run = 0L
+    var c = 0L
+    var g: org.apache.spark.unsafe.types.UTF8String = Empty
+    i = 0
+    while (i < bg.length) {
+      val x = bg(i)
+      // SQL `x = s.prev`: NULL on either side → not equal → run restarts
+      run = if (x != null && prev != null && x.equals(prev)) run + 1 else 1L
+      if (run > c) { c = run; g = x }
+      prev = x
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any]((m - 1).toLong, c, g))
+  }
 
   /** One pass over the hashes, 32 bit-counters; composed-form parity
     * documented on [[SimHash32]].

@@ -202,6 +202,54 @@ object TextFunctions {
     xxhash64(lit(b),
       concat_ws(",", transform(slice(sig, b * rows + 1, rows), _.cast("string"))))
 
+  /** Per-doc bigram repetition statistics struct (n_bg, c, g): bigram
+    * count, top sorted-run length, its gram — the q80 Gopher-filter
+    * fold. Uses the native single-pass [[BigramRunTop]] kernel (r15);
+    * the composed form ran an interpreted lambda per bigram plus a
+    * 4-field named_struct allocation per fold step, on a full-corpus
+    * map pass. Asserted struct-exact against [[composedBigramRunTop]]
+    * in SignatureExpressionsSpec.
+    */
+  def bigramRunTop(toks: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      BigramRunTop(org.apache.spark.sql.graftshim.ColumnBridge.expression(toks)))
+
+  /** The portable composed form of [[bigramRunTop]] — the semantics
+    * reference the DuckDB oracle mirrors. `colName` must name the token
+    * array column.
+    */
+  private[graft] def composedBigramRunTop(colName: String): Column = {
+    val bg = s"CASE WHEN size($colName) >= 2 THEN transform(sequence(0, size($colName)-2), " +
+      s"i -> concat($colName[i], ' ', $colName[i+1])) ELSE array() END"
+    expr(
+      s"""named_struct(
+            'n_bg', CAST(size($bg) AS BIGINT),
+            'c', aggregate(
+              sort_array($bg),
+              named_struct('prev', '', 'run', CAST(0 AS BIGINT),
+                           'c', CAST(0 AS BIGINT), 'g', ''),
+              (s, x) -> named_struct(
+                'prev', x,
+                'run', CASE WHEN x = s.prev THEN s.run + 1 ELSE CAST(1 AS BIGINT) END,
+                'c', CASE WHEN (CASE WHEN x = s.prev THEN s.run + 1 ELSE CAST(1 AS BIGINT) END) > s.c
+                     THEN (CASE WHEN x = s.prev THEN s.run + 1 ELSE CAST(1 AS BIGINT) END)
+                     ELSE s.c END,
+                'g', CASE WHEN (CASE WHEN x = s.prev THEN s.run + 1 ELSE CAST(1 AS BIGINT) END) > s.c
+                     THEN x ELSE s.g END)).c,
+            'g', aggregate(
+              sort_array($bg),
+              named_struct('prev', '', 'run', CAST(0 AS BIGINT),
+                           'c', CAST(0 AS BIGINT), 'g', ''),
+              (s, x) -> named_struct(
+                'prev', x,
+                'run', CASE WHEN x = s.prev THEN s.run + 1 ELSE CAST(1 AS BIGINT) END,
+                'c', CASE WHEN (CASE WHEN x = s.prev THEN s.run + 1 ELSE CAST(1 AS BIGINT) END) > s.c
+                     THEN (CASE WHEN x = s.prev THEN s.run + 1 ELSE CAST(1 AS BIGINT) END)
+                     ELSE s.c END,
+                'g', CASE WHEN (CASE WHEN x = s.prev THEN s.run + 1 ELSE CAST(1 AS BIGINT) END) > s.c
+                     THEN x ELSE s.g END)).g)""")
+  }
+
   /** Estimated Jaccard from two equal-length minhash signatures: fraction
     * of agreeing components.
     */

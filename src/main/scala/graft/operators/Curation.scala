@@ -78,28 +78,16 @@ object Curation {
           lit(1.0) - size(array_distinct(col("t"))).cast("double") /
             col("n_tokens").cast("double"))
           .otherwise(lit(0.0)))
-      .withColumn("bg", expr(
-        "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t)-2), " +
-          "i -> concat(t[i], ' ', t[i+1])) ELSE array() END"))
-      .withColumn("top", expr(
-        """aggregate(
-             sort_array(bg),
-             named_struct('prev', '', 'run', CAST(0 AS BIGINT),
-                          'c', CAST(0 AS BIGINT), 'g', ''),
-             (s, x) -> named_struct(
-               'prev', x,
-               'run', CASE WHEN x = s.prev THEN s.run + 1 ELSE CAST(1 AS BIGINT) END,
-               'c', CASE WHEN (CASE WHEN x = s.prev THEN s.run + 1 ELSE CAST(1 AS BIGINT) END) > s.c
-                    THEN (CASE WHEN x = s.prev THEN s.run + 1 ELSE CAST(1 AS BIGINT) END)
-                    ELSE s.c END,
-               'g', CASE WHEN (CASE WHEN x = s.prev THEN s.run + 1 ELSE CAST(1 AS BIGINT) END) > s.c
-                    THEN x ELSE s.g END))"""))
+      // one native pass: bigrams + sort + sorted-runs max (r15 —
+      // previously an interpreted lambda per bigram plus a named_struct
+      // allocation per fold step; see TextFunctions.bigramRunTop)
+      .withColumn("top", T.bigramRunTop(col("t")))
       .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
-        when(size(col("bg")) > 0, col("top.g")).otherwise(lit("")).as("top_bigram"),
-        when(size(col("bg")) > 0, col("top.c").cast("double") / size(col("bg")).cast("double"))
+        when(col("top.n_bg") > 0, col("top.g")).otherwise(lit("")).as("top_bigram"),
+        when(col("top.n_bg") > 0, col("top.c").cast("double") / col("top.n_bg").cast("double"))
           .otherwise(lit(0.0)).as("top_bigram_frac"),
         ((col("dup_token_frac") <= 0.65) &&
-          when(size(col("bg")) > 0, col("top.c").cast("double") / size(col("bg")).cast("double"))
+          when(col("top.n_bg") > 0, col("top.c").cast("double") / col("top.n_bg").cast("double"))
             .otherwise(lit(0.0)) <= 0.08).cast("int").as("keep_doc"))
 
   /** Docs surviving both verdict id-sets — two left-semi joins (never a

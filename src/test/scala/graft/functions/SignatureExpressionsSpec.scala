@@ -88,6 +88,32 @@ class SignatureExpressionsSpec extends AnyFunSuite with SparkSupport with PropSu
     assert(nl.getSeq[Any](0) == Seq.empty && nl.getSeq[Any](1) == Seq.empty)
   }
 
+  test("bigramRunTop: native single-pass equals the composed sort+fold, incl. ties and NULLs (r15)") {
+    import spark.implicits._
+    val samples = scala.collection.mutable.ArrayBuffer.empty[Seq[Option[String]]]
+    forAllSamples(tokenGen, 120)(samples += _)
+    samples += Seq.empty
+    samples += Seq(Some("solo"))
+    samples += Seq(Some("a"), Some("b"), Some("a"), Some("b"), Some("a")) // tie runs
+    samples += Seq(Some("x"), None, Some("x"), None, Some("x"))           // null bigrams
+    val df = samples.toSeq.toDF("t")
+    val out = df.select(
+      TextFunctions.bigramRunTop($"t").as("native"),
+      TextFunctions.composedBigramRunTop("t").as("composed")).collect()
+    out.foreach { r =>
+      val a = r.getStruct(0); val b = r.getStruct(1)
+      assert(a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1) &&
+        a.getAs[String](2) == b.getAs[String](2),
+        s"bigramRunTop diverged: $a vs $b")
+    }
+    // NULL token array: both read as the fold init (0, 0, '')
+    val nl = Seq(Option.empty[Seq[String]]).toDF("t").select(
+      TextFunctions.bigramRunTop($"t").as("native"),
+      TextFunctions.composedBigramRunTop("t").as("composed")).head()
+    assert(nl.getStruct(0).getLong(0) == 0L && nl.getStruct(1).getLong(0) == 0L)
+    assert(nl.getStruct(0).getAs[String](2) == "" && nl.getStruct(1).getAs[String](2) == "")
+  }
+
   test("codegen smoke: kernels execute inside a filtered projection over range data") {
     import spark.implicits._
     val df = spark.range(1, 200).select(
