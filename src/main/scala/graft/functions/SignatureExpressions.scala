@@ -223,6 +223,82 @@ case class BigramRunTop(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** k-token gram hashes in ONE pass (r15) — the native fast path of the
+  * winnowing gram stage: position i (0-based) yields
+  * hash32(concat_ws(' ', t[i..i+k-1])), i.e. the first 8 md5 hex chars
+  * of the space-joined gram as a non-negative long. The composed form
+  * (`transform(sequence(1, n-k+1), i -> hash32(concat_ws(' ',
+  * slice(t, i, k))))`) allocates a slice array and an interpreted
+  * lambda frame per position; this kernel reuses one byte buffer and
+  * one MessageDigest across the document. concat_ws semantics: NULL
+  * tokens are SKIPPED (not nullified). NULL/short input yields the
+  * composed form's values via the caller's guards (Winnow filters
+  * size >= k first); defensively, n < k yields the empty array.
+  */
+case class WordGramHash32(child: Expression, k: Int) extends UnaryExpression {
+
+  require(k >= 1, "gram length must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_gram_hash32"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_gram_hash32 expects array<string>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    SignatureKernels.gramHash32(a.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = graft.functions.SignatureKernels.gramHash32($c, $k);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WordGramHash32 =
+    copy(child = newChild)
+}
+
+/** Distinct sliding-window minima in ONE pass (r15) — the winnow
+  * selection stage: window i of `w` consecutive gram hashes contributes
+  * its minimum, deduped order-preserving. The composed form
+  * (`array_distinct(transform(sequence(1, greatest(1, n-w+1)), i ->
+  * array_min(slice(gh, i, w))))`) allocates a w-sized slice per window
+  * — O(n·w) churn; this kernel keeps a monotonic deque — O(n) total.
+  * Short inputs (n < w) yield one window over what exists, exactly
+  * like the clipped slice. NULL elements cannot occur in the winnow
+  * pipeline (hashes of non-null grams); defensively they are skipped
+  * by the min exactly like array_min.
+  */
+case class SlidingMinDistinct(child: Expression, w: Int) extends UnaryExpression {
+
+  require(w >= 1, "window length must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_winnow_min"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_winnow_min expects array<bigint>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    SignatureKernels.slidingMinDistinct(a.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = graft.functions.SignatureKernels.slidingMinDistinct($c, $w);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SlidingMinDistinct =
+    copy(child = newChild)
+}
+
 /** Static single-pass kernels (Scala object = static forwarders for the
   * generated Java).
   */
@@ -308,6 +384,78 @@ object SignatureKernels {
       b += 1
     }
     acc
+  }
+
+  /** One gram-hash pass; composed-form parity documented on
+    * [[WordGramHash32]]. hash32 = first 8 md5 hex chars as a
+    * non-negative long = the first 4 digest bytes read big-endian
+    * unsigned (`parseLong(hex.take(8), 16)` over the same bytes).
+    */
+  def gramHash32(toks: ArrayData, k: Int): ArrayData = {
+    val m = toks.numElements()
+    if (m < k) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val space: Byte = ' '
+    val out = new Array[Any](m - k + 1)
+    var i = 0
+    while (i <= m - k) {
+      md.reset()
+      var j = 0
+      var first = true
+      while (j < k) {
+        // concat_ws semantics: skip NULL tokens entirely
+        if (!toks.isNullAt(i + j)) {
+          if (!first) md.update(space)
+          first = false
+          md.update(toks.getUTF8String(i + j).getBytes)
+        }
+        j += 1
+      }
+      val d = md.digest()
+      out(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Monotonic-deque sliding minima + order-preserving distinct;
+    * composed-form parity documented on [[SlidingMinDistinct]].
+    */
+  def slidingMinDistinct(gh: ArrayData, w: Int): ArrayData = {
+    val n = gh.numElements()
+    if (n == 0) {
+      // composed: sequence(1, greatest(1, 1-w)) = [1], slice of the
+      // empty array = empty, array_min(empty) = NULL, distinct -> [NULL]
+      return new GenericArrayData(Array[Any](null))
+    }
+    val nWin = math.max(1, n - w + 1)
+    val seen = new java.util.LinkedHashSet[Any]()
+    // deque of indices with increasing values; null elements skipped
+    // (array_min ignores NULLs; an all-null window yields NULL)
+    val dq = new Array[Int](n)
+    var head = 0
+    var tail = 0 // exclusive
+    var i = 0
+    while (i < nWin) {
+      // evict indices left of the window [i, i+w)
+      while (head < tail && dq(head) < i) head += 1
+      // admit new right edge(s): window i covers up to min(i+w, n)-1
+      val hi = math.min(i + w, n)
+      var j = if (i == 0) 0 else hi - 1
+      while (j < hi) {
+        if (!gh.isNullAt(j)) {
+          val v = gh.getLong(j)
+          while (head < tail && gh.getLong(dq(tail - 1)) >= v) tail -= 1
+          dq(tail) = j
+          tail += 1
+        }
+        j += 1
+      }
+      seen.add(if (head < tail) gh.getLong(dq(head)) else null)
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
   }
 
   /** One sliding window pass, dedup order-preserving; composed-form

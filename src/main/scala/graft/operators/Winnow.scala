@@ -32,6 +32,28 @@ import graft.functions.{TextFunctions => T}
   */
 object Winnow {
 
+  private def bridge(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(e)
+  private def unbridge(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graftshim.ColumnBridge.expression(c)
+
+  /** The portable composed forms of the two winnow stages — the
+    * semantics references the DuckDB oracles mirror; parity with the
+    * native kernels is pinned in SignatureExpressionsSpec.
+    */
+  private[graft] def composedGramHashes(t: org.apache.spark.sql.Column, k: Int) = {
+    val _ = t // named-column expr form, mirroring the original
+    expr(
+      s"transform(sequence(1, size(t) - ${k - 1}), " +
+        s"i -> cast(conv(substring(md5(concat_ws(' ', slice(t, i, $k))), 1, 8), 16, 10) as bigint))")
+  }
+  private[graft] def composedWinnowMins(gh: org.apache.spark.sql.Column, w: Int) = {
+    val _ = gh
+    array_distinct(expr(
+      s"transform(sequence(1, greatest(1, size(gh) - ${w - 1})), " +
+        s"i -> array_min(slice(gh, i, $w)))"))
+  }
+
   /** Result frame + explicit release of the operator's staged persists
     * (idempotent; call after the terminal action on `frame`). */
   final case class Staged(frame: DataFrame, release: () => Unit)
@@ -48,20 +70,22 @@ object Winnow {
     val toks = docs
       .select(col("doc_id"), T.tokens(coalesce(col("text"), lit(""))).as("t"))
       .persist()
-    // gram hashes MATERIALIZED before the window pass: higher-order
-    // array expressions are CodegenFallback, and fusing the per-gram
-    // hash under the per-window min leaves the whole O(len·w) pass in
-    // one deep interpreted subtree (NearDup's measured 8× lesson)
+    // Native single-pass kernels (r15): the composed gram stage ran an
+    // interpreted lambda per position with a slice + concat_ws
+    // allocation each (gram hashing), and the window stage another
+    // lambda per window with a w-sized slice each — O(len·w) churn. The
+    // kernels reuse one digest/buffer per document and select window
+    // minima with a monotonic deque — O(len) total. Value-exact parity
+    // (incl. short docs and the n<w single-window rule) pinned in
+    // SignatureExpressionsSpec; the gram-hash staging persist keeps its
+    // r14 rationale (two consumers of `gh` would recompute the md5 pass).
     val grams = toks
       .filter(size(col("t")) >= k)
-      .withColumn("gh", expr(
-        s"transform(sequence(1, size(t) - ${k - 1}), " +
-          s"i -> cast(conv(substring(md5(concat_ws(' ', slice(t, i, $k))), 1, 8), 16, 10) as bigint))"))
+      .withColumn("gh", bridge(graft.functions.WordGramHash32(unbridge(col("t")), k)))
       .persist()
     val out = grams
-      .withColumn("fp", array_distinct(expr(
-        s"transform(sequence(1, greatest(1, size(gh) - ${w - 1})), " +
-          s"i -> array_min(slice(gh, i, $w)))")))
+      .withColumn("fp",
+        bridge(graft.functions.SlidingMinDistinct(unbridge(col("gh")), w)))
       .select(col("doc_id"), explode(col("fp")).as("fp"))
     Staged(out, () => { grams.unpersist(); toks.unpersist(); () })
   }

@@ -114,6 +114,40 @@ class SignatureExpressionsSpec extends AnyFunSuite with SparkSupport with PropSu
     assert(nl.getStruct(0).getAs[String](2) == "" && nl.getStruct(1).getAs[String](2) == "")
   }
 
+  test("winnow kernels: gram hashes and window minima equal the composed stages (r15)") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    // gram hashes over docs of assorted lengths (>= k enforced upstream,
+    // but include exactly-k and k+1 here)
+    val toks = Seq(
+      Seq("a", "b", "c", "d", "e"),
+      Seq("the", "same", "the", "same", "the", "same", "tail"),
+      Seq("x", "y", "z", "w", "v", "u", "t", "s"),
+      Seq("one", "two", "three", "four", "five")).toDF("t")
+    for (k <- Seq(2, 5)) {
+      val out = toks.filter(org.apache.spark.sql.functions.size($"t") >= k).select(
+        ColumnBridge.column(WordGramHash32(ColumnBridge.expression($"t"), k)).as("native"),
+        graft.operators.Winnow.composedGramHashes($"t", k).as("composed")).collect()
+      out.foreach(r => assert(r.getSeq[Any](0) == r.getSeq[Any](1),
+        s"gram hashes k=$k diverged: ${r.getSeq[Any](0)} vs ${r.getSeq[Any](1)}"))
+    }
+    // window minima over arbitrary hash arrays, incl. n < w (one clipped
+    // window) and heavy duplicates (distinct-order rule)
+    val hashes = Seq(
+      Seq(5L, 3L, 8L, 3L, 9L, 1L, 1L, 7L),
+      Seq(2L),
+      Seq(4L, 4L, 4L),
+      Seq(9L, 8L, 7L, 6L, 5L, 4L),
+      Seq(1L, 2L, 3L, 4L, 5L, 6L)).toDF("gh")
+    for (w <- Seq(1, 4, 10)) {
+      val out = hashes.select(
+        ColumnBridge.column(SlidingMinDistinct(ColumnBridge.expression($"gh"), w)).as("native"),
+        graft.operators.Winnow.composedWinnowMins($"gh", w).as("composed")).collect()
+      out.foreach(r => assert(r.getSeq[Any](0) == r.getSeq[Any](1),
+        s"winnow mins w=$w diverged: ${r.getSeq[Any](0)} vs ${r.getSeq[Any](1)}"))
+    }
+  }
+
   test("codegen smoke: kernels execute inside a filtered projection over range data") {
     import spark.implicits._
     val df = spark.range(1, 200).select(
