@@ -299,6 +299,135 @@ case class SlidingMinDistinct(child: Expression, w: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Positional n-token spans in ONE pass (r16) — the native fast path of
+  * `ExactSubstr.removal`'s starts stage: position i (1-based) yields
+  * struct(s = i, g = concat_ws(' ', t[i..i+n-1])). The composed form
+  * (`transform(sequence(1, size(t)-n+1), i -> struct(i AS s,
+  * concat_ws(' ', slice(t, i, n)) AS g))`) materializes an index array
+  * per doc and runs an interpreted lambda per position, each allocating
+  * an n-sized slice array before the concat — on a FULL-CORPUS explode
+  * pass feeding q83–q86, q99 and the q103 workflow. This kernel slides
+  * one window and joins each span with one `UTF8String.concatWs`.
+  *
+  * Parity with the composed form (asserted in SignatureExpressionsSpec):
+  * concat_ws semantics — NULL tokens are SKIPPED, never nullify the
+  * span (contrast WordShingles' concat rule); spans are emitted in
+  * position order WITHOUT dedup (removal needs every occurrence);
+  * the caller guards `size(t) >= n`, and defensively a shorter (or
+  * NULL-sized) input yields the empty array via the null-safe wrapper.
+  */
+case class SpanStarts(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, "span length must be positive")
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("g",
+        org.apache.spark.sql.types.StringType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_span_starts"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_span_starts expects array<string>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    SignatureKernels.spanStarts(a.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = graft.functions.SignatureKernels.spanStarts($c, $n);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SpanStarts =
+    copy(child = newChild)
+}
+
+/** Token excision by MERGED CUT INTERVALS in ONE pass (r16) — the native
+  * fast path of `ExactSubstr.removal`'s kept filter: keep token at
+  * 1-based position p iff NO cut interval [cut_start, cut_end] covers p.
+  * The composed form (`CASE WHEN cuts IS NULL THEN t ELSE filter(t,
+  * (x, i) -> NOT exists(cuts, c -> i+1 >= c.cut_start AND i+1 <=
+  * c.cut_end)) END`) runs two nested interpreted lambdas — O(len ·
+  * n_cuts) frames per doc on the corpus-sized rebuild pass. This kernel
+  * walks tokens and cuts together with one pointer — O(len + n_cuts).
+  *
+  * PRECONDITION: cuts sorted ascending by cut_start (the operator sorts
+  * via array_sort; gaps-and-islands additionally makes them disjoint —
+  * the walk stays correct under overlap, the spec pins both). Parity
+  * (asserted in SignatureExpressionsSpec): NULL cuts array passes `t`
+  * through verbatim; NULL `t` is NULL; NULL tokens at uncovered
+  * positions survive (filter's lambda sees them, the position test
+  * doesn't touch the value); a NULL cut element never covers
+  * (unreachable — collect_list drops nulls — and defensively skipped).
+  */
+case class ExciseByIntervals(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = left.dataType
+  override def nullable: Boolean = left.nullable
+  override def prettyName: String = "graft_excise"
+
+  private def integral(t: DataType): Boolean =
+    t == LongType || t == org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(org.apache.spark.sql.types.StringType, _),
+        ArrayType(s: org.apache.spark.sql.types.StructType, _))
+        if s.fields.length == 2 && s.fields.forall(f => integral(f.dataType)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_excise expects (array<string>, array<struct<int|bigint,int|bigint>>), " +
+        s"got (${l.sql}, ${r.sql})")
+  }
+
+  // the cut fields' widths, fixed at analysis (the operator's
+  // gaps-and-islands emits int bounds; a long-keyed caller still works)
+  private lazy val (startIsLong, endIsLong) = right.dataType match {
+    case ArrayType(s: org.apache.spark.sql.types.StructType, _) =>
+      (s.fields(0).dataType == LongType, s.fields(1).dataType == LongType)
+    case _ => (true, true)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val t = left.eval(input)
+    if (t == null) return null
+    val c = right.eval(input)
+    if (c == null) t
+    else SignatureKernels.exciseByIntervals(
+      t.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData], startIsLong, endIsLong)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    ev.copy(code = code"""
+      ${l.code}
+      boolean ${ev.isNull} = ${l.isNull};
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${r.code}
+        if (${r.isNull}) {
+          ${ev.value} = ${l.value};
+        } else {
+          ${ev.value} = graft.functions.SignatureKernels.exciseByIntervals(
+            ${l.value}, ${r.value}, $startIsLong, $endIsLong);
+        }
+      }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ExciseByIntervals =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Static single-pass kernels (Scala object = static forwarders for the
   * generated Java).
   */
@@ -484,6 +613,65 @@ object SignatureKernels {
       i += 1
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  /** One sliding-window pass emitting (1-based position, span) structs;
+    * composed-form parity documented on [[SpanStarts]]. concat_ws
+    * semantics: `UTF8String.concatWs` itself skips NULL inputs.
+    */
+  def spanStarts(toks: ArrayData, n: Int): ArrayData = {
+    val m = toks.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    val out = new Array[Any](m - n + 1)
+    var i = 0
+    while (i <= m - n) {
+      var j = 0
+      while (j < n) {
+        parts(j) =
+          if (toks.isNullAt(i + j)) null else toks.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](i + 1,
+          org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** One merged pointer walk over tokens and sorted cut intervals;
+    * composed-form parity and the sorted-by-start precondition
+    * documented on [[ExciseByIntervals]].
+    */
+  def exciseByIntervals(toks: ArrayData, cuts: ArrayData,
+      startIsLong: Boolean, endIsLong: Boolean): ArrayData = {
+    val m = toks.numElements()
+    val nc = cuts.numElements()
+    def startOf(r: InternalRow): Long =
+      if (startIsLong) r.getLong(0) else r.getInt(0).toLong
+    def endOf(r: InternalRow): Long =
+      if (endIsLong) r.getLong(1) else r.getInt(1).toLong
+    val out = new Array[AnyRef](m)
+    var k = 0
+    var j = 0
+    var i = 0
+    while (i < m) {
+      val pos = (i + 1).toLong
+      // a cut whose end is behind pos can never cover this or any later
+      // position (cuts sorted by start; see class doc for the overlap
+      // argument); NULL cut elements (unreachable) are skipped the same way
+      while (j < nc && (cuts.isNullAt(j) || endOf(cuts.getStruct(j, 2)) < pos)) j += 1
+      val covered = j < nc && startOf(cuts.getStruct(j, 2)) <= pos
+      if (!covered) {
+        out(k) = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(
+      if (k == m) out else java.util.Arrays.copyOfRange(out, 0, k))
   }
 
   /** One pass over the hashes, k running minima. */

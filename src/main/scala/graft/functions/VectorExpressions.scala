@@ -215,7 +215,10 @@ case class SquaredL2(left: Expression, right: Expression)
   * length-mismatched arrays zip with NULL padding → NULL; a negative
   * index reads from the end exactly like `element_at`; an out-of-range
   * index throws under ANSI (`failOnError`, captured at construction
-  * like ElementAt) and yields NULL otherwise; index 0 throws.
+  * like ElementAt) and yields NULL otherwise; index 0 throws; a code
+  * whose +1 exceeds int range throws under ANSI like the composed
+  * `(c+1).cast("int")` and wraps like the non-ANSI cast otherwise
+  * (ADVICE r15 — unreachable for real PQ codes ≤ 255).
   */
 case class AdcFold(left: Expression, right: Expression,
     failOnError: Boolean =
@@ -253,7 +256,14 @@ case class AdcFold(left: Expression, right: Expression,
       if (i >= nt || t.isNullAt(i) || i >= nc || c.isNullAt(i)) poisoned = true
       else {
         val inner = t.getArray(i)
-        val idx = (c.getLong(i) + 1L).toInt
+        val raw = c.getLong(i) + 1L
+        // the composed form's (c+1).cast("int") under ANSI throws on
+        // overflow where .toInt silently wraps (ADVICE r15) — match it;
+        // non-ANSI cast wraps exactly like .toInt, so only ANSI changes
+        if (failOnError && (raw > Int.MaxValue || raw < Int.MinValue))
+          throw new ArithmeticException(
+            s"Casting $raw to int causes overflow")
+        val idx = raw.toInt
         if (idx == 0) throw new IllegalArgumentException(
           "element_at: SQL array indices start at 1")
         val m = inner.numElements()
@@ -283,6 +293,7 @@ case class AdcFold(left: Expression, right: Expression,
       val acc = ctx.freshName("acc")
       val poisoned = ctx.freshName("poisoned")
       val inner = ctx.freshName("inner")
+      val raw = ctx.freshName("raw")
       val idx = ctx.freshName("idx")
       val m = ctx.freshName("m")
       val pos = ctx.freshName("pos")
@@ -297,7 +308,11 @@ case class AdcFold(left: Expression, right: Expression,
          |    $poisoned = true;
          |  } else {
          |    org.apache.spark.sql.catalyst.util.ArrayData $inner = $t.getArray($i);
-         |    final int $idx = (int) ($c.getLong($i) + 1L);
+         |    final long $raw = $c.getLong($i) + 1L;
+         |    if ($failOnError && ($raw > Integer.MAX_VALUE || $raw < Integer.MIN_VALUE)) {
+         |      throw new ArithmeticException("Casting " + $raw + " to int causes overflow");
+         |    }
+         |    final int $idx = (int) $raw;
          |    if ($idx == 0) {
          |      throw new IllegalArgumentException("element_at: SQL array indices start at 1");
          |    }

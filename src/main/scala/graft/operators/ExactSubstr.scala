@@ -38,6 +38,25 @@ import graft.functions.{TextFunctions => T}
   */
 object ExactSubstr {
 
+  private def bridge(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(e)
+  private def unbridge(c: Column) =
+    org.apache.spark.sql.graftshim.ColumnBridge.expression(c)
+
+  /** The portable composed forms of the two removal stages the r16
+    * native kernels replace — the semantics references the DuckDB
+    * oracles mirror; parity with [[graft.functions.SpanStarts]] /
+    * [[graft.functions.ExciseByIntervals]] is pinned in
+    * SignatureExpressionsSpec.
+    */
+  private[graft] def composedStarts(n: Int): Column =
+    expr(s"transform(sequence(1, size(t) - ${n - 1}), " +
+      s"i -> struct(i AS s, concat_ws(' ', slice(t, i, $n)) AS g))")
+  private[graft] def composedKept: Column =
+    expr("CASE WHEN cuts IS NULL THEN t " +
+      "ELSE filter(t, (x, i) -> NOT exists(cuts, " +
+      "c -> i + 1 >= c.cut_start AND i + 1 <= c.cut_end)) END")
+
   /** Result frame + explicit release of the operator's staged persists
     * (idempotent; call after the terminal action on `frame`). */
   final case class Staged(frame: DataFrame, release: () => Unit)
@@ -108,10 +127,10 @@ object ExactSubstr {
     * Distributed shape: spans explode once and are persisted (df agg +
     * hot-join both consume them); hot starts run gaps-and-islands under
     * a per-doc window (one shuffle on doc_id); the kept stream is
-    * computed map-side on the intact doc row via an indexed array
-    * filter probing the doc's MERGED CUT INTERVALS (disjoint and sorted
-    * by construction — O(n_cuts) carried per row, never a
-    * per-position cover array; r15) — the corpus is never exploded to
+    * computed map-side on the intact doc row by walking the doc's
+    * MERGED CUT INTERVALS (disjoint and sorted by construction —
+    * O(n_cuts) carried per row, never a per-position cover array; r15;
+    * native one-pointer kernel r16) — the corpus is never exploded to
     * per-token rows and rebuilt.
     */
   def removalWithRelease(docs: DataFrame, n: Int = 8, minDf: Long = 2L,
@@ -126,12 +145,16 @@ object ExactSubstr {
       .select(col("doc_id"), T.tokens(coalesce(col("text"), lit(""))).as("t"))
       .persist()
     // every span OCCURRENCE with its 1-based start position (the profile
-    // uses distinct spans; removal needs positions)
+    // uses distinct spans; removal needs positions). Native one-pass
+    // kernel (r16): the composed transform(sequence(...)) ran an
+    // interpreted lambda per position, each allocating an n-sized slice
+    // before the concat, on this full-corpus explode pass —
+    // [[composedStarts]] keeps the semantics reference, parity pinned in
+    // SignatureExpressionsSpec.
     val starts = toked
       .filter(size(col("t")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(t) - ${n - 1}), " +
-          s"i -> struct(i AS s, concat_ws(' ', slice(t, i, $n)) AS g))")).as("sp"))
+      .select(col("doc_id"), explode(
+        bridge(graft.functions.SpanStarts(unbridge(col("t")), n))).as("sp"))
       .select(col("doc_id"), col("sp.s").as("s"),
         spanKey(col("sp.g"), stringKeys).as("k"))
       .persist()
@@ -169,12 +192,14 @@ object ExactSubstr {
     // where the interval probe carries O(n_cuts) per row and costs
     // O(n_cuts) per token; cuts are disjoint and sorted by construction
     // (gaps-and-islands), so membership is a plain exists
+    // Native one-pass excision (r16): the composed filter(exists(...))
+    // ran two nested interpreted lambdas — O(len · n_cuts) frames per
+    // doc; the kernel walks tokens and the sorted cuts with one pointer
+    // — O(len + n_cuts). [[composedKept]] keeps the semantics reference.
     val out = toked
       .join(cutAgg, Seq("doc_id"), "left")
-      .withColumn("kept", expr(
-        "CASE WHEN cuts IS NULL THEN t " +
-          "ELSE filter(t, (x, i) -> NOT exists(cuts, " +
-          "c -> i + 1 >= c.cut_start AND i + 1 <= c.cut_end)) END"))
+      .withColumn("kept", bridge(graft.functions.ExciseByIntervals(
+        unbridge(col("t")), unbridge(col("cuts")))))
       .select(
         col("doc_id"),
         coalesce(col("n_cuts"), lit(0L)).as("n_cuts"),

@@ -317,7 +317,10 @@ object Selection {
       // parallelism (r15: 32 RocksDB instances booted per drain for ≤8
       // populated cells; the store boot, not the state, was the cost)
       val s2 = graft.streaming.Streams.rocksDbSession(s,
-        statePartitions = Some(cents.size))
+        // max(1, …): an empty codebook read must not set
+        // spark.sql.shuffle.partitions to 0, which fails every shuffle
+        // in the cloned session (ADVICE r15)
+        statePartitions = Some(math.max(1, cents.size)))
       require(graft.streaming.Streams.stateV2Ready(s2),
         "streaming semdedup needs Spark 4+ with the RocksDB state store provider")
       import s2.implicits._
@@ -399,7 +402,10 @@ object Selection {
       }
       // state partitions from the codebook bound, as in q96 (r15)
       val s2 = graft.streaming.Streams.rocksDbSession(s,
-        statePartitions = Some(cents.size))
+        // max(1, …): an empty codebook read must not set
+        // spark.sql.shuffle.partitions to 0, which fails every shuffle
+        // in the cloned session (ADVICE r15)
+        statePartitions = Some(math.max(1, cents.size)))
       require(graft.streaming.Streams.stateV2Ready(s2),
         "streaming semdedup needs Spark 4+ with the RocksDB state store provider")
       import s2.implicits._

@@ -356,10 +356,9 @@ object Streams {
     // shingle → minhash text pipeline and IS persisted. Guide §5's rule
     // verbatim: cache only when recompute is more expensive than the
     // caching pressure.
-    val bt = batch
-    try {
-    if (!bt.isEmpty) {
+    if (!batch.isEmpty) {
       import org.apache.spark.sql.functions.lit
+      val bt = batch
       val spark = bt.sparkSession
       val b = id + 1
       def induced(p: Int): Unit = if (failAfterPhase == p)
@@ -425,7 +424,6 @@ object Streams {
         onBatchStats(b, bt.count(), nAdmitted)
       } finally { admitted.unpersist(); () }
     }
-    } finally { () } // bt not persisted (see above)
   }
 
   /** Streaming incremental NEAR-DUP admission (r15, VERDICT r14 next
@@ -540,7 +538,8 @@ object Streams {
       }
       if (wm.forall(_ >= b)) phase("rewind scrub") {
         warehouse.deleteWhereRange(spark, outTable, "batch", b, b)
-        bandsTable.foreach(bt => warehouse.deleteWhereRange(spark, bt, "batch", b, b))
+        bandsTable.foreach(bandsTbl =>
+          warehouse.deleteWhereRange(spark, bandsTbl, "batch", b, b))
         warehouse.deleteWhereRange(spark, histTable, "batch", b, b)
       }
       induced(0)
@@ -582,10 +581,10 @@ object Streams {
           .join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi")
           .persist() // ≤2 consumers (bands append + hist append)
         try {
-          bandsTable.foreach { bt =>
+          bandsTable.foreach { bandsTbl =>
             phase("append bands")(
               warehouse.append(graft.operators.NearDup.bandTable(sig, k, bands)
-                .withColumn("batch", lit(b)), bt))
+                .withColumn("batch", lit(b)), bandsTbl))
           }
           induced(3)
           phase("append hist")(

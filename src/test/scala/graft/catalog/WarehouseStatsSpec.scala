@@ -181,6 +181,41 @@ class WarehouseStatsSpec extends AnyFunSuite with SparkSupport {
       "maintenance must not conjure a manifest the operator never asked for")
   }
 
+  test("manifest memo: unchanged manifest plans with ZERO jobs, out-of-band swap is re-read (r16)") {
+    val (wh, xmax, _) = freshLayout()
+    val (lo, hi) = (xmax / 4, xmax / 4 + xmax / 8)
+    // warm: the refresh seeded the memo; this call must already plan
+    // without a manifest collect job — count jobs around it
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val warm = wh.statsPrunedScan(spark, "t", Seq(("x", lo, hi)))
+    assert(warm.scheduled > 0 && warm.scheduled < warm.total)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val again = wh.statsPrunedScan(spark, "t", Seq(("x", lo, hi)))
+      assert(again.scheduled == warm.scheduled && again.total == warm.total)
+      Thread.sleep(300) // listener bus is async; job starts are immediate
+      assert(jobs.get == 0,
+        s"planning against an unchanged manifest must run no jobs, ran ${jobs.get}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // staleness: an EXTERNAL writer (second Warehouse instance on the
+    // same dir) swaps in a manifest whose envelopes exclude the range —
+    // the fingerprint (fresh part-file names/mtimes) must force a
+    // re-read, so the planner now schedules nothing; serving the stale
+    // memo would keep scheduling `warm.scheduled` files
+    val external = new Warehouse(wh.dir)
+    val doctored = wh.read(spark, wh.statsTable("t"))
+      .withColumn("vmin", lit(xmax + 100L)).withColumn("vmax", lit(xmax + 200L))
+    external.replace(wh.statsTable("t"), doctored)
+    val stale = wh.statsPrunedScan(spark, "t", Seq(("x", lo, hi)))
+    assert(stale.scheduled == 0,
+      s"an out-of-band manifest swap must be re-read (scheduled ${stale.scheduled})")
+  }
+
   test("no manifest at all: plain filtered read") {
     val wh = new Warehouse(TempDirs.scratch("wh-stats-none"))
     wh.append(corpus(), "bare")

@@ -148,6 +148,72 @@ class SignatureExpressionsSpec extends AnyFunSuite with SparkSupport with PropSu
     }
   }
 
+  test("spanStarts: native single-pass equals the composed positional transform (r16)") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val samples = scala.collection.mutable.ArrayBuffer.empty[Seq[Option[String]]]
+    forAllSamples(tokenGen, 120)(samples += _)
+    samples += Seq(Some("a"), Some("b"), Some("c"))            // exactly n for n=3
+    samples += Seq(Some("a"), None, Some("c"), None, Some("e")) // concat_ws skip rule
+    samples += Seq(Some("x"), Some("x"), Some("x"), Some("x")) // repeated occurrences
+    val df = samples.toSeq.toDF("t")
+    for (n <- Seq(2, 3, 8)) {
+      val out = df
+        .filter(org.apache.spark.sql.functions.size($"t") >= n) // the operator's guard
+        .select(
+          ColumnBridge.column(SpanStarts(ColumnBridge.expression($"t"), n)).as("native"),
+          graft.operators.ExactSubstr.composedStarts(n).as("composed")).collect()
+      out.foreach { r =>
+        assert(r.getSeq[Any](0) == r.getSeq[Any](1),
+          s"spanStarts n=$n diverged: ${r.getSeq[Any](0)} vs ${r.getSeq[Any](1)}")
+      }
+    }
+    // NULL token array: the raw composed transform propagates NULL; so
+    // does the null-safe kernel (the operator's size guard filters both)
+    val nl = Seq(Option.empty[Seq[String]]).toDF("t").select(
+      ColumnBridge.column(SpanStarts(ColumnBridge.expression($"t"), 3)).as("native")).head()
+    assert(nl.isNullAt(0))
+  }
+
+  test("exciseByIntervals: native pointer walk equals the composed filter+exists (r16)") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val t10 = Seq.tabulate(10)(i => Option(s"w$i"))
+    val withNulls = Seq(Some("a"), None, Some("c"), None, Some("e"), Some("f"))
+    val cases: Seq[(Seq[Option[String]], Option[Seq[(Long, Long)]])] = Seq(
+      (t10, Some(Seq((2L, 4L), (7L, 8L)))),            // disjoint cuts
+      (t10, Some(Seq((1L, 3L), (4L, 6L)))),            // adjacent (pre-merge shape)
+      (t10, Some(Seq((1L, 8L), (2L, 3L)))),            // overlapping, sorted by start
+      (t10, Some(Seq((1L, 10L)))),                     // everything cut
+      (t10, Some(Seq.empty)),                          // empty cut list → keep all
+      (t10, None),                                     // NULL cuts → pass-through
+      (t10, Some(Seq((9L, 15L)))),                     // cut past the end
+      (t10, Some(Seq((-5L, 0L)))),                     // cut before the start
+      (withNulls, Some(Seq((2L, 3L)))),                // NULL tokens survive uncovered
+      (Seq.empty, Some(Seq((1L, 2L)))))                // empty doc
+    val df = cases.toDF("t", "rawCuts")
+      .selectExpr("t",
+        "transform(rawCuts, c -> struct(cast(c._1 as int) as cut_start, " +
+          "cast(c._2 as int) as cut_end)) as cuts")
+    val out = df.select(
+      ColumnBridge.column(ExciseByIntervals(
+        ColumnBridge.expression($"t"), ColumnBridge.expression($"cuts"))).as("native"),
+      graft.operators.ExactSubstr.composedKept.as("composed")).collect()
+    out.foreach { r =>
+      assert(r.getSeq[Any](0) == r.getSeq[Any](1),
+        s"excise diverged: ${r.getSeq[Any](0)} vs ${r.getSeq[Any](1)}")
+    }
+    // NULL token array: both NULL
+    val nl = Seq((Option.empty[Seq[String]], Option(Seq((1L, 2L))))).toDF("t", "rawCuts")
+      .selectExpr("t", "transform(rawCuts, c -> struct(c._1 as cut_start, " +
+        "c._2 as cut_end)) as cuts")
+      .select(
+        ColumnBridge.column(ExciseByIntervals(
+          ColumnBridge.expression($"t"), ColumnBridge.expression($"cuts"))).as("native"),
+        graft.operators.ExactSubstr.composedKept.as("composed")).head()
+    assert(nl.isNullAt(0) && nl.isNullAt(1))
+  }
+
   test("codegen smoke: kernels execute inside a filtered projection over range data") {
     import spark.implicits._
     val df = spark.range(1, 200).select(
