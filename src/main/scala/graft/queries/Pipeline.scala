@@ -684,12 +684,16 @@ object Pipeline {
   val q48 = QueryDef(
     "q48_streaming_dedup",
     (s, dir) => {
-      import s.implicits._
       val base = graft.util.TempDirs.scratch("q48stream")
-      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      // source-sized state layout at stream birth (r16) — see q54
+      val s2 = graft.streaming.Streams.statefulSession(s,
+        graft.streaming.Streams.derivedStatePartitions(s,
+          new java.io.File(s"$dir/documents.parquet").length()))
+      import s2.implicits._
+      val schema = s2.read.parquet(s"$dir/documents.parquet").schema
       // the stream source wants a DIRECTORY; the sf dir + a glob filter
       // selects the single documents file (testdata tables are one file)
-      val stream = s.readStream.schema(schema)
+      val stream = s2.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
       val q = graft.streaming.Streams.dedupExact(stream)
@@ -790,7 +794,14 @@ object Pipeline {
     (s, dir) => {
       import s.implicits._
       val base = graft.util.TempDirs.scratch("q54stream")
-      val stream = Tables.eventsStream(s, dir)
+      // state partitions sized to the SOURCE at stream birth (r16,
+      // VERDICT r15 next #4): the window-keyed state store otherwise
+      // boots one instance per session shuffle partition per drain —
+      // see Streams.derivedStatePartitions for the scale argument
+      val s2 = graft.streaming.Streams.statefulSession(s,
+        graft.streaming.Streams.derivedStatePartitions(s,
+          new java.io.File(s"$dir/events.parquet").length()))
+      val stream = Tables.eventsStream(s2, dir)
       val q = graft.streaming.Streams.windowedCounts(stream)
         .writeStream.format("parquet")
         .option("path", s"$base/out")
@@ -835,9 +846,13 @@ object Pipeline {
   val q55 = QueryDef(
     "q55_streaming_sessions",
     (s, dir) => {
-      import s.implicits._
       val base = graft.util.TempDirs.scratch("q55stream")
-      val stream = Tables.eventsStream(s, dir)
+      // source-sized state layout at stream birth (r16) — see q54
+      val s2 = graft.streaming.Streams.statefulSession(s,
+        graft.streaming.Streams.derivedStatePartitions(s,
+          new java.io.File(s"$dir/events.parquet").length()))
+      import s2.implicits._
+      val stream = Tables.eventsStream(s2, dir)
         .select($"user_id", $"ts", $"event_type", $"value")
         .as[graft.streaming.Streams.Event]
       val q = graft.streaming.Streams.sessionize(stream)
@@ -903,7 +918,12 @@ object Pipeline {
   val q66 = QueryDef(
     "q66_streaming_sessions_v2",
     (s, dir) => {
-      val s2 = graft.streaming.Streams.rocksDbSession(s)
+      // source-sized state layout at stream birth (r16) — see q54; the
+      // RocksDB store pays per-instance boot/commit per drain, so the
+      // bound matters even more than for the HDFS-backed twin
+      val s2 = graft.streaming.Streams.rocksDbSession(s,
+        statePartitions = Some(graft.streaming.Streams.derivedStatePartitions(s,
+          new java.io.File(s"$dir/events.parquet").length())))
       require(graft.streaming.Streams.stateV2Ready(s2),
         "state-v2 gate needs Spark 4+ with the RocksDB state store provider")
       import s2.implicits._

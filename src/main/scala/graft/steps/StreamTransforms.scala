@@ -261,11 +261,17 @@ object StreamTransforms {
     // tick of the always-on sessionizer. Rows = closed sessions this
     // drain admitted (ErwarteteDaten).
     "sessionize_stream" -> { (ctx, p) =>
-      import ctx.spark.implicits._
-      val events = arrivalStream(ctx.spark, p)
+      // state partitions sized to the watched folder at stream birth
+      // (r16) — see Streams.derivedStatePartitions; the clone keeps the
+      // step's session untouched (stream-birth setting, q54's rationale)
+      val s2 = graft.streaming.Streams.statefulSession(ctx.spark,
+        graft.streaming.Streams.derivedStatePartitions(ctx.spark,
+          graft.streaming.Streams.dirBytes(Transforms.str(p, "dir"))))
+      import s2.implicits._
+      val events = arrivalStream(s2, p)
         .select(col("user_id"), col("ts"), col("event_type"), col("value"))
         .as[graft.streaming.Streams.Event]
-      drainObserved(ctx.spark, () => graft.streaming.Streams.sessionize(events,
+      drainObserved(s2, () => graft.streaming.Streams.sessionize(events,
           gapSeconds = Transforms.long(p, "gap", Some(1800L)),
           watermark = p.getOrElse("watermark", "30 minutes"))
         .filter(_.closed)
@@ -287,8 +293,13 @@ object StreamTransforms {
     // still-open windows carry in the checkpoint across drains. Rows =
     // closed windows this drain emitted.
     "windowed_counts_stream" -> { (ctx, p) =>
-      drainObserved(ctx.spark, () =>
-        graft.streaming.Streams.windowedCounts(arrivalStream(ctx.spark, p),
+      // source-sized state layout at stream birth (r16) — see
+      // sessionize_stream above
+      val s2 = graft.streaming.Streams.statefulSession(ctx.spark,
+        graft.streaming.Streams.derivedStatePartitions(ctx.spark,
+          graft.streaming.Streams.dirBytes(Transforms.str(p, "dir"))))
+      drainObserved(s2, () =>
+        graft.streaming.Streams.windowedCounts(arrivalStream(s2, p),
           watermark = p.getOrElse("watermark", "30 minutes"),
           window = p.getOrElse("window", "1 hour"))
         .observe(graft.streaming.Streams.AdmittedMetric, count(lit(1)))

@@ -312,6 +312,24 @@ class StreamsSpec extends AnyFunSuite with SparkSupport {
       Seq(1L, 2L))
   }
 
+  test("derivedStatePartitions: data-sized below the cap, session default at scale, floor 1 (r16)") {
+    val cap = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val advisory = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"))
+    // tiny source: one partition, never zero
+    assert(Streams.derivedStatePartitions(spark, 0L) == 1)
+    assert(Streams.derivedStatePartitions(spark, 1L) == 1)
+    assert(Streams.derivedStatePartitions(spark, advisory) == 1)
+    assert(Streams.derivedStatePartitions(spark, advisory + 1) == math.min(2, cap))
+    // production-sized source: the cap (session default) — NO local tune
+    assert(Streams.derivedStatePartitions(spark, advisory * (cap + 50L)) == cap)
+    assert(Streams.derivedStatePartitions(spark, Long.MaxValue / 4) == cap)
+    // the clone carries the bound and the parent keeps its own setting
+    val s2 = Streams.statefulSession(spark, 3)
+    assert(s2.conf.get("spark.sql.shuffle.partitions") == "3")
+    assert(spark.conf.get("spark.sql.shuffle.partitions").toInt == cap)
+  }
+
   test("windowedCounts: watermark closes windows, counts per type") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
