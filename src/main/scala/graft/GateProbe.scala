@@ -18,7 +18,7 @@ import scala.collection.mutable
   */
 object GateProbe {
   final case class Job(id: Int, start: Long, var end: Long = -1L,
-      desc: String = "", site: String = "")
+      desc: String = "", site: String = "", stages: String = "")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -55,7 +55,12 @@ object GateProbe {
           .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
         val site = Option(e.properties)
           .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("")
-        jobs += Job(e.jobId, e.time, desc = desc, site = site)
+        // per-job stage anatomy (r16 forensics): the leaf stage's name is
+        // the operator that submitted the job (broadcast build, shuffle
+        // map, write, collect), which the stream-level callSite hides
+        val stages = e.stageInfos.map(s =>
+          s"${s.name.takeWhile(_ != '(').trim}:${s.numTasks}").mkString("+")
+        jobs += Job(e.jobId, e.time, desc = desc, site = site, stages = stages)
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = jobs.synchronized {
         jobs.find(_.id == e.jobId).foreach(_.end = e.time)
@@ -112,13 +117,22 @@ object GateProbe {
             f"job-covered=${covered / 1e3}%.2fs driver-gap=${(wallMs - covered) / 1e3}%.2fs " +
             f"tasks=${nTasks.get} taskSec=${taskMs.get / 1e3}%.2f " +
             f"shufW=${shufWrite.get / 1048576.0}%.2fMiB shufR=${shufRead.get / 1048576.0}%.2fMiB")
+          val detail = sys.env.contains("GATE_PROBE_SITES")
           val bySite = done.groupBy(j =>
             if (j.desc.startsWith("nd-admit") || j.desc.startsWith("phase:"))
-              j.desc.linesIterator.next() else j.site)
+              (if (detail) j.desc.linesIterator.next() + " @ " + j.site
+               else j.desc.linesIterator.next())
+            else j.site)
             .map { case (k, v) => (k, v.map(j => j.end - j.start).sum, v.size) }
             .toSeq.sortBy(-_._2)
           bySite.take(30).foreach { case (k, ms, n) =>
             println(f"   ${ms / 1e3}%7.2fs  n=$n%-4d $k")
+          }
+          // full per-job dump (GATE_PROBE_JOBS=1): id, duration, desc,
+          // stage anatomy — the job-level forensics the grouped view hides
+          if (sys.env.contains("GATE_PROBE_JOBS")) done.foreach { j =>
+            println(f"   job ${j.id}%3d ${(j.end - j.start) / 1e3}%6.2fs " +
+              f"[${j.desc.linesIterator.toSeq.headOption.getOrElse("")}] ${j.stages}")
           }
           // driver-gap attribution: the widest gaps between consecutive
           // jobs, labeled by the job that FOLLOWS the gap (its planning/

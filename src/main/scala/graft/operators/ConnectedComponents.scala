@@ -68,6 +68,7 @@ object ConnectedComponents {
       onRound: (Int, Long) => Unit): Option[DataFrame] = {
     require(bucketCols.nonEmpty, "bucketCols must be non-empty")
     require(maxRounds >= 1, s"maxIters must be >= 1, got $maxRounds")
+    val spark = memberships.sparkSession
     val bCols = bucketCols.map(col)
     val m = memberships
       .select(col(nodeCol).as("n") +: bCols: _*)
@@ -84,14 +85,34 @@ object ConnectedComponents {
         if (round > maxRounds) return None
         val bucketMin = m.join(labels, "n")
           .groupBy(bCols: _*).agg(min(col("lbl")).as("bm"))
+        // `__moved` rides the round's plan (codegen'd, type-agnostic on
+        // the node id) so the convergence count can be FUSED into the
+        // lineage cut: one action materializes the localCheckpoint AND
+        // folds the accumulator (r16, VERDICT r15 next #7 — previously
+        // checkpoint + count were two jobs per round). Accumulator
+        // semantics under task retry are at-least-once, which is SOUND
+        // here: a retry can only re-add rows that truly moved, so
+        // `moved == 0` still means exactly "converged" (the reported
+        // VALUE may over-count under retries — onRound telemetry only).
         val stepped = m.join(bucketMin, bucketCols)
           .groupBy(col("n")).agg(min(col("bm")).as("cand"))
           .join(labels, "n")
-          .select(col("n"), col("lbl"), least(col("cand"), col("lbl")).as("nxt"))
-          .localCheckpoint(true)
-        moved = stepped.filter(col("nxt") < col("lbl")).count()
+          .select(col("n"), least(col("cand"), col("lbl")).as("nxt"),
+            when(col("cand") < col("lbl"), 1L).otherwise(0L).as("__moved"))
+        val acc = spark.sparkContext.longAccumulator(s"cc-propagate-moved-r$round")
+        val schema = stepped.schema
+        val movedIdx = schema.fieldIndex("__moved")
+        val rdd = stepped.queryExecution.toRdd.mapPartitions(_.map { r =>
+          acc.add(r.getLong(movedIdx))
+          r.copy() // unsafe-row buffer reuse: copy before the checkpoint stores it
+        })
+        rdd.localCheckpoint()
+        rdd.count() // ONE job: checkpoint materialization + accumulator fold
+        moved = acc.value
         onRound(round, moved)
-        labels = stepped.select(col("n"), col("nxt").as("lbl"))
+        labels = org.apache.spark.sql.graftshim.FrameBridge
+          .ofInternal(spark, rdd, schema)
+          .select(col("n"), col("nxt").as("lbl"))
       }
       Some(labels.select(col("n").as(nodeCol), col("lbl").as("component")))
     } finally {
@@ -164,7 +185,17 @@ object ConnectedComponents {
       onRound: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
     require(bucketCols.nonEmpty, "bucketCols must be non-empty")
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    val spark = memberships.sparkSession
     val bCols = bucketCols.map(col)
+    // lineage cut + row count in ONE action (r16 — see propagate): the
+    // count() that materializes the localCheckpoint IS the edge count
+    def checkpointCounted(df: DataFrame): (DataFrame, Long) = {
+      val schema = df.schema
+      val rdd = df.queryExecution.toRdd.mapPartitions(_.map(_.copy()))
+      rdd.localCheckpoint()
+      val n = rdd.count()
+      (org.apache.spark.sql.graftshim.FrameBridge.ofInternal(spark, rdd, schema), n)
+    }
     val m = memberships
       .select(col(nodeCol).as("n") +: bCols: _*)
       .distinct()
@@ -172,14 +203,12 @@ object ConnectedComponents {
     try {
       val allNodes = m.select(col("n")).distinct().localCheckpoint(true)
       val hubs = m.groupBy(bCols: _*).agg(min(col("n")).as("hub"))
-      var edges = m.join(hubs, bucketCols)
+      var (edges, edgeCount) = checkpointCounted(m.join(hubs, bucketCols)
         .filter(col("n") =!= col("hub"))
         .select(greatest(col("n"), col("hub")).as("u"),
           least(col("n"), col("hub")).as("v"))
-        .distinct()
-        .localCheckpoint(true)
+        .distinct())
       var round = 0
-      var edgeCount = edges.count()
       var changed = if (edgeCount == 0) 0L else 1L
       while (changed > 0) {
         round += 1
@@ -200,17 +229,15 @@ object ConnectedComponents {
         // small-star on the large→small orientation: fold u and its
         // smaller neighbors onto their common minimum.
         val mins2 = large.groupBy(col("u")).agg(min(col("v")).as("mu"))
-        val next = large.join(mins2, "u")
+        val (next, nextCount) = checkpointCounted(large.join(mins2, "u")
           .filter(col("v") =!= col("mu"))
           .select(col("v").as("u"), col("mu").as("v"))
           .unionByName(mins2.select(col("u"), col("mu").as("v")))
-          .distinct()
-          .localCheckpoint(true)
+          .distinct())
         // fixpoint = edge-set equality; a COUNT mismatch already proves
         // inequality (both sets are distinct), so the anti-join pass
         // only runs on the candidate-converged round — and ONE direction
         // suffices there: |A| = |B| with A∖B = ∅ implies A = B for sets
-        val nextCount = next.count()
         changed =
           if (nextCount != edgeCount) 1L
           else next.exceptAll(edges).count()

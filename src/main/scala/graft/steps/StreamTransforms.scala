@@ -143,7 +143,15 @@ object StreamTransforms {
       if (!ctx.warehouse.exists(spark, bloomT))
         ctx.warehouse.overwrite(graft.operators.Bloom.build(
           ctx.warehouse.read(spark, seenT), key, mBits, k), bloomT)
-      val stream = spark.readStream
+      // the foreachBatch body's exchanges (probe distinct, confirm
+      // anti-join, bitmap fold) are BATCH-sized, and AQE cannot coalesce
+      // them under a streaming plan — run the drain on a source-sized
+      // clone (r16; same rule as the stateful streams, see
+      // Streams.derivedStatePartitions)
+      val s2 = graft.streaming.Streams.statefulSession(spark,
+        graft.streaming.Streams.derivedStatePartitions(spark,
+          graft.streaming.Streams.dirBytes(Transforms.str(p, "dir"))))
+      val stream = s2.readStream
         .schema(StructType.fromDDL(Transforms.str(p, "schema")))
         .option("maxFilesPerTrigger", Transforms.long(p, "maxfiles", Some(1L)))
         .parquet(Transforms.str(p, "dir"))
@@ -199,8 +207,13 @@ object StreamTransforms {
             .withColumn("batch", lit(0L)), bt)
       }
       val admitted = new java.util.concurrent.atomic.AtomicLong(0L)
+      // source-sized clone for the batch-sized per-batch exchanges (r16)
+      // — see bloom_ingest_stream above
+      val s2 = graft.streaming.Streams.statefulSession(spark,
+        graft.streaming.Streams.derivedStatePartitions(spark,
+          graft.streaming.Streams.dirBytes(Transforms.str(p, "dir"))))
       val q = graft.streaming.Streams.neardupAdmitStream(
-        arrivalStream(spark, p), ctx.warehouse,
+        arrivalStream(s2, p), ctx.warehouse,
         histTable = histT,
         outTable = Transforms.str(p, "out"),
         wmTable = Transforms.str(p, "wm"),
@@ -329,15 +342,21 @@ object StreamTransforms {
     // mtime-ordered arrival files of an id-ordered corpus do, and a
     // violation fails the query (and so the step) loudly.
     "semdedup_stream" -> { (ctx, p) =>
-      val s2 = graft.streaming.Streams.rocksDbSession(ctx.spark,
-        statePartitions = p.get("statepartitions").map(_.toInt))
-      require(graft.streaming.Streams.stateV2Ready(s2),
-        "semdedup_stream needs Spark 4+ with the RocksDB state store provider")
-      import s2.implicits._
       import graft.functions.{VectorFunctions => V}
       val cents = Transforms.input(ctx, p, "cents")
         .select(col("cid").cast("long"), V.asDouble(col("ce")))
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      // default state partitions = the operator's own data bound (state
+      // key = cell, cardinality ≤ |codebook| — the r15 q96 rule), min'd
+      // with the session default so a real codebook keeps full
+      // parallelism; an explicit statepartitions= still wins (r16)
+      val s2 = graft.streaming.Streams.rocksDbSession(ctx.spark,
+        statePartitions = Some(p.get("statepartitions").map(_.toInt).getOrElse(
+          math.max(1, math.min(cents.size,
+            ctx.spark.conf.get("spark.sql.shuffle.partitions").toInt)))))
+      require(graft.streaming.Streams.stateV2Ready(s2),
+        "semdedup_stream needs Spark 4+ with the RocksDB state store provider")
+      import s2.implicits._
       val assign = graft.operators.SemDeDup.assignCellFunc(cents)
       val idCol = p.getOrElse("id", "vec_id")
       val stream = arrivalStream(s2, p)

@@ -356,7 +356,11 @@ object Streams {
     // shingle → minhash text pipeline and IS persisted. Guide §5's rule
     // verbatim: cache only when recompute is more expensive than the
     // caching pressure.
-    if (!batch.isEmpty) {
+    // ONE batch-count action serves both the empty probe and the
+    // end-of-batch telemetry (r16 — previously isEmpty + count were two
+    // jobs over the same micro-batch source)
+    val nBatch = batch.count()
+    if (nBatch > 0) {
       import org.apache.spark.sql.functions.lit
       val bt = batch
       val spark = bt.sparkSession
@@ -421,7 +425,7 @@ object Streams {
         // accounting matches what this run actually landed without
         // ever re-pricing the out table's history (r14 review)
         admittedRows.foreach(_.addAndGet(nAdmitted))
-        onBatchStats(b, bt.count(), nAdmitted)
+        onBatchStats(b, nBatch, nAdmitted)
       } finally { admitted.unpersist(); () }
     }
   }
@@ -522,7 +526,11 @@ object Streams {
     // Batch-sized by contract, released in the finally.
     val bt = batch.persist()
     try {
-    if (!phase("empty probe")(bt.isEmpty)) {
+    // ONE batch-count action fills the persist, serves the empty probe
+    // AND the end-of-batch telemetry (r16 — previously isEmpty +
+    // telemetry count were two jobs)
+    val nBatch = phase("batch count")(bt.count())
+    if (nBatch > 0) {
       import org.apache.spark.sql.functions.lit
       val spark = spark0
       val b = id + 1
@@ -593,7 +601,7 @@ object Streams {
         induced(4)
         // count only COMPLETED batches (crashed ones rewind + recount)
         admittedRows.foreach(_.addAndGet(nAdmitted))
-        onBatchStats(b, phase("telemetry batch count")(bt.count()), nAdmitted)
+        onBatchStats(b, nBatch, nAdmitted)
       } finally { admitted.unpersist(); adm.release(); () }
     }
     } finally { bt.unpersist(); () }
