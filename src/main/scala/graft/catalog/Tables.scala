@@ -43,11 +43,43 @@ object Tables {
     }
   }
 
+  /** Footer schema of a single-file parquet table, memoized on the
+    * file's (length, mtime) (r16): resolving `spark.read.parquet` runs
+    * footer inference per call — one driver job per table per gate
+    * ([[registerAll]] alone paid ten). The corpus files are immutable
+    * within a run, and a swapped file changes the fingerprint and
+    * re-infers — the same validated-metadata discipline as the
+    * warehouse's stats/schema memos. Non-file paths (directory tables)
+    * skip the memo and infer as before.
+    */
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, ((Long, Long), org.apache.spark.sql.types.StructType)]()
+
+  private def footerSchema(spark: SparkSession, path: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val f = new java.io.File(path)
+    if (!f.isFile) None
+    else {
+      val key = (f.length(), f.lastModified())
+      val hit = schemaMemo.get(path)
+      if (hit != null && hit._1 == key) Some(hit._2)
+      else {
+        val s = spark.read.parquet(path).schema
+        schemaMemo.put(path, (key, s))
+        Some(s)
+      }
+    }
+  }
+
   /** All tables load as the parquet footer declares, except the events
     * timestamp normalization above.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val p = s"$dir/$name.parquet"
+    val df = footerSchema(spark, p) match {
+      case Some(s) => spark.read.schema(s).parquet(p)
+      case None => spark.read.parquet(p)
+    }
     if (name == "events") normalizeEventsTs(df) else df
   }
 
@@ -60,7 +92,8 @@ object Tables {
     * it again).
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = footerSchema(spark, s"$dir/events.parquet")
+      .getOrElse(spark.read.parquet(s"$dir/events.parquet").schema)
     normalizeEventsTs(
       spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir))

@@ -162,6 +162,14 @@ class ZOrderSpec extends AnyFunSuite with SparkSupport with PropSupport {
       ZOrder.prunedRead(spark, s"$base/z", Seq(rx, rx))
     }
     assert(dup.getMessage.contains("duplicate"))
+    // the executor-side envelope path (fanoutThreshold exceeded — the
+    // 100k-file planning shape, r16) must schedule the SAME file set and
+    // rows as the serial driver path
+    val fanned = ZOrder.prunedRead(spark, s"$base/z", Seq(rx, ry), fanoutThreshold = 0)
+    assert(fanned.inputFiles.toSet == rect.inputFiles.toSet,
+      "fan-out and serial planners must agree on the scheduled file set")
+    assert(fanned.select($"x", $"y")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq == rectRows)
   }
 
   test("prunedRead survives all-null column chunks: value-less files skip, mixed files keep exact envelopes") {
